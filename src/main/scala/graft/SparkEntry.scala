@@ -1,13 +1,371 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dedup, Merge, Patients, TextFunctions => TF}
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators, each paired
+  * with a DuckDB-equivalent oracle in [[SparkEntry.oracleSql]].
+  *
+  * Conventions shared by every query/oracle pair (driver hash-compares
+  * after sorting columns by name):
+  *  - identical column aliases on both sides;
+  *  - deterministic result sets: every window/limit has a total tiebreak
+  *    order, double outputs are rounded, temporal outputs are formatted
+  *    to strings (removes timestamp-encoding ambiguity between engines);
+  *  - cross-engine hashing uses the first 12 hex digits of md5 (exact in
+  *    48 bits — reproducible bit-for-bit in DuckDB).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the reference's patient-ingest pipeline (SURVEY.md §7.3) —
+    * stage → keep-first dedup on identity keys with pre-dedup surrogate
+    * numbering → DWH projection → MERGE — run over `customer` shaped as a
+    * patient export. Driver smoke-checks rows>0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val staged = t(spark, dir, "customer").select(
+      col("c_custkey").as("__src_order"),
+      col("c_name").as("NOM"),
+      col("c_mktsegment").as("PRENOM"),
+      lit("01/01/1970").as("DATE_NAISSANCE"),
+      lit("M").as("SEXE"),
+      lit(null).cast("string").as("NOM_JEUNE_FILLE"),
+      concat(lit("addr "), col("c_nationkey")).as("ADRESSE"),
+      concat(lit("tel "), col("c_custkey")).as("TEL"),
+      lit("75000").as("CP"),
+      lit("Paris").as("VILLE"),
+      lit("France").as("PAYS"),
+      when(col("c_acctbal") < 0, lit("01/01/2020")).cast("string").as("DATE_MORT"),
+      TF.zeroPadId(col("c_custkey")).as("HOSPITAL_PATIENT_ID"))
+    val deduped = Patients.dedupAndNumber(staged)
+    val patients = Patients.toDwhPatient(deduped, uploadId = 1L)
+    val ipphist = Patients.toDwhIpphist(deduped, uploadId = 1L)
+    Merge.upsert(
+      existing = patients.limit(0),
+      incoming = patients,
+      keys = Seq("PATIENT_NUM"))
+      .join(ipphist.select("PATIENT_NUM", "HOSPITAL_PATIENT_ID"), Seq("PATIENT_NUM"))
+  }
+
+  // ---- shared fragments ------------------------------------------------
+
+  /** Normalized document text (F1) used by the text/dedup family. */
+  private def normText: Column = TF.normalizeText(col("text"))
+
+  /** `events` with `ts` as a proper timestamp — the parquet stores
+    * TIMESTAMP(NANOS), which the session reads as a ns-since-epoch long
+    * (`spark.sql.legacy.parquet.nanosAsLong`); convert to micros here. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.schema("ts").dataType.typeName match {
+      case "long" => e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => e
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4-style aggregation surface (TPC-H Q1 shape): filter pushdown +
+    // partial (map-side) aggregation; one shuffle on the two group keys.
+    "q01_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-06-30").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J1+P5 — keep-first dedup on a key subset under explicit order
+    // (reference drop_duplicates, exo_1.py:32-34): one window shuffle on
+    // the dedup keys, no global sort.
+    "q02_dedup_keepfirst" -> ((s, dir) => {
+      Dedup.keepFirst(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), col("c_custkey"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // J2 — anti-join new-rows detection (exo_1.py:199-204). AQE turns
+    // this into a broadcast anti join when the distinct-key side is small.
+    "q03_antijoin_new_rows" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      Merge.newRows(c, recent, Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // J3/J4 — dimension resolution joins, explicitly broadcast
+    // (exo_2.py:255's N+1 lookup done as one set-at-a-time join).
+    "q04_join_resolve" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("o_orderkey"), col("c_name"), col("n_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    // P5/A2 — ranking window partitioned by key (no global sort). The
+    // order is a total tiebreak over all output columns so the result is
+    // a deterministic multiset even with duplicate (orderkey, linenumber).
+    "q05_window_rownum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"),
+          row_number().over(w).as("rn"))
+        .orderBy(col("l_orderkey"), col("rn"))
+    }),
+
+    // F2/F6 — the reference's document-date rule (first dd/MM/yyyy with
+    // year>=2001, exo_2.py:181-189) over text synthesized from
+    // o_orderdate, so the <2001 branch is actually exercised.
+    "q06_regex_date_extract" -> ((s, dir) => {
+      val txt = concat(lit("ne le 01/01/1940 vu le "),
+        date_format(col("o_orderdate"), "dd/MM/yyyy"),
+        lit(" rdv 15/06/2001 fin"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          TF.extractDocumentDate(txt).cast("string").as("doc_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F1/F3/F4 — author rule: last `dr <one-or-two lowercase words>` match
+    // on normalized text wins, then title-cased (exo_2.py:166-201).
+    "q07_regex_author_extract" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      val txt = concat(lit("avis du dr "), lower(col("n_name")),
+        lit(" transmis au dr "), lower(col("r_name")), lit(" service"))
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), TF.extractAuthor(txt).as("author"))
+        .orderBy("n_nationkey")
+    }),
+
+    // S7/S8/J2 — keyed MERGE as antijoin-union (exo_1.py:134-170):
+    // incoming batch (2001+ orders, re-priced) upserted into orders.
+    "q08_merge_upsert" -> ((s, dir) => {
+      val existing = t(s, dir, "orders")
+      val incoming = existing
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U"))
+      Merge.upsert(existing, incoming, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // S9/F5/F7 — the provenance export join: date re-format + the Oracle
+    // zero-pad-of-id*5124 quirk (export_patient.xlsx sheet "SQL").
+    "q09_provenance_export" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"),
+          TF.zeroPadId(col("o_custkey")).as("hospital_patient_id"),
+          date_format(col("o_orderdate"), "dd/MM/yyyy").as("order_date_fr"),
+          col("c_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    // P1-P4/F9 — schema-mapping projection with constants, typed NULLs,
+    // conditional "0"/"1" encodes and the Python-truthiness guard.
+    "q10_schema_projection" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey").as("patient_num"),
+        col("c_name").as("lastname"),
+        lit(null).cast("string").as("maiden_name"),
+        TF.boolFlag(col("c_acctbal") < 0).as("death_code"),
+        TF.boolFlag(TF.truthy(col("c_mktsegment"))).as("master_patient_id"),
+        lit("SIH").as("origin_patient_id"),
+        lit(7L).as("upload_id"))
+        .orderBy("patient_num")
+    }),
+
+    // P7/F8 — IPP_IDDOC.ext filename parsing via one anchored regex
+    // (exo_2.py:238-239) over paths synthesized from `documents`.
+    "q11_filename_parse" -> ((s, dir) => {
+      val path = concat(col("source"), lit("/"), col("doc_id"), lit("_"),
+        col("n_chars"),
+        when(col("doc_id") % 2 === 0, ".pdf").otherwise(".docx"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), path.as("path"))
+        .select(col("doc_id"),
+          TF.filenamePart(col("path"), 1).as("ipp"),
+          TF.filenamePart(col("path"), 2).as("id_doc"),
+          TF.filenamePart(col("path"), 3).as("doc_type"))
+        .orderBy("doc_id")
+    }),
+
+    // JSON scalar extraction over events.props (engine free-function
+    // surface; SURVEY.md §2.5 note).
+    "q12_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // T7-adjacent batch shape — event-time bucketing + aggregation
+    // (the streaming variant with watermarks lives in engine.Watcher).
+    "q13_time_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+         GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q02_dedup_keepfirst" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM (
+           SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                  row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                                     ORDER BY c_custkey) AS rn
+           FROM customer) WHERE rn = 1 ORDER BY c_custkey""",
+
+    "q03_antijoin_new_rows" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+         ORDER BY c_custkey""",
+
+    "q04_join_resolve" ->
+      """SELECT o_orderkey, c_name, n_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY o_orderkey""",
+
+    "q05_window_rownum" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+         FROM lineitem ORDER BY l_orderkey, rn""",
+
+    "q06_regex_date_extract" ->
+      """SELECT o_orderkey, CAST(CAST(try_strptime(
+           list_filter(
+             regexp_extract_all(
+               'ne le 01/01/1940 vu le ' || strftime(o_orderdate, '%d/%m/%Y')
+                 || ' rdv 15/06/2001 fin',
+               '\d{2}/\d{2}/\d{4}'),
+             d -> year(try_strptime(d, '%d/%m/%Y')) >= 2001)[1],
+           '%d/%m/%Y') AS DATE) AS VARCHAR) AS doc_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "q07_regex_author_extract" ->
+      """WITH base AS (
+           SELECT n_nationkey,
+             'avis du dr ' || lower(n_name) || ' transmis au dr '
+               || lower(r_name) || ' service' AS txt
+           FROM nation JOIN region ON n_regionkey = r_regionkey),
+         m AS (
+           SELECT n_nationkey,
+             regexp_extract_all(txt, '\bdr\s+([a-z]+(?:\s+[a-z]+)?)\b', 1)[-1]
+               AS last_name
+           FROM base),
+         tr AS (
+           SELECT n_nationkey, last_name,
+             trim(string_split(last_name, 'dr')[1]) AS cut
+           FROM m)
+         SELECT n_nationkey,
+           CASE WHEN last_name IS NOT NULL AND length(last_name) > 0
+             THEN 'Dr ' || list_aggregate(
+               list_transform(string_split(cut, ' '),
+                 w -> upper(w[1]) || w[2:]),
+               'string_agg', ' ')
+             ELSE NULL END AS author
+         FROM tr ORDER BY n_nationkey""",
+
+    "q08_merge_upsert" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS total
+           FROM orders
+           WHERE o_orderkey NOT IN (
+             SELECT o_orderkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+           UNION ALL
+           SELECT o_orderkey, 'U' AS o_orderstatus,
+                  round(o_totalprice*2,2) AS total
+           FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+         ORDER BY o_orderkey""",
+
+    "q09_provenance_export" ->
+      """SELECT o_orderkey,
+           lpad(CAST(o_custkey*5124 AS VARCHAR), 8, '0') AS hospital_patient_id,
+           strftime(o_orderdate, '%d/%m/%Y') AS order_date_fr,
+           c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q10_schema_projection" ->
+      """SELECT c_custkey AS patient_num, c_name AS lastname,
+           CAST(NULL AS VARCHAR) AS maiden_name,
+           CASE WHEN c_acctbal < 0 THEN '1' ELSE '0' END AS death_code,
+           CASE WHEN length(coalesce(c_mktsegment,'')) > 0 THEN '1' ELSE '0'
+             END AS master_patient_id,
+           'SIH' AS origin_patient_id,
+           CAST(7 AS BIGINT) AS upload_id
+         FROM customer ORDER BY 1""",
+
+    "q11_filename_parse" ->
+      """WITH p AS (
+           SELECT doc_id,
+             source || '/' || CAST(doc_id AS VARCHAR) || '_'
+               || CAST(n_chars AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '.pdf' ELSE '.docx' END AS path
+           FROM documents)
+         SELECT doc_id,
+           regexp_extract(path, '([^/_]+)_([^/_]+)\.(pdf|docx)$', 1) AS ipp,
+           regexp_extract(path, '([^/_]+)_([^/_]+)\.(pdf|docx)$', 2) AS id_doc,
+           regexp_extract(path, '([^/_]+)_([^/_]+)\.(pdf|docx)$', 3) AS doc_type
+         FROM p ORDER BY doc_id""",
+
+    "q12_json_extract" ->
+      """SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q13_time_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+  )
 }
