@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dedup, Merge, Patients, TextFunctions => TF}
+import graft.ops.{DedupOps, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 plus the training-data-pipeline operators, each paired
@@ -238,6 +239,119 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")
     }),
+
+    // ---- training-data pipeline operators (SURVEY.md north-star) ----
+
+    // Text quality scoring: length/punctuation/stopword heuristics —
+    // pure map-side column math, no shuffle.
+    "q14_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        round(TA.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TA.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + BPE-ish regex tokenization.
+    "q15_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+        TA.tokenCountBpeIsh(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID by stopword-marker scoring with fixed priority.
+    "q16_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), TA.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: md5 of normalized text + compact 48-bit form.
+    "q17_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        TA.fingerprint48(col("text")).as("fp48"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: hash-groupBy on the fingerprint, canonical keeper.
+    "q18_dedup_exact" -> ((s, dir) => {
+      DedupOps.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    }),
+
+    // 2-gram Jaccard near-dup pairs, computed the scalable way: MinHash-
+    // LSH candidates first, exact Jaccard verified only on candidates
+    // (sub-quadratic; exact shingle-join baseline = DedupOps.jaccardPairs).
+    "q19_dedup_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.jaccardVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, threshold = 0.05, numHashes = 16, rowsPerBand = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash(16)+LSH(8 bands × 2 rows) candidate pairs — the scalable
+    // near-dup path: signatures map-side, candidates by band-key join.
+    "q20_dedup_minhash_lsh" -> ((s, dir) => {
+      DedupOps.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 16, rowsPerBand = 2, n = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 32-bit SimHash signatures over tokens (md5-derived bit votes).
+    "q21_dedup_simhash" -> ((s, dir) => {
+      DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k against the vec_id=0 query vector — the
+    // ANN baseline: broadcast query, map-side score, TakeOrdered.
+    "q22_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q"))
+      Similarity.cosineTopK(emb, "vec_id", "embedding", query, k = 10)
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs above a threshold.
+    "q23_embedding_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // IVF ANN: deterministic centroids (vec_id<8), assign-by-max-cosine,
+    // probe only the query's cluster — the partition-pruned scale path.
+    "q24_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q"))
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        centroids, "cid", "cv")
+      Similarity.ivfTopK(assigned, "vec_id", "embedding",
+          centroids, "cid", "cv", query, k = 5, nprobe = 1)
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // Multimodal binary plumbing: opaque payload bytes through the REAL
+    // mapPartitions decode stage (deterministic stub decoder), metadata out.
+    "q25_multimodal_binary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = Multimodal.pipeline(docs, "doc_id", "text")
+      docs.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("payload_md5"))
+        .join(feats.withColumnRenamed("media_id", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("payload_md5"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -367,5 +481,245 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n, round(sum(value),2) AS sum_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q14_text_quality" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS len,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')
+               AS ws
+           FROM documents),
+         r AS (
+           SELECT doc_id, len,
+             CAST(length(regexp_replace(lower(text),'[a-z0-9\s]','','g'))
+                  AS DOUBLE) / greatest(length(text),1) AS pr,
+             CAST(len(list_filter(ws, t -> t IN
+                  ('the','a','of','and','to','in'))) AS DOUBLE)
+               / greatest(len(ws),1) AS sr
+           FROM b)
+         SELECT doc_id, len, round(pr,4) AS punct_ratio,
+           round(sr,4) AS stopword_ratio,
+           round((least(CAST(len AS DOUBLE)/500.0, 1.0)
+                  + least(sr*5, 1.0)
+                  + greatest(1.0 - pr*5, 0.0)) / 3, 4) AS quality
+         FROM r ORDER BY doc_id""",
+
+    "q15_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' '))
+             AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q16_lang_id" ->
+      """WITH b AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')
+               AS ws
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_filter(ws, t -> t IN ('the','a','of','and'))) AS en,
+             len(list_filter(ws, t -> t IN ('le','la','et','un'))) AS fr,
+             len(list_filter(ws, t -> t IN ('der','die','und','ein'))) AS de,
+             len(list_filter(ws, t -> t IN ('el','los','y','una'))) AS es
+           FROM b)
+         SELECT doc_id,
+           CASE WHEN greatest(en,fr,de,es) = 0 THEN 'und'
+                WHEN en = greatest(en,fr,de,es) THEN 'en'
+                WHEN fr = greatest(en,fr,de,es) THEN 'fr'
+                WHEN de = greatest(en,fr,de,es) THEN 'de'
+                ELSE 'es' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+
+    "q17_fingerprint" ->
+      """SELECT doc_id, md5(nt) AS fp,
+           ('0x' || substring(md5('0:' || nt), 1, 12))::BIGINT AS fp48
+         FROM (SELECT doc_id,
+                 lower(trim(regexp_replace(text,'\s+',' ','g'))) AS nt
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q18_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS fp,
+           count(*) AS n, min(doc_id) AS keeper
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q19_dedup_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')
+               AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS shs
+           FROM w),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0,16), k ->
+               list_min(list_transform(shs, s ->
+                 ((2*k+1) * ((('0x' || substring(md5('0:' || s),1,12))::BIGINT)
+                             % 2147483647)
+                  + 7919*k) % 2147483647))) AS sigs
+           FROM sh),
+         banded AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0,8), b ->
+               CAST(b AS VARCHAR) || ':'
+               || CAST(sigs[2*b+1] AS VARCHAR) || ':'
+               || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         v AS (
+           SELECT id_a, id_b,
+             len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS inter,
+             len(sa.shs) AS m_a, len(sb.shs) AS m_b
+           FROM cand
+           JOIN sh sa ON cand.id_a = sa.doc_id
+           JOIN sh sb ON cand.id_b = sb.doc_id)
+         SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) AS jaccard
+         FROM v
+         WHERE round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) >= 0.05
+         ORDER BY id_a, id_b""",
+
+    "q20_dedup_minhash_lsh" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')
+               AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS shs
+           FROM w),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0,16), k ->
+               list_min(list_transform(shs, s ->
+                 ((2*k+1) * ((('0x' || substring(md5('0:' || s),1,12))::BIGINT)
+                             % 2147483647)
+                  + 7919*k) % 2147483647))) AS sigs
+           FROM sh),
+         banded AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0,8), b ->
+               CAST(b AS VARCHAR) || ':'
+               || CAST(sigs[2*b+1] AS VARCHAR) || ':'
+               || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
+           FROM sig)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    "q21_dedup_simhash" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS t
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substring(md5('0:' || t),1,12))::BIGINT AS h
+           FROM w),
+         bits AS (
+           SELECT doc_id, j,
+             CASE WHEN sum(((h >> j) & 1)*2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+           FROM h CROSS JOIN (SELECT unnest(range(0,32)) AS j)
+           GROUP BY doc_id, j)
+         SELECT doc_id,
+           CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q22_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (
+           SELECT vec_id, round(
+             list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                 i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))), 4)
+             AS cos
+           FROM embeddings, q)
+         SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""",
+
+    "q23_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 4) AS cos
+           FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "q24_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.cid, round(
+             list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, len(c.cv)+1),
+                 i -> CAST(c.cv[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE))))), 6)
+             AS cs
+           FROM embeddings e CROSS JOIN cent c),
+         assigned AS (
+           SELECT vec_id, embedding, cid AS cluster FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM scored)
+           WHERE rn = 1),
+         qcl AS (
+           SELECT cid AS cluster FROM (
+             SELECT c.cid, round(
+               list_sum(list_transform(range(1, len(c.cv)+1),
+                 i -> CAST(c.cv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(c.cv)+1),
+                   i -> CAST(c.cv[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+                   i -> CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE))))), 6)
+               AS cs
+             FROM cent c CROSS JOIN q)
+           ORDER BY cs DESC, cid LIMIT 1),
+         hits AS (
+           SELECT a.vec_id, round(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+                 i -> CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE))))), 4)
+             AS cos
+           FROM assigned a JOIN qcl ON a.cluster = qcl.cluster CROSS JOIN q)
+         SELECT vec_id, cos FROM hits ORDER BY cos DESC, vec_id LIMIT 5""",
+
+    "q25_multimodal_binary" ->
+      """WITH b AS (
+           SELECT doc_id, octet_length(encode(text)) AS n, md5(text) AS m
+           FROM documents)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(1 + (n % 640) AS INTEGER) AS width,
+           CAST(1 + ((n*7) % 480) AS INTEGER) AS height,
+           m AS payload_md5
+         FROM b ORDER BY doc_id""",
   )
 }

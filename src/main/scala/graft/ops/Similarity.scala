@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numeric contract: all arithmetic is done in double after an explicit
+  * element cast, and reductions are sequential left folds over the array
+  * index order (`aggregate`), so results are bit-reproducible across
+  * engines (the DuckDB oracle folds the same way) — float inputs are
+  * exactly representable as doubles.
+  *
+  * Scale design (100 TB of vectors):
+  *  - `cosineTopK` is the brute-force baseline: one broadcast of the query
+  *    vector, a map-side score, and a `TakeOrderedAndProject` (no global
+  *    sort materialization).
+  *  - `ivfAssign`/`ivfTopK` is the scale path: a k-means-style inverted
+  *    file where each vector is assigned to its nearest centroid once
+  *    (map-side against broadcast centroids), searches probe only the
+  *    query's cluster(s) — a partition-pruned fraction of the corpus.
+  *    Centroid choice here is deterministic (seeded by vector id) rather
+  *    than trained; swap in ML k-means centroids without changing the
+  *    query shape.
+  */
+object Similarity {
+
+  /** Sequential left-to-right dot product — the codegen'd native
+    * expression (graft.functions.DotProductD), bit-identical to a left
+    * fold and to the oracle's list_sum(list_transform(...)). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotd(a, b)
+
+  /** Cosine similarity (null/zero-norm safe: yields null via try_divide). */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Single query vector (as a one-row DF with column `q`) broadcast
+    * against the corpus; top-k by cosine with id tie-break. */
+  def cosineTopK(corpus: DataFrame, id: String, vec: String,
+                 query: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(query))
+      .select(col(id), round(cosine(col(vec), col("q")), 4).as("cos"))
+    scored.orderBy(col("cos").desc, col(id)).limit(k)
+  }
+
+  /** Assign every vector to its nearest centroid (max cosine, centroid-id
+    * tie-break). `centroids` must be small enough to broadcast — it is a
+    * model artifact, not data-scaled. */
+  def ivfAssign(corpus: DataFrame, id: String, vec: String,
+                centroids: DataFrame, cid: String, cvec: String): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col(id), col(vec), col(cid),
+        round(cosine(col(vec), col(cvec)), 6).as("__cs"))
+    val w = Window.partitionBy(col(id)).orderBy(col("__cs").desc, col(cid))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col(vec), col(cid).as("cluster"))
+  }
+
+  /** IVF search: score only vectors in the query's own cluster(s).
+    * `nprobe` > 1 widens recall by probing the next-nearest centroids. */
+  def ivfTopK(assigned: DataFrame, id: String, vec: String,
+              centroids: DataFrame, cid: String, cvec: String,
+              query: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val qClusters = centroids.crossJoin(broadcast(query))
+      .select(col(cid).as("cluster"),
+        round(cosine(col(cvec), col("q")), 6).as("__cs"))
+      .orderBy(col("__cs").desc, col("cluster"))
+      .limit(nprobe)
+      .select("cluster")
+    assigned.join(broadcast(qClusters), Seq("cluster"))
+      .crossJoin(broadcast(query))
+      .select(col(id), round(cosine(col(vec), col("q")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+
+  /** Embedding-based near-duplicate pairs: all pairs with cosine >=
+    * `threshold`. Brute-force O(n²) pairing — kept as the verification
+    * baseline; at scale run it per-LSH-bucket (see DedupOps banding) so
+    * the join key bounds the pair space. */
+  def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
+                         threshold: Double): DataFrame = {
+    // Precompute the double-cast vector and its norm ONCE per row (the
+    // naive form recomputes both norms for every one of the n² pairs),
+    // broadcast the right side, and spread the left side across the
+    // cluster — the pair loop then does a single codegen'd dot each.
+    val prepped = corpus.select(col(id).as("__pid"),
+      col(vec).cast("array<double>").as("__pv"),
+      sqrt(dot(col(vec), col(vec))).as("__pn"))
+    val spark = corpus.sparkSession
+    val a = prepped.toDF("id_a", "va", "na")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = prepped.toDF("id_b", "vb", "nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(try_divide(dot(col("va"), col("vb")), col("na") * col("nb")), 4)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

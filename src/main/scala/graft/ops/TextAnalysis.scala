@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.engine.TextFunctions
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. All pure `Column` combinators over built-in functions
+  * (whole-stage codegen'd; no UDFs), so they run at scan speed — at
+  * 100 TB these are embarrassingly parallel map-side transforms with no
+  * shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column =
+    split(TextFunctions.normalizeText(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — a cheap proxy for subword tokenizers. */
+  val BpeIshPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeIshPattern), lit(0)))
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** English stopword hit ratio over whitespace tokens. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(EnStopwords.map(lit(_)): _*)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * some stopwords and little punctuation (heuristic, deterministic). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5, lit(0.0))
+    round((lenScore + swScore + punctPenalty) / 3, 4)
+  }
+
+  /** Language-ID by stopword-list scoring (n-gram-free heuristic):
+    * count hits per language's marker list, pick the best with a fixed
+    * priority tie-break (en > fr > de > es). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "un"),
+    "de" -> Seq("der", "die", "und", "ein"),
+    "es" -> Seq("el", "los", "y", "una"))
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    // first language with score == max(scores) wins (priority order)
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Full-document fingerprint: md5 of the normalized text (exact-dup
+    * key) plus a 48-bit numeric form for compact storage/joins. */
+  def fingerprint(text: Column): Column =
+    md5(TextFunctions.normalizeText(text))
+  def fingerprint48(text: Column): Column =
+    TextFunctions.md5Hash48(TextFunctions.normalizeText(text))
+}

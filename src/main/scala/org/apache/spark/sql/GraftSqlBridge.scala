@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column↔Expression converters —
+  * the supported extension-point pattern for libraries that add native
+  * Catalyst expressions (Spark 4 moved `new Column(expr)` behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`). */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
