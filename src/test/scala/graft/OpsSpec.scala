@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.ops.{DedupOps, Similarity, TextAnalysis}
+
+/** Training-data operator behavior: vector math correctness, dedup-family
+  * invariants, text-analysis determinism. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProductD: codegen'd native expression computes an exact " +
+    "sequential dot product (incl. empty and null inputs)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val got = df.select(VectorExpressions.dotd($"a", $"b")).as[Double]
+      .collect().toSeq
+    assert(got === Seq(32.0, 0.0))
+    val withNull = Seq((null: Array[Float], Array(1.0f))).toDF("a", "b")
+      .select(VectorExpressions.dotd($"a", $"b")).collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("cosine: identical vectors -> 1.0, orthogonal -> 0.0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      round(Similarity.cosine($"a", $"b"), 6).as("same"),
+      round(Similarity.cosine($"a", $"c"), 6).as("orth")).head()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+  }
+
+  test("exact dedup groups: identical normalized texts share a fingerprint") {
+    val df = Seq((1L, "Hello  World"), (2L, " hello world "), (3L, "autre"))
+      .toDF("doc_id", "text")
+    val g = DedupOps.exactGroups(df, "doc_id", "text").orderBy("keeper")
+      .select("n", "keeper").as[(Long, Long)].collect().toSeq
+    assert(g === Seq((2L, 1L), (1L, 3L)))
+  }
+
+  test("minhash/LSH: exact duplicates are ALWAYS candidates; jaccard " +
+    "verification scores them 1.0") {
+    val base = "un deux trois quatre cinq six sept huit neuf dix " +
+      "onze douze treize quatorze quinze"
+    val df = Seq((1L, base), (2L, base), (3L, "texte totalement different " +
+      "sans aucun chevauchement de bigrammes avec le premier document"))
+      .toDF("doc_id", "text")
+    val cand = DedupOps.minhashCandidates(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    val verified = DedupOps.jaccardVerifiedPairs(df, "doc_id", "text",
+      threshold = 0.9).as[(Long, Long, Double)].collect().toSeq
+    assert(verified === Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical texts get identical signatures; signatures " +
+    "fit in 32 bits; candidates include the identical pair") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sigs = DedupOps.simhash(df, "doc_id", "text")
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) === m(2L))
+    assert(m.values.forall(s => s >= 0 && s < (1L << 32)))
+    val cand = DedupOps.simhashCandidates(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+  }
+
+  test("jaccardPairs exact baseline agrees with the LSH-verified value " +
+    "on a true near-dup") {
+    val a = "le chat mange la souris verte dans le jardin fleuri ce matin"
+    val b = "le chat mange la souris verte dans le jardin fleuri ce soir"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val exact = DedupOps.jaccardPairs(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().head
+    val lsh = DedupOps.jaccardVerifiedPairs(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().head
+    assert(exact === lsh)
+  }
+
+  test("langId: marker-dominant texts classify with fixed tie priority") {
+    val df = Seq(
+      (1L, "the cat and the dog of a farm"),
+      (2L, "le chat et la souris et un chien"),
+      (3L, "xyz qrs tuv")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("token counts: BPE-ish splits punctuation and digit runs") {
+    val got = Seq("hello, world42 x!").toDF("text")
+      .select(TextAnalysis.tokenCountWs($"text").as("ws"),
+        TextAnalysis.tokenCountBpeIsh($"text").as("bpe"))
+      .as[(Int, Int)].head()
+    // ws: [hello,, world42, x!]; bpe: [hello , world 42 x !]
+    assert(got === ((3, 6)))
+  }
+
+  test("ivf: query finds itself first in its own cluster") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = df.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val query = df.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding",
+      centroids, "cid", "cv")
+    assert(assigned.count() === 40)
+    val top = Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      centroids, "cid", "cv", query, k = 3)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 0L && top.head._2 === 1.0)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Documents, Patients}
+import graft.ops.Multimodal
+import graft.streaming.EventStreams
+
+/** End-to-end pipeline shapes: patient ingest projections, document
+  * metadata pipeline with broadcast resolution, multimodal mapPartitions
+  * plumbing, streaming aggregation parity. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("patient pipeline: dedup keeps first hospital id (the planted-" +
+    "duplicate scenario, FIXTURES.md §1.1) and projections encode flags") {
+    val staged = Seq(
+      (1L, "Larsen", "Debbie", "10/10/1920", "F", null: String,
+        "addr", "tel", "cp", "ville", "Norway", null: String, "05866980"),
+      (2L, "Muncie", "Samuel", "06/10/1934", "M", null: String,
+        "addr2", "tel2", "cp", "ville", "Italy", "01/02/2000", "06604836"),
+      // planted duplicate of row 1 with a DIFFERENT hospital id
+      (3L, "Larsen", "Debbie", "10/10/1920", "F", null: String,
+        "addr", "tel", "cp", "ville", "Norway", null: String, "00307440")
+    ).toDF("__src_order", "NOM", "PRENOM", "DATE_NAISSANCE", "SEXE",
+      "NOM_JEUNE_FILLE", "ADRESSE", "TEL", "CP", "VILLE", "PAYS",
+      "DATE_MORT", "HOSPITAL_PATIENT_ID")
+
+    val deduped = Patients.dedupAndNumber(staged)
+    val pat = Patients.toDwhPatient(deduped, 1L).orderBy("PATIENT_NUM")
+    val ipp = Patients.toDwhIpphist(deduped, 1L).orderBy("PATIENT_NUM")
+
+    assert(pat.count() === 2) // duplicate dropped
+    val rows = pat.select("PATIENT_NUM", "LASTNAME", "DEATH_CODE")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows === Seq((1L, "Larsen", "0"), (2L, "Muncie", "1")))
+    // keep-first: the FIRST hospital id survives
+    assert(ipp.select("HOSPITAL_PATIENT_ID").as[String].collect().toSeq
+      === Seq("05866980", "06604836"))
+    assert(ipp.select("MASTER_PATIENT_ID").as[String].collect().toSet === Set("1"))
+    assert(pat.columns.length === 22)
+    assert(ipp.columns.length === 5)
+  }
+
+  test("document pipeline: filename parse, empty-text skip, unknown-IPP " +
+    "drop, broadcast resolution, deterministic numbering") {
+    val docs = Seq(
+      ("/in/00230580_321654.docx", "Né le 01/01/1940 vu le 12/05/2018 dr mozza"),
+      ("/in/99999999_111.pdf", "texte orphelin"),     // IPP not in ipphist
+      ("/in/15172164_897653.pdf", ""),                 // empty text -> skip
+      ("/in/05866980_777.pdf", "consultation du 29/10/2018"),
+      ("/in/garbage.txt", "pas un nom valide")          // filename mismatch
+    ).toDF("path", "text")
+    val ipphist = Seq((101L, "00230580"), (102L, "05866980"), (103L, "15172164"))
+      .toDF("PATIENT_NUM", "HOSPITAL_PATIENT_ID")
+
+    val out = Documents.pipeline(docs, ipphist, uploadId = 3L)
+      .orderBy("DOCUMENT_NUM")
+    val rows = out.select("DOCUMENT_NUM", "PATIENT_NUM", "DOCUMENT_TYPE",
+      "DOCUMENT_DATE", "AUTHOR", "UPLOAD_ID")
+      .as[(Long, Long, String, java.sql.Date, String, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 101L, "docx", java.sql.Date.valueOf("2018-05-12"), "Dr Mozza", 3L),
+      (2L, 102L, "pdf", java.sql.Date.valueOf("2018-10-29"), null, 3L)))
+    assert(out.columns.length === 19)
+    assert(out.select("DOCUMENT_ORIGIN_CODE").as[String].collect().toSeq
+      === Seq("RADIOLOGIE_SOFTWARE", "DOSSIER_PATIENT"))
+  }
+
+  test("multimodal: mapPartitions decode stage matches the column-level " +
+    "stub semantics used by the q25 oracle") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.pipeline(df, "doc_id", "text").orderBy("media_id")
+    val rows = feats.select("media_id", "n_bytes", "width", "height")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(rows === Seq((1L, 5L, 6, 36), (2L, 0L, 1, 1)))
+    val f = feats.filter($"media_id" === 1).select("feature")
+      .as[Array[Double]].head()
+    assert(f.length === 4 && f(0) === 'h'.toDouble / 128.0)
+  }
+
+  test("streaming: windowedAgg on a memory stream equals the same " +
+    "transform on the batch frame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val data = (0 until 100).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 50}%02d:00"),
+        if (i % 2 == 0) "click" else "view", i.toDouble))
+
+    val batch = EventStreams.windowedAgg(
+      data.toDF("ts", "event_type", "value")).orderBy("window_start", "event_type")
+
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    ms.addData(data: _*)
+    val q = EventStreams.windowedAgg(ms.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("wagg").orderBy("window_start", "event_type")
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+  }
+}

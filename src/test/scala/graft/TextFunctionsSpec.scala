@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.TextFunctions
+
+/** Golden tests for the reference's verified scalar quirks
+  * (SURVEY.md §2.5 / §5.3 — each case was reproduced against the
+  * reference implementation during the survey). */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dateOf(text: String): String =
+    Seq(text).toDF("t")
+      .select(TextFunctions.extractDocumentDate(col("t")).cast("string"))
+      .head().getString(0)
+
+  private def authorOf(text: String): String =
+    Seq(text).toDF("t")
+      .select(TextFunctions.extractAuthor(col("t")))
+      .head().getString(0)
+
+  test("F2: first date >= 2001 wins even when it is a birth date " +
+    "(15259272_135409.pdf: 12/12/2012 birth beats later 01/02/2003)") {
+    assert(dateOf("Né le 12/12/2012. Consultation du 01/02/2003.")
+      === "2012-12-12")
+  }
+
+  test("F2: pre-2001 dates are skipped, first >=2001 in text order wins " +
+    "(15208032_937629.pdf: 01/01/1940, 12/05/2018, 01/08/2001)") {
+    assert(dateOf("le 01/01/1940 puis 12/05/2018 puis 01/08/2001")
+      === "2018-05-12")
+  }
+
+  test("F2: year == 2001 boundary is kept (15172164_897653.pdf)") {
+    assert(dateOf("né 05/01/1993 vu le 17/01/2001") === "2001-01-17")
+  }
+
+  test("F2: no qualifying date -> null") {
+    assert(dateOf("le 01/01/1940 et le 31/12/2000") === null)
+  }
+
+  test("F2: malformed-but-shaped date does not abort (vs reference " +
+    "strptime crash, SURVEY.md §7.4) — skipped as unparseable") {
+    assert(dateOf("le 99/99/2024 puis 12/05/2018") === "2018-05-12")
+  }
+
+  test("F3: last match wins; two-word capture (dr frank einstein)") {
+    assert(authorOf("avis du dr frank einstein") === "Dr Frank Einstein")
+  }
+
+  test("F3: chained names — greedy two-word capture then last match " +
+    "(12558924_090879.pdf: Dr Pierre Dr Vincent Dr Hassan Dr Strauss)") {
+    // matches are (pierre dr)(hassan dr); last='hassan dr';
+    // split('dr')[0]='hassan ' -> 'Dr Hassan'
+    assert(authorOf("Dr Pierre Dr Vincent Dr Hassan Dr Strauss")
+      === "Dr Hassan")
+  }
+
+  test("F3: name containing 'dr' is truncated (verified 'Dr Andre' -> 'Dr An')") {
+    assert(authorOf("signé dr andre") === "Dr An")
+  }
+
+  test("F3: no author -> null") {
+    assert(authorOf("aucun medecin ici") === null)
+  }
+
+  test("F1: normalize trims, collapses whitespace, lowercases") {
+    val got = Seq("  Un\t\tTexte  Multi   ligne ").toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).head().getString(0)
+    assert(got === "un texte multi ligne")
+  }
+
+  test("F7: provenance zero-pad (id*5124, width 8)") {
+    val got = Seq(5L).toDF("id")
+      .select(TextFunctions.zeroPadId(col("id"))).head().getString(0)
+    assert(got === "00025620")
+  }
+
+  test("F9/P4: truthiness encode — empty string is falsy like Python") {
+    val got = Seq(("x"), (""), (null: String)).toDF("s")
+      .select(TextFunctions.boolFlag(TextFunctions.truthy(col("s"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("1", "0", "0"))
+  }
+
+  test("md5Hash48 matches the documented cross-engine formula") {
+    // first 12 hex chars of md5("0:abc"), base-16 — oracle-replayable
+    val got = Seq("abc").toDF("s")
+      .select(TextFunctions.md5Hash48(col("s"))).head().getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("0:abc".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(12)
+    assert(got === java.lang.Long.parseLong(hex, 16))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Watcher
+
+/** T1–T6 incremental-loop semantics (reference `script.py`), driven by
+  * direct polls over a temp directory. */
+class WatcherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDoc(dir: String, name: String, content: String): Unit =
+    Files.write(Paths.get(dir, name), content.getBytes("UTF-8"))
+
+  private def mkLoader(src: String, wh: String) =
+    new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("path"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        length(col("content")).as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID")))
+
+  test("T1/T3/T5: first poll fires with upload_id=1; unchanged poll is " +
+    "a no-op; any change reprocesses ALL files under the next id") {
+    val src = Files.createTempDirectory("graft_src").toString
+    val wh = Files.createTempDirectory("graft_wh").toString + "/docs"
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    val loader = mkLoader(src, wh)
+
+    assert(loader.pollOnce() === Some(1L)) // T4-style first-iteration force
+    assert(loader.pollOnce() === None)     // no change -> no batch
+    val t1 = loader.currentTable().get
+    assert(t1.count() === 2)
+    assert(t1.select(max("UPLOAD_ID")).head().getLong(0) === 1L)
+
+    writeDoc(src, "c_3.pdf", "gamma")      // new file
+    assert(loader.pollOnce() === Some(2L))
+    val t2 = loader.currentTable().get.orderBy("path")
+    assert(t2.count() === 3)
+    // T3: ALL rows re-stamped — full reprocess, not a per-file delta
+    assert(t2.select("UPLOAD_ID").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("T2: modified files are detected by mtime; deletion never deletes " +
+    "rows (T6 faithful mode)") {
+    val src = Files.createTempDirectory("graft_src2").toString
+    val wh = Files.createTempDirectory("graft_wh2").toString + "/docs"
+    writeDoc(src, "a_1.pdf", "v1")
+    val loader = mkLoader(src, wh)
+    assert(loader.pollOnce() === Some(1L))
+
+    Thread.sleep(1100) // mtime resolution
+    writeDoc(src, "a_1.pdf", "v2-longer")  // modified
+    assert(loader.pollOnce() === Some(2L))
+    assert(loader.currentTable().get
+      .filter(col("path") === "a_1.pdf")
+      .select("n_bytes").as[Int].head() === 9)
+
+    Files.delete(Paths.get(src, "a_1.pdf")) // deleted
+    writeDoc(src, "b_2.pdf", "other")
+    assert(loader.pollOnce() === Some(3L))
+    val t = loader.currentTable().get
+    // T6: stale row for the deleted file survives (reference behavior)
+    assert(t.filter(col("path") === "a_1.pdf").count() === 1)
+    assert(t.filter(col("path") === "b_2.pdf").count() === 1)
+  }
+
+  test("T6 sane mode: deleteMissing=true drops rows for vanished files") {
+    val src = Files.createTempDirectory("graft_src3").toString
+    val wh = Files.createTempDirectory("graft_wh3").toString + "/docs"
+    writeDoc(src, "a_1.pdf", "v1")
+    writeDoc(src, "b_2.pdf", "v1")
+    val loader = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("path"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        lit(uploadId).as("UPLOAD_ID")),
+      deleteMissing = true)
+    loader.pollOnce()
+    Files.delete(Paths.get(src, "b_2.pdf"))
+    loader.pollOnce()
+    assert(loader.currentTable().get.select("path").as[String]
+      .collect().toSeq === Seq("a_1.pdf"))
+  }
+
+  test("T5: upload id is recovered from the warehouse after restart") {
+    val src = Files.createTempDirectory("graft_src4").toString
+    val wh = Files.createTempDirectory("graft_wh4").toString + "/docs"
+    writeDoc(src, "a_1.pdf", "v1")
+    mkLoader(src, wh).pollOnce()
+    val reborn = mkLoader(src, wh) // fresh loader, same warehouse
+    assert(reborn.pollOnce() === Some(2L)) // continues, does not restart at 1
+  }
+
+  test("T2 unit: snapshot diff classifies added/deleted/modified") {
+    val prev = Map("a.pdf" -> 1L, "b.pdf" -> 2L, "c.docx" -> 3L)
+    val curr = Map("b.pdf" -> 2L, "c.docx" -> 9L, "d.pdf" -> 4L)
+    val ch = Watcher.diff(prev, curr)
+    assert(ch.added === Seq("d.pdf"))
+    assert(ch.deleted === Seq("a.pdf"))
+    assert(ch.modified === Seq("c.docx"))
+  }
+}
