@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Documents, Patients, Watcher}
-import graft.sources.{DocxExtract, XlsxSource}
+import graft.sources.{DocxExtract, PdfExtract, XlsxSource}
 
 /** End-to-end demonstration of the full hospital-warehouse ETL against
   * the REAL reference corpus (read-only at /root/reference): Excel
@@ -43,7 +43,9 @@ object DemoEtl {
 
     // --- document load (reference entry point 2+3, incremental) -----
     val extractText = udf((bytes: Array[Byte], path: String) =>
-      if (path.endsWith(".docx")) DocxExtract.extractText(bytes) else "")
+      if (path.endsWith(".docx")) DocxExtract.extractText(bytes)
+      else if (path.endsWith(".pdf")) PdfExtract.extractText(bytes)
+      else "")
     val ipp = spark.read.parquet(s"$out/DWH_PATIENT_IPPHIST")
     val loader = new Watcher.IncrementalLoader(
       spark,
