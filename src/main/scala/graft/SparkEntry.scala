@@ -352,6 +352,74 @@ object SparkEntry {
           col("payload_md5"))
         .orderBy("doc_id")
     }),
+
+    // A2 at scale — GLOBAL dense numbering via the two-phase range-
+    // partitioned implementation (no single-partition window, no driver
+    // collect), checked against a true global row_number oracle.
+    "q26_global_rownum" -> ((s, dir) => {
+      Dedup.numberRows(t(s, dir, "orders").select("o_orderkey"),
+          col("o_orderkey"), "rn")
+        .orderBy("o_orderkey")
+    }),
+
+    // UDTF/generator shape — regexp_extract_all + explode (the one
+    // one-row-to-many shape in the reference, SURVEY.md §2.7) + re-agg.
+    "q27_explode_dates" -> ((s, dir) => {
+      val txt = concat(lit("vu "), date_format(col("o_orderdate"), "dd/MM/yyyy"),
+        lit(" revu "), date_format(date_add(col("o_orderdate"), 45), "dd/MM/yyyy"))
+      t(s, dir, "orders")
+        .select(explode(regexp_extract_all(txt, lit(TF.DatePattern), lit(0)))
+          .as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+        .orderBy("d")
+    }),
+
+    // Set operators (free Spark SQL surface noted in SURVEY.md §2.3):
+    // customers active in both 2000 and 2001 vs only-2000.
+    "q28_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def active(y: Int) = o
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      val both = active(2000).intersect(active(2001))
+        .withColumn("which", lit("both"))
+      val only2000 = active(2000).except(active(2001))
+        .withColumn("which", lit("only2000"))
+      both.unionByName(only2000).orderBy("o_custkey", "which")
+    }),
+
+    // ROLLUP aggregation (hierarchical totals) with labeled subtotals.
+    "q29_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // Top-k per group: rank window + filter (WindowGroupLimit pushes the
+    // top-k below the shuffle — no full sort of the group).
+    "q30_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // Sign-LSH bucketing over embeddings — the map-side blocking step of
+    // bucketed ANN (deterministic md5-derived hyperplanes).
+    "q31_embedding_lsh" -> ((s, dir) => {
+      Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
+          planes = 4, dims = 64)
+        .orderBy("vec_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,5 +789,60 @@ object SparkEntry {
            CAST(1 + ((n*7) % 480) AS INTEGER) AS height,
            m AS payload_md5
          FROM b ORDER BY doc_id""",
+
+    "q26_global_rownum" ->
+      """SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+         FROM orders ORDER BY o_orderkey""",
+
+    "q27_explode_dates" ->
+      """WITH e AS (
+           SELECT unnest(regexp_extract_all(
+             'vu ' || strftime(o_orderdate, '%d/%m/%Y') || ' revu '
+               || strftime(o_orderdate + INTERVAL 45 DAY, '%d/%m/%Y'),
+             '\d{2}/\d{2}/\d{4}')) AS d
+           FROM orders)
+         SELECT d, count(*) AS n FROM e GROUP BY d ORDER BY d""",
+
+    "q28_setops" ->
+      """SELECT * FROM (
+           SELECT o_custkey, 'both' AS which FROM (
+             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=2000
+             INTERSECT
+             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=2001)
+           UNION ALL
+           SELECT o_custkey, 'only2000' AS which FROM (
+             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=2000
+             EXCEPT
+             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=2001))
+         ORDER BY o_custkey, which""",
+
+    "q29_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "q30_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS total,
+           CAST(rk AS BIGINT) AS rk
+         FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+
+    "q31_embedding_lsh" ->
+      """SELECT vec_id,
+           CAST(list_sum(list_transform(range(0,4), p ->
+             CASE WHEN list_sum(list_transform(range(1,65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               ((((('0x' || substring(md5(CAST(p AS VARCHAR) || '_'
+                     || CAST(i-1 AS VARCHAR)),1,12))::BIGINT) % 1000)
+                 / 500.0) - 1.0))) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END)) AS INTEGER) AS bucket
+         FROM embeddings ORDER BY vec_id""",
   )
 }

@@ -77,6 +77,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-hyperplane sign-LSH bucket per vector: bit p of the bucket is
+    * the sign of v·h_p, with hyperplane components derived
+    * deterministically from md5 so any engine can replay them
+    * (h_p[d] = (md5_48("p_d") mod 1000)/500 − 1 ∈ [−1,1)). Bucketing is
+    * map-side only; near-dup search then runs per bucket, which bounds
+    * the pair space the way MinHash banding does for text. */
+  def lshBuckets(corpus: DataFrame, id: String, vec: String,
+                 planes: Int, dims: Int): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(p: Int, d: Int): Double = {
+      val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 500.0 - 1.0
+    }
+    val bucket = (0 until planes).map { p =>
+      val plane = array((0 until dims).map(d => lit(h(p, d))): _*)
+      when(dot(col(vec), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    corpus.select(col(id), bucket.as("bucket"))
+  }
+
   /** Embedding-based near-duplicate pairs: all pairs with cosine >=
     * `threshold`. Brute-force O(n²) pairing — kept as the verification
     * baseline; at scale run it per-LSH-bucket (see DedupOps banding) so
