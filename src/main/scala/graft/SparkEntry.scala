@@ -420,6 +420,18 @@ object SparkEntry {
           planes = 4, dims = 64)
         .orderBy("vec_id")
     }),
+
+    // A1 as an AGGREGATION (keep-first-per-key ≡ min_by under input
+    // order, SURVEY.md §2.4) — the agg-shaped alternative to the window
+    // form in q02: one shuffle, map-side partial min_by, no sort at all.
+    "q32_agg_firstby" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(min(col("c_custkey")).as("first_key"),
+          min_by(col("c_name"), col("c_custkey")).as("first_name"),
+          min_by(col("c_acctbal"), col("c_custkey")).as("first_bal"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -844,5 +856,12 @@ object SparkEntry {
                  / 500.0) - 1.0))) >= 0
              THEN (1::BIGINT << p) ELSE 0 END)) AS INTEGER) AS bucket
          FROM embeddings ORDER BY vec_id""",
+
+    "q32_agg_firstby" ->
+      """SELECT c_nationkey, c_mktsegment,
+           min(c_custkey) AS first_key,
+           arg_min(c_name, c_custkey) AS first_name,
+           arg_min(c_acctbal, c_custkey) AS first_bal
+         FROM customer GROUP BY 1,2 ORDER BY 1,2""",
   )
 }
