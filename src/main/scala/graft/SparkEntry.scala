@@ -290,15 +290,17 @@ object SparkEntry {
     // (sub-quadratic; exact shingle-join baseline = DedupOps.jaccardPairs).
     "q19_dedup_ngram_jaccard" -> ((s, dir) => {
       DedupOps.jaccardVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 2, threshold = 0.05, numHashes = 16, rowsPerBand = 2)
+          n = 2, threshold = 0.5, numHashes = 16, rowsPerBand = 2,
+          maxBucket = 10)
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash(16)+LSH(8 bands × 2 rows) candidate pairs — the scalable
-    // near-dup path: signatures map-side, candidates by band-key join.
+    // MinHash(16)+LSH(8 bands × 2 rows, bucket cap 10) candidate pairs —
+    // the scalable near-dup path: signatures map-side, candidates by
+    // band-key join, skewed buckets dropped before pairing.
     "q20_dedup_minhash_lsh" -> ((s, dir) => {
       DedupOps.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-          numHashes = 16, rowsPerBand = 2, n = 2)
+          numHashes = 16, rowsPerBand = 2, n = 2, maxBucket = 10)
         .orderBy("id_a", "id_b")
     }),
 
@@ -646,13 +648,17 @@ object SparkEntry {
                              % 2147483647)
                   + 7919*k) % 2147483647))) AS sigs
            FROM sh),
-         banded AS (
+         banded0 AS (
            SELECT doc_id,
              unnest(list_transform(range(0,8), b ->
                CAST(b AS VARCHAR) || ':'
                || CAST(sigs[2*b+1] AS VARCHAR) || ':'
                || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
            FROM sig),
+         bsz AS (SELECT band_key, count(*) AS c FROM banded0 GROUP BY 1),
+         banded AS (
+           SELECT banded0.* FROM banded0 JOIN bsz USING (band_key)
+           WHERE bsz.c <= 10),
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM banded a JOIN banded b
@@ -667,7 +673,7 @@ object SparkEntry {
          SELECT id_a, id_b,
            round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) AS jaccard
          FROM v
-         WHERE round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) >= 0.05
+         WHERE round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) >= 0.5
          ORDER BY id_a, id_b""",
 
     "q20_dedup_minhash_lsh" ->
@@ -689,13 +695,17 @@ object SparkEntry {
                              % 2147483647)
                   + 7919*k) % 2147483647))) AS sigs
            FROM sh),
-         banded AS (
+         banded0 AS (
            SELECT doc_id,
              unnest(list_transform(range(0,8), b ->
                CAST(b AS VARCHAR) || ':'
                || CAST(sigs[2*b+1] AS VARCHAR) || ':'
                || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
-           FROM sig)
+           FROM sig),
+         bsz AS (SELECT band_key, count(*) AS c FROM banded0 GROUP BY 1),
+         banded AS (
+           SELECT banded0.* FROM banded0 JOIN bsz USING (band_key)
+           WHERE bsz.c <= 10)
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a JOIN banded b
            ON a.band_key = b.band_key AND a.doc_id < b.doc_id

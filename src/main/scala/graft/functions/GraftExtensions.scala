@@ -23,4 +23,10 @@ object GraftExtensions {
     FunctionIdentifier("dot_product_d"),
     new ExpressionInfo(classOf[DotProductD].getName, "dot_product_d"),
     (children: Seq[Expression]) => DotProductD(children(0), children(1)))
+
+  /** Register on an already-built session (extensions bind at session
+    * construction; this is the post-hoc path for shared sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dotProductD._1, dotProductD._2, dotProductD._3)
 }
