@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dedup, Merge, Patients, TextFunctions => TF}
-import graft.ops.{DedupOps, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{AsOf, DedupOps, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 plus the training-data-pipeline operators, each paired
@@ -66,7 +66,9 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     e.schema("ts").dataType.typeName match {
-      case "long" => e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer DIV, not `/`: ns-since-epoch exceeds 2^53, so double
+      // division is off by up to a microsecond
+      case "long" => e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => e
     }
   }
@@ -421,6 +423,35 @@ object SparkEntry {
       Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
           planes = 4, dims = 64)
         .orderBy("vec_id")
+    }),
+
+    // As-of join (point-in-time): for each purchase, the user's latest
+    // click at-or-before it — composed as union + one keyed window (one
+    // shuffle, no join, no row explosion; see ops.AsOf).
+    "q33_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      AsOf.join(purchases, clicks, "user_id", "ts", "ts", valueCols = Nil)
+        .select(col("event_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("asof_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Pivot: daily event-type matrix (missing cells zero-filled to match
+    // the FILTER-count oracle semantics).
+    "q34_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      events(s, dir)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
     }),
 
     // A1 as an AGGREGATION (keep-first-per-key ≡ min_by under input
@@ -866,6 +897,24 @@ object SparkEntry {
                  / 500.0) - 1.0))) >= 0
              THEN (1::BIGINT << p) ELSE 0 END)) AS INTEGER) AS bucket
          FROM embeddings ORDER BY vec_id""",
+
+    "q33_asof_join" ->
+      """SELECT p.event_id,
+           strftime((SELECT max(c.ts) FROM events c
+                     WHERE c.user_id = p.user_id
+                       AND c.event_type = 'click' AND c.ts <= p.ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+
+    "q34_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q32_agg_firstby" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -100,4 +100,28 @@ class PipelineSpec extends SparkSpec {
     val streamed = spark.table("wagg").orderBy("window_start", "event_type")
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
+
+  test("sessionize: gap-split sessions close when the next event arrives " +
+    "past the gap (flatMapGroupsWithState over a MemoryStream)") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ms = MemoryStream[Sessionize.Event]
+    ms.addData(
+      Sessionize.Event(1L, t(0), "click"),
+      Sessionize.Event(1L, t(5), "view"),
+      Sessionize.Event(1L, t(50), "click"), // 45-min gap -> closes session 1
+      Sessionize.Event(2L, t(10), "click"))
+    val q = Sessionize.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val closed = spark.table("sessions")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)]
+      .collect().toSeq
+    assert(closed === Seq((1L, t(0), t(5), 2)))
+    // user 1's new session and user 2's session remain open in state
+  }
 }
