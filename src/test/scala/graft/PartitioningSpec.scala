@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Partitioning
+
+/** Physical-layout behavior: bucketed joins plan no exchange; salted
+  * joins return exactly the plain join's rows on skewed data. */
+class PartitioningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    .getOrCreate()
+  import spark.implicits._
+
+  test("bucketed co-located join plans ZERO exchanges") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Partitioning.writeBucketed(a, "t_bucketed_a", "k", 4)
+    Partitioning.writeBucketed(b, "t_bucketed_b", "k", 4)
+    val joined = Partitioning.bucketedJoin(spark, "t_bucketed_a",
+      "t_bucketed_b", "k")
+    assert(joined.count() === 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be exchange-free, got:\n$plan")
+  }
+
+  test("unbucketed control: the same join DOES shuffle") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    val joined = a.join(b, "k")
+    joined.count()
+    assert(joined.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    // 90% of the big side hits one hot key
+    val big = (1 to 5000).map(i =>
+      (if (i % 10 == 0) i.toLong % 50 else 7L, s"row$i")).toDF("k", "v")
+    val small = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = big.join(small, "k")
+    val salted = Partitioning.saltedJoin(big, small, "k", saltFactor = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.orderBy("k", "v").collect().toSeq
+      === plain.orderBy("k", "v").collect().toSeq)
+    // salt column does not leak into the output schema
+    assert(!salted.columns.contains("__salt"))
+  }
+}
