@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dedup, Merge, Patients, TextFunctions => TF}
-import graft.ops.{AsOf, DedupOps, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{AsOf, DedupOps, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 plus the training-data-pipeline operators, each paired
@@ -452,6 +452,25 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0, types)
         .orderBy("day")
+    }),
+
+    // Reproducible hash-based sampling + train/val/test splits — pure
+    // functions of the record key (no RNG): re-runs, backfills and other
+    // engines all agree on membership. Map-side only.
+    "q35_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), 100, "exp1").as("bucket"),
+          Sampling.split(col("doc_id"), 80, 10, "exp1").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    "q36_stratified_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), Sampling.split(col("doc_id"), 80, 10, "exp1")
+          .as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
     }),
 
     // A1 as an AGGREGATION (keep-first-per-key ≡ min_by under input
@@ -915,6 +934,31 @@ object SparkEntry {
            count(*) FILTER (event_type = 'signup') AS signup,
            count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q35_hash_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             ('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)
+               || 'exp1'), 1, 12))::BIGINT % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+
+    "q36_stratified_counts" ->
+      """WITH b AS (
+           SELECT lang,
+             ('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)
+               || 'exp1'), 1, 12))::BIGINT % 100 AS bucket
+           FROM documents)
+         SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+         FROM b GROUP BY 1,2 ORDER BY 1,2""",
 
     "q32_agg_firstby" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.TextFunctions
+
+/** Reproducible sampling and dataset splitting for training pipelines.
+  *
+  * Everything is HASH-based, not RNG-based: `rand()` changes with
+  * partitioning/retries and can never be replayed by another engine,
+  * while `md5(key) mod N` gives every row a stable bucket any engine
+  * computes identically (the DuckDB oracles replay these bit-for-bit).
+  * This is how production corpus pipelines do splits: membership is a
+  * pure function of the record key, so re-runs, backfills, and joins
+  * against other systems all agree. Map-side only — no shuffle.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column (+ salt so
+    * different experiments draw independent assignments). */
+  def hashBucket(key: Column, buckets: Int = 100, salt: String = ""): Column =
+    pmod(TextFunctions.md5Hash48(concat(key.cast("string"), lit(salt))),
+      lit(buckets.toLong))
+
+  /** Deterministic `pct`% sample. */
+  def sampled(df: DataFrame, key: String, pct: Int,
+              salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(key), 100, salt) < pct)
+
+  /** Train/validation/test assignment with the given percentages
+    * (must sum to <= 100; remainder goes to "test"). */
+  def split(key: Column, trainPct: Int = 80, valPct: Int = 10,
+            salt: String = ""): Column = {
+    val b = hashBucket(key, 100, salt)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+}

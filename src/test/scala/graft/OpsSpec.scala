@@ -116,4 +116,29 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(top.head._1 === 0L && top.head._2 === 1.0)
   }
+
+  test("FirstByOrder typed Aggregator equals keep-first dedup") {
+    import org.apache.spark.sql.expressions.scalalang.typed
+    val data = Seq(("k1", 3L, "third"), ("k1", 1L, "first"),
+      ("k2", 5L, "only"), ("k1", 2L, "second"))
+    val ds = data.toDF("key", "ord", "v").as[(String, Long, String)]
+    val got = ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.FirstByOrder.forString.toColumn)
+      .collect().toMap
+    assert(got === Map("k1" -> "first", "k2" -> "only"))
+  }
+
+  test("hash sampling: split is a pure function of the key (stable " +
+    "across partitionings) and roughly proportional") {
+    import graft.ops.Sampling
+    val df = (0L until 2000L).toDF("id")
+    val s1 = df.select($"id", Sampling.split($"id", 80, 10).as("s"))
+    val s2 = df.repartition(13)
+      .select($"id", Sampling.split($"id", 80, 10).as("s"))
+    assert(s1.orderBy("id").collect().toSeq === s2.orderBy("id").collect().toSeq)
+    val counts = s1.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 130 && counts("val") < 280)
+  }
 }
