@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one forked JVM-wide SparkSession; run them sequentially so
+// per-suite runtime SQL confs (broadcast threshold etc.) cannot race.
+Test / parallelExecution := false

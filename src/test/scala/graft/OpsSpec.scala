@@ -118,7 +118,6 @@ class OpsSpec extends SparkSpec {
   }
 
   test("FirstByOrder typed Aggregator equals keep-first dedup") {
-    import org.apache.spark.sql.expressions.scalalang.typed
     val data = Seq(("k1", 3L, "third"), ("k1", 1L, "first"),
       ("k2", 5L, "only"), ("k1", 2L, "second"))
     val ds = data.toDF("key", "ord", "v").as[(String, Long, String)]

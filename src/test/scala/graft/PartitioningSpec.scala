@@ -20,9 +20,24 @@ class PartitioningSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
+  /** The shared-session catalog is in-memory but table LOCATIONS persist
+    * on disk across JVMs — clear both before writing. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("bucketed co-located join plans ZERO exchanges") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    resetTable("t_bucketed_a"); resetTable("t_bucketed_b")
     Partitioning.writeBucketed(a, "t_bucketed_a", "k", 4)
     Partitioning.writeBucketed(b, "t_bucketed_b", "k", 4)
     val joined = Partitioning.bucketedJoin(spark, "t_bucketed_a",
