@@ -441,6 +441,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of semantics through the NATIVE custom operator
+    // (logical node → strategy → sort-merge exec, graft.plans) — the
+    // custom-plan path under the same oracle as q33.
+    "q37_asof_native" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks, "user_id", "ts", "ts")
+        .select(col("event_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("asof_ts"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: daily event-type matrix (missing cells zero-filled to match
     // the FILTER-count oracle semantics).
     "q34_pivot" -> ((s, dir) => {
@@ -918,6 +934,15 @@ object SparkEntry {
          FROM embeddings ORDER BY vec_id""",
 
     "q33_asof_join" ->
+      """SELECT p.event_id,
+           strftime((SELECT max(c.ts) FROM events c
+                     WHERE c.user_id = p.user_id
+                       AND c.event_type = 'click' AND c.ts <= p.ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+
+    "q37_asof_native" ->
       """SELECT p.event_id,
            strftime((SELECT max(c.ts) FROM events c
                      WHERE c.user_id = p.user_id

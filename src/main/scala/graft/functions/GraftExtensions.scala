@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductD)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

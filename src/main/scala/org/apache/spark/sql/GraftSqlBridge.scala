@@ -9,4 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (for custom logical operators). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing a DataFrame. */
+  def analyzed(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
