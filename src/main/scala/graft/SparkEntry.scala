@@ -489,6 +489,33 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont` semantics).
+    "q38_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+          round(expr("percentile(l_discount, array(0.25, 0.75))[0]"), 4)
+            .as("p25_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Array-column analytics over the embeddings (size, min/max/mean) —
+    // the array-function surface with exact cross-engine folds.
+    "q39_array_stats" -> ((s, dir) => {
+      val emb = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          round(array_min(emb), 4).as("vmin"),
+          round(array_max(emb), 4).as("vmax"),
+          round(aggregate(emb, lit(0.0), (a, x) => a + x) / size(col("embedding")), 4)
+            .as("vmean"))
+        .orderBy("vec_id")
+    }),
+
     // A1 as an AGGREGATION (keep-first-per-key ≡ min_by under input
     // order, SURVEY.md §2.4) — the agg-shaped alternative to the window
     // form in q02: one shuffle, map-side partial min_by, no sort at all.
@@ -984,6 +1011,24 @@ object SparkEntry {
                 ELSE 'test' END AS split,
            count(*) AS n
          FROM b GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+           round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q39_array_stats" ->
+      """SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dims,
+           round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+             AS vmin,
+           round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+             AS vmax,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding), 4) AS vmean
+         FROM embeddings ORDER BY vec_id""",
 
     "q32_agg_firstby" ->
       """SELECT c_nationkey, c_mktsegment,
