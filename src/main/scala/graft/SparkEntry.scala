@@ -699,10 +699,13 @@ object SparkEntry {
              len(list_filter(ws, t -> t IN ('the','a','of','and'))) AS en,
              len(list_filter(ws, t -> t IN ('le','la','et','un'))) AS fr,
              len(list_filter(ws, t -> t IN ('der','die','und','ein'))) AS de,
-             len(list_filter(ws, t -> t IN ('el','los','y','una'))) AS es
-           FROM b)
+             len(list_filter(ws, t -> t IN ('el','los','y','una'))) AS es,
+             CAST(length(regexp_replace(d.text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+               AS DOUBLE) / greatest(length(d.text), 1) AS cjk
+           FROM b JOIN documents d USING (doc_id))
          SELECT doc_id,
-           CASE WHEN greatest(en,fr,de,es) = 0 THEN 'und'
+           CASE WHEN cjk > 0.1 THEN 'zh'
+                WHEN greatest(en,fr,de,es) = 0 THEN 'und'
                 WHEN en = greatest(en,fr,de,es) THEN 'en'
                 WHEN fr = greatest(en,fr,de,es) THEN 'fr'
                 WHEN de = greatest(en,fr,de,es) THEN 'de'

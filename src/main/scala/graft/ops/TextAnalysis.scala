@@ -59,13 +59,21 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "una"))
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+  /** Ratio of CJK ideographs — scripts without whitespace tokenization
+    * need a charset rule, not stopword lists. */
+  def cjkRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
   def langId(text: Column): Column = {
     val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
-    // first language with score == max(scores) wins (priority order)
+    // first language with score == max(scores) wins (priority order);
+    // CJK charset rule takes precedence over stopword scoring
     val best = greatest(scores.map(_._2): _*)
-    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+    val byMarkers = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
+    when(cjkRatio(text) > 0.1, lit("zh")).otherwise(byMarkers)
   }
 
   /** Full-document fingerprint: md5 of the normalized text (exact-dup

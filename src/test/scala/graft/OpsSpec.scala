@@ -85,10 +85,11 @@ class OpsSpec extends SparkSpec {
     val df = Seq(
       (1L, "the cat and the dog of a farm"),
       (2L, "le chat et la souris et un chien"),
-      (3L, "xyz qrs tuv")).toDF("doc_id", "text")
+      (3L, "xyz qrs tuv"),
+      (4L, "\u4e2d\u6587\u6587\u672c\u6d4b\u8bd5")).toDF("doc_id", "text")
     val got = df.select($"doc_id", TextAnalysis.langId($"text"))
       .as[(Long, String)].collect().toMap
-    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "und", 4L -> "zh"))
   }
 
   test("token counts: BPE-ish splits punctuation and digit runs") {
