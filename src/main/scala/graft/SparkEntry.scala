@@ -312,6 +312,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SimHash banding: near-dup candidate pairs from shared signature
+    // bands (Hamming-distance analogue of MinHash banding).
+    "q40_simhash_candidates" -> ((s, dir) => {
+      val sigs = DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+      DedupOps.simhashCandidates(sigs, "doc_id", bits = 32, bands = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Brute-force cosine top-k against the vec_id=0 query vector — the
     // ANN baseline: broadcast query, map-side score, TakeOrdered.
     "q22_cosine_topk" -> ((s, dir) => {
@@ -825,6 +833,36 @@ object SparkEntry {
          SELECT doc_id,
            CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q40_simhash_candidates" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS t
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substring(md5('0:' || t),1,12))::BIGINT AS h
+           FROM w),
+         bits AS (
+           SELECT doc_id, j,
+             CASE WHEN sum(((h >> j) & 1)*2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+           FROM h CROSS JOIN (SELECT unnest(range(0,32)) AS j)
+           GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0,2), b ->
+               CAST(b AS VARCHAR) || ':'
+               || CAST((simhash >> (b*16)) & 65535 AS VARCHAR))) AS band_key
+           FROM sig)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
 
     "q22_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
