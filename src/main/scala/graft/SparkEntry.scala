@@ -517,10 +517,12 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("dims"),
-          round(array_min(emb), 4).as("vmin"),
-          round(array_max(emb), 4).as("vmax"),
-          round(aggregate(emb, lit(0.0), (a, x) => a + x) / size(col("embedding")), 4)
-            .as("vmean"))
+          (round(array_min(emb), 4) + 0.0).as("vmin"),
+          (round(array_max(emb), 4) + 0.0).as("vmax"),
+          // + 0.0 normalizes IEEE negative zero (round(-1e-9, 4) = -0.0,
+          // which string/hash compares differently from 0.0)
+          (round(aggregate(emb, lit(0.0), (a, x) => a + x)
+             / size(col("embedding")), 4) + 0.0).as("vmean"))
         .orderBy("vec_id")
     }),
 
@@ -1064,11 +1066,11 @@ object SparkEntry {
       """SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dims,
            round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
-             AS vmin,
+             + 0.0 AS vmin,
            round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
-             AS vmax,
+             + 0.0 AS vmax,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-             / len(embedding), 4) AS vmean
+             / len(embedding), 4) + 0.0 AS vmean
          FROM embeddings ORDER BY vec_id""",
 
     "q32_agg_firstby" ->
