@@ -45,6 +45,42 @@ object Similarity {
     scored.orderBy(col("cos").desc, col(id)).limit(k)
   }
 
+  /** Lloyd-iteration k-means centroids in pure DataFrame ops, for
+    * training the IVF index: deterministic init (the k lowest-id
+    * vectors), assignment by max cosine against broadcast centroids,
+    * update by element-wise mean (posexplode → per-dimension avg →
+    * array reassembly). Each iteration is one broadcast-scored map pass
+    * plus one (cluster, dim)-keyed aggregation — no cartesian anything,
+    * so it scales to corpus size × k × dims, and centroids stay a
+    * broadcastable model artifact. Float-sum ordering makes training
+    * bit-nondeterministic across cluster layouts (like any distributed
+    * k-means), so trained-IVF is validated by behavior tests rather than
+    * the bit-exact DuckDB oracle (the seeded-centroid q24 covers that). */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int = 3): DataFrame = {
+    var centroids = corpus.orderBy(col(id)).limit(k)
+      .select(col(id).as("cid"), col(vec).cast("array<double>").as("cv"))
+      .persist()
+    centroids.count()
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, id, vec, centroids, "cid", "cv")
+      val next = assigned
+        .select(col("cluster"),
+          posexplode(col(vec).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .select(col("cluster").as("cid"), col("cv"))
+        .persist()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
   /** Assign every vector to its nearest centroid (max cosine, centroid-id
     * tie-break). `centroids` must be small enough to broadcast — it is a
     * model artifact, not data-scaled. */

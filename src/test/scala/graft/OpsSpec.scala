@@ -141,4 +141,34 @@ class OpsSpec extends SparkSpec {
     assert(counts("train") > 1500 && counts("train") < 1700)
     assert(counts("val") > 130 && counts("val") < 280)
   }
+
+  test("kmeans-trained IVF: recovers well-separated clusters and the " +
+    "trained index finds the query's true neighbors") {
+    val rng = new scala.util.Random(3)
+    // three tight clusters around orthogonal axes in R^6
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f)
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f))
+    val vecs = (0L until 90L).map(i => (i, jitter(bases((i % 3).toInt))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 3, iters = 3)
+    assert(centroids.count() === 3)
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding",
+      centroids, "cid", "cv")
+    // every vector of the same residue class lands in the same cluster
+    val byClass = assigned.withColumn("cls", $"vec_id" % 3)
+      .groupBy("cls").agg(countDistinct("cluster").as("nc"))
+      .select("nc").as[Long].collect().toSeq
+    assert(byClass === Seq(1L, 1L, 1L))
+    val query = df.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      centroids, "cid", "cv", query, k = 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 0L)
+    assert(top.forall(_._1 % 3 == 0)) // neighbors are all from cluster 0
+  }
 }
