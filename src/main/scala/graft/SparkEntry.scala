@@ -330,10 +330,15 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
-    // Embedding-cosine near-duplicate pairs above a threshold.
+    // Embedding-cosine near-duplicate pairs above a threshold — the
+    // SCALE path: multi-table sign-LSH blocking (8 tables × 4 planes,
+    // key-equality join on the bucket — no cross join, no corpus
+    // broadcast), exact cosine verified on candidates only. The O(n²)
+    // brute-force form stays a spec-level recall oracle (OpsSpec).
     "q23_embedding_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4)
+      Similarity.cosineNearDupPairsBucketed(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4,
+          planesPerTable = 4, tables = 8, dims = 64)
         .orderBy("id_a", "id_b")
     }),
 
@@ -881,17 +886,35 @@ object SparkEntry {
          SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""",
 
     "q23_embedding_neardup" ->
-      """WITH v AS (SELECT vec_id, embedding,
+      """WITH banded AS (
+           SELECT vec_id,
+             unnest(list_transform(range(0,8), t ->
+               CAST(t AS VARCHAR) || ':' ||
+               CAST(CAST(list_sum(list_transform(range(0,4), p ->
+                 CASE WHEN list_sum(list_transform(range(1,65), i ->
+                   CAST(embedding[i] AS DOUBLE) *
+                   ((((('0x' || substring(md5(CAST(t*4+p AS VARCHAR) || '_'
+                         || CAST(i-1 AS VARCHAR)),1,12))::BIGINT) % 1000)
+                     / 500.0) - 1.0))) >= 0
+                 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS VARCHAR)))
+               AS band_key
+           FROM embeddings),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         v AS (SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(range(1, len(embedding)+1),
                i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
                AS nrm
            FROM embeddings),
          p AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+           SELECT id_a, id_b, round(
              list_sum(list_transform(range(1, len(a.embedding)+1),
                i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
              / (a.nrm * b.nrm), 4) AS cos
-           FROM v a JOIN v b ON a.vec_id < b.vec_id)
+           FROM cand JOIN v a ON cand.id_a = a.vec_id
+                     JOIN v b ON cand.id_b = b.vec_id)
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
          ORDER BY id_a, id_b""",
 

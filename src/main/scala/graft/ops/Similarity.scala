@@ -113,31 +113,105 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic md5-derived hyperplane component: h_p[d] =
+    * (md5_48("p_d") mod 1000)/500 − 1 ∈ [−1,1). Any engine with md5 can
+    * replay the family bit-for-bit (the DuckDB oracles do). */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 500.0 - 1.0
+  }
+
   /** Random-hyperplane sign-LSH bucket per vector: bit p of the bucket is
-    * the sign of v·h_p, with hyperplane components derived
-    * deterministically from md5 so any engine can replay them
-    * (h_p[d] = (md5_48("p_d") mod 1000)/500 − 1 ∈ [−1,1)). Bucketing is
+    * the sign of v·h_p (hyperplanes from [[planeComponent]]). Bucketing is
     * map-side only; near-dup search then runs per bucket, which bounds
     * the pair space the way MinHash banding does for text. */
   def lshBuckets(corpus: DataFrame, id: String, vec: String,
                  planes: Int, dims: Int): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h(p: Int, d: Int): Double = {
-      val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 500.0 - 1.0
-    }
     val bucket = (0 until planes).map { p =>
-      val plane = array((0 until dims).map(d => lit(h(p, d))): _*)
+      // typedlit: ONE array Literal node per plane (array(lit,…) would be
+      // a dims-children CreateArray — ~2k expression nodes over all
+      // planes, paid in analysis + codegen time on every run)
+      val plane = typedlit(Array.tabulate(dims)(d => planeComponent(p, d)))
       when(dot(col(vec), plane) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
     corpus.select(col(id), bucket.as("bucket"))
   }
 
+  /** Multi-table sign-LSH band keys: `tables` independent hash tables,
+    * each bucketing on `planesPerTable` hyperplanes (global plane index
+    * t·planesPerTable + p, same deterministic family as [[lshBuckets]]).
+    * One output row per (vector, table) — the blocking relation for
+    * bucketed near-dup search. Multiple tables are the standard sign-LSH
+    * recall lever: a true near-dup pair only needs to agree in ONE
+    * table's bucket (P[miss] = (1 − (1 − θ/π)^planes)^tables). */
+  def lshBandKeys(corpus: DataFrame, id: String, vec: String,
+                  planesPerTable: Int, tables: Int, dims: Int): DataFrame = {
+    val keys = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable).map { p =>
+        val plane = typedlit(Array.tabulate(dims)(d =>
+          planeComponent(t * planesPerTable + p, d)))
+        when(dot(col(vec), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      concat_ws(":", lit(t.toString), bucket.cast("string"))
+    }
+    corpus.select(col(id).as("__id"), explode(array(keys: _*)).as("band_key"))
+  }
+
+  /** Embedding near-duplicate pairs, the SCALE path: LSH-bucket blocking
+    * (key-equality join on (table, bucket) — never a cross join, never a
+    * corpus-sized broadcast), then exact cosine verification on the
+    * candidate pairs only.
+    *
+    * 100 TB design: the pair space is bounded by Σ_buckets B²/2 per
+    * table; `planesPerTable` controls expected bucket size (2^planes
+    * buckets — raise it as the corpus grows so B stays bounded),
+    * `maxBucket` is the skew guard that drops degenerate hot buckets
+    * (vectors near the hyperplane intersection), and `tables` buys
+    * recall. Verification joins candidates back to the vectors by id —
+    * two shuffle joins on the id, each pair scored once with the
+    * codegen'd dot. Exact recall is achievable only by the O(n²)
+    * [[cosineNearDupPairs]], which stays the spec-level test oracle. */
+  def cosineNearDupPairsBucketed(corpus: DataFrame, id: String, vec: String,
+                                 threshold: Double, planesPerTable: Int,
+                                 tables: Int, dims: Int,
+                                 maxBucket: Int = 0): DataFrame = {
+    val banded0 = lshBandKeys(corpus, id, vec, planesPerTable, tables, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = if (maxBucket <= 0) banded0 else {
+      val small = banded0.groupBy("band_key")
+        .agg(count(lit(1)).as("__bc"))
+        .filter(col("__bc") <= maxBucket).select("band_key")
+      banded0.join(small, Seq("band_key"))
+    }
+    val l = banded.select(col("__id").as("id_a"), col("band_key"))
+    val r = banded.select(col("__id").as("id_b"), col("band_key"))
+    // materialize the (small) candidate list so the banded cache can be
+    // released before the lazy verification runs
+    val cands = Caches.small(
+      l.join(r, Seq("band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct())
+    banded0.unpersist()
+    val prepped = corpus.select(col(id),
+      col(vec).cast("array<double>").as("__pv"),
+      sqrt(dot(col(vec), col(vec))).as("__pn"))
+    cands
+      .join(prepped.toDF("id_a", "va", "na"), Seq("id_a"))
+      .join(prepped.toDF("id_b", "vb", "nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(try_divide(dot(col("va"), col("vb")), col("na") * col("nb")), 4)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-based near-duplicate pairs: all pairs with cosine >=
-    * `threshold`. Brute-force O(n²) pairing — kept as the verification
-    * baseline; at scale run it per-LSH-bucket (see DedupOps banding) so
-    * the join key bounds the pair space. */
+    * `threshold`. Brute-force O(n²) pairing — the VERIFICATION BASELINE
+    * only (exact recall for tests); the production path is
+    * [[cosineNearDupPairsBucketed]], whose candidates come from a
+    * key-equality join instead of this theta join. */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
                          threshold: Double): DataFrame = {
     // Precompute the double-cast vector and its norm ONCE per row (the

@@ -171,4 +171,40 @@ class OpsSpec extends SparkSpec {
     assert(top.head._1 === 0L)
     assert(top.forall(_._1 % 3 == 0)) // neighbors are all from cluster 0
   }
+
+  test("bucketed embedding near-dup: subset of the brute-force oracle " +
+    "with identical cosines, and the plan has no theta join / corpus " +
+    "broadcast") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val bucketed = Similarity.cosineNearDupPairsBucketed(emb, "vec_id",
+      "embedding", 0.4, planesPerTable = 4, tables = 8, dims = 64)
+    val got = bucketed.as[(Long, Long, Double)].collect().toSet
+    // every emitted pair is a true near-dup with the exact same cosine
+    assert(got.subsetOf(brute))
+    // the 8 × 4-plane tables recall most of the (all-borderline,
+    // cos 0.4-0.7) true pairs on this corpus — deterministic, not flaky,
+    // because hyperplanes and data are both fixed
+    assert(got.size >= (brute.size * 6) / 10, s"${got.size}/${brute.size}")
+    // candidate generation must be a key-equality join: no cartesian /
+    // broadcast-nested-loop stage anywhere in the physical plan
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bucketed embedding near-dup: exact duplicates co-bucket in every " +
+    "table, so recall at cos=1 is guaranteed") {
+    val rng = new scala.util.Random(11)
+    val v0 = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val others = (2L until 40L).map(i =>
+      (i, Array.fill(64)(rng.nextFloat() - 0.5f)))
+    val df = ((0L, v0) +: (1L, v0.clone()) +: others).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairsBucketed(df, "vec_id",
+      "embedding", 0.99, planesPerTable = 4, tables = 8, dims = 64)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((0L, 1L, 1.0)))
+  }
 }
