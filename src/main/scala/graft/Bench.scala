@@ -1,5 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: every SparkEntry query at the SF directory in
+  * SPARK_GRAFT_SF_DIR, one JSON line out.
+  *
+  * Methodology: each query is forced with a FULL-ROW HASH REDUCE —
+  * `agg(bit_xor(xxhash64(all columns)))` — not `count()`. Under `count()`
+  * Catalyst prunes every unreferenced projection and drops final sorts,
+  * so map-heavy queries would be timed as bare scans; hashing every
+  * output column makes the measured work equal the verified work (the
+  * same rows the DuckDB oracle checks). The timed region includes query
+  * CONSTRUCTION too, because some ops (LSH candidate pipelines)
+  * materialize intermediate frames eagerly.
+  *
+  * A query that throws is reported in `failed` and its elapsed time is
+  * excluded from `value` — never silently recorded as healthy.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,15 +38,32 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          // xxhash64 over every output column reduced with bit_xor (one
+          // row; order-independent, overflow-free under ANSI) — forces
+          // full evaluation of the verified projection
+          df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+            .agg(bit_xor(col("__h"))).collect()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val failed = timings.filterNot(_._3).map(_._1)
+    val qs = timings.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = timings.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) System.err.println(
+      s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }
 }
