@@ -35,9 +35,14 @@ object AsOf {
     val l = left.withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
     val carried = valueCols :+ rightTime
-    val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__is_left") +:
-        carried.map(c => col(c).as(s"__r_$c"))): _*)
+    // a right row with a null key or null time can never match any left
+    // row (SQL comparison semantics — same contract as the native
+    // AsOfJoinExec and a correlated max-subquery): drop before the union
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (col(key) +: col(rightTime).as("__t") +: lit(0).as("__is_left") +:
+          carried.map(c => col(c).as(s"__r_$c"))): _*)
     val lPadded = l.select(
       (l.columns.map(col).toSeq ++
         carried.map(c => lit(null).as(s"__r_$c"))): _*)
@@ -47,11 +52,20 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    // fill ONE struct per window — all asof_ columns then come from the
+    // SAME right row (per-column last(ignoreNulls) fills would mix
+    // values from different right rows when a carried column is null).
+    // The struct is null for left rows and non-null for every right row,
+    // so a right row whose VALUE is null still correctly yields null.
+    val rStruct = when(col("__is_left") === 0,
+      struct(carried.map(c => col(s"__r_$c").as(c)): _*))
+    val filled = unioned.withColumn("__s",
+      last(rStruct, ignoreNulls = true).over(w))
+    val unpacked = carried.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__s").getField(c))
     }
-    filled.filter(col("__is_left") === 1)
-      .drop((Seq("__t", "__is_left") ++ carried.map(c => s"__r_$c")): _*)
+    unpacked.filter(col("__is_left") === 1)
+      .drop((Seq("__t", "__is_left", "__s") ++
+        carried.map(c => s"__r_$c")): _*)
   }
 }

@@ -87,24 +87,49 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var lastRight: InternalRow = null
 
       lIter.map { lRow =>
-        val lKey = lKeyProj(lRow).get(0, keyDt)
-        val lTime = lTimeProj(lRow).get(0, timeDt)
-        // advance the right side while it is still at-or-before (key, time)
-        var continue = rHead != null
-        while (continue) {
-          val rKey = rKeyProj(rHead).get(0, keyDt)
-          val cmp = keyOrd.compare(rKey, lKey)
-          val beforeOrAt = cmp < 0 ||
-            (cmp == 0 && timeOrd.compare(rTimeProj(rHead).get(0, timeDt), lTime) <= 0)
-          if (beforeOrAt) {
-            if (cmp == 0) { lastKey = rKey; lastRight = rHead.copy() }
-            rHead = if (rIter.hasNext) rIter.next() else null
-            continue = rHead != null
-          } else continue = false
+        val lKeyRow = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        if (lKeyRow.isNullAt(0) || lTimeRow.isNullAt(0)) {
+          // SQL comparison semantics: a null key equals nothing and a
+          // null time is before nothing — emit the no-match row. No
+          // right-side advance: null-first sort order puts these rows
+          // before every non-null left row, so the merge stays aligned.
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lKey = lKeyRow.get(0, keyDt)
+          val lTime = lTimeRow.get(0, timeDt)
+          // advance the right side while it is still at-or-before (key, time)
+          var continue = rHead != null
+          while (continue) {
+            val rKeyRow = rKeyProj(rHead)
+            val rTimeRow = rTimeProj(rHead)
+            if (rKeyRow.isNullAt(0) || rTimeRow.isNullAt(0)) {
+              // null-keyed/timed right rows can never match any left row;
+              // they sort first (nulls first) — skip past them
+              rHead = if (rIter.hasNext) rIter.next() else null
+              continue = rHead != null
+            } else {
+              val rKey = rKeyRow.get(0, keyDt)
+              val cmp = keyOrd.compare(rKey, lKey)
+              val beforeOrAt = cmp < 0 ||
+                (cmp == 0 && timeOrd.compare(rTimeRow.get(0, timeDt), lTime) <= 0)
+              if (beforeOrAt) {
+                // copyValue: the projection's UnsafeRow buffer is reused
+                // per call, so buffer-backed keys (strings) must be
+                // deep-copied before being remembered across rows
+                if (cmp == 0) {
+                  lastKey = InternalRow.copyValue(rKey)
+                  lastRight = rHead.copy()
+                }
+                rHead = if (rIter.hasNext) rIter.next() else null
+                continue = rHead != null
+              } else continue = false
+            }
+          }
+          val matches = lastRight != null && lastKey != null &&
+            keyOrd.compare(lastKey, lKey) == 0
+          resultProj(joined(lRow, if (matches) lastRight else nullRight))
         }
-        val matches = lastRight != null && lastKey != null &&
-          keyOrd.compare(lastKey, lKey) == 0
-        resultProj(joined(lRow, if (matches) lastRight else nullRight))
       }
     }
   }
