@@ -34,4 +34,38 @@ object Merge {
     * incoming rows whose key is absent from existing. */
   def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Partition-scoped MERGE into a parquet table partitioned by
+    * `partCol` — the plain-parquet analogue of a transactional
+    * `MERGE`/`replaceWhere`: only the partitions PRESENT IN THE BATCH
+    * are read (partition-pruned scan), merged, and rewritten (dynamic
+    * partition overwrite); every other partition's files are untouched.
+    * At warehouse scale this turns the sink from O(table) per batch
+    * into O(affected partitions) — a 100 TB table absorbing a
+    * single-partition micro-batch rewrites one partition, not 100 TB.
+    *
+    * The affected-partition list is collected driver-side: partition
+    * VALUES only (metadata-sized, like a catalog listing), never data.
+    * The merged batch is materialized (localCheckpoint) before the
+    * write both because the write overwrites the very files being read
+    * and to bound the rewrite to batch-affected partitions. */
+  def upsertPartitioned(tablePath: String, incoming: DataFrame,
+                        keys: Seq[String], partCol: String): Unit = {
+    val spark = incoming.sparkSession
+    val exists =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tablePath))
+    if (!exists) {
+      incoming.write.partitionBy(partCol).mode("overwrite").parquet(tablePath)
+    } else {
+      val parts = incoming.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val existing = spark.read.parquet(tablePath)
+        .filter(col(partCol).isin(parts: _*)) // pruned to affected partitions
+      val merged = upsert(existing, incoming, keys)
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(tablePath)
+    }
+  }
 }

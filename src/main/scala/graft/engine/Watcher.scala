@@ -41,11 +41,15 @@ object Watcher {
   def snapshot(dir: String): Map[String, Long] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Map.empty
-    else Files.list(p).iterator().asScala
-      .filter(f => { val n = f.getFileName.toString
-        n.endsWith(".pdf") || n.endsWith(".docx") })
-      .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
-      .toMap
+    else {
+      val s = Files.list(p) // close: one leaked fd per 30 s poll adds up
+      try s.iterator().asScala
+        .filter(f => { val n = f.getFileName.toString
+          n.endsWith(".pdf") || n.endsWith(".docx") })
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+        .toMap
+      finally s.close()
+    }
   }
 
   /** T2 — set/mtime diff of two snapshots (reference `script.py:35-57`). */
@@ -60,13 +64,30 @@ object Watcher {
     * directory. `process(files, uploadId)` turns the CURRENT full file
     * set into warehouse rows; the watcher merges them by `keys` into the
     * parquet table at `tablePath`. */
+  /** @param partitionCol when set, the warehouse table is stored
+    *   partitioned by this (process-emitted) column and batches are
+    *   merged via [[Merge.upsertPartitioned]] — only batch-affected
+    *   partitions are read and rewritten, the warehouse-scale sink.
+    * @param incremental when true, only CHANGED files (added/modified;
+    *   all files on the first poll) are processed per batch instead of
+    *   the reference's reprocess-all T3 semantics — the natural partner
+    *   of the partitioned sink: a one-file change touches one file's
+    *   partition.
+    */
   final class IncrementalLoader(
       spark: SparkSession,
       sourceDir: String,
       tablePath: String,
       keys: Seq[String],
       process: (DataFrame, Long) => DataFrame,
-      deleteMissing: Boolean = false) {
+      deleteMissing: Boolean = false,
+      partitionCol: Option[String] = None,
+      incremental: Boolean = false) {
+
+    // deleteMissing compares the warehouse against the FULL current file
+    // set, which both narrowed-batch modes no longer carry
+    require(!(deleteMissing && (incremental || partitionCol.nonEmpty)),
+      "deleteMissing requires reprocess-all semantics over the whole table")
 
     private var snap: Map[String, Long] = Map.empty
     private var firstPoll = true
@@ -91,44 +112,70 @@ object Watcher {
     def pollOnce(): Option[Long] = synchronized {
       val curr = snapshot(sourceDir)
       val changes = diff(snap, curr)
-      val fire = firstPoll || changes.nonEmpty
+      val wasFirst = firstPoll
+      val touched = changes.added ++ changes.modified
+      // incremental mode only fires on content to process; reprocess-all
+      // fires on ANY change (deletions re-stamp the survivors)
+      val fire = wasFirst ||
+        (if (incremental) touched.nonEmpty else changes.nonEmpty)
       snap = curr
       firstPoll = false
       if (!fire) None
       else {
         uploadId += 1
-        val files = spark.read.format("binaryFile")
-          .option("pathGlobFilter", "*.{pdf,docx}")
-          .load(sourceDir)
+        val files =
+          if (incremental && !wasFirst)
+            spark.read.format("binaryFile").load(touched.sorted: _*)
+          else
+            spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.{pdf,docx}")
+              .load(sourceDir)
         val incoming = process(files, uploadId)
-        val merged = currentTable() match {
-          case None => incoming
-          case Some(existing) =>
-            val base = Merge.upsert(existing, incoming, keys)
-            if (deleteMissing)
-              base.join(incoming.select(keys.map(col): _*).distinct(),
-                keys, "left_semi")
-            else base
+        partitionCol match {
+          case Some(pc) =>
+            // partition-scoped sink: only batch-affected partitions are
+            // read, merged and rewritten
+            Merge.upsertPartitioned(tablePath, incoming, keys, pc)
+          case None =>
+            val merged = currentTable() match {
+              case None => incoming
+              case Some(existing) =>
+                val base = Merge.upsert(existing, incoming, keys)
+                if (deleteMissing)
+                  base.join(incoming.select(keys.map(col): _*).distinct(),
+                    keys, "left_semi")
+                else base
+            }
+            overwriteTable(merged)
         }
-        overwriteTable(merged)
         Some(uploadId)
       }
     }
 
-    /** Atomically replace the parquet table: write to a temp dir, then
-      * swap directories (plain-parquet stand-in for a transactional
-      * commit — Delta/Iceberg would make this a real MERGE txn). */
+    /** Replace the parquet table with two renames: write to a temp dir,
+      * rename the live directory ASIDE, rename the new one into place,
+      * then delete the old copy. The no-table window is two metadata
+      * ops (vs the whole recursive delete if we deleted first) — the
+      * closest a plain directory gets to a transactional commit;
+      * Delta/Iceberg would make this a real MERGE txn, and the
+      * partitioned sink ([[Merge.upsertPartitioned]]) avoids the full
+      * rewrite entirely. */
     private def overwriteTable(df: DataFrame): Unit = {
       val tmp = tablePath + ".tmp"
       df.write.mode("overwrite").parquet(tmp)
       val target = Paths.get(tablePath)
-      if (Files.exists(target)) deleteRecursively(target)
+      val old = Paths.get(tablePath + ".old")
+      if (Files.exists(old)) deleteRecursively(old)
+      val hadOld = Files.exists(target)
+      if (hadOld) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      if (hadOld) deleteRecursively(old)
     }
 
     private def deleteRecursively(p: Path): Unit = {
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
     }
 
     /** T1 — continuous mode: a rate-source heartbeat stream whose only

@@ -95,6 +95,77 @@ class WatcherSpec extends SparkSpec {
     assert(reborn.pollOnce() === Some(2L)) // continues, does not restart at 1
   }
 
+  private def partFiles(dir: String): Map[String, Long] = {
+    val s = java.nio.file.Files.walk(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    } finally s.close()
+  }
+
+  test("partition-pruned MERGE: a single-partition batch rewrites ONLY " +
+    "that partition's files; other partitions are byte-untouched") {
+    val wh = Files.createTempDirectory("graft_whp").toString + "/t"
+    val base = Seq(
+      (1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p2")
+    ).toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, base, Seq("id"), "shard")
+    val p2Before = partFiles(s"$wh/shard=p2")
+    assert(p2Before.nonEmpty)
+    Thread.sleep(1100) // make any rewrite visible in mtimes
+
+    // batch touching only p1: update id=1, insert id=9
+    val batch = Seq((1L, "a2", "p1"), (9L, "z", "p1")).toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, batch, Seq("id"), "shard")
+
+    // p2 files: same names, same mtimes — never read-side rewritten
+    assert(partFiles(s"$wh/shard=p2") === p2Before)
+    // p1 merged correctly; p2 rows intact
+    val t = spark.read.parquet(wh)
+    assert(t.count() === 5)
+    assert(t.filter(col("id") === 1).select("v").as[String].head() === "a2")
+    assert(t.filter(col("shard") === "p2").count() === 2)
+  }
+
+  test("incremental + partitioned loader: a one-file change processes " +
+    "one file and leaves other shards' files untouched") {
+    val src = Files.createTempDirectory("graft_src5").toString
+    val wh = Files.createTempDirectory("graft_wh5").toString + "/docs"
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    val loader = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("path"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        length(col("content")).as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("ext")),
+      partitionCol = Some("ext"),
+      incremental = true)
+
+    assert(loader.pollOnce() === Some(1L))
+    val docxBefore = partFiles(s"$wh/ext=docx")
+    assert(docxBefore.nonEmpty)
+    Thread.sleep(1100)
+
+    writeDoc(src, "c_3.pdf", "gamma") // pdf shard only
+    assert(loader.pollOnce() === Some(2L))
+    // the docx partition was neither reprocessed nor rewritten
+    assert(partFiles(s"$wh/ext=docx") === docxBefore)
+    val t = loader.currentTable().get
+    assert(t.count() === 3)
+    // incremental: ONLY the new file carries the new upload id
+    assert(t.filter(col("UPLOAD_ID") === 2L).select("path").as[String]
+      .collect().toSeq === Seq("c_3.pdf"))
+    // unchanged rows keep their original stamp (no reprocess-all)
+    assert(t.filter(col("path") === "a_1.pdf").select("UPLOAD_ID")
+      .as[Long].head() === 1L)
+  }
+
   test("T2 unit: snapshot diff classifies added/deleted/modified") {
     val prev = Map("a.pdf" -> 1L, "b.pdf" -> 2L, "c.docx" -> 3L)
     val curr = Map("b.pdf" -> 2L, "c.docx" -> 9L, "d.pdf" -> 4L)
