@@ -180,12 +180,17 @@ object Watcher {
 
     /** T1 — continuous mode: a rate-source heartbeat stream whose only
       * job is to run `pollOnce` every `intervalSeconds` (the reference's
-      * `time.sleep(30)` loop, `script.py:117`). */
-    def start(intervalSeconds: Int = 30): StreamingQuery =
-      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      * `time.sleep(30)` loop, `script.py:117`). With `checkpointDir` the
+      * heartbeat query is checkpointed and restartable: a new process
+      * builds a fresh loader (upload-id recovered from the warehouse,
+      * T5) and resumes the same query from the checkpoint. */
+    def start(intervalSeconds: Int = 30,
+              checkpointDir: Option[String] = None): StreamingQuery = {
+      val w = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         .writeStream
         .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
         .foreachBatch((_: DataFrame, _: Long) => { pollOnce(); () })
-        .start()
+      checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+    }
   }
 }

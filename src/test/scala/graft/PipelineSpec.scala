@@ -124,4 +124,35 @@ class PipelineSpec extends SparkSpec {
     assert(closed === Seq((1L, t(0), t(5), 2)))
     // user 1's new session and user 2's session remain open in state
   }
+
+  test("sessionize event-time flush: an idle user's trailing session is " +
+    "emitted once the watermark passes last+gap (EventTimeTimeout)") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ms = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionizeEventTime(ms.toDS(), gapMinutes = 30,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("esessions")
+      .outputMode("append").start()
+    try {
+      ms.addData(Sessionize.Event(1L, t(0), "click"),
+        Sessionize.Event(1L, t(5), "view"))
+      q.processAllAvailable() // watermark after this batch: t(0)
+      assert(spark.table("esessions").count() === 0) // still open
+
+      // another user's later events push the watermark past t(5)+30min
+      ms.addData(Sessionize.Event(2L, t(45), "click"))
+      q.processAllAvailable() // watermark now t(40) > t(35)
+      ms.addData(Sessionize.Event(2L, t(46), "view"))
+      q.processAllAvailable() // timeout processed this trigger
+
+      val closed = spark.table("esessions")
+        .filter($"user_id" === 1L)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)]
+        .collect().toSeq
+      assert(closed === Seq((1L, t(0), t(5), 2))) // flushed WITHOUT a next event
+    } finally q.stop()
+  }
 }

@@ -166,6 +166,44 @@ class WatcherSpec extends SparkSpec {
       .as[Long].head() === 1L)
   }
 
+  test("checkpointed streaming restart: a fresh loader resuming from the " +
+    "same checkpoint continues upload ids and the merge stays idempotent") {
+    val src = Files.createTempDirectory("graft_src6").toString
+    val wh = Files.createTempDirectory("graft_wh6").toString + "/docs"
+    val ckpt = Files.createTempDirectory("graft_ckpt6").toString
+    def await(cond: => Boolean, ms: Long = 60000): Unit = {
+      // tolerate transient failures (reading a table mid-swap)
+      def ok = scala.util.Try(cond).getOrElse(false)
+      val deadline = System.currentTimeMillis() + ms
+      while (!ok && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(ok, "condition not reached within timeout")
+    }
+    writeDoc(src, "a_1.pdf", "v1")
+
+    val loader1 = mkLoader(src, wh)
+    val q1 = loader1.start(intervalSeconds = 1, checkpointDir = Some(ckpt))
+    // await the TABLE, not just the id: pollOnce bumps the id before the
+    // merge lands, and stopping mid-write would leave no table behind
+    try await(loader1.lastUploadId >= 1L &&
+      loader1.currentTable().exists(_.count() === 1))
+    finally q1.stop()
+
+    // process restart: FRESH loader, same warehouse + checkpoint
+    val loader2 = mkLoader(src, wh)
+    val q2 = loader2.start(intervalSeconds = 1, checkpointDir = Some(ckpt))
+    try {
+      // first poll of the reborn loader force-fires (T4) under the NEXT
+      // id (T5 recovery: 2, not a reset to 1), idempotently re-merging
+      await(loader2.lastUploadId >= 2L &&
+        loader2.currentTable().exists(_.count() === 1)) // idempotent
+      writeDoc(src, "b_2.pdf", "v1")
+      await(loader2.lastUploadId >= 3L &&
+        loader2.currentTable().exists(_.count() === 2))
+      val t = loader2.currentTable().get
+      assert(t.agg(max(col("UPLOAD_ID"))).head().getLong(0) >= 3L)
+    } finally q2.stop()
+  }
+
   test("T2 unit: snapshot diff classifies added/deleted/modified") {
     val prev = Map("a.pdf" -> 1L, "b.pdf" -> 2L, "c.docx" -> 3L)
     val curr = Map("b.pdf" -> 2L, "c.docx" -> 9L, "d.pdf" -> 4L)
