@@ -417,6 +417,43 @@ object SparkEntry {
         .orderBy("flag", "status")
     }),
 
+    // GROUPING SETS with explicit grouping ids — the generalized form of
+    // q29's rollup (one shuffle; Spark expands the sets in a single
+    // Expand node, no per-set re-scan).
+    "q41_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy("gid", "flag", "status")
+    }),
+
+    // Exact median + deterministic mode per group (mode ties broken by
+    // lowest value — replayed by the oracle's count-desc/value-asc rank,
+    // because sf0.001's N group has a genuine tie).
+    "q42_median_mode" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(median(col("l_quantity")), 4).as("med_qty"),
+          // round to 3 (odd) decimals: even-count medians are midpoints
+          // of 2-decimal prices, i.e. exact 3-decimal values — rounding
+          // to 2 would sit ON the half-way boundary where the engines'
+          // interpolation ulps ((a+b)/2 vs a+(b-a)/2) disagree
+          round(median(col("l_extendedprice")), 3).as("med_price"),
+          mode(col("l_quantity"), deterministic = true).as("mode_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Top-k per group: rank window + filter (WindowGroupLimit pushes the
     // top-k below the shuffle — no full sort of the group).
     "q30_topk_per_group" -> ((s, dir) => {
@@ -1004,6 +1041,34 @@ object SparkEntry {
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+
+    "q41_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+           CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY gid, flag, status""",
+
+    "q42_median_mode" ->
+      """WITH md AS (
+           SELECT l_returnflag, round(median(l_quantity),4) AS med_qty,
+                  round(median(l_extendedprice),3) AS med_price
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT l_returnflag, l_quantity AS v, count(*) AS c
+           FROM lineitem GROUP BY 1,2),
+         r AS (
+           SELECT l_returnflag, v,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY c DESC, v ASC) AS rn
+           FROM c)
+         SELECT md.l_returnflag, md.med_qty, md.med_price, r.v AS mode_qty
+         FROM md JOIN r ON md.l_returnflag = r.l_returnflag AND r.rn = 1
+         ORDER BY 1""",
 
     "q30_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS total,
