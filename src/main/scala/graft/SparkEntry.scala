@@ -357,16 +357,16 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
-    // Multimodal binary plumbing: opaque payload bytes through the REAL
-    // mapPartitions decode stage (deterministic stub decoder), metadata out.
+    // Multimodal with a REAL image decode: a deterministic BMP is built
+    // per doc (dims derived from doc_id), pushed through the
+    // mapPartitions decode stage, and javax.imageio reads the genuine
+    // width/height back. The oracle predicts the dims and the exact BMP
+    // byte size (54 + ceil(3w/4)*4*h) in closed form — a broken encoder
+    // OR decoder fails the hash.
     "q25_multimodal_binary" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val feats = Multimodal.pipeline(docs, "doc_id", "text")
-      docs.select(col("doc_id"),
-          md5(col("text").cast("binary")).as("payload_md5"))
-        .join(feats.withColumnRenamed("media_id", "doc_id"), Seq("doc_id"))
-        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          col("payload_md5"))
+      Multimodal.imagePipeline(t(s, dir, "documents"), "doc_id")
+        .select(col("media_id").as("doc_id"), col("n_bytes"),
+          col("width"), col("height"))
         .orderBy("doc_id")
     }),
 
@@ -999,14 +999,12 @@ object SparkEntry {
          SELECT vec_id, cos FROM hits ORDER BY cos DESC, vec_id LIMIT 5""",
 
     "q25_multimodal_binary" ->
-      """WITH b AS (
-           SELECT doc_id, octet_length(encode(text)) AS n, md5(text) AS m
-           FROM documents)
-         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-           CAST(1 + (n % 640) AS INTEGER) AS width,
-           CAST(1 + ((n*7) % 480) AS INTEGER) AS height,
-           m AS payload_md5
-         FROM b ORDER BY doc_id""",
+      """SELECT doc_id,
+           CAST(54 + ((3*(1 + doc_id % 64) + 3) // 4 * 4)
+                  * (1 + doc_id % 48) AS BIGINT) AS n_bytes,
+           CAST(1 + doc_id % 64 AS INTEGER) AS width,
+           CAST(1 + doc_id % 48 AS INTEGER) AS height
+         FROM documents ORDER BY doc_id""",
 
     "q26_global_rownum" ->
       """SELECT o_orderkey,

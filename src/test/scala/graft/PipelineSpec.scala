@@ -67,8 +67,8 @@ class PipelineSpec extends SparkSpec {
       === Seq("RADIOLOGIE_SOFTWARE", "DOSSIER_PATIENT"))
   }
 
-  test("multimodal: mapPartitions decode stage matches the column-level " +
-    "stub semantics used by the q25 oracle") {
+  test("multimodal stub path (audio/video stand-in): mapPartitions stage " +
+    "matches the deterministic column-level stub semantics") {
     val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
     val feats = Multimodal.pipeline(df, "doc_id", "text").orderBy("media_id")
     val rows = feats.select("media_id", "n_bytes", "width", "height")
@@ -77,6 +77,45 @@ class PipelineSpec extends SparkSpec {
     val f = feats.filter($"media_id" === 1).select("feature")
       .as[Array[Double]].head()
     assert(f.length === 4 && f(0) === 'h'.toDouble / 128.0)
+  }
+
+  test("real image decode: BMP encode -> javax.imageio decode round-trips " +
+    "exact dimensions across row-padding widths; features are sane") {
+    import graft.ops.Multimodal
+    // widths 1..5 cover every 3w mod 4 padding case; heights vary too
+    val media = (1L to 5L).map(i =>
+      Multimodal.MediaRow(i, Multimodal.encodeBmp(i.toInt, i.toInt * 3, i)))
+      .toDS()
+    val got = Multimodal.extractImageFeatures(media)
+      .collect().sortBy(_.media_id)
+    got.zipWithIndex.foreach { case (f, idx) =>
+      val i = idx + 1
+      assert(f.width === i && f.height === i * 3, s"dims for $i")
+      val rowSize = (3 * i + 3) / 4 * 4
+      assert(f.n_bytes === 54L + rowSize * (i * 3), s"size for $i")
+      assert(f.feature.length === 4)
+      assert(f.feature.take(3).forall(v => v >= 0.0 && v <= 1.0))
+      assert(f.feature(3) === f.n_bytes.toDouble)
+    }
+  }
+
+  test("real image decode: PNG payloads decode too; corrupt bytes yield " +
+    "(-1,-1) without failing the task") {
+    import graft.ops.Multimodal
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 4, 0xFF8040)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(
+      Multimodal.MediaRow(1L, baos.toByteArray),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4)) // not an image
+    ).toDS()
+    val got = Multimodal.extractImageFeatures(media)
+      .collect().sortBy(_.media_id)
+    assert(got(0).width === 17 && got(0).height === 9)
+    assert(got(1).width === -1 && got(1).height === -1 &&
+      got(1).feature.isEmpty && got(1).n_bytes === 4L)
   }
 
   test("streaming: windowedAgg on a memory stream equals the same " +
