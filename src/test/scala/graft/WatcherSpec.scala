@@ -171,12 +171,24 @@ class WatcherSpec extends SparkSpec {
     val src = Files.createTempDirectory("graft_src6").toString
     val wh = Files.createTempDirectory("graft_wh6").toString + "/docs"
     val ckpt = Files.createTempDirectory("graft_ckpt6").toString
-    def await(cond: => Boolean, ms: Long = 60000): Unit = {
+    def await(label: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+              cond: => Boolean, ms: Long = 120000): Unit = {
       // tolerate transient failures (reading a table mid-swap)
-      def ok = scala.util.Try(cond).getOrElse(false)
-      val deadline = System.currentTimeMillis() + ms
-      while (!ok && System.currentTimeMillis() < deadline) Thread.sleep(200)
-      assert(ok, "condition not reached within timeout")
+      var lastErr: Option[Throwable] = None
+      def ok = scala.util.Try(cond) match {
+        case scala.util.Success(v) => v
+        case scala.util.Failure(e) => lastErr = Some(e); false
+      }
+      val t0 = System.currentTimeMillis()
+      var good = ok
+      while (!good && System.currentTimeMillis() - t0 < ms) {
+        // a foreachBatch throw kills the heartbeat silently — surface it
+        q.exception.foreach(e => fail(s"[$label] heartbeat query died: $e", e))
+        Thread.sleep(200)
+        good = ok
+      }
+      assert(good, s"[$label] not reached after " +
+        s"${System.currentTimeMillis() - t0} ms; lastErr=$lastErr")
     }
     writeDoc(src, "a_1.pdf", "v1")
 
@@ -184,7 +196,7 @@ class WatcherSpec extends SparkSpec {
     val q1 = loader1.start(intervalSeconds = 1, checkpointDir = Some(ckpt))
     // await the TABLE, not just the id: pollOnce bumps the id before the
     // merge lands, and stopping mid-write would leave no table behind
-    try await(loader1.lastUploadId >= 1L &&
+    try await("first-load", q1, loader1.lastUploadId >= 1L &&
       loader1.currentTable().exists(_.count() === 1))
     finally q1.stop()
 
@@ -194,10 +206,10 @@ class WatcherSpec extends SparkSpec {
     try {
       // first poll of the reborn loader force-fires (T4) under the NEXT
       // id (T5 recovery: 2, not a reset to 1), idempotently re-merging
-      await(loader2.lastUploadId >= 2L &&
+      await("restart-remerge", q2, loader2.lastUploadId >= 2L &&
         loader2.currentTable().exists(_.count() === 1)) // idempotent
       writeDoc(src, "b_2.pdf", "v1")
-      await(loader2.lastUploadId >= 3L &&
+      await("new-file", q2, loader2.lastUploadId >= 3L &&
         loader2.currentTable().exists(_.count() === 2))
       val t = loader2.currentTable().get
       assert(t.agg(max(col("UPLOAD_ID"))).head().getLong(0) >= 3L)
