@@ -106,19 +106,47 @@ object PdfExtract {
 
   // ---- document structure ---------------------------------------------
 
-  /** Pages in /Kids order (falls back to object-number order). */
+  // `/Type/Page` and `/Type /Page` both occur in the wild (xref-stream
+  // writers tend to omit the space); `Page\b` will not match "Pages"
+  private val PageRe: Regex = "/Type\\s*/Page\\b".r
+  private val PagesRe: Regex = "/Type\\s*/Pages\\b".r
+  private val CatalogRe: Regex = "/Type\\s*/Catalog\\b".r
+
+  private def kidsOf(dict: String): Seq[Int] =
+    "(\\d+) 0 R".r.findAllMatchIn(
+      "/Kids\\s*\\[(.*?)\\]".r.findFirstMatchIn(dict)
+        .map(_.group(1)).getOrElse(""))
+      .map(_.group(1).toInt).toSeq
+
+  /** Pages in document order: DFS through the page tree from the
+    * catalog's /Pages root, expanding NESTED /Pages nodes (multi-level
+    * Kids trees are how large documents balance the tree). Falls back to
+    * flat Kids order, then object-number order. */
   private def pageOrder(objs: mutable.Map[Int, PdfObj]): Seq[Int] = {
-    val pageNums = objs.collect {
-      case (n, o) if o.dict.contains("/Type /Page") &&
-        !o.dict.contains("/Type /Pages") => n
-    }.toSet
-    val kids = objs.values.filter(_.dict.contains("/Type /Pages"))
-      .flatMap(o => "(\\d+) 0 R".r.findAllMatchIn(
-        "/Kids\\s*\\[(.*?)\\]".r.findFirstMatchIn(o.dict)
-          .map(_.group(1)).getOrElse(""))
-        .map(_.group(1).toInt))
-      .filter(pageNums.contains).toSeq
-    if (kids.nonEmpty) kids.distinct else pageNums.toSeq.sorted
+    val seen = mutable.Set.empty[Int]
+    def dfs(n: Int): Seq[Int] =
+      if (!seen.add(n)) Nil // cycle guard
+      else objs.get(n) match {
+        case Some(o) if PagesRe.findFirstIn(o.dict).isDefined =>
+          kidsOf(o.dict).flatMap(dfs)
+        case Some(o) if PageRe.findFirstIn(o.dict).isDefined => Seq(n)
+        case _ => Nil
+      }
+    val fromTree = objs.values
+      .find(o => CatalogRe.findFirstIn(o.dict).isDefined)
+      .flatMap(o => refKey(o.dict, "Pages"))
+      .map(dfs).getOrElse(Nil)
+    if (fromTree.nonEmpty) fromTree.distinct
+    else {
+      val pageNums = objs.collect {
+        case (n, o) if PageRe.findFirstIn(o.dict).isDefined => n
+      }.toSet
+      val kids = objs.values
+        .filter(o => PagesRe.findFirstIn(o.dict).isDefined)
+        .flatMap(o => kidsOf(o.dict))
+        .filter(pageNums.contains).toSeq
+      if (kids.nonEmpty) kids.distinct else pageNums.toSeq.sorted
+    }
   }
 
   private def contentStreams(pageDict: String,
@@ -203,6 +231,16 @@ object PdfExtract {
 
   // ---- content stream decoding ----------------------------------------
 
+  private sealed trait TextItem
+  private final case class StrItem(bytes: Array[Byte]) extends TextItem
+  private final case class KernItem(v: Double) extends TextItem
+
+  /** TJ kern adjustments at-or-below this (thousandths of an em, i.e.
+    * glyph-space units) render as an inter-word gap — the heuristic
+    * PyMuPDF-class extractors use; smaller magnitudes are letter-fitting
+    * kerns inside a word. */
+  private val SpaceKern = -180.0
+
   private def decodeContent(content: Array[Byte],
                             fonts: Map[String, (Map[Int, String], Int)],
                             sb: StringBuilder): Unit = {
@@ -210,21 +248,28 @@ object PdfExtract {
     var font: (Map[Int, String], Int) = (Map.empty, 1)
     var i = 0
     val n = s.length
-    var pendingStrings = mutable.ArrayBuffer.empty[Array[Byte]]
+    val pending = mutable.ArrayBuffer.empty[TextItem]
     var lastName: String = null
+    var inArray = false
+    val NumRe: Regex = "[-+]?(?:\\d+\\.?\\d*|\\.\\d+)".r
 
-    def emit(bytesSeq: Seq[Array[Byte]]): Unit = {
+    def emit(items: Seq[TextItem]): Unit = {
       val (cmap, width) = font
-      bytesSeq.foreach { b =>
-        var j = 0
-        while (j + width <= b.length) {
-          val code = if (width == 2)
-            ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
-          else b(j) & 0xff
-          sb.append(cmap.getOrElse(code,
-            if (width == 1) (code.toChar).toString else ""))
-          j += width
-        }
+      items.foreach {
+        case KernItem(v) =>
+          // kerning-aware spacing: a big negative adjustment is a space
+          if (v <= SpaceKern && sb.nonEmpty && !sb.last.isWhitespace)
+            sb.append(' ')
+        case StrItem(b) =>
+          var j = 0
+          while (j + width <= b.length) {
+            val code = if (width == 2)
+              ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
+            else b(j) & 0xff
+            sb.append(cmap.getOrElse(code,
+              if (width == 1) (code.toChar).toString else ""))
+            j += width
+          }
       }
     }
     def newline(): Unit =
@@ -235,31 +280,38 @@ object PdfExtract {
       c match {
         case '(' =>
           val (bytes, next) = literalString(s, i)
-          pendingStrings += bytes; i = next
+          pending += StrItem(bytes); i = next
         case '<' if i + 1 < n && s.charAt(i + 1) != '<' =>
           val end = s.indexOf('>', i)
           val hex = s.substring(i + 1, if (end < 0) n else end)
             .filterNot(_.isWhitespace)
           val padded = if (hex.length % 2 == 1) hex + "0" else hex
-          pendingStrings += padded.grouped(2)
-            .map(h => Integer.parseInt(h, 16).toByte).toArray
+          pending += StrItem(padded.grouped(2)
+            .map(h => Integer.parseInt(h, 16).toByte).toArray)
           i = (if (end < 0) n else end) + 1
         case '/' =>
           val m = "/([A-Za-z0-9]+)".r.findPrefixMatchOf(s.substring(i))
           lastName = m.map(_.group(1)).orNull
           i += 1 + (if (lastName == null) 0 else lastName.length)
-        case '[' | ']' => i += 1
+        case '[' => inArray = true; i += 1
+        case ']' => inArray = false; i += 1
+        case ch if inArray && (ch.isDigit || ch == '-' || ch == '+' || ch == '.') =>
+          // numbers INSIDE a TJ array are kern adjustments; numbers
+          // elsewhere (coordinates) are skipped by the default case
+          val m = NumRe.findPrefixMatchOf(s.substring(i))
+          m.foreach(mm => pending += KernItem(mm.matched.toDouble))
+          i += m.map(_.matched.length).getOrElse(1)
         case ch if ch.isLetter || ch == '\'' || ch == '"' || ch == '*' =>
           val m = "[A-Za-z'\"*]+".r.findPrefixMatchOf(s.substring(i))
           val op = m.map(_.matched).getOrElse(ch.toString)
           op match {
             case "Tf" => fonts.get(lastName).foreach(f => font = f)
-            case "Tj" | "TJ" => emit(pendingStrings.toSeq); pendingStrings.clear()
+            case "Tj" | "TJ" => emit(pending.toSeq); pending.clear()
             case "'" | "\"" =>
-              newline(); emit(pendingStrings.toSeq); pendingStrings.clear()
-            case "Td" | "TD" | "T*" | "Tm" => newline(); pendingStrings.clear()
-            case "BT" | "ET" => pendingStrings.clear()
-            case _ => pendingStrings.clear()
+              newline(); emit(pending.toSeq); pending.clear()
+            case "Td" | "TD" | "T*" | "Tm" => newline(); pending.clear()
+            case "BT" | "ET" => pending.clear()
+            case _ => pending.clear()
           }
           i += op.length
         case _ => i += 1
