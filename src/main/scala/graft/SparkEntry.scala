@@ -454,6 +454,138 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Map-typed column machinery: per-user event-type→count maps built
+    // with map_from_entries, then consumed via size/try_element_at/
+    // map_values+aggregate — proves the map surface round-trips (the
+    // oracle recomputes the scalars relationally).
+    "q43_map_funcs" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          coalesce(try_element_at(col("m"), lit("click")), lit(0L))
+            .as("clicks"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+            .as("total"))
+        .orderBy("user_id")
+    }),
+
+    // CUBE — all four grouping combinations with explicit grouping ids
+    // (completes the rollup q29 / grouping-sets q41 family).
+    "q44_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          (grouping(col("o_orderpriority")) * 2 +
+            grouping(col("o_orderstatus"))).cast("long").as("gid"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"), col("gid"))
+        .orderBy("gid", "prio", "status")
+    }),
+
+    // RANGE-framed window: per-user sliding 1-hour event-value sum keyed
+    // on event time (not row count) — the time-decayed-feature shape.
+    // Frame bounds are in MICROSECONDS (unix_micros) so frame membership
+    // is exact on both engines.
+    "q45_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("hour_sum"))
+        .orderBy("event_id")
+    }),
+
+    // Blocked fuzzy matching: edit-distance pairs WITHIN nation blocks —
+    // the key-equality-join blocking pattern that keeps fuzzy dedup
+    // sub-quadratic at scale (pairs only form inside a block, never
+    // across the corpus).
+    "q46_fuzzy_pairs" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val a = c.toDF("id_a", "name_a", "nk")
+      val b = c.toDF("id_b", "name_b", "nk")
+      a.join(b, Seq("nk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Gopher-style repetition quality signals per document: top-word
+    // fraction, repeated-word fraction, top-bigram fraction. Relational
+    // shape (explode → two keyed counts) so the cost scales with corpus
+    // vocabulary, not pairwise anything.
+    "q47_repetition_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wordsArr = split(TF.normalizeText(col("text")), " ")
+      val words = docs
+        .select(col("doc_id"), explode_outer(wordsArr).as("w"))
+        .filter(col("w").isNotNull)
+      val wstats = words.groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("tw"), max("n").as("topw"),
+          sum(when(col("n") >= 2, col("n")).otherwise(lit(0L))).as("repw"))
+      val bigrams = docs
+        .select(col("doc_id"), wordsArr.as("ws"))
+        .select(col("doc_id"), explode_outer(
+          when(size(col("ws")) >= 2,
+            transform(sequence(lit(1), size(col("ws")) - 1), i =>
+              concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .filter(col("g").isNotNull)
+      val gstats = bigrams.groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("tg"), max("n").as("topg"))
+      wstats.join(gstats, Seq("doc_id"))
+        .select(col("doc_id"), col("tw").cast("long").as("n_words"),
+          round(col("topw").cast("double") / col("tw"), 4)
+            .as("top_word_frac"),
+          round(col("repw").cast("double") / col("tw"), 4)
+            .as("repeated_word_frac"),
+          round(col("topg").cast("double") / col("tg"), 4)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII/URL scrubbing — the standard pretraining-data masking pass
+    // (emails → <EMAIL>, urls → <URL>, phone runs → <PHONE>), with match
+    // counts. Run over text synthesized to actually CONTAIN each PII
+    // shape so the regex parity is exercised, not vacuous.
+    "q48_pii_scrub" -> ((s, dir) => {
+      val base = concat(substring(col("text"), 1, 40),
+        lit(" mail user"), col("doc_id"), lit("@ex-ample.org or visit "),
+        lit("https://ex.org/p/"), col("doc_id"),
+        lit("?q=1 call +33 6 12 34 56 78 done"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^\\s]+"
+      val phone = "\\+?[0-9][0-9 ]{7,}[0-9]"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(base, lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(base, lit(url), lit(0)))
+            .cast("long").as("n_urls"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(base, email, "<EMAIL>"),
+              url, "<URL>"),
+            phone, "<PHONE>").as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // Top-k per group: rank window + filter (WindowGroupLimit pushes the
     // top-k below the shuffle — no full sort of the group).
     "q30_topk_per_group" -> ((s, dir) => {
@@ -1039,6 +1171,92 @@ object SparkEntry {
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+
+    "q46_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY 1, 2""",
+
+    "q47_repetition_stats" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1,2),
+         ws AS (
+           SELECT doc_id, sum(n) AS tw, max(n) AS topw,
+             sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS repw
+           FROM wc GROUP BY 1),
+         b AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS g
+           FROM (SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+             FROM documents)),
+         gc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1,2),
+         gs AS (SELECT doc_id, sum(n) AS tg, max(n) AS topg
+                FROM gc GROUP BY 1)
+         SELECT ws.doc_id, CAST(tw AS BIGINT) AS n_words,
+           round(CAST(topw AS DOUBLE)/tw, 4) AS top_word_frac,
+           round(CAST(repw AS DOUBLE)/tw, 4) AS repeated_word_frac,
+           round(CAST(topg AS DOUBLE)/tg, 4) AS top_bigram_frac
+         FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+         ORDER BY ws.doc_id""",
+
+    "q48_pii_scrub" ->
+      """WITH base AS (
+           SELECT doc_id,
+             substring(text, 1, 40) || ' mail user' || CAST(doc_id AS VARCHAR)
+               || '@ex-ample.org or visit https://ex.org/p/'
+               || CAST(doc_id AS VARCHAR)
+               || '?q=1 call +33 6 12 34 56 78 done' AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT)
+             AS n_urls,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\+?[0-9][0-9 ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+         FROM base ORDER BY doc_id""",
+
+    "q43_map_funcs" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1,2)
+         SELECT user_id,
+           CAST(count(*) AS INTEGER) AS n_types,
+           CAST(coalesce(sum(n) FILTER (event_type = 'click'), 0) AS BIGINT)
+             AS clicks,
+           CAST(sum(n) AS BIGINT) AS total
+         FROM c GROUP BY 1 ORDER BY user_id""",
+
+    "q44_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total,
+           CAST(GROUPING(o_orderpriority)*2 + GROUPING(o_orderstatus)
+             AS BIGINT) AS gid
+         FROM orders
+         GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         ORDER BY gid, prio, status""",
+
+    "q45_range_window" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+             AS hour_sum
+         FROM events ORDER BY event_id""",
 
     "q41_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
