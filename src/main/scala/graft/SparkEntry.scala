@@ -370,6 +370,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Product quantization ANN: deterministic codebooks (subvectors of
+    // vec_id<16), per-subspace argmin encode, asymmetric-distance (ADC)
+    // top-k — the compressed-index scale path (m bytes per vector at
+    // query time, no full vectors touched).
+    "q49_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, k = 16, dims = 64)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+        cb, m = 4, dims = 64)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q"))
+      Similarity.pqTopK(codes, "vec_id", cb, query, m = 4, dims = 64, k = 10)
+        .orderBy(col("adc"), col("vec_id"))
+    }),
+
+    // KMV bottom-k distinct-count sketch over normalized doc text, with
+    // the exact count alongside so the oracle row itself exhibits the
+    // estimator's accuracy. Deterministic md5 hashing → the whole sketch
+    // is hash-verifiable cross-engine (unlike opaque HLL registers).
+    "q50_kmv_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val est = graft.ops.Sketches.kmvDistinct(docs,
+        TF.normalizeText(col("text")), k = 64)
+      val exact = docs
+        .agg(countDistinct(TF.normalizeText(col("text")))
+          .as("exact_distinct"))
+      est.crossJoin(exact)
+    }),
+
     // A2 at scale — GLOBAL dense numbering via the two-phase range-
     // partitioned implementation (no single-partition window, no driver
     // collect), checked against a true global row_number oracle.
@@ -1137,6 +1167,68 @@ object SparkEntry {
            CAST(1 + doc_id % 64 AS INTEGER) AS width,
            CAST(1 + doc_id % 48 AS INTEGER) AS height
          FROM documents ORDER BY doc_id""",
+
+    "q50_kmv_sketch" ->
+      """WITH h AS (
+           SELECT DISTINCT ('0x' || substring(md5('0:' ||
+             lower(trim(regexp_replace(text,'\s+',' ','g')))),1,12))::BIGINT
+             AS h
+           FROM documents),
+         k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+         s AS (SELECT count(*) AS n, max(h) AS hk FROM k),
+         e AS (SELECT count(DISTINCT
+             lower(trim(regexp_replace(text,'\s+',' ','g')))) AS ex
+           FROM documents)
+         SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE round(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                           / hk, 4) END
+             AS est_distinct,
+           CAST(n AS BIGINT) AS k_used,
+           CAST(ex AS BIGINT) AS exact_distinct
+         FROM s CROSS JOIN e""",
+
+    "q49_ann_pq" ->
+      """WITH js AS (SELECT unnest(range(0,4)) AS j),
+         cb AS (
+           SELECT j, vec_id AS c,
+             list_transform(range(1,17),
+               i -> CAST(embedding[j*16+i] AS DOUBLE)) AS cv
+           FROM embeddings CROSS JOIN js WHERE vec_id < 16),
+         sub AS (
+           SELECT vec_id, j,
+             list_transform(range(1,17),
+               i -> CAST(embedding[j*16+i] AS DOUBLE)) AS sv
+           FROM embeddings CROSS JOIN js),
+         scored AS (
+           SELECT vec_id, sub.j, c, round(
+             list_sum(list_transform(range(1,17), i -> sv[i]*sv[i]))
+             - 2.0 * list_sum(list_transform(range(1,17), i -> sv[i]*cv[i]))
+             + list_sum(list_transform(range(1,17), i -> cv[i]*cv[i])), 6)
+             AS d
+           FROM sub JOIN cb ON sub.j = cb.j),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d, c) AS rn FROM scored)
+           WHERE rn = 1),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qsub AS (
+           SELECT j, list_transform(range(1,17),
+             i -> CAST(qe[j*16+i] AS DOUBLE)) AS qs
+           FROM q CROSS JOIN js),
+         tbl AS (
+           SELECT qsub.j, c AS code, round(
+             list_sum(list_transform(range(1,17), i -> qs[i]*qs[i]))
+             - 2.0 * list_sum(list_transform(range(1,17), i -> qs[i]*cv[i]))
+             + list_sum(list_transform(range(1,17), i -> cv[i]*cv[i])), 6)
+             AS d
+           FROM cb JOIN qsub ON cb.j = qsub.j),
+         adc AS (
+           SELECT vec_id,
+             round(list_sum(list(d ORDER BY codes.j)), 4) AS adc
+           FROM codes JOIN tbl ON codes.j = tbl.j AND codes.code = tbl.code
+           GROUP BY vec_id)
+         SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 10""",
 
     "q26_global_rownum" ->
       """SELECT o_orderkey,

@@ -207,6 +207,79 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** Squared L2 distance via three sequential dot folds (bit-identical
+    * to the oracle's three list_sums — NOT algebraically refactored). */
+  private def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Deterministic PQ codebooks: subspace `j` of the `k` lowest-id
+    * vectors (same seeding idea as q24's IVF centroids — swap in
+    * per-subspace k-means without changing the query shape). One row per
+    * (subspace j, code c): the 16-dim codeword. Model-artifact-sized:
+    * m·k rows, always broadcastable. */
+  def pqCodebooks(corpus: DataFrame, id: String, vec: String,
+                  m: Int, k: Int, dims: Int): DataFrame = {
+    val subDim = dims / m
+    corpus.filter(col(id) < k)
+      .select(col(id).cast("long").as("c"),
+        col(vec).cast("array<double>").as("v"))
+      .select(explode(sequence(lit(0), lit(m - 1))).as("j"), col("c"),
+        col("v"))
+      .select(col("j"), col("c"),
+        expr(s"slice(v, j*$subDim+1, $subDim)").as("cv"))
+  }
+
+  /** PQ-encode the corpus: per (vector, subspace), the code of the
+    * nearest codeword (squared-L2, rounded for cross-engine argmin
+    * stability, code-id tie-break). Map-side scoring against the
+    * broadcast codebook + one keyed window — scales with corpus × m·k,
+    * never pairwise. Output: (id, j, code) — the compressed
+    * representation is m small ints per vector (dims·4 bytes → m bytes
+    * at k ≤ 256), which is the point of PQ at 100 TB. */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    val subDim = dims / m
+    val sub = corpus
+      .select(col(id), col(vec).cast("array<double>").as("v"))
+      .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("v"))
+      .select(col(id), col("j"), expr(s"slice(v, j*$subDim+1, $subDim)").as("sv"))
+    val scored = sub.join(broadcast(codebooks), Seq("j"))
+      .select(col(id), col("j"), col("c"),
+        round(dist2(col("sv"), col("cv")), 6).as("d"))
+    val w = Window.partitionBy(col(id), col("j"))
+      .orderBy(col("d"), col("c"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col("j"), col("c").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: precompute the
+    * query's m·k distance table (broadcast — it IS the whole lookup
+    * structure), join codes to it, and sum the m entries in a
+    * DETERMINISTIC j-ascending fold (engines must agree bit-for-bit).
+    * No full vectors are touched at query time — that is PQ's speed. */
+  def pqTopK(codes: DataFrame, id: String, codebooks: DataFrame,
+             query: DataFrame, m: Int, dims: Int, k: Int): DataFrame = {
+    val subDim = dims / m
+    val qsub = query
+      .select(explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("q").cast("array<double>").as("qv"))
+      .select(col("j"), expr(s"slice(qv, j*$subDim+1, $subDim)").as("qs"))
+    val table = codebooks.join(qsub, Seq("j"))
+      .select(col("j"), col("c").as("code"),
+        round(dist2(col("qs"), col("cv")), 6).as("d"))
+    codes.join(broadcast(table), Seq("j", "code"))
+      .groupBy(col(id))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("j"), col("d")))),
+        lit(0.0), (a, x) => a + x.getField("d")), 4).as("adc"))
+      .orderBy(col("adc"), col(id))
+      .limit(k)
+  }
+
   /** Embedding-based near-duplicate pairs: all pairs with cosine >=
     * `threshold`. Brute-force O(n²) pairing — the VERIFICATION BASELINE
     * only (exact recall for tests); the production path is

@@ -172,6 +172,36 @@ class OpsSpec extends SparkSpec {
     assert(top.forall(_._1 % 3 == 0)) // neighbors are all from cluster 0
   }
 
+  test("KMV sketch: exact below k, within 25% of truth above k, and " +
+    "invariant under repartitioning (the plan IS the merge)") {
+    import graft.ops.Sketches
+    val small = (1L to 40L).map(i => s"v$i").toDF("t")
+    val ex = Sketches.kmvDistinct(small, $"t", 64).head()
+    assert(ex.getDouble(0) === 40.0 && ex.getLong(1) === 40L)
+    val big = (1L to 5000L).map(i => s"item-$i").toDF("t")
+    val est = Sketches.kmvDistinct(big, $"t", 256).head().getDouble(0)
+    assert(est > 5000 * 0.75 && est < 5000 * 1.25, est)
+    val est13 = Sketches.kmvDistinct(big.repartition(13), $"t", 256)
+      .head().getDouble(0)
+    assert(est13 === est) // mergeable: partitioning cannot change the sketch
+  }
+
+  test("PQ: every vector gets m codes in [0,k); a codebook vector " +
+    "reconstructs exactly, so ADC top-1 is the query itself at 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 64)
+    assert(cb.count() === 64) // m*k codewords
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 4, 64)
+    val n = emb.count()
+    assert(codes.count() === n * 4)
+    assert(codes.agg(min($"code"), max($"code")).as[(Long, Long)].head()
+      ._2 < 16)
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = Similarity.pqTopK(codes, "vec_id", cb, query, 4, 64, 3)
+      .as[(Long, Double)].collect()
+    assert(top.head === ((0L, 0.0))) // vec 0 is a codeword: zero ADC
+  }
+
   test("bucketed embedding near-dup: subset of the brute-force oracle " +
     "with identical cosines, and the plan has no theta join / corpus " +
     "broadcast") {
