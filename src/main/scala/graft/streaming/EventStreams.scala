@@ -30,4 +30,18 @@ object EventStreams {
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("hour", date_trunc("hour", col("ts")))
+
+  /** Streaming exact dedup on a key subset with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only
+    * until the watermark passes it, so state is ∝ keys-per-watermark-
+    * horizon instead of all-keys-ever (the unbounded hazard of plain
+    * `dropDuplicates` on an infinite stream). Duplicates arriving
+    * within the lateness budget are suppressed; a key recurring far
+    * later is (by design) treated as new — the streaming analogue of
+    * the batch keep-first contract. */
+  def dedupedStream(events: DataFrame, keys: Seq[String],
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -164,6 +164,31 @@ class PipelineSpec extends SparkSpec {
     // user 1's new session and user 2's session remain open in state
   }
 
+  test("streaming dedup within watermark: duplicate event ids inside the " +
+    "lateness budget are suppressed; state does not grow unboundedly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.dedupedStream(
+        ms.toDF.toDF("event_id", "ts", "event_type"),
+        keys = Seq("event_id"), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, t(0), "click"), (1L, t(1), "click-dup"),
+        (2L, t(2), "view"))
+      q.processAllAvailable()
+      ms.addData((1L, t(3), "late-dup"), (3L, t(4), "buy"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select("event_id", "event_type").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      // one row per event id; the first occurrence wins
+      assert(got === Seq((1L, "click"), (2L, "view"), (3L, "buy")))
+    } finally q.stop()
+  }
+
   test("sessionize event-time flush: an idle user's trailing session is " +
     "emitted once the watermark passes last+gap (EventTimeTimeout)") {
     import graft.streaming.Sessionize
