@@ -625,6 +625,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Analytic window breadth: lag/lead/ntile/percent_rank over the
+    // per-user event timeline (one keyed window shuffle serves all four;
+    // total tiebreak (ts, event_id) makes every value deterministic).
+    "q51_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"))
+        .orderBy("event_id")
+    }),
+
     // Top-k per group: rank window + filter (WindowGroupLimit pushes the
     // top-k below the shuffle — no full sort of the group).
     "q30_topk_per_group" -> ((s, dir) => {
@@ -1272,6 +1287,16 @@ object SparkEntry {
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+
+    "q51_window_analytics" ->
+      """SELECT event_id, user_id,
+           lag(event_type, 1) OVER w AS prev_type,
+           lead(event_type, 1) OVER w AS next_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
 
     "q46_fuzzy_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
