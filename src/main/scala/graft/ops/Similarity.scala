@@ -231,6 +231,31 @@ object Similarity {
         expr(s"slice(v, j*$subDim+1, $subDim)").as("cv"))
   }
 
+  /** TRAINED PQ codebooks: per-subspace Lloyd k-means (reusing
+    * [[kmeansCentroids]] on each subspace's projected corpus) instead of
+    * the deterministic first-k seeding. Better codeword placement →
+    * lower quantization error; the trade is float-sum training
+    * nondeterminism across cluster layouts (like any distributed
+    * k-means), so trained-PQ is validated by behavior tests while the
+    * seeded [[pqCodebooks]] carries the bit-exact oracle (q49) — the
+    * same split as trained vs seeded IVF. Driver loops over the m
+    * subspaces; each iteration is fully distributed. */
+  def pqCodebooksTrained(corpus: DataFrame, id: String, vec: String,
+                         m: Int, k: Int, dims: Int,
+                         iters: Int = 3): DataFrame = {
+    val subDim = dims / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(id),
+        expr(s"slice(cast($vec as array<double>), ${j * subDim + 1}, $subDim)")
+          .as("sv"))
+      val cents = kmeansCentroids(sub, id, "sv", k, iters)
+      // rank centroids by cid so codes are dense 0..k-1
+      val w = Window.orderBy(col("cid"))
+      cents.withColumn("c", row_number().over(w).cast("long") - 1)
+        .select(lit(j).as("j"), col("c"), col("cv"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** PQ-encode the corpus: per (vector, subspace), the code of the
     * nearest codeword (squared-L2, rounded for cross-engine argmin
     * stability, code-id tie-break). Map-side scoring against the

@@ -202,6 +202,27 @@ class OpsSpec extends SparkSpec {
     assert(top.head === ((0L, 0.0))) // vec 0 is a codeword: zero ADC
   }
 
+  test("trained PQ codebooks: per-subspace k-means places codewords so " +
+    "ADC retrieves the query's cluster") {
+    val rng = new scala.util.Random(7)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f)
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f),
+      Array(0f, 0f, 1f, 0f, 1f, 0f, 0f, 0f))
+    val df = (0L until 90L).map(i => (i, jitter(bases((i % 3).toInt))))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksTrained(df, "vec_id", "embedding",
+      m = 2, k = 3, dims = 8)
+    assert(cb.count() === 6) // m subspaces x k codewords
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb, 2, 8)
+    val query = df.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = Similarity.pqTopK(codes, "vec_id", cb, query, 2, 8, 10)
+      .as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.forall(_._1 % 3 == 0)) // all from cluster 0
+  }
+
   test("bucketed embedding near-dup: subset of the brute-force oracle " +
     "with identical cosines, and the plan has no theta join / corpus " +
     "broadcast") {
