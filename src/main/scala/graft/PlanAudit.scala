@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query physical-plan shape summary: exchange/join counts,
+  * nested-loop detection, parquet pushdown + column pruning. Run with
+  * query names as args, or no args for all queries. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -9,15 +13,26 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (q <- args) {
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
-      val ex = plan.linesIterator.count(_.contains("Exchange"))
-      val bj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
-      val nl = plan.linesIterator.count(l => l.contains("BroadcastNestedLoop") || l.contains("CartesianProduct"))
-      val scans = plan.linesIterator.count(_.contains("FileScan"))
-      println(s"[plan] $q exchanges=$ex bhj=$bj smj=$smj nestedloop=$nl scans=$scans")
-      if (nl > 0) println(plan.linesIterator.filter(l => l.contains("NestedLoop") || l.contains("Cartesian")).mkString("\n"))
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names) {
+      try {
+        val plan = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toSeq
+        def n(p: String) = lines.count(_.contains(p))
+        val nl = n("BroadcastNestedLoop") + n("CartesianProduct")
+        // widest ReadSchema column count across scans
+        val widths = lines.filter(_.contains("ReadSchema"))
+          .map(l => l.count(_ == ',') + 1)
+        val pushed = lines.count(l =>
+          l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+        println(s"[plan] $q exch=${n("Exchange")} bhj=${n("BroadcastHashJoin")} " +
+          s"smj=${n("SortMergeJoin")} nl=$nl scans=${n("FileScan")} " +
+          s"maxReadCols=${if (widths.isEmpty) 0 else widths.max} pushedScans=$pushed")
+      } catch { case e: Throwable =>
+        println(s"[plan] $q ERROR ${e.getMessage}")
+      }
     }
     spark.stop()
   }
