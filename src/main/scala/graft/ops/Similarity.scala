@@ -159,6 +159,17 @@ object Similarity {
     corpus.select(col(id).as("__id"), explode(array(keys: _*)).as("band_key"))
   }
 
+  /** Parameter scaling law for sign-LSH blocking: the planes-per-table
+    * that keeps the EXPECTED bucket size near `targetBucket` for an
+    * `n`-vector corpus (E[B] = n / 2^p under a balanced hash). Grow the
+    * corpus 100× → p grows by ~6.6 — bucket size, and therefore the
+    * per-bucket pair work, stays constant; spend `tables` to win the
+    * recall lost to narrower buckets (P[pair co-buckets somewhere] =
+    * 1 − (1 − (1−θ/π)^p)^tables). */
+  def planesForCorpus(n: Long, targetBucket: Int): Int =
+    math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+
   /** Embedding near-duplicate pairs, the SCALE path: LSH-bucket blocking
     * (key-equality join on (table, bucket) — never a cross join, never a
     * corpus-sized broadcast), then exact cosine verification on the

@@ -202,6 +202,18 @@ class OpsSpec extends SparkSpec {
     assert(top.head === ((0L, 0.0))) // vec 0 is a codeword: zero ADC
   }
 
+  test("planesForCorpus: bucket size stays ~constant as the corpus grows") {
+    assert(Similarity.planesForCorpus(2000, 128) === 4)
+    assert(Similarity.planesForCorpus(200000, 128) === 11)
+    assert(Similarity.planesForCorpus(200000000L, 128) === 21)
+    // E[B] = n / 2^p lands within [targetBucket/2, targetBucket]
+    for (n <- Seq(10000L, 1000000L, 5000000000L)) {
+      val p = Similarity.planesForCorpus(n, 256)
+      val b = n.toDouble / math.pow(2, p)
+      assert(b <= 256.0 && b > 128.0, s"n=$n p=$p b=$b")
+    }
+  }
+
   test("trained PQ codebooks: per-subspace k-means places codewords so " +
     "ADC retrieves the query's cluster") {
     val rng = new scala.util.Random(7)
