@@ -640,6 +640,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Gap-based sessionization via session_window (batch form of the
+    // streaming Sessionize semantics): sessions close after a 30-minute
+    // event gap; window end = last event + gap. The oracle replays it
+    // with gaps-and-islands SQL (lag + running sum), so the session
+    // semantics themselves are hash-gated, not just spec-tested.
+    "q52_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Top-k per group: rank window + filter (WindowGroupLimit pushes the
     // top-k below the shuffle — no full sort of the group).
     "q30_topk_per_group" -> ((s, dir) => {
@@ -1287,6 +1307,27 @@ object SparkEntry {
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+
+    "q52_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+             '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
 
     "q51_window_analytics" ->
       """SELECT event_id, user_id,
