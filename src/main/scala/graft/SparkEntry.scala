@@ -660,6 +660,32 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // Unigram-LM surprisal scoring — the relational form of the
+    // perplexity quality filter: corpus word frequencies (one
+    // vocabulary-scaled aggregation) joined back to each document's
+    // words; score = mean −ln P(w). Deterministic cross-engine because
+    // the per-doc reduction is an ORDERED fold over the sorted word
+    // multiset, not an unordered float sum.
+    "q53_unigram_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"),
+          explode_outer(split(TF.normalizeText(col("text")), " ")).as("w"))
+        .filter(col("w").isNotNull)
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("wc"))
+      val total = vocab.agg(sum(col("wc")).as("tot"))
+      val scored = words.join(vocab, Seq("w")).crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          (-log(col("wc").cast("double") / col("tot"))).as("nll"))
+      scored.groupBy("doc_id")
+        .agg(round(
+          aggregate(array_sort(collect_list(col("nll"))), lit(0.0),
+            (a, x) => a + x)
+            / count(lit(1)), 4).as("mean_surprisal"),
+          count(lit(1)).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // Top-k per group: rank window + filter (WindowGroupLimit pushes the
     // top-k below the shuffle — no full sort of the group).
     "q30_topk_per_group" -> ((s, dir) => {
@@ -1307,6 +1333,22 @@ object SparkEntry {
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+
+    "q53_unigram_surprisal" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         v AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+         tot AS (SELECT sum(wc) AS tot FROM v),
+         nll AS (
+           SELECT doc_id, -ln(CAST(wc AS DOUBLE) / tot) AS nll
+           FROM w JOIN v USING (w) CROSS JOIN tot)
+         SELECT doc_id,
+           round(list_sum(list_sort(list(nll))) / count(*), 4)
+             AS mean_surprisal,
+           count(*) AS n_words
+         FROM nll GROUP BY doc_id ORDER BY doc_id""",
 
     "q52_session_window" ->
       """WITH o AS (
