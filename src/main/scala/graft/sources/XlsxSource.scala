@@ -29,6 +29,7 @@ object XlsxSource {
       : (Seq[String], Seq[Seq[String]]) = {
     var shared = IndexedSeq.empty[String]
     var sheet: Option[Node] = None
+    val fallbacks = mutable.ArrayBuffer.empty[(String, Node)]
     val target = s"xl/worksheets/sheet$sheetIndex.xml"
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
@@ -37,8 +38,15 @@ object XlsxSource {
           shared = (load(zin) \\ "si").map(si => (si \\ "t").map(_.text).mkString)
             .toIndexedSeq
         else if (e.getName == target) sheet = Some(load(zin))
+        else if (e.getName.startsWith("xl/worksheets/") &&
+          e.getName.endsWith(".xml"))
+          // writers are free to name sheet parts arbitrarily (the mapping
+          // lives in workbook.xml.rels); keep them as ordered fallbacks
+          fallbacks += e.getName -> load(zin)
       }
     } finally zin.close()
+    if (sheet.isEmpty)
+      sheet = fallbacks.sortBy(_._1).drop(sheetIndex - 1).headOption.map(_._2)
 
     sheet match {
       case None => (Nil, Nil)
