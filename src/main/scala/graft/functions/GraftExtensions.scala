@@ -14,20 +14,55 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProductD)
+    GraftExtensions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
 object GraftExtensions {
-  val dotProductD: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  private type FnDef =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val dotProductD: FnDef = (
     FunctionIdentifier("dot_product_d"),
     new ExpressionInfo(classOf[DotProductD].getName, "dot_product_d"),
     (children: Seq[Expression]) => DotProductD(children(0), children(1)))
 
+  /** Lift a Column-composition into a SQL function: the children parsed
+    * from SQL are wrapped as Columns, fed through the same composition
+    * the DataFrame API uses, and unwrapped — one implementation, two
+    * surfaces, analyzer resolves the result as usual. */
+  private def columnFn(name: String)(f: Seq[org.apache.spark.sql.Column]
+      => org.apache.spark.sql.Column): FnDef = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft.functions.GraftExtensions", name),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.GraftSqlBridge.expressionEager(
+        f(children.map(org.apache.spark.sql.GraftSqlBridge.column))))
+
+  import graft.engine.{TextFunctions => TF}
+  import graft.ops.{Similarity, TextAnalysis => TA}
+
+  /** Every engine scalar as a SQL function — a SQL-only user gets the
+    * full text/metadata/similarity surface without touching the Scala
+    * API. */
+  val all: Seq[FnDef] = Seq(
+    dotProductD,
+    columnFn("graft_normalize_text")(cs => TF.normalizeText(cs(0))),
+    columnFn("graft_md5hash48")(cs => TF.md5Hash48(cs(0))),
+    columnFn("graft_document_date")(cs => TF.extractDocumentDate(cs(0))),
+    columnFn("graft_author")(cs => TF.extractAuthor(cs(0))),
+    columnFn("graft_zero_pad_id")(cs => TF.zeroPadId(cs(0))),
+    columnFn("graft_quality_score")(cs => TA.qualityScore(cs(0))),
+    columnFn("graft_lang_id")(cs => TA.langId(cs(0))),
+    columnFn("graft_fingerprint48")(cs => TA.fingerprint48(cs(0))),
+    columnFn("graft_cosine")(cs => Similarity.cosine(cs(0), cs(1))))
+
   /** Register on an already-built session (extensions bind at session
     * construction; this is the post-hoc path for shared sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotProductD._1, dotProductD._2, dotProductD._3)
+    all.foreach { fn =>
+      spark.sessionState.functionRegistry
+        .registerFunction(fn._1, fn._2, fn._3)
+    }
 }

@@ -10,6 +10,13 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion: `expression` wraps lazily in a
+    * ColumnNodeExpression that only Dataset analysis unwraps — an
+    * expression returned from a FunctionRegistry builder bypasses that,
+    * so convert the node here (function-registration path). */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a logical plan as a DataFrame (for custom logical operators). */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
