@@ -48,7 +48,14 @@ object Merge {
     * VALUES only (metadata-sized, like a catalog listing), never data.
     * The merged batch is materialized (localCheckpoint) before the
     * write both because the write overwrites the very files being read
-    * and to bound the rewrite to batch-affected partitions. */
+    * and to bound the rewrite to batch-affected partitions.
+    *
+    * CONTRACT: the partition value must be a pure function of the merge
+    * key (a row never moves partitions between batches) — the same
+    * stability requirement a `replaceWhere` upsert carries. If a key
+    * re-arrived under a different partition value, its old row would
+    * not be in the pruned scan and would survive as a stale duplicate;
+    * moving keys need the full-table [[upsert]]. */
   def upsertPartitioned(tablePath: String, incoming: DataFrame,
                         keys: Seq[String], partCol: String): Unit = {
     val spark = incoming.sparkSession
@@ -59,8 +66,17 @@ object Merge {
     } else {
       val parts = incoming.select(col(partCol)).distinct()
         .collect().map(_.get(0)).toSeq
+      // null-safe membership: isin(null) is NULL (never true), yet the
+      // dynamic overwrite still rewrites the null partition — without
+      // the explicit isNull arm, existing null-partition rows would be
+      // silently dropped by a batch containing a null partition value
+      val (nullPart, defined) = parts.partition(_ == null)
+      val prune0 =
+        if (defined.nonEmpty) col(partCol).isin(defined: _*) else lit(false)
+      val prune =
+        if (nullPart.nonEmpty) prune0 || col(partCol).isNull else prune0
       val existing = spark.read.parquet(tablePath)
-        .filter(col(partCol).isin(parts: _*)) // pruned to affected partitions
+        .filter(prune) // pruned to affected partitions
       val merged = upsert(existing, incoming, keys)
         .localCheckpoint(true)
       merged.write.mode("overwrite")

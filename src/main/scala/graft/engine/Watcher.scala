@@ -118,19 +118,28 @@ object Watcher {
       // fires on ANY change (deletions re-stamp the survivors)
       val fire = wasFirst ||
         (if (incremental) touched.nonEmpty else changes.nonEmpty)
-      snap = curr
-      firstPoll = false
-      if (!fire) None
-      else {
-        uploadId += 1
+      if (!fire) {
+        snap = curr; firstPoll = false
+        None
+      } else {
+        // snapshot/id state commits only AFTER the merge lands: a poll
+        // that throws leaves everything unadvanced, so the retrying
+        // heartbeat sees the same diff again instead of losing the batch
+        val nextId = uploadId + 1
         val files =
           if (incremental && !wasFirst)
-            spark.read.format("binaryFile").load(touched.sorted: _*)
+            // a touched file can vanish between snapshot() and the read
+            // job executing: drop already-gone paths now and tolerate
+            // ones that disappear mid-scan instead of failing the batch
+            spark.read.format("binaryFile")
+              .option("ignoreMissingFiles", "true")
+              .load(touched.sorted.filter(p =>
+                Files.exists(Paths.get(p))): _*)
           else
             spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.{pdf,docx}")
               .load(sourceDir)
-        val incoming = process(files, uploadId)
+        val incoming = process(files, nextId)
         partitionCol match {
           case Some(pc) =>
             // partition-scoped sink: only batch-affected partitions are
@@ -148,7 +157,10 @@ object Watcher {
             }
             overwriteTable(merged)
         }
-        Some(uploadId)
+        uploadId = nextId
+        snap = curr
+        firstPoll = false
+        Some(nextId)
       }
     }
 
@@ -189,7 +201,17 @@ object Watcher {
       val w = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         .writeStream
         .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
-        .foreachBatch((_: DataFrame, _: Long) => { pollOnce(); () })
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          // T8 containment: a throw inside foreachBatch terminates the
+          // whole streaming query — one failed poll (transient fs race,
+          // unreadable file) must not stop the watcher; the next tick
+          // retries from a fresh snapshot. pollOnce still throws for
+          // direct callers (tests assert on real errors).
+          try { pollOnce(); () }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[watcher] poll failed, will retry: $e")
+          }
+        }
       checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
     }
   }

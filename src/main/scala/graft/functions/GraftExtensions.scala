@@ -31,14 +31,21 @@ object GraftExtensions {
   /** Lift a Column-composition into a SQL function: the children parsed
     * from SQL are wrapped as Columns, fed through the same composition
     * the DataFrame API uses, and unwrapped — one implementation, two
-    * surfaces, analyzer resolves the result as usual. */
-  private def columnFn(name: String)(f: Seq[org.apache.spark.sql.Column]
+    * surfaces, analyzer resolves the result as usual. Arity is checked
+    * up front so a wrong argument count surfaces as an analysis-time
+    * error, not an IndexOutOfBounds from inside the builder. */
+  private def columnFn(name: String, arity: Int)(
+      f: Seq[org.apache.spark.sql.Column]
       => org.apache.spark.sql.Column): FnDef = (
     FunctionIdentifier(name),
     new ExpressionInfo("graft.functions.GraftExtensions", name),
-    (children: Seq[Expression]) =>
+    (children: Seq[Expression]) => {
+      if (children.size != arity)
+        throw new IllegalArgumentException(
+          s"Function $name requires $arity argument(s), got ${children.size}")
       org.apache.spark.sql.GraftSqlBridge.expressionEager(
-        f(children.map(org.apache.spark.sql.GraftSqlBridge.column))))
+        f(children.map(org.apache.spark.sql.GraftSqlBridge.column)))
+    })
 
   import graft.engine.{TextFunctions => TF}
   import graft.ops.{Similarity, TextAnalysis => TA}
@@ -48,15 +55,15 @@ object GraftExtensions {
     * API. */
   val all: Seq[FnDef] = Seq(
     dotProductD,
-    columnFn("graft_normalize_text")(cs => TF.normalizeText(cs(0))),
-    columnFn("graft_md5hash48")(cs => TF.md5Hash48(cs(0))),
-    columnFn("graft_document_date")(cs => TF.extractDocumentDate(cs(0))),
-    columnFn("graft_author")(cs => TF.extractAuthor(cs(0))),
-    columnFn("graft_zero_pad_id")(cs => TF.zeroPadId(cs(0))),
-    columnFn("graft_quality_score")(cs => TA.qualityScore(cs(0))),
-    columnFn("graft_lang_id")(cs => TA.langId(cs(0))),
-    columnFn("graft_fingerprint48")(cs => TA.fingerprint48(cs(0))),
-    columnFn("graft_cosine")(cs => Similarity.cosine(cs(0), cs(1))))
+    columnFn("graft_normalize_text", 1)(cs => TF.normalizeText(cs(0))),
+    columnFn("graft_md5hash48", 1)(cs => TF.md5Hash48(cs(0))),
+    columnFn("graft_document_date", 1)(cs => TF.extractDocumentDate(cs(0))),
+    columnFn("graft_author", 1)(cs => TF.extractAuthor(cs(0))),
+    columnFn("graft_zero_pad_id", 1)(cs => TF.zeroPadId(cs(0))),
+    columnFn("graft_quality_score", 1)(cs => TA.qualityScore(cs(0))),
+    columnFn("graft_lang_id", 1)(cs => TA.langId(cs(0))),
+    columnFn("graft_fingerprint48", 1)(cs => TA.fingerprint48(cs(0))),
+    columnFn("graft_cosine", 2)(cs => Similarity.cosine(cs(0), cs(1))))
 
   /** Register on an already-built session (extensions bind at session
     * construction; this is the post-hoc path for shared sessions). */

@@ -188,24 +188,10 @@ object Similarity {
                                  threshold: Double, planesPerTable: Int,
                                  tables: Int, dims: Int,
                                  maxBucket: Int = 0): DataFrame = {
-    val banded0 = lshBandKeys(corpus, id, vec, planesPerTable, tables, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = if (maxBucket <= 0) banded0 else {
-      val small = banded0.groupBy("band_key")
-        .agg(count(lit(1)).as("__bc"))
-        .filter(col("__bc") <= maxBucket).select("band_key")
-      banded0.join(small, Seq("band_key"))
-    }
-    val l = banded.select(col("__id").as("id_a"), col("band_key"))
-    val r = banded.select(col("__id").as("id_b"), col("band_key"))
-    // materialize the (small) candidate list so the banded cache can be
-    // released before the lazy verification runs
-    val cands = Caches.small(
-      l.join(r, Seq("band_key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct())
-    banded0.unpersist()
+    // the shared LSH blocking tail (persist → cap → self-join →
+    // materialized distinct pairs) lives in DedupOps.blockedPairs
+    val cands = DedupOps.blockedPairs(
+      lshBandKeys(corpus, id, vec, planesPerTable, tables, dims), maxBucket)
     val prepped = corpus.select(col(id),
       col(vec).cast("array<double>").as("__pv"),
       sqrt(dot(col(vec), col(vec))).as("__pn"))

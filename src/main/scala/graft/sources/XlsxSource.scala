@@ -29,7 +29,7 @@ object XlsxSource {
       : (Seq[String], Seq[Seq[String]]) = {
     var shared = IndexedSeq.empty[String]
     var sheet: Option[Node] = None
-    val fallbacks = mutable.ArrayBuffer.empty[(String, Node)]
+    val fallbacks = mutable.ArrayBuffer.empty[(String, Array[Byte])]
     val target = s"xl/worksheets/sheet$sheetIndex.xml"
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
@@ -41,12 +41,14 @@ object XlsxSource {
         else if (e.getName.startsWith("xl/worksheets/") &&
           e.getName.endsWith(".xml"))
           // writers are free to name sheet parts arbitrarily (the mapping
-          // lives in workbook.xml.rels); keep them as ordered fallbacks
-          fallbacks += e.getName -> load(zin)
+          // lives in workbook.xml.rels); keep RAW bytes as ordered
+          // fallbacks — only the one actually selected is DOM-parsed
+          fallbacks += e.getName -> zin.readAllBytes()
       }
     } finally zin.close()
     if (sheet.isEmpty)
-      sheet = fallbacks.sortBy(_._1).drop(sheetIndex - 1).headOption.map(_._2)
+      sheet = fallbacks.sortBy(_._1).drop(sheetIndex - 1).headOption
+        .map(b => XML.load(new ByteArrayInputStream(b._2)))
 
     sheet match {
       case None => (Nil, Nil)

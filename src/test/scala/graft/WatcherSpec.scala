@@ -131,6 +131,23 @@ class WatcherSpec extends SparkSpec {
     assert(t.filter(col("shard") === "p2").count() === 2)
   }
 
+  test("partition-pruned MERGE: a batch with a NULL partition value " +
+    "merges into the null partition without dropping its existing rows") {
+    val wh = Files.createTempDirectory("graft_whn").toString + "/t"
+    val base = Seq(
+      (1L, "a", None: Option[String]), (2L, "b", Some("p1"))
+    ).toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, base, Seq("id"), "shard")
+    val batch = Seq((3L, "c", None: Option[String]), (1L, "a2", None: Option[String]))
+      .toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, batch, Seq("id"), "shard")
+    val t = spark.read.parquet(wh)
+    assert(t.count() === 3) // 1 updated in place, 2 untouched, 3 inserted
+    assert(t.filter(col("id") === 1).select("v").as[String].head() === "a2")
+    assert(t.filter(col("id") === 2).count() === 1)
+    assert(t.filter(col("id") === 3).count() === 1)
+  }
+
   test("incremental + partitioned loader: a one-file change processes " +
     "one file and leaves other shards' files untouched") {
     val src = Files.createTempDirectory("graft_src5").toString
