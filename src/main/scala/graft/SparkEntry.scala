@@ -546,17 +546,8 @@ object SparkEntry {
       // 4× faster than nation-only blocking with unbounded levenshtein;
       // a digit-count L1 pre-filter was tried and measured net-negative
       // at this block size.
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_mktsegment"))
-      val a = c.toDF("id_a", "name_a", "nk", "mk")
-      val b = c.toDF("id_b", "name_b", "nk", "mk")
-      a.join(b, Seq("nk", "mk"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("name_a"), col("name_b"), 3).cast("long")
-            .as("dist"))
-        .filter(col("dist").between(0, 2))
+      DedupOps.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name",
+          blockCols = Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
         .orderBy("id_a", "id_b")
     }),
 

@@ -302,6 +302,77 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF-PQ (residual-encoded inverted file) ------------------------
+
+  /** Residual vectors after IVF assignment: r = v − centroid(cluster),
+    * map-side zip_with against the broadcast centroid model. Output:
+    * (id, cluster, rv). PQ on residuals beats PQ on raw vectors because
+    * residual magnitudes are small — the same codebook budget spends
+    * its precision near the data. */
+  def ivfResiduals(corpus: DataFrame, id: String, vec: String,
+                   centroids: DataFrame, cid: String,
+                   cvec: String): DataFrame = {
+    val assigned = ivfAssign(corpus, id, vec, centroids, cid, cvec)
+    assigned.join(broadcast(centroids.select(col(cid).as("cluster"),
+        col(cvec).cast("array<double>").as("__cv"))), Seq("cluster"))
+      .select(col(id), col("cluster"),
+        zip_with(col(vec).cast("array<double>"), col("__cv"),
+          (a, b) => a - b).as("rv"))
+  }
+
+  /** PQ-encode IVF residuals, keeping the cluster id alongside the
+    * codes: (id, cluster, j, code) — the complete IVF-PQ index is this
+    * frame plus the two model artifacts (centroids, codebooks). */
+  def ivfPqEncode(residuals: DataFrame, id: String, codebooks: DataFrame,
+                  m: Int, dims: Int): DataFrame =
+    pqEncode(residuals, id, "rv", codebooks, m, dims)
+      .join(residuals.select(col(id), col("cluster")), Seq(id))
+
+  /** IVFADC search: probe the query's `nprobe` nearest clusters; within
+    * each, approximate ||q − v||² by the PQ distance of the CLUSTER
+    * residual query (q − centroid) against each vector's residual codes.
+    * Everything broadcast is model-sized (centroids, codebooks, the
+    * nprobe·m·k distance table); the corpus side touches only its m
+    * codes — the classic billion-scale ANN layout (inverted file prunes
+    * the corpus, PQ compresses what remains). */
+  def ivfPqTopK(residualCodes: DataFrame /* id, cluster, j, code */,
+                id: String, centroids: DataFrame, cid: String, cvec: String,
+                codebooks: DataFrame, query: DataFrame, m: Int, dims: Int,
+                k: Int, nprobe: Int = 1): DataFrame = {
+    val subDim = dims / m
+    // nearest clusters for the query (same rule as ivfTopK)
+    val qClusters = centroids.crossJoin(broadcast(query))
+      .select(col(cid).as("cluster"),
+        round(cosine(col(cvec), col("q")), 6).as("__cs"))
+      .orderBy(col("__cs").desc, col("cluster"))
+      .limit(nprobe)
+      .select("cluster")
+    // per probed cluster: residual query = q − centroid, then its
+    // (j, code) distance table against the shared residual codebooks
+    val qres = qClusters
+      .join(broadcast(centroids.select(col(cid).as("cluster"),
+        col(cvec).cast("array<double>").as("__cv"))), Seq("cluster"))
+      .crossJoin(broadcast(query))
+      .select(col("cluster"),
+        zip_with(col("q").cast("array<double>"), col("__cv"),
+          (a, b) => a - b).as("qr"))
+      .select(col("cluster"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("qr"))
+      .select(col("cluster"), col("j"),
+        expr(s"slice(qr, j*$subDim+1, $subDim)").as("qs"))
+    val table = qres.join(broadcast(codebooks), Seq("j"))
+      .select(col("cluster"), col("j"), col("c").as("code"),
+        round(dist2(col("qs"), col("cv")), 6).as("d"))
+    residualCodes
+      .join(broadcast(table), Seq("cluster", "j", "code")) // prunes to probed clusters
+      .groupBy(col(id))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("j"), col("d")))),
+        lit(0.0), (a, x) => a + x.getField("d")), 4).as("adc"))
+      .orderBy(col("adc"), col(id))
+      .limit(k)
+  }
+
   /** Embedding-based near-duplicate pairs: all pairs with cosine >=
     * `threshold`. Brute-force O(n²) pairing — the VERIFICATION BASELINE
     * only (exact recall for tests); the production path is

@@ -235,6 +235,32 @@ class OpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.forall(_._1 % 3 == 0)) // all from cluster 0
   }
 
+  test("IVF-PQ: residual-encoded search retrieves the query's cluster; " +
+    "a residual-codeword vector reconstructs to ADC 0") {
+    val rng = new scala.util.Random(5)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f)
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f),
+      Array(0f, 0f, 1f, 0f, 1f, 0f, 0f, 0f))
+    val df = (0L until 90L).map(i => (i, jitter(bases((i % 3).toInt))))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val resid = Similarity.ivfResiduals(df, "vec_id", "embedding",
+      centroids, "cid", "cv")
+    val cb = Similarity.pqCodebooks(resid, "vec_id", "rv", m = 2, k = 4,
+      dims = 8)
+    val codes = Similarity.ivfPqEncode(resid, "vec_id", cb, m = 2, dims = 8)
+    val query = df.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = Similarity.ivfPqTopK(codes, "vec_id", centroids, "cid", "cv",
+      cb, query, m = 2, dims = 8, k = 5, nprobe = 1)
+      .as[(Long, Double)].collect()
+    assert(top.head === ((0L, 0.0))) // vec 0's residual IS a codeword
+    assert(top.forall(_._1 % 3 == 0)) // probed cluster only
+  }
+
   test("bucketed embedding near-dup: subset of the brute-force oracle " +
     "with identical cosines, and the plan has no theta join / corpus " +
     "broadcast") {
