@@ -69,8 +69,11 @@ object Merge {
       // null-safe membership: isin(null) is NULL (never true), yet the
       // dynamic overwrite still rewrites the null partition — without
       // the explicit isNull arm, existing null-partition rows would be
-      // silently dropped by a batch containing a null partition value
-      val (nullPart, defined) = parts.partition(_ == null)
+      // silently dropped by a batch containing a null partition value.
+      // Empty string belongs to the same bucket: Spark writes both null
+      // and "" to __HIVE_DEFAULT_PARTITION__ and reads them back as null
+      val (nullPart, defined) =
+        parts.partition(p => p == null || p == "")
       val prune0 =
         if (defined.nonEmpty) col(partCol).isin(defined: _*) else lit(false)
       val prune =

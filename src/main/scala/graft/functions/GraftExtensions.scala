@@ -26,7 +26,12 @@ object GraftExtensions {
   val dotProductD: FnDef = (
     FunctionIdentifier("dot_product_d"),
     new ExpressionInfo(classOf[DotProductD].getName, "dot_product_d"),
-    (children: Seq[Expression]) => DotProductD(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.size != 2)
+        throw new IllegalArgumentException(
+          s"Function dot_product_d requires 2 arguments, got ${children.size}")
+      DotProductD(children(0), children(1))
+    })
 
   /** Lift a Column-composition into a SQL function: the children parsed
     * from SQL are wrapped as Columns, fed through the same composition

@@ -278,11 +278,24 @@ object Similarity {
       .select(col(id), col("j"), col("c").as("code"))
   }
 
+  /** The shared ADC tail: join codes to the broadcast (…, j, code) → d
+    * distance table and sum each id's m entries in a DETERMINISTIC
+    * j-ascending fold (the bit-reproducibility-critical piece — one
+    * implementation serves plain PQ and IVF-PQ). */
+  private def adcTopK(codes: DataFrame, id: String, table: DataFrame,
+                      joinKeys: Seq[String], k: Int): DataFrame =
+    codes.join(broadcast(table), joinKeys)
+      .groupBy(col(id))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("j"), col("d")))),
+        lit(0.0), (a, x) => a + x.getField("d")), 4).as("adc"))
+      .orderBy(col("adc"), col(id))
+      .limit(k)
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: precompute the
     * query's m·k distance table (broadcast — it IS the whole lookup
-    * structure), join codes to it, and sum the m entries in a
-    * DETERMINISTIC j-ascending fold (engines must agree bit-for-bit).
-    * No full vectors are touched at query time — that is PQ's speed. */
+    * structure), then the shared [[adcTopK]] fold. No full vectors are
+    * touched at query time — that is PQ's speed. */
   def pqTopK(codes: DataFrame, id: String, codebooks: DataFrame,
              query: DataFrame, m: Int, dims: Int, k: Int): DataFrame = {
     val subDim = dims / m
@@ -293,13 +306,7 @@ object Similarity {
     val table = codebooks.join(qsub, Seq("j"))
       .select(col("j"), col("c").as("code"),
         round(dist2(col("qs"), col("cv")), 6).as("d"))
-    codes.join(broadcast(table), Seq("j", "code"))
-      .groupBy(col(id))
-      .agg(round(aggregate(
-        array_sort(collect_list(struct(col("j"), col("d")))),
-        lit(0.0), (a, x) => a + x.getField("d")), 4).as("adc"))
-      .orderBy(col("adc"), col(id))
-      .limit(k)
+    adcTopK(codes, id, table, Seq("j", "code"), k)
   }
 
   // ---- IVF-PQ (residual-encoded inverted file) ------------------------
@@ -322,11 +329,21 @@ object Similarity {
 
   /** PQ-encode IVF residuals, keeping the cluster id alongside the
     * codes: (id, cluster, j, code) — the complete IVF-PQ index is this
-    * frame plus the two model artifacts (centroids, codebooks). */
+    * frame plus the two model artifacts (centroids, codebooks). The
+    * residual frame is consumed twice (encode + cluster join), so it is
+    * persisted for the build and the resulting index — m small ints per
+    * vector, orders smaller than the vectors — is materialized, exactly
+    * like a real index build writing its output. */
   def ivfPqEncode(residuals: DataFrame, id: String, codebooks: DataFrame,
-                  m: Int, dims: Int): DataFrame =
-    pqEncode(residuals, id, "rv", codebooks, m, dims)
-      .join(residuals.select(col(id), col("cluster")), Seq(id))
+                  m: Int, dims: Int): DataFrame = {
+    val r = residuals
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = Caches.small(
+      pqEncode(r, id, "rv", codebooks, m, dims)
+        .join(r.select(col(id), col("cluster")), Seq(id)))
+    r.unpersist()
+    codes
+  }
 
   /** IVFADC search: probe the query's `nprobe` nearest clusters; within
     * each, approximate ||q − v||² by the PQ distance of the CLUSTER
@@ -363,14 +380,8 @@ object Similarity {
     val table = qres.join(broadcast(codebooks), Seq("j"))
       .select(col("cluster"), col("j"), col("c").as("code"),
         round(dist2(col("qs"), col("cv")), 6).as("d"))
-    residualCodes
-      .join(broadcast(table), Seq("cluster", "j", "code")) // prunes to probed clusters
-      .groupBy(col(id))
-      .agg(round(aggregate(
-        array_sort(collect_list(struct(col("j"), col("d")))),
-        lit(0.0), (a, x) => a + x.getField("d")), 4).as("adc"))
-      .orderBy(col("adc"), col(id))
-      .limit(k)
+    // the cluster join key prunes the corpus to the probed clusters
+    adcTopK(residualCodes, id, table, Seq("cluster", "j", "code"), k)
   }
 
   /** Embedding-based near-duplicate pairs: all pairs with cosine >=

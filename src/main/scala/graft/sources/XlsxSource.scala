@@ -38,11 +38,13 @@ object XlsxSource {
           shared = (load(zin) \\ "si").map(si => (si \\ "t").map(_.text).mkString)
             .toIndexedSeq
         else if (e.getName == target) sheet = Some(load(zin))
-        else if (e.getName.startsWith("xl/worksheets/") &&
+        else if (sheet.isEmpty &&
+          e.getName.startsWith("xl/worksheets/") &&
           e.getName.endsWith(".xml"))
           // writers are free to name sheet parts arbitrarily (the mapping
           // lives in workbook.xml.rels); keep RAW bytes as ordered
-          // fallbacks — only the one actually selected is DOM-parsed
+          // fallbacks — only the one actually selected is DOM-parsed,
+          // and nothing is buffered once the target entry has been seen
           fallbacks += e.getName -> zin.readAllBytes()
       }
     } finally zin.close()

@@ -146,6 +146,14 @@ class WatcherSpec extends SparkSpec {
     assert(t.filter(col("id") === 1).select("v").as[String].head() === "a2")
     assert(t.filter(col("id") === 2).count() === 1)
     assert(t.filter(col("id") === 3).count() === 1)
+
+    // empty string lands in the same __HIVE_DEFAULT_PARTITION__ bucket:
+    // a batch with "" must merge against the null-partition rows too
+    val batch2 = Seq((4L, "d", Some(""))).toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, batch2, Seq("id"), "shard")
+    val t2 = spark.read.parquet(wh)
+    assert(t2.count() === 4) // ids 1 and 3 survive alongside the new 4
+    assert(t2.filter(col("id").isin(1L, 3L, 4L)).count() === 3)
   }
 
   test("incremental + partitioned loader: a one-file change processes " +
