@@ -45,8 +45,17 @@ object Bench {
           val df = fn(spark, sfDir)
           // xxhash64 over every output column reduced with bit_xor (one
           // row; order-independent, overflow-free under ANSI) — forces
-          // full evaluation of the verified projection
-          df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+          // full evaluation of the verified projection. Spark's hash
+          // expressions reject MapType (undefined entry order), so map
+          // columns are serialized with to_json first — still forces
+          // their full evaluation.
+          val cols = df.schema.fields.map { f =>
+            f.dataType match {
+              case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+              case _ => col(f.name)
+            }
+          }
+          df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
             .agg(bit_xor(col("__h"))).collect()
           true
         } catch { case e: Throwable =>

@@ -633,9 +633,13 @@ object SparkEntry {
 
     // Gap-based sessionization via session_window (batch form of the
     // streaming Sessionize semantics): sessions close after a 30-minute
-    // event gap; window end = last event + gap. The oracle replays it
-    // with gaps-and-islands SQL (lag + running sum), so the session
-    // semantics themselves are hash-gated, not just spec-tested.
+    // event gap; window end = last event + gap. Boundary contract
+    // (verified by execution in OpsSpec): Spark MERGES an event arriving
+    // exactly `gap` after the previous one into the same session —
+    // sessions merge while newStart <= sessionEnd — so the oracle's
+    // new-session predicate is strictly `>`, matching. The oracle
+    // replays it with gaps-and-islands SQL (lag + running sum), so the
+    // session semantics themselves are hash-gated, not just spec-tested.
     "q52_session_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("user_id"),

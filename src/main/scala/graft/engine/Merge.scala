@@ -46,9 +46,21 @@ object Merge {
     *
     * The affected-partition list is collected driver-side: partition
     * VALUES only (metadata-sized, like a catalog listing), never data.
-    * The merged batch is materialized (localCheckpoint) before the
-    * write both because the write overwrites the very files being read
-    * and to bound the rewrite to batch-affected partitions.
+    *
+    * Commit protocol: the merged partitions are first written to a
+    * STAGE directory (which also materializes the merge before any live
+    * file is touched — the write never overwrites files it is still
+    * reading), then each affected partition directory is swapped into
+    * the live table with two renames (live → aside, stage → live). All
+    * paths are resolved through Hadoop `FileSystem`, so the same code
+    * runs on local fs and HDFS, where a rename is an atomic metadata
+    * op; the crash window per partition is those two metadata ops — the
+    * same contract as the whole-table swap in `Watcher.overwriteTable`,
+    * scoped to one partition. (On object stores, rename degrades to
+    * copy; there a transactional format — Delta/Iceberg MERGE — is the
+    * right sink, behind this same interface.) The aside directory lives
+    * OUTSIDE the table root so a crashed swap never leaves a bogus
+    * `part=X.old` directory for partition discovery to misread.
     *
     * CONTRACT: the partition value must be a pure function of the merge
     * key (a row never moves partitions between batches) — the same
@@ -58,17 +70,18 @@ object Merge {
     * moving keys need the full-table [[upsert]]. */
   def upsertPartitioned(tablePath: String, incoming: DataFrame,
                         keys: Seq[String], partCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = incoming.sparkSession
-    val exists =
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tablePath))
-    if (!exists) {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(table)) {
       incoming.write.partitionBy(partCol).mode("overwrite").parquet(tablePath)
     } else {
       val parts = incoming.select(col(partCol)).distinct()
         .collect().map(_.get(0)).toSeq
       // null-safe membership: isin(null) is NULL (never true), yet the
-      // dynamic overwrite still rewrites the null partition — without
-      // the explicit isNull arm, existing null-partition rows would be
+      // rewrite must still cover the null partition — without the
+      // explicit isNull arm, existing null-partition rows would be
       // silently dropped by a batch containing a null partition value.
       // Empty string belongs to the same bucket: Spark writes both null
       // and "" to __HIVE_DEFAULT_PARTITION__ and reads them back as null
@@ -81,10 +94,30 @@ object Merge {
       val existing = spark.read.parquet(tablePath)
         .filter(prune) // pruned to affected partitions
       val merged = upsert(existing, incoming, keys)
-        .localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol).parquet(tablePath)
+      val stage = new Path(tablePath + ".stage")
+      val asideDir = new Path(tablePath + ".aside")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      if (fs.exists(asideDir)) fs.delete(asideDir, true)
+      merged.write.mode("overwrite").partitionBy(partCol)
+        .parquet(stage.toString)
+      // swap each staged partition dir into the live table; directory
+      // NAMES come from the filesystem listing, so Hive partition-value
+      // escaping (%-encoding, __HIVE_DEFAULT_PARTITION__) never needs
+      // to be reimplemented here
+      val staged = fs.listStatus(stage).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      if (staged.nonEmpty) fs.mkdirs(asideDir)
+      staged.foreach { st =>
+        val name = st.getPath.getName
+        val live = new Path(table, name)
+        val aside = new Path(asideDir, name)
+        val had = fs.exists(live)
+        if (had) fs.rename(live, aside)
+        fs.rename(st.getPath, live)
+        if (had) fs.delete(aside, true)
+      }
+      fs.delete(stage, true)
+      fs.delete(asideDir, true)
     }
   }
 }

@@ -122,19 +122,29 @@ object Watcher {
         snap = curr; firstPoll = false
         None
       } else {
+        // a touched file can vanish between snapshot() and the read job
+        // executing: drop already-gone paths now and tolerate ones that
+        // disappear mid-scan instead of failing the batch
+        val present =
+          if (incremental && !wasFirst)
+            touched.sorted.filter(p => Files.exists(Paths.get(p)))
+          else Nil
+        if (incremental && !wasFirst && present.isEmpty) {
+          // every touched file is already gone: the batch is a no-op, not
+          // an error — load() with zero paths would throw. Advance state
+          // so the vanished files aren't re-diffed forever.
+          snap = curr; firstPoll = false
+          return None
+        }
         // snapshot/id state commits only AFTER the merge lands: a poll
         // that throws leaves everything unadvanced, so the retrying
         // heartbeat sees the same diff again instead of losing the batch
         val nextId = uploadId + 1
         val files =
           if (incremental && !wasFirst)
-            // a touched file can vanish between snapshot() and the read
-            // job executing: drop already-gone paths now and tolerate
-            // ones that disappear mid-scan instead of failing the batch
             spark.read.format("binaryFile")
               .option("ignoreMissingFiles", "true")
-              .load(touched.sorted.filter(p =>
-                Files.exists(Paths.get(p))): _*)
+              .load(present: _*)
           else
             spark.read.format("binaryFile")
               .option("pathGlobFilter", "*.{pdf,docx}")

@@ -33,6 +33,27 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
   }
 
+  test("session_window boundary: an event arriving EXACTLY `gap` after " +
+    "the previous one merges into the same session (inclusive boundary) " +
+    "— the contract the q52 oracle's strict `>` predicate encodes") {
+    val boundary = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))  // == gap
+    ).toDF("user_id", "ts")
+    val merged = boundary
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .count().count()
+    assert(merged === 1L) // inclusive: newStart <= sessionEnd merges
+    val past = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00.001")) // > gap
+    ).toDF("user_id", "ts")
+    val split = past
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .count().count()
+    assert(split === 2L)
+  }
+
   test("exact dedup groups: identical normalized texts share a fingerprint") {
     val df = Seq((1L, "Hello  World"), (2L, " hello world "), (3L, "autre"))
       .toDF("doc_id", "text")
