@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Dedup, Merge, Patients, TextFunctions => TF}
-import graft.ops.{AsOf, DedupOps, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.engine.{Dedup, Merge, Partitioning, Patients, TextFunctions => TF}
+import graft.ops.{AsOf, DedupOps, JoinOps, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 plus the training-data-pipeline operators, each paired
@@ -806,6 +806,75 @@ object SparkEntry {
           min_by(col("c_acctbal"), col("c_custkey")).as("first_bal"))
         .orderBy("c_nationkey", "c_mktsegment")
     }),
+
+    // Bloom-pruned fact⋈dim join (graft.ops.JoinOps): the selective
+    // dimension's key set rides the plan as a bloom filter probed by a
+    // codegen'd native expression inside the fact SCAN stage, so only
+    // might-match rows are hashed/shuffled. Exactness: blooms have no
+    // false negatives and the real join drops false positives, so the
+    // result ≡ the plain join — which IS the oracle.
+    "q54_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_orderdate")
+      JoinOps.bloomPrunedJoin(t(s, dir, "lineitem"), "l_orderkey",
+          dim, "o_orderkey")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("month")
+    }),
+
+    // Skew-safe salted join (engine.Partitioning.saltedJoin): each big-
+    // side row gets a deterministic-width salt fanout so a hot customer
+    // spreads over saltFactor tasks; the small side replicates per salt.
+    // Semantics-preserving — hash-gated against the unsalted join.
+    "q55_salted_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      Partitioning.saltedJoin(orders, cust, "c_custkey", saltFactor = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("c_nationkey")
+    }),
+
+    // C4-style duplicate-span removal (DedupOps.chunkDedup): fixed-width
+    // word chunks, keep the first corpus-wide occurrence of each chunk
+    // text, reassemble the survivors per document. Pure key-equality
+    // dedup — no pair joins (see chunkDedup scaladoc for the 100 TB
+    // argument).
+    "q56_chunk_dedup" -> ((s, dir) => {
+      DedupOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
+          width = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Dynamic-gap sessionization: session_window with a PER-EVENT gap
+    // expression (purchases hold the session open 60 min, everything
+    // else 30). Merge rule (same as q52's pinned boundary contract):
+    // each event spans [ts, ts+gap]; windows merge while the next start
+    // <= the running session end, so the oracle's new-session predicate
+    // is strictly `ts > max(prev ts+gap)`. Session end = max(ts+gap).
+    "q57_session_dynamic_gap" -> ((s, dir) => {
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("30 minutes"))
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1589,5 +1658,70 @@ object SparkEntry {
            arg_min(c_name, c_custkey) AS first_name,
            arg_min(c_acctbal, c_custkey) AS first_bal
          FROM customer GROUP BY 1,2 ORDER BY 1,2""",
+
+    // The bloom filter is exact-in-result (no false negatives), so the
+    // oracle is the PLAIN join — any pruning bug shows as a hash miss.
+    "q54_bloom_join" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+         GROUP BY 1 ORDER BY 1""",
+
+    "q55_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q56_chunk_dedup" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w,
+             generate_subscripts(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' '), 1) - 1
+               AS pos
+           FROM documents),
+         ch AS (
+           SELECT doc_id, pos // 5 AS chunk_id,
+             string_agg(w, ' ' ORDER BY pos) AS chunk
+           FROM w GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY chunk
+             ORDER BY doc_id, chunk_id) AS rn
+           FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+             ORDER BY chunk_id), '') AS clean_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "q57_session_dynamic_gap" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+           FROM events),
+         o AS (
+           SELECT user_id, ts, value, ts + gap AS we,
+             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           FROM g),
+         s AS (
+           SELECT *, CASE WHEN pme IS NULL OR ts > pme THEN 1 ELSE 0 END
+             AS new_s
+           FROM o),
+         i AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(we), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM i GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
   )
 }

@@ -24,6 +24,22 @@ class OpsSpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("chunkDedup: a chunk repeated across documents survives only in its " +
+    "first (doc, position) occurrence; survivors reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // chunks: [a b c d e] [f g h i j]
+      (2L, "a b c d e x y z w v"), // first chunk duplicates doc 1's
+      (3L, "f g h i j")            // duplicates doc 1's second chunk
+    ).toDF("doc_id", "text")
+    val got = DedupOps.chunkDedup(docs, "doc_id", "text", width = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, "a b c d e f g h i j"),
+      (2L, 2L, 1L, "x y z w v"),
+      (3L, 1L, 0L, "")))
+  }
+
   test("cosine: identical vectors -> 1.0, orthogonal -> 0.0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
       .toDF("a", "b", "c")

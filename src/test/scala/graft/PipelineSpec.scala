@@ -219,4 +219,38 @@ class PipelineSpec extends SparkSpec {
       assert(closed === Seq((1L, t(0), t(5), 2))) // flushed WITHOUT a next event
     } finally q.stop()
   }
+
+  test("streaming session_window with a dynamic per-event gap matches the " +
+    "batch plan on the same data (purchase holds sessions open longer)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rows = Seq(
+      (1L, t(0), "click", 1.0),
+      (1L, t(40), "purchase", 2.0), // 40 min > 30 gap -> new session
+      (1L, t(90), "view", 3.0),     // 50 min later, inside purchase's 60
+      (2L, t(10), "view", 4.0))
+    def sessionize(df: org.apache.spark.sql.DataFrame) = {
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("30 minutes"))
+      df.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        .select(col("user_id"), col("sw.start"), col("sw.end"),
+          col("n"), col("sv"))
+    }
+    val batch = sessionize(rows.toDF("user_id", "ts", "event_type", "value"))
+      .orderBy("user_id", "start")
+    // the dynamic gap actually merged t(90) into the purchase session
+    assert(batch.filter($"user_id" === 1L).count() === 2)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    ms.addData(rows: _*)
+    val q = sessionize(ms.toDF.toDF("user_id", "ts", "event_type", "value")
+        .withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("dsess")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dsess").orderBy("user_id", "start").collect().toSeq
+      === batch.collect().toSeq)
+  }
 }
