@@ -875,6 +875,49 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")
     }),
+
+    // Bucketed range join (ops.RangeJoin): point-in-interval matching as
+    // a day-bucket EQUI-join + exact containment filter — the rewrite
+    // that keeps a non-equi time join off Spark's nested-loop/cartesian
+    // path. Shipments landing inside 3-day windows around sampled
+    // orders' dates, aggregated per interval. Oracle = the naive theta
+    // join DuckDB can afford at this scale.
+    "q58_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("start_ts"),
+          (col("o_orderdate") + expr("interval 3 days")).as("end_ts"))
+      graft.ops.RangeJoin.pointInInterval(
+          t(s, dir, "lineitem").select("l_shipdate", "l_quantity"),
+          "l_shipdate", iv, "start_ts", "end_ts")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_pts"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Top-k per group through a typed Aggregator UDAF
+    // (functions.TopKByScore): map-side partial aggregation bounds the
+    // shuffle at k pairs per (partition, group) — the agg-shaped
+    // alternative to q30's window rank, which shuffles every row.
+    "q59_topk_udaf" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKByScore(3))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top_keys"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // EXACTLY-n-per-stratum deterministic sample (Sampling
+    // .stratifiedTake): salted-hash rank inside each stratum, fixed
+    // SIZE per group (vs q35/q36's fixed rate) — replayable by any
+    // engine with md5.
+    "q60_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedTake(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          strata = Seq("lang"), key = "doc_id", n = 5, salt = "exp1")
+        .orderBy("lang", "doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1723,5 +1766,36 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM i GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+
+    // the naive theta join — affordable for DuckDB at oracle scale; the
+    // engine side must produce the identical result via bucketing
+    "q58_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_pts,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+         WHERE o.o_orderkey % 100 = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q59_topk_udaf" ->
+      """SELECT o_orderpriority,
+           array_to_string(list_transform(list_slice(
+             list_sort(list({'s': -o_totalprice, 'k': o_orderkey})), 1, 3),
+             x -> x.k), ',') AS top_keys
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q60_stratified_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             ('0x' || substring(md5('0:exp1:' || CAST(doc_id AS VARCHAR)),
+               1, 12))::BIGINT AS hk
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+           FROM h)
+         SELECT doc_id, lang FROM r WHERE rk <= 5
+         ORDER BY lang, doc_id""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.TextFunctions
@@ -36,5 +37,24 @@ object Sampling {
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
+  }
+
+  /** EXACTLY-n-per-stratum deterministic sample: rank rows inside each
+    * stratum by a salted hash of the key (key itself as tiebreak) and
+    * keep the first n. Unlike `sampled` (a fixed RATE), this draws a
+    * fixed SIZE per group — eval sets, per-language caps, debugging
+    * slices. Still a pure function of (key, salt): any engine replays
+    * the same membership. One shuffle on the strata; the per-stratum
+    * sort is bounded by the stratum, and Spark's WindowGroupLimit pushes
+    * the rank<=n cut below the shuffle, so map tasks emit at most n rows
+    * per stratum each, not the stratum. */
+  def stratifiedTake(df: DataFrame, strata: Seq[String], key: String,
+                     n: Int, salt: String = ""): DataFrame = {
+    val h = TextFunctions.md5Hash48(
+      concat(lit(salt), lit(":"), col(key).cast("string")))
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(h, col(key))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
   }
 }

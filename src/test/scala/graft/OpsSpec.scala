@@ -40,6 +40,43 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("TopKByScore: map-side-mergeable top-k — merge of partial buffers " +
+    "equals the global top-k, ties break by key ascending") {
+    val agg = new graft.functions.TopKByScore(3)
+    val rows = Seq((5.0, 10L), (9.0, 2L), (9.0, 1L), (1.0, 7L), (7.0, 3L))
+    // reduce in one pass
+    val direct = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(direct) === "1,2,3")
+    // reduce in two arbitrary partitions, then merge
+    val (p1, p2) = rows.splitAt(2)
+    val merged = agg.merge(p1.foldLeft(agg.zero)(agg.reduce),
+      p2.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) === "1,2,3")
+    // via the SQL surface
+    val topk = udaf(agg)
+    val got = Seq((5.0, 10L), (9.0, 2L), (7.0, 3L), (8.0, 4L))
+      .toDF("score", "key").agg(topk($"score", $"key")).as[String]
+      .head()
+    assert(got === "2,4,3")
+  }
+
+  test("stratifiedTake: exactly n per stratum (fewer when the stratum is " +
+    "small), deterministic across partitionings") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 90) "big" else "small"))
+      .toDF("id", "g")
+    val a = graft.ops.Sampling.stratifiedTake(df, Seq("g"), "id", 7, "s1")
+    val counts = a.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("big" -> 7L, "small" -> 7L))
+    val b = graft.ops.Sampling.stratifiedTake(df.repartition(7), Seq("g"),
+      "id", 7, "s1")
+    assert(a.orderBy("g", "id").collect().toSeq ===
+      b.orderBy("g", "id").collect().toSeq)
+    // a stratum smaller than n yields the whole stratum
+    val tiny = graft.ops.Sampling.stratifiedTake(df, Seq("g"), "id", 20, "s1")
+      .filter($"g" === "small")
+    assert(tiny.count() === 10)
+  }
+
   test("cosine: identical vectors -> 1.0, orthogonal -> 0.0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
       .toDF("a", "b", "c")
