@@ -918,6 +918,37 @@ object SparkEntry {
           strata = Seq("lang"), key = "doc_id", n = 5, salt = "exp1")
         .orderBy("lang", "doc_id")
     }),
+
+    // REAL audio decode (Multimodal.audioPipeline): deterministic PCM16
+    // WAVs synthesized per doc, decoded back through the JDK's
+    // AudioSystem inside one mapPartitions batch. The Nyquist square
+    // wave makes every output a closed form the oracle predicts: size =
+    // 44 + 2·frames, RMS = amp exactly (even frame count).
+    "q61_multimodal_audio" -> ((s, dir) => {
+      Multimodal.audioPipeline(t(s, dir, "documents").select("doc_id"),
+          "doc_id")
+        .select(col("media_id").as("doc_id"), col("n_bytes"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          round(col("rms"), 4).as("rms"))
+        .orderBy("doc_id")
+    }),
+
+    // The SQL entry point end-to-end: a correlated NOT EXISTS with a
+    // filtering subquery predicate, planned by Catalyst as a
+    // broadcast/shuffle ANTI join (never a per-row subquery) — same
+    // oracle gate as the DataFrame queries. Non-vacuous at every SF
+    // (~6% of customers qualify).
+    "q62_sql_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT'
+                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+               ORDER BY c_custkey""")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1797,5 +1828,24 @@ object SparkEntry {
            FROM h)
          SELECT doc_id, lang FROM r WHERE rk <= 5
          ORDER BY lang, doc_id""",
+
+    // closed forms of the synthesized square-wave WAV (see audioPipeline)
+    "q61_multimodal_audio" ->
+      """SELECT doc_id,
+           CAST(44 + 2 * (100 + (doc_id % 50) * 2) AS BIGINT) AS n_bytes,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(100 + (doc_id % 50) * 2 AS BIGINT) AS n_frames,
+           round(CAST(500 + doc_id % 1000 AS DOUBLE), 4) AS rms
+         FROM documents ORDER BY doc_id""",
+
+    "q62_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT'
+             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         ORDER BY c_custkey""",
   )
 }

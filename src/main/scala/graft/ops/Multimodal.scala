@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `decodeImage` uses the JDK's `javax.imageio`
   * readers (BMP/PNG/JPEG/GIF) for genuine width/height plus a mean-channel
   * feature, and `encodeBmp` builds deterministic real BMPs so the decode
-  * path is exercisable end-to-end without external media files. Audio/
-  * video decoding remains STUBBED (`decodeStub`: no such libraries in
-  * this environment) with the same plumbing — binary schema, the
-  * partition-batched execution shape (`mapPartitions`, the Scala analogue
-  * of a batched `mapInPandas`), metadata typing, and the join-back by id.
+  * path is exercisable end-to-end without external media files. AUDIO
+  * decode is REAL too: `decodeWav` runs the JDK's
+  * `javax.sound.sampled.AudioSystem` reader (WAV/AIFF/AU) for genuine
+  * format metadata plus signal RMS, with `encodeWav` as the
+  * deterministic source. VIDEO decoding remains STUBBED (`decodeStub`:
+  * no codec libraries in this environment) with the same plumbing —
+  * binary schema, the partition-batched execution shape
+  * (`mapPartitions`, the Scala analogue of a batched `mapInPandas`),
+  * metadata typing, and the join-back by id.
   *
   * Scale notes: payloads stay columnar until the decode stage; the decode
   * is embarrassingly parallel per partition with no shuffle;
@@ -171,5 +175,97 @@ object Multimodal {
       .mapPartitions(_.map(i =>
         MediaRow(i, encodeBmp(1 + (i % 64).toInt, 1 + (i % 48).toInt, i))))
     extractImageFeatures(media).toDF()
+  }
+
+  // ---- real audio path (javax.sound.sampled) --------------------------
+
+  /** Decoded-audio record: format metadata from the decoder + signal
+    * RMS. sample_rate = -1 flags an undecodable payload (T8-style error
+    * containment, as with images). */
+  case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Int,
+                           channels: Int, n_frames: Long, rms: Double)
+
+  /** Minimal PCM16 mono WAV writer — deterministic REAL audio (any RIFF
+    * reader decodes it). Samples alternate +amp/−amp every frame (a
+    * Nyquist-frequency square wave), so for an even frame count the RMS
+    * is EXACTLY amp (sum of squares = n·amp², and IEEE sqrt of the
+    * perfect square is exact) — a closed form a SQL oracle can predict,
+    * like encodeBmp's file size. File size = 44 + 2·nFrames. */
+  def encodeWav(nFrames: Int, sampleRate: Int, amp: Short): Array[Byte] = {
+    val dataSize = 2 * nFrames
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate·2
+      .putShort(2).putShort(16) // block align, bits/sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      b.putShort(if (i % 2 == 0) amp else (-amp).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled`: the format
+    * metadata comes from the AudioSystem reader (not hand-parsed), and
+    * RMS is computed over the decoded PCM16 stream honoring the
+    * format's endianness. None for undecodable bytes. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val data = in.readAllBytes()
+        val big = fmt.isBigEndian
+        var i = 0; var sumSq = 0.0; var n = 0L
+        while (i + 1 < data.length) {
+          val s =
+            if (big) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+          sumSq += s.toDouble * s
+          n += 1; i += 2
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-batched REAL audio decode stage (same execution shape as
+    * the image path); undecodable payloads yield (-1, -1, -1, 0.0). */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r.payload) match {
+          case Some((rate, ch, frames, rms)) =>
+            AudioFeatures(r.media_id, r.payload.length.toLong, rate, ch,
+              frames, rms)
+          case None =>
+            AudioFeatures(r.media_id, r.payload.length.toLong, -1, -1, -1L,
+              0.0)
+        }
+      }
+    }
+  }
+
+  /** End-to-end REAL audio pipeline: synthesize a deterministic WAV per
+    * id (frames = 100 + (id mod 50)·2 — always even, rate = 8000 +
+    * (id mod 4)·4000, amp = 500 + id mod 1000), decode it back through
+    * AudioSystem, emit features. Encode+decode run inside one
+    * mapPartitions batch — no shuffle. */
+  def audioPipeline(df: DataFrame, id: String): DataFrame = {
+    implicit val rowEnc = Encoders.product[MediaRow]
+    implicit val longEnc = Encoders.scalaLong
+    val media = df.select(col(id).cast("long")).as[Long]
+      .mapPartitions(_.map(i => MediaRow(i,
+        encodeWav(100 + (i % 50).toInt * 2, 8000 + (i % 4).toInt * 4000,
+          (500 + i % 1000).toShort))))
+    extractAudioFeatures(media).toDF()
   }
 }

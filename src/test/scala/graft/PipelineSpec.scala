@@ -118,6 +118,32 @@ class PipelineSpec extends SparkSpec {
       got(1).feature.isEmpty && got(1).n_bytes === 4L)
   }
 
+  test("real audio decode: WAV encode -> AudioSystem decode round-trips " +
+    "format metadata exactly; square-wave RMS equals amp; corrupt bytes " +
+    "yield (-1,-1,-1) without failing the task") {
+    import graft.ops.Multimodal
+    // direct round-trip, odd rates and frame counts
+    for ((frames, rate, amp) <- Seq((100, 8000, 700.toShort),
+        (144, 44100, 1499.toShort), (2, 16000, 1.toShort))) {
+      val Some((r, ch, fr, rms)) =
+        Multimodal.decodeWav(Multimodal.encodeWav(frames, rate, amp))
+      assert(r === rate && ch === 1 && fr === frames.toLong)
+      assert(rms === amp.toDouble) // exact: even frames, ±amp square wave
+    }
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+    // through the distributed pipeline, incl. the corrupt branch
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeWav(10, 8000, 250.toShort)),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3))).toDS()
+    val got = Multimodal.extractAudioFeatures(media)
+      .collect().sortBy(_.media_id)
+    assert(got(0).sample_rate === 8000 && got(0).n_frames === 10L &&
+      got(0).rms === 250.0)
+    assert(got(1).sample_rate === -1 && got(1).n_frames === -1L &&
+      got(1).rms === 0.0)
+  }
+
   test("streaming: windowedAgg on a memory stream equals the same " +
     "transform on the batch frame") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
