@@ -949,6 +949,39 @@ object SparkEntry {
                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
                ORDER BY c_custkey""")
     }),
+
+    // IGNORE NULLS window navigation — carry-forward of the last
+    // purchase amount per user (last_value) and the previous one (lag),
+    // both skipping the non-purchase rows' nulls. One keyed window
+    // shuffle serves both.
+    "q63_ignore_nulls" -> ((s, dir) => {
+      val pv = when(col("event_type") === "purchase", col("value"))
+      val ordered = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = ordered
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(last(pv, ignoreNulls = true).over(running), 2)
+            .as("last_purchase"),
+          round(lag(pv, 1, null, ignoreNulls = true).over(ordered), 2)
+            .as("prev_purchase"))
+        .orderBy("event_id")
+    }),
+
+    // Ordered string aggregation through the SQL surface: listagg
+    // WITHIN GROUP — deterministic ordered concat per group (the
+    // map-side-combining agg form; DuckDB replays with ordered
+    // string_agg).
+    "q64_listagg" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT c_nationkey,
+                 listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey)
+                   AS names,
+                 count(*) AS n
+               FROM customer WHERE c_acctbal < -700
+               GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1847,5 +1880,23 @@ object SparkEntry {
              AND o.o_orderpriority = '1-URGENT'
              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          ORDER BY c_custkey""",
+
+    "q63_ignore_nulls" ->
+      """SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS last_purchase,
+           round(lag(CASE WHEN event_type = 'purchase' THEN value END
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             2) AS prev_purchase
+         FROM events ORDER BY event_id""",
+
+    "q64_listagg" ->
+      """SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+           count(*) AS n
+         FROM customer WHERE c_acctbal < -700
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
   )
 }
