@@ -969,6 +969,43 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // The SAME range-join semantics as q58, but written as a plain
+    // theta join and rescued by the RangeJoinRewrite OPTIMIZER RULE
+    // (plans.RangeJoinRewrite, injectable via GraftExtensions): Catalyst
+    // rewrites the nested-loop shape into the bucketed equi join
+    // automatically. Same oracle as q58 — the rule must be invisible in
+    // results and visible only in the plan.
+    "q65_range_join_rule" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(graft.plans.RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("start_ts"),
+          (col("o_orderdate") + expr("interval 3 days")).as("end_ts"))
+      t(s, dir, "lineitem").select("l_shipdate", "l_quantity")
+        .join(iv, col("l_shipdate") >= col("start_ts") &&
+          col("l_shipdate") < col("end_ts"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_pts"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Z-order (Morton) codes for multi-dimensional layout
+    // (ops.Layout.zValue2): pure codegen'd bit interleaving, replayed
+    // bit-for-bit by the oracle's shift/and arithmetic. The write-side
+    // companion (zorderWrite: range partition on z + in-file sort) is
+    // plan/file-asserted in LayoutSpec.
+    "q66_zorder" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          graft.ops.Layout.zValue2(col("c_nationkey"),
+            pmod(col("c_custkey"), lit(32)), bits = 8).as("z"))
+        .orderBy("c_custkey")
+    }),
+
     // Ordered string aggregation through the SQL surface: listagg
     // WITHIN GROUP — deterministic ordered concat per group (the
     // map-side-combining agg form; DuckDB replays with ordered
@@ -1898,5 +1935,21 @@ object SparkEntry {
            count(*) AS n
          FROM customer WHERE c_acctbal < -700
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q65_range_join_rule" ->
+      """SELECT o_orderkey, count(*) AS n_pts,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+         WHERE o.o_orderkey % 100 = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q66_zorder" ->
+      """SELECT c_custkey,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             (((c_nationkey >> i) & 1) << (2*i)) +
+             ((((c_custkey % 32) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+         FROM customer ORDER BY c_custkey""",
   )
 }

@@ -389,6 +389,78 @@ object Similarity {
     * only (exact recall for tests); the production path is
     * [[cosineNearDupPairsBucketed]], whose candidates come from a
     * key-equality join instead of this theta join. */
+  // ---- OPQ-lite: deterministic random rotation before PQ --------------
+
+  /** Deterministic orthonormal rotation matrix (dims×dims): md5-derived
+    * uniform entries, modified Gram-Schmidt. The random-rotation
+    * baseline from the OPQ literature — it decorrelates/balances
+    * variance across PQ subspaces WITHOUT training, so anisotropic
+    * embeddings (energy concentrated in a few dims) quantize with a
+    * more uniform per-subspace error. Driver-side O(dims³) once per
+    * index build; the matrix is a model artifact that broadcasts with
+    * the closure (dims=64 → 32 KB). Full OPQ would alternate this
+    * rotation with codebook training (needs an SVD per iteration); the
+    * rotation slot is the same, so a trained R can replace this one
+    * without changing the pipeline. */
+  def rotationMatrix(dims: Int, seed: Int = 0): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = Array.tabulate(dims, dims) { (i, j) =>
+      val h = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(h).getLong(0).toDouble / Long.MaxValue
+    }
+    val q = Array.ofDim[Double](dims, dims)
+    var i = 0
+    while (i < dims) {
+      val v = raw(i).clone()
+      var k = 0
+      while (k < i) { // modified Gram-Schmidt: project out q(k) from v
+        var d = 0.0
+        var j = 0
+        while (j < dims) { d += q(k)(j) * v(j); j += 1 }
+        j = 0
+        while (j < dims) { v(j) -= d * q(k)(j); j += 1 }
+        k += 1
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      var j = 0
+      while (j < dims) { q(i)(j) = v(j) / n; j += 1 }
+      i += 1
+    }
+    q
+  }
+
+  /** Rotate every embedding by [[rotationMatrix]]: (id, rvec) with
+    * rvec = R·v. A dense per-row matvec is numeric-kernel work, so it
+    * runs as a partition-batched typed stage (same rationale as media
+    * decode — an opaque per-row computation, not expression-tree
+    * territory): map-side only, no shuffle, primitive-array inner loop.
+    * Geometry is preserved exactly up to float ulps (R orthonormal), so
+    * downstream PQ/IVF/ADC code is unchanged — rotate, then encode. */
+  def opqRotate(df: DataFrame, id: String, vec: String, dims: Int,
+                seed: Int = 0): DataFrame = {
+    val r = rotationMatrix(dims, seed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"),
+        col(vec).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        rows.map { case (i, v) =>
+          val out = new Array[Double](dims)
+          var a = 0
+          while (a < dims) {
+            var s = 0.0
+            var b = 0
+            while (b < dims) { s += r(a)(b) * v(b); b += 1 }
+            out(a) = s
+            a += 1
+          }
+          (i, out)
+        }
+      }
+      .toDF(id, "rvec")
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
                          threshold: Double): DataFrame = {
     // Precompute the double-cast vector and its norm ONCE per row (the

@@ -44,4 +44,27 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream INTERVAL join: each left event pairs with right
+    * events of the same key whose time lies in [left.ts − before,
+    * left.ts + after]. Both sides are watermarked and the join condition
+    * bounds event-time distance, so Spark derives a state-retention
+    * horizon for BOTH buffers — state is ∝ events within the watermark
+    * + interval window, never the full streams (the unbounded hazard of
+    * an unconstrained stream-stream join, which Spark rejects in append
+    * mode for exactly that reason). Works identically on batch frames.
+    * Inputs must expose distinct column names (e.g. `l_ts`/`r_ts`). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   before: String = "10 minutes",
+                   after: String = "10 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"interval $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $after"))
+  }
 }

@@ -61,4 +61,65 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("array"))
   }
+
+  test("RangeJoinRewrite: a point-in-interval theta join plans as an " +
+    "equi join under the rule (control: nested-loop without it), with " +
+    "identical results") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rjr").toString
+    val pRows = (0 until 300).map(i =>
+      (i.toLong, ts(f"2024-01-${1 + i % 28}%02d ${i % 24}%02d:15:00")))
+    val iRows = Seq(
+      (1L, ts("2024-01-03 06:00:00"), ts("2024-01-06 00:00:00")),
+      (2L, ts("2024-01-05 00:00:00"), ts("2024-01-05 23:00:00")),
+      (3L, ts("2024-02-01 00:00:00"), ts("2024-02-03 00:00:00")))
+    pRows.toDF("pid", "p").write.mode("overwrite").parquet(s"$dir/p")
+    iRows.toDF("iid", "s", "e").write.mode("overwrite").parquet(s"$dir/i")
+    val points = spark.read.parquet(s"$dir/p")
+    val intervals = spark.read.parquet(s"$dir/i")
+    def thetaJoin = points.join(intervals, $"p" >= $"s" && $"p" < $"e")
+      .select("pid", "iid")
+
+    // control: without the rule this is a nested-loop join
+    val control = thetaJoin
+    control.count()
+    assert(control.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+
+    val expected = for {
+      (pid, p) <- pRows
+      (iid, s, e) <- iRows
+      if !p.before(s) && p.before(e)
+    } yield (pid, iid)
+    assert(expected.nonEmpty)
+
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before :+ graft.plans.RangeJoinRewrite
+    try {
+      val rewritten = thetaJoin
+      val got = rewritten.as[(Long, Long)].collect().toSet
+      assert(got === expected.toSet)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule should have produced an equi join, got:\n$plan")
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("RangeJoinRewrite leaves joins with an equi key alone") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "p")
+    val b = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
+      .toDF("k2", "s", "e")
+    val joined = a.join(b,
+      $"k" === $"k2" && $"p" >= $"s" && $"p" < $"e")
+    val optimized = graft.plans.RangeJoinRewrite(
+      joined.queryExecution.analyzed)
+    assert(optimized.toString ===
+      joined.queryExecution.analyzed.toString) // untouched
+  }
 }

@@ -309,6 +309,47 @@ class OpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.forall(_._1 % 3 == 0)) // all from cluster 0
   }
 
+  test("OPQ-lite rotation: orthonormal (norms and pairwise dots " +
+    "preserved), deterministic across partitionings, and PQ on rotated " +
+    "vectors still retrieves the query's cluster") {
+    val dims = 8
+    val r = Similarity.rotationMatrix(dims, seed = 3)
+    // R·Rᵀ = I
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val d = (0 until dims).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    val rng = new scala.util.Random(11)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f)
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f),
+      Array(0f, 0f, 1f, 0f, 1f, 0f, 0f, 0f))
+    val df = (0L until 90L).map(i => (i, jitter(bases((i % 3).toInt))))
+      .toDF("vec_id", "embedding")
+    val rot = Similarity.opqRotate(df, "vec_id", "embedding", dims, seed = 3)
+    // norms preserved
+    val norms = df.join(rot, "vec_id")
+      .select(Similarity.dot($"embedding", $"embedding").as("n0"),
+        Similarity.dot($"rvec", $"rvec").as("n1"))
+      .as[(Double, Double)].collect()
+    assert(norms.forall { case (n0, n1) => math.abs(n0 - n1) < 1e-9 })
+    // deterministic under repartitioning
+    val rot2 = Similarity.opqRotate(df.repartition(7), "vec_id",
+      "embedding", dims, seed = 3)
+    assert(rot.orderBy("vec_id").collect().toSeq ===
+      rot2.orderBy("vec_id").collect().toSeq)
+    // PQ over rotated vectors: same retrieval behavior as unrotated
+    val cb = Similarity.pqCodebooksTrained(rot, "vec_id", "rvec",
+      m = 2, k = 3, dims = dims)
+    val codes = Similarity.pqEncode(rot, "vec_id", "rvec", cb, 2, dims)
+    val query = rot.filter($"vec_id" === 0).select($"rvec".as("q"))
+    val top = Similarity.pqTopK(codes, "vec_id", cb, query, 2, dims, 10)
+      .as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.forall(_._1 % 3 == 0))
+  }
+
   test("IVF-PQ: residual-encoded search retrieves the query's cluster; " +
     "a residual-codeword vector reconstructs to ADC 0") {
     val rng = new scala.util.Random(5)

@@ -246,6 +246,39 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: watermarked append-mode join pairs " +
+    "events within the time bound and matches the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val clicks = Seq((1L, t(0), "c0"), (1L, t(30), "c30"), (2L, t(5), "c5"))
+    val buys = Seq((1L, t(7), "b7"), (1L, t(29), "b29"), (2L, t(45), "b45"))
+    def joined(l: org.apache.spark.sql.DataFrame,
+               r: org.apache.spark.sql.DataFrame) =
+      EventStreams.intervalJoin(l, r, "l_uid", "r_uid", "l_ts", "r_ts",
+          before = "0 minutes", after = "10 minutes")
+        .select("l_tag", "r_tag")
+    val batch = joined(
+      clicks.toDF("l_uid", "l_ts", "l_tag"),
+      buys.toDF("r_uid", "r_ts", "r_tag"))
+      .orderBy("l_tag", "r_tag").as[(String, String)].collect().toSeq
+    // c0 pairs with b7 (within +10m); c30 does NOT pair with b29
+    // (before=0m) — only forward-in-time purchases match
+    assert(batch === Seq(("c0", "b7")))
+    val lms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    lms.addData(clicks: _*); rms.addData(buys: _*)
+    val q = joined(lms.toDF.toDF("l_uid", "l_ts", "l_tag"),
+        rms.toDF.toDF("r_uid", "r_ts", "r_tag"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ssj").orderBy("l_tag", "r_tag")
+      .as[(String, String)].collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming session_window with a dynamic per-event gap matches the " +
     "batch plan on the same data (purchase holds sessions open longer)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
