@@ -993,6 +993,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // The stream-stream interval join's BATCH semantics, oracle-gated:
+    // each click pairs with the same user's purchases in [click,
+    // click+30min] (EventStreams.intervalJoin — watermarks are no-ops
+    // on batch frames, so this is the same code path streaming runs).
+    "q67_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_uid"), col("ts").as("l_ts"),
+          col("event_id").as("click_id"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_uid"), col("ts").as("r_ts"),
+          col("event_id").as("buy_id"))
+      graft.streaming.EventStreams.intervalJoin(clicks, buys,
+          "l_uid", "r_uid", "l_ts", "r_ts",
+          before = "0 minutes", after = "30 minutes")
+        .select(col("click_id"), col("buy_id"))
+        .orderBy("click_id", "buy_id")
+    }),
+
     // Z-order (Morton) codes for multi-dimensional layout
     // (ops.Layout.zValue2): pure codegen'd bit interleaving, replayed
     // bit-for-bit by the oracle's shift/and arithmetic. The write-side
@@ -1951,5 +1970,13 @@ object SparkEntry {
              (((c_nationkey >> i) & 1) << (2*i)) +
              ((((c_custkey % 32) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
          FROM customer ORDER BY c_custkey""",
+
+    "q67_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS buy_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY 1, 2""",
   )
 }

@@ -59,8 +59,26 @@ object GraftExtensions {
   /** Every engine scalar as a SQL function — a SQL-only user gets the
     * full text/metadata/similarity surface without touching the Scala
     * API. */
+  /** hilbert_index2(x, y, bits): bits must be a foldable int literal —
+    * it parameterizes the generated code, not a per-row input. */
+  val hilbertIndex2: FnDef = (
+    FunctionIdentifier("hilbert_index2"),
+    new ExpressionInfo(classOf[HilbertIndex2].getName, "hilbert_index2"),
+    (children: Seq[Expression]) => {
+      if (children.size != 3)
+        throw new IllegalArgumentException(
+          s"Function hilbert_index2 requires 3 arguments, got ${children.size}")
+      val bits = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "hilbert_index2: bits must be an integer literal")
+      }
+      HilbertIndex2(children(0), children(1), bits)
+    })
+
   val all: Seq[FnDef] = Seq(
     dotProductD,
+    hilbertIndex2,
     columnFn("graft_normalize_text", 1)(cs => TF.normalizeText(cs(0))),
     columnFn("graft_md5hash48", 1)(cs => TF.md5Hash48(cs(0))),
     columnFn("graft_document_date", 1)(cs => TF.extractDocumentDate(cs(0))),

@@ -32,16 +32,31 @@ object Layout {
     }.reduce(_ + _)
   }
 
-  /** Z-ordered parquet write: range-partition on the z-value (sampled
-    * range exchange → `files` output files with DISJOINT z ranges), sort
-    * within each partition, drop the helper column at the sink. Readers
-    * prune via ordinary parquet min/max footers on the interleaved
-    * columns. */
+  /** Hilbert-curve index — better locality than Morton (consecutive
+    * indices are always grid-adjacent, no power-of-two jumps), as a
+    * native codegen'd expression
+    * ([[graft.functions.HilbertIndex2]]). */
+  def hilbertValue2(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.HilbertIndex2.hilbert(x, y, bits)
+
+  /** Curve-ordered parquet write: range-partition on the curve value
+    * (sampled range exchange → `files` output files with DISJOINT
+    * ranges), sort within each partition, drop the helper column at the
+    * sink. Readers prune via ordinary parquet min/max footers on the
+    * interleaved columns. `curve` = "morton" | "hilbert". */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
-                  files: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zValue2(col(xCol), col(yCol), bits))
+                  files: Int, bits: Int = 16,
+                  curve: String = "morton"): Unit = {
+    val z = curve match {
+      case "morton" => zValue2(col(xCol), col(yCol), bits)
+      case "hilbert" => hilbertValue2(col(xCol), col(yCol), bits)
+      case other =>
+        throw new IllegalArgumentException(s"unknown curve: $other")
+    }
+    df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -461,6 +461,139 @@ object Similarity {
       .toDF(id, "rvec")
   }
 
+  /** TRAINED OPQ rotation: the covariance eigenbasis, with eigen-dims
+    * dealt round-robin (by descending eigenvalue) across the m PQ
+    * subspaces so each subspace receives a balanced share of the
+    * corpus's variance — the eigenvalue-allocation heart of parametric
+    * OPQ, without an iterative codebook/rotation alternation.
+    *
+    * Distribution of work: the d×d Gram matrix is accumulated per
+    * partition in one `mapPartitions` pass (each task emits ONE
+    * flattened d² row — the classic tree-aggregation shape, d²·parts
+    * values over the wire, corpus never collected), summed
+    * element-wise, and eigendecomposed DRIVER-side with cyclic Jacobi
+    * (d×d = model-sized; 64×64 is microseconds). Returns the rotation
+    * rows ready for [[opqRotate]]'s matvec stage. */
+  def pcaRotation(corpus: DataFrame, vec: String, dims: Int,
+                  m: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val stats = corpus
+      .select(col(vec).cast("array<double>").as("v"))
+      .as[Array[Double]]
+      .mapPartitions { rows =>
+        val gram = new Array[Double](dims * dims)
+        val sum = new Array[Double](dims)
+        var n = 0L
+        rows.foreach { v =>
+          var i = 0
+          while (i < dims) {
+            sum(i) += v(i)
+            var j = 0
+            while (j < dims) { gram(i * dims + j) += v(i) * v(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        Iterator.single((gram, sum, n))
+      }
+      .collect()
+    val n = stats.map(_._3).sum.toDouble
+    val gram = new Array[Double](dims * dims)
+    val mean = new Array[Double](dims)
+    stats.foreach { case (g, s, _) =>
+      var k = 0
+      while (k < dims * dims) { gram(k) += g(k); k += 1 }
+      k = 0
+      while (k < dims) { mean(k) += s(k); k += 1 }
+    }
+    var k = 0
+    while (k < dims) { mean(k) /= n; k += 1 }
+    // covariance = E[vvᵀ] − μμᵀ
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      gram(i * dims + j) / n - mean(i) * mean(j))
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // deal eigen-dims (sorted by descending variance) round-robin over
+    // the m subspaces, so subspace s gets ranks s, s+m, s+2m, …
+    val order = eigVals.zipWithIndex.sortBy(-_._1).map(_._2)
+    val subDim = dims / m
+    val dealt = Array.ofDim[Int](dims)
+    for (s <- 0 until m; r <- 0 until subDim)
+      dealt(s * subDim + r) = order(r * m + s)
+    dealt.map(e => eigVecs(e))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors-as-rows). O(d³) per sweep, driver-side,
+    * for model-sized d only. */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 50 && {
+      var off = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) off += a(i)(j) * a(i)(j)
+      off > 1e-18
+    }) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta == 0.0) 1.0
+          else math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          val vpk = v(p)(k); val vqk = v(q)(k)
+          v(p)(k) = c * vpk - s * vqk
+          v(q)(k) = s * vpk + c * vqk
+          k += 1
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** [[opqRotate]] with an externally supplied rotation (e.g.
+    * [[pcaRotation]]) instead of the seeded random one. */
+  def rotateWith(df: DataFrame, id: String, vec: String,
+                 r: Array[Array[Double]]): DataFrame = {
+    val dims = r.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(vec).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        rows.map { case (i, v) =>
+          val out = new Array[Double](dims)
+          var a = 0
+          while (a < dims) {
+            var s = 0.0
+            var b = 0
+            while (b < dims) { s += r(a)(b) * v(b); b += 1 }
+            out(a) = s
+            a += 1
+          }
+          (i, out)
+        }
+      }
+      .toDF(id, "rvec")
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
                          threshold: Double): DataFrame = {
     // Precompute the double-cast vector and its norm ONCE per row (the

@@ -19,6 +19,60 @@ class LayoutSpec extends SparkSpec {
     assert(got === Seq(1L, 2L, 39L, 65535L))
   }
 
+  test("HilbertIndex2: codegen agrees with the interpreted reference; " +
+    "consecutive indices are always grid-adjacent (the locality property " +
+    "Morton lacks); SQL surface works with a literal bits arg") {
+    import graft.functions.HilbertIndex2
+    // bits=1 quadrant order: (0,0) (0,1) (1,1) (1,0)
+    assert(Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+      .map { case (x, y) => HilbertIndex2.xy2d(x, y, 1) } === Seq(0L, 1L, 2L, 3L))
+    // whole-curve adjacency at bits=4: d and d+1 differ by exactly one
+    // unit step in exactly one coordinate
+    val n = 16
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield HilbertIndex2.xy2d(x, y, 4) -> (x, y)).toMap
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumps between d=$d ($x1,$y1) and ${d + 1} ($x2,$y2)")
+    }
+    // distributed codegen path = reference, on a real scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_h").toString
+    (0 until 512).map(i => (i.toLong % 23, (i.toLong * 13) % 29))
+      .toDF("x", "y").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val rows = back
+      .select($"x", $"y", Layout.hilbertValue2($"x", $"y", bits = 5).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) ===
+        HilbertIndex2.xy2d(r.getLong(0), r.getLong(1), 5))
+    }
+    // SQL surface (post-hoc registration, shared session)
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hilbert_index2(CAST(3 AS BIGINT), CAST(5 AS BIGINT), 4) AS h")
+      .head().getLong(0)
+    assert(viaSql === HilbertIndex2.xy2d(3, 5, 4))
+  }
+
+  test("hilbert curve beats morton on locality: smaller mean index gap " +
+    "between grid-adjacent cells") {
+    import graft.functions.HilbertIndex2
+    val n = 32
+    def meanAdjacentGap(idx: (Long, Long) => Long): Double = {
+      val gaps = for (x <- 0L until n; y <- 0L until (n - 1))
+        yield math.abs(idx(x, y + 1) - idx(x, y)).toDouble
+      gaps.sum / gaps.size
+    }
+    val hilbert = meanAdjacentGap(HilbertIndex2.xy2d(_, _, 5))
+    val morton = meanAdjacentGap((x, y) =>
+      (0 until 5).map(i => (((x >> i) & 1) << (2 * i)) +
+        (((y >> i) & 1) << (2 * i + 1))).sum)
+    assert(hilbert < morton,
+      s"hilbert mean gap $hilbert should beat morton $morton")
+  }
+
   test("zorderWrite produces files with DISJOINT z ranges, sorted inside") {
     val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
     val df = (0 until 4096).map(i => (i.toLong % 64, (i.toLong * 7) % 64))

@@ -350,6 +350,46 @@ class OpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.forall(_._1 % 3 == 0))
   }
 
+  test("pcaRotation (trained OPQ): orthonormal; decorrelates anisotropic " +
+    "data and deals variance across subspaces far more evenly than the " +
+    "identity layout") {
+    val dims = 8; val m = 2
+    // anisotropic: dims 0..3 carry all the signal (and are correlated),
+    // dims 4..7 are near-constant — identity PQ gives subspace 0 all
+    // the variance and subspace 1 none
+    val rng = new scala.util.Random(13)
+    val df = (0L until 400L).map { i =>
+      val t = rng.nextGaussian(); val u = rng.nextGaussian()
+      (i, Array(t, t + 0.1 * u, -t, u, 0.01 * rng.nextGaussian(),
+        0.01 * rng.nextGaussian(), 0.01 * rng.nextGaussian(),
+        0.01 * rng.nextGaussian()).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.pcaRotation(df, "embedding", dims, m)
+    // orthonormal rows
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val d = (0 until dims).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    // per-subspace variance share, before vs after rotation
+    def subVariance(vecs: Seq[Array[Double]]): Array[Double] = {
+      val n = vecs.length.toDouble
+      val mean = Array.tabulate(dims)(k => vecs.map(_(k)).sum / n)
+      val vars = Array.tabulate(dims)(k =>
+        vecs.map(v => math.pow(v(k) - mean(k), 2)).sum / n)
+      Array.tabulate(m)(s =>
+        (0 until dims / m).map(k => vars(s * (dims / m) + k)).sum)
+    }
+    val plain = df.select($"embedding".cast("array<double>"))
+      .as[Array[Double]].collect().toSeq
+    val rotated = Similarity.rotateWith(df, "vec_id", "embedding", r)
+      .select($"rvec").as[Array[Double]].collect().toSeq
+    def imbalance(sv: Array[Double]) = sv.max / math.max(sv.min, 1e-12)
+    val before = imbalance(subVariance(plain))
+    val after = imbalance(subVariance(rotated))
+    assert(after < before / 10,
+      s"rotation should balance subspace variance: before=$before after=$after")
+  }
+
   test("IVF-PQ: residual-encoded search retrieves the query's cluster; " +
     "a residual-codeword vector reconstructs to ADC 0") {
     val rng = new scala.util.Random(5)
