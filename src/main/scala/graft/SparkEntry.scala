@@ -993,6 +993,31 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Train/eval DECONTAMINATION (DedupOps.contaminatedDocs): training
+    // docs sharing any word trigram with the pseudo-benchmark slice
+    // (doc_id % 97 = 0) are flagged with their shared-shingle count.
+    // The eval shingle set is broadcast — the training corpus is
+    // checked map-side, no shuffle of the big side.
+    "q68_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.contaminatedDocs(
+          train = docs.filter(col("doc_id") % 97 =!= 0),
+          eval_ = docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // DOMAIN-MIX sampling (Sampling.domainMix): per-source keep rates
+    // (up/down-weighting pretraining sources), hash-membership
+    // replayable by the oracle's md5 arithmetic.
+    "q69_domain_mix" -> ((s, dir) => {
+      Sampling.domainMix(t(s, dir, "documents").select("doc_id", "source"),
+          key = "doc_id", domainCol = "source",
+          pctByDomain = Map("src0" -> 10, "src1" -> 25, "src2" -> 50),
+          defaultPct = 80, salt = "mix1")
+        .orderBy("doc_id")
+    }),
+
     // The stream-stream interval join's BATCH semantics, oracle-gated:
     // each click pairs with the same user's purchases in [click,
     // click+30min] (EventStreams.intervalJoin — watermarks are no-ops
@@ -1978,5 +2003,29 @@ object SparkEntry {
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          ORDER BY 1, 2""",
+
+    "q68_decontamination" ->
+      """WITH norm AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 1, 1)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM norm WHERE len(ws) >= 3),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, count(*) AS n_shared
+         FROM tr JOIN ev USING (s)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q69_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)
+             || 'mix1'), 1, 12))::BIGINT % 100 <
+           CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25
+                       WHEN 'src2' THEN 50 ELSE 80 END
+         ORDER BY doc_id""",
   )
 }

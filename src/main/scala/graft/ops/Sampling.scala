@@ -39,6 +39,20 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** DOMAIN-MIX sampling: keep each row with a per-domain rate (percent
+    * by the value of `domainCol`) — how a pretraining mix up- or
+    * down-weights sources (e.g. wiki 100%, crawl 30%). Membership is
+    * hash-of-key as everywhere here: deterministic, replayable,
+    * map-side only; unknown domains get `defaultPct`. */
+  def domainMix(df: DataFrame, key: String, domainCol: String,
+                pctByDomain: Map[String, Int], defaultPct: Int = 100,
+                salt: String = ""): DataFrame = {
+    val pct = pctByDomain.foldLeft(lit(defaultPct)) { case (acc, (d, p)) =>
+      when(col(domainCol) === d, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(key), 100, salt) < pct)
+  }
+
   /** EXACTLY-n-per-stratum deterministic sample: rank rows inside each
     * stratum by a salted hash of the key (key itself as tiebreak) and
     * keep the first n. Unlike `sampled` (a fixed RATE), this draws a

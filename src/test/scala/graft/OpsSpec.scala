@@ -40,6 +40,38 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("contaminatedDocs: a train doc sharing an n-gram with the eval set " +
+    "is flagged with the shared count; clean docs are not") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox"
+      (2L, "totally clean text here now"), // no overlap
+      (3L, "quick brown fox quick brown fox again") // distinct shingles only
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a quick brown fox appeared")).toDF("doc_id", "text")
+    val got = DedupOps.contaminatedDocs(train, eval_, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("domainMix: per-domain rates are honored deterministically; " +
+    "unknown domains fall back to the default") {
+    val df = (1 to 2000).map(i =>
+      (i.toLong, s"src${i % 4}")).toDF("doc_id", "source")
+    val kept = graft.ops.Sampling.domainMix(df, "doc_id", "source",
+      Map("src0" -> 0, "src1" -> 100), defaultPct = 50, salt = "t")
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src0"))           // rate 0: none kept
+    assert(bySrc("src1") === 500L)            // rate 100: all kept
+    // default 50%: roughly half (hash-based, deterministic)
+    assert(bySrc("src2") > 175 && bySrc("src2") < 325)
+    // deterministic under repartitioning
+    val again = graft.ops.Sampling.domainMix(df.repartition(7), "doc_id",
+      "source", Map("src0" -> 0, "src1" -> 100), 50, "t")
+    assert(again.orderBy("doc_id").collect().toSeq ===
+      kept.orderBy("doc_id").collect().toSeq)
+  }
+
   test("TopKByScore: map-side-mergeable top-k — merge of partial buffers " +
     "equals the global top-k, ties break by key ascending") {
     val agg = new graft.functions.TopKByScore(3)
