@@ -993,6 +993,37 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // CONNECTED COMPONENTS (DedupOps.connectedComponents): pair list →
+    // dedup groups by iterative min-label propagation. The edge list is
+    // deterministic chains (doc_id → doc_id+1 within each decade), so
+    // the oracle is the closed form component = floor(doc_id/10)*10 —
+    // and chains are label propagation's WORST case (9 hops), proving
+    // convergence, not just star graphs.
+    "q70_connected_components" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+      DedupOps.connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence PACKING (ops.Packing): documents fill fixed 512-token
+    // sequences greedily per shard; output is each doc's (seq_id,
+    // offset) from one windowed running sum — no concatenated text
+    // materialized.
+    "q71_sequence_packing" -> ((s, dir) => {
+      val norm = TF.normalizeText(col("text"))
+      graft.ops.Packing.packSequences(
+          t(s, dir, "documents"),
+          orderCol = "doc_id",
+          shard = pmod(col("doc_id"), lit(8)),
+          tokens = size(split(norm, " ")).cast("long"),
+          seqLen = 512)
+        .orderBy("doc_id")
+    }),
+
     // Train/eval DECONTAMINATION (DedupOps.contaminatedDocs): training
     // docs sharing any word trigram with the pseudo-benchmark slice
     // (doc_id % 97 = 0) are flagged with their shared-shingle count.
@@ -2027,5 +2058,31 @@ object SparkEntry {
            CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25
                        WHEN 'src2' THEN 50 ELSE 80 END
          ORDER BY doc_id""",
+
+    // closed form: chains within each decade of doc ids, so the
+    // component representative is the decade floor (nodes that appear
+    // in any edge = all docs, since every decade chains 0..9)
+    "q70_connected_components" ->
+      """SELECT doc_id, (doc_id // 10) * 10 AS component
+         FROM documents
+         ORDER BY doc_id""",
+
+    "q71_sequence_packing" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' '))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+           FROM d)
+         SELECT doc_id, shard, n_tokens,
+           tok_before, tok_before // 512 AS seq_id,
+           tok_before % 512 AS seq_offset
+         FROM c ORDER BY doc_id""",
   )
 }

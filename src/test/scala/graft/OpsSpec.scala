@@ -40,6 +40,40 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("connectedComponents equals a union-find reference on random " +
+    "graphs (incl. isolated pairs, chains, and merged clusters)") {
+    val rng = new scala.util.Random(17)
+    val n = 60
+    val edges = (0 until 80)
+      .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x
+      else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    } // min always wins as root, so each set's root IS its min node
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+    val expect = nodes.map(v => v -> find(v.toInt).toLong).toMap
+    val got = DedupOps.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("packSequences: greedy contiguous fill — seq id and offset follow " +
+    "the running token count") {
+    import graft.ops.Packing
+    val df = Seq((0L, 100L), (1L, 300L), (2L, 200L), (3L, 50L))
+      .toDF("id", "tk")
+    val got = Packing.packSequences(df, "id", lit(0), $"tk", seqLen = 256)
+      .orderBy("id").select("seq_id", "seq_offset")
+      .as[(Long, Long)].collect().toSeq
+    // tokens-before: 0, 100, 400, 600 → seq 0,0,1,2; offset 0,100,144,88
+    assert(got === Seq((0L, 0L), (0L, 100L), (1L, 144L), (2L, 88L)))
+  }
+
   test("contaminatedDocs: a train doc sharing an n-gram with the eval set " +
     "is flagged with the shared count; clean docs are not") {
     val train = Seq(
