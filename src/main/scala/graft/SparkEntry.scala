@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dedup, Merge, Partitioning, Patients, TextFunctions => TF}
-import graft.ops.{AsOf, DedupOps, JoinOps, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{AsOf, DedupOps, JoinOps, Multimodal, Sampling, Similarity, Sketches, TextAnalysis => TA}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 plus the training-data-pipeline operators, each paired
@@ -1094,6 +1094,67 @@ object SparkEntry {
                FROM customer WHERE c_acctbal < -700
                GROUP BY c_nationkey ORDER BY c_nationkey""")
     }),
+
+    // EXACT heavy hitters with sketch-pruned counting (ops.Sketches):
+    // Misra–Gries candidates per partition (capacity 1000 ≫ the
+    // guaranteed-complete bound for the n/1000 threshold), exact
+    // recount of candidates only — the corpus bigram stream never
+    // shuffles its full key universe. Oracle is the plain GROUP BY
+    // HAVING (sound because the final counts are exact).
+    "q72_heavy_hitters" -> ((s, dir) => {
+      val ws = split(TF.normalizeText(col("text")), " ")
+      val bigrams = t(s, dir, "documents")
+        .select(ws.as("__ws"))
+        .select(explode(expr(
+          "transform(slice(__ws, 1, size(__ws) - 1)," +
+            " (w, i) -> concat(w, ' ', element_at(__ws, i + 2)))")).as("g"))
+      val total = bigrams.agg(count(lit(1)).cast("double").as("__tot"))
+      Sketches.heavyHitters(bigrams, "g", capacity = 1000)
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") >= col("__tot") / lit(1000.0))
+        .select(col("g"), col("cnt"))
+        .orderBy("g")
+    }),
+
+    // Deterministic WEIGHTED sample (Sampling.weightedSample): A-ES
+    // priorities from the md5 hash, weight = n_chars (longer docs drawn
+    // proportionally more often); top-25, hash-replayable by the oracle.
+    "q73_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          key = "doc_id", weight = col("n_chars"), k = 25, salt = "w1")
+        .orderBy("doc_id")
+    }),
+
+    // BM25 retrieval scores (TextAnalysis.bm25) for a fixed term set —
+    // 'dup' is the planted-duplicate marker (rare → high idf), the
+    // other two are mid-frequency. Doubles summed in sorted order and
+    // rounded 4dp on both sides.
+    "q74_bm25" -> ((s, dir) => {
+      TA.bm25(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("dup", "vector", "stream"))
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end FUZZY DEDUP: exact trigram-Jaccard pairs >= 0.6 →
+    // connected components (near-dup clusters are transitive-closed) →
+    // canonical keep = min doc_id per cluster. The full production
+    // pipeline shape: pair graph, cluster, survivor list in one plan.
+    "q75_fuzzy_dedup_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      val cc = DedupOps.connectedComponents(
+        pairs.select("id_a", "id_b"))
+      docs.select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("keep",
+          (col("doc_id") === col("component")).cast("long"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2066,6 +2127,85 @@ object SparkEntry {
       """SELECT doc_id, (doc_id // 10) * 10 AS component
          FROM documents
          ORDER BY doc_id""",
+
+    // Constants appear as the SAME double expressions Spark computes
+    // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both
+    // engines run the identical IEEE operation sequence.
+    "q74_bm25" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                FROM w GROUP BY 1),
+         consts AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                    FROM dl),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+                FROM w WHERE w IN ('dup','vector','stream') GROUP BY 1, 2),
+         dfreq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df
+                   FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT doc_id,
+             ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))) AS c
+           FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
+           CROSS JOIN consts)
+         SELECT doc_id,
+           round(list_sum(list_sort(list(c))), 4) AS score,
+           count(*) AS n_terms
+         FROM contrib GROUP BY doc_id ORDER BY doc_id""",
+
+    "q72_heavy_hitters" ->
+      """WITH n AS (
+           SELECT string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS g
+           FROM n),
+         c AS (SELECT g, count(*) AS cnt FROM b GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM b)
+         SELECT g, cnt FROM c, t WHERE cnt >= tot / 1000.0 ORDER BY g""",
+
+    "q73_weighted_sample" ->
+      """WITH p AS (
+           SELECT doc_id, n_chars,
+             ln((('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)
+                    || 'w1'), 1, 12))::BIGINT + 0.5) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE) AS pri
+           FROM documents)
+         SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 25""",
+
+    "q75_fuzzy_dedup_e2e" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         m AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM sh a JOIN sh b USING (s)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b FROM p
+               JOIN m ma ON ma.doc_id = p.id_a
+               JOIN m mb ON mb.doc_id = p.id_b
+               WHERE round(CAST(inter AS DOUBLE)
+                 / CAST(ma.m + mb.m - inter AS DOUBLE), 4) >= 0.6),
+         e AS (SELECT id_a AS s, id_b AS d FROM j
+               UNION ALL SELECT id_b, id_a FROM j),
+         reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.node)
+         SELECT node AS doc_id, min(r) AS component,
+           CAST(min(r) = node AS BIGINT) AS keep
+         FROM reach GROUP BY node ORDER BY doc_id""",
 
     "q71_sequence_packing" ->
       """WITH d AS (

@@ -71,4 +71,26 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** WEIGHTED sampling without replacement, k rows, deterministic:
+    * Efraimidis–Spirakis A-ES with the uniform draw replaced by the
+    * hash — each row gets u = (md5_48(key+salt)+0.5)/2^48 in (0,1) and
+    * priority ln(u)/w (a monotone transform of the classic u^(1/w), so
+    * the induced distribution is the same: P(row first) proportional to
+    * its weight); the k largest priorities win. Replayable: membership
+    * is a pure function of (key, salt, weight), so the oracle, a rerun,
+    * or a backfill selects the identical k rows. Scale shape: priority
+    * is map-side arithmetic; the global top-k is TakeOrderedAndProject
+    * (per-partition partial top-k, k rows per partition to the driver
+    * merge — never a full sort of the corpus). */
+  def weightedSample(df: DataFrame, key: String, weight: Column, k: Int,
+                     salt: String = ""): DataFrame = {
+    val h = TextFunctions.md5Hash48(
+      concat(col(key).cast("string"), lit(salt)))
+    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    df.withColumn("__pri", log(u) / weight.cast("double"))
+      .orderBy(col("__pri").desc, col(key))
+      .limit(k)
+      .drop("__pri")
+  }
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +23,25 @@ import graft.engine.TextFunctions
   *    per-partition partial bottom-k, then a final merge — so the
   *    distributed plan IS the sketch merge, with k·partitions rows ever
   *    crossing the wire.
+  *
+  * The heavy-hitter pipeline below is the other sketch family a corpus
+  * pipeline needs: find frequent keys in 100 TB WITHOUT shuffling the
+  * full key universe. Pass 1 runs a Misra–Gries summary independently
+  * inside each partition (map-side only, O(capacity) memory, zero
+  * shuffle) and unions the surviving candidate keys; pass 2 recounts
+  * ONLY the candidates exactly (a broadcast semi-join prunes the corpus
+  * before the shuffle, so the aggregation shuffles candidate keys only).
+  *
+  * Guarantee (what makes the pruning SOUND, not heuristic): Misra–Gries
+  * with capacity k undercounts any key by at most n_p/k within a
+  * partition of n_p rows, so a key absent from EVERY partition's summary
+  * has global frequency <= Σ n_p/k = n/k. Choosing capacity >=
+  * 1/minFraction means no key at or above the caller's threshold can be
+  * missed; the exact recount removes all false positives. The final
+  * counts are EXACT — the sketch only decides where counting happens
+  * (reference analogue: frequency filters over corpus n-grams; cf.
+  * exo_2.py's full-table value counts, which at 100 TB would shuffle
+  * every distinct key).
   */
 object Sketches {
 
@@ -43,5 +64,45 @@ object Sketches {
             lit((k - 1).toDouble) * lit(HashSpace) / col("hk"), 4))
           .as("est_distinct"),
         col("n").cast("long").as("k_used"))
+  }
+
+  /** Pass 1: per-partition Misra–Gries candidate keys (as strings).
+    * Any key with global frequency > n/capacity survives in at least
+    * one partition's summary. Amortized O(1) per row: each decrement
+    * round removes `capacity` total counts, so rounds <= n/capacity. */
+  def heavyHitterCandidates(df: DataFrame, key: String,
+                            capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(key).cast("string")).as[String]
+    keys.mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](capacity * 2)
+      it.foreach { k =>
+        val cur = counters.getOrDefault(k, 0L)
+        if (cur > 0L) counters.put(k, cur + 1L)
+        else if (counters.size < capacity) counters.put(k, 1L)
+        else {
+          val itr = counters.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      counters.keySet().iterator().asScala
+    }.toDF(key).distinct()
+  }
+
+  /** Two-pass exact heavy hitters: Misra–Gries candidates, then an
+    * exact recount of candidates only. Returns `(key, cnt)` for every
+    * candidate; callers apply their frequency threshold on `cnt` (any
+    * threshold >= n/capacity is guaranteed complete). */
+  def heavyHitters(df: DataFrame, key: String, capacity: Int): DataFrame = {
+    val cand = heavyHitterCandidates(df, key, capacity)
+    df.select(col(key).cast("string").as(key))
+      .join(broadcast(cand), Seq(key), "left_semi")
+      .groupBy(key)
+      .agg(count(lit(1)).as("cnt"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.engine.TextFunctions
@@ -82,4 +82,53 @@ object TextAnalysis {
     md5(TextFunctions.normalizeText(text))
   def fingerprint48(text: Column): Column =
     TextFunctions.md5Hash48(TextFunctions.normalizeText(text))
+
+  /** BM25 relevance of every document against a fixed term set — the
+    * classic retrieval scorer (Robertson/Spärck Jones; the `+1` idf
+    * variant Lucene uses, always positive). Returns one row per document
+    * that matches at least one term: `(id, score, n_terms)`.
+    *
+    * Scale shape: term frequencies come from one explode+groupBy over
+    * the (doc, term) pairs RESTRICTED to the query terms — the filter on
+    * `terms` lands before the shuffle, so the aggregation carries only
+    * matching tokens, not the corpus token stream. Document length and
+    * the corpus constants (N, avgdl) are one scan each; both ride a
+    * broadcast into the scoring join. Nothing here is per-query state —
+    * score a different term set by re-running with the same corpus
+    * cached.
+    *
+    * Determinism contract (oracle hash-match): the per-term
+    * contributions are summed in sorted order (doubles, identical IEEE
+    * sequence in any engine) and the final score is rounded to 4dp. */
+  def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = docs.select(col(id),
+      explode(tokens(col(text))).as("__w"))
+    val dl = words.groupBy(id)
+      .agg(count(lit(1)).cast("double").as("__dl"))
+    val consts = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = words.filter(col("__w").isin(terms: _*))
+      .groupBy(id, "__w")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy("__w")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("__w"))
+      .join(dl, Seq(id))
+      .crossJoin(broadcast(consts))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))))
+      .withColumn("__c",
+        col("__idf") * (col("__tf") * lit(k1 + 1.0))
+          / (col("__tf")
+             + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl")))))
+    contrib.groupBy(id)
+      .agg(
+        round(aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
+          (a, x) => a + x), 4).as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, Sampling, Sketches, TextAnalysis}
+
+/** Sketch-pruned heavy hitters, weighted sampling, BM25, and the
+  * end-to-end fuzzy-dedup composition. */
+class SketchSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavyHitterCandidates: every key above the n/capacity bound " +
+    "survives, and eviction actually prunes the light tail") {
+    // 8 partitions, 4000 unique light keys + 3 heavy keys (freq 500
+    // each): n = 5500, capacity 20 → bound n/20 = 275 < 500.
+    val light = (0 until 4000).map(i => s"u$i")
+    val heavy = Seq.fill(500)("h1") ++ Seq.fill(500)("h2") ++
+      Seq.fill(500)("h3")
+    val df = spark.sparkContext
+      .parallelize(scala.util.Random.shuffle(light ++ heavy), 8)
+      .toDF("k")
+    val cand = Sketches.heavyHitterCandidates(df, "k", capacity = 20)
+      .as[String].collect().toSet
+    assert(Set("h1", "h2", "h3").subsetOf(cand))
+    // per-partition summaries hold <= capacity keys each
+    assert(cand.size <= 8 * 20)
+  }
+
+  test("heavyHitters: recounted candidate frequencies are EXACT (match " +
+    "a full groupBy count on the same keys)") {
+    val data = Seq.fill(300)("a") ++ Seq.fill(200)("b") ++
+      (0 until 900).map(i => s"x$i")
+    val df = spark.sparkContext.parallelize(data, 6).toDF("k")
+    val hh = Sketches.heavyHitters(df, "k", capacity = 10)
+      .as[(String, Long)].collect().toMap
+    assert(hh("a") === 300L && hh("b") === 200L)
+    val exact = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    hh.foreach { case (k, c) => assert(exact(k) === c) }
+  }
+
+  test("weightedSample: deterministic across runs and partitionings, " +
+    "exactly k rows, and inclusion tracks weight") {
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 200) 1000 else 1))
+      .toDF("id", "w")
+    def run(parts: Int) =
+      Sampling.weightedSample(df.repartition(parts), "id", col("w"),
+        k = 40, salt = "s").select("id").as[Long].collect().toSet
+    val a = run(4)
+    assert(a === run(13)) // pure function of (key, salt, weight)
+    assert(a.size === 40)
+    // ids 1-200 carry 1000× the weight: they should dominate the draw
+    assert(a.count(_ <= 200) >= 35)
+  }
+
+  test("bm25: matches the closed-form score on a hand-checked corpus " +
+    "and ranks the rare-term doc above the common-term doc") {
+    val docs = Seq(
+      (1L, "rare alpha beta"),
+      (2L, "common alpha beta"),
+      (3L, "common gamma delta"),
+      (4L, "common epsilon zeta")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text",
+        terms = Seq("rare", "common"))
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)].collect().toSeq
+    // all four docs have dl = 3 = avgdl, so the length norm is 1 and
+    // score = idf * (k1+1)/(1 + k1) = idf  (tf = 1 everywhere)
+    val n = 4.0
+    def idf(dfq: Double) = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, r4(idf(1.0)), 1L),
+      (2L, r4(idf(3.0)), 1L),
+      (3L, r4(idf(3.0)), 1L),
+      (4L, r4(idf(3.0)), 1L)))
+    assert(got.head._2 > got(1)._2) // rare term outranks common term
+  }
+
+  test("fuzzy dedup end-to-end: near-dup chain clusters transitively " +
+    "(a~b, b~c, a!~c) and the canonical keeper is the min id") {
+    // b shares most trigrams with both a and c; a and c share few.
+    val docs = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (20L, "w1 w2 w3 w4 w5 w6 w7 x9"), // ~ doc 10 (j = 5/7 ≈ 0.71)
+      (30L, "x0 w2 w3 w4 w5 w6 w7 x9"), // ~ doc 20, j(10,30) = 4/8 < 0.6
+      (40L, "z1 z2 z3 z4 z5 z6 z7 z8")  // singleton
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.6)
+    val cc = DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc(10L) === 10L && cc(20L) === 10L && cc(30L) === 10L)
+    assert(!cc.contains(40L)) // no edges → not in the pair graph
+  }
+}
