@@ -1155,6 +1155,36 @@ object SparkEntry {
           (col("doc_id") === col("component")).cast("long"))
         .orderBy("doc_id")
     }),
+
+    // GOPHER quality rules (TextAnalysis.gopherQuality): word-count,
+    // mean-word-length, and stopword-evidence bounds with per-rule
+    // metrics — word bounds tightened to [50, 90] so the synthetic
+    // corpus actually splits on them. Map-side array ops, no explode.
+    "q76_gopher_rules" -> ((s, dir) => {
+      TA.gopherQuality(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 50, maxWords = 90)
+        .orderBy("doc_id")
+    }),
+
+    // FORWARD as-of with tolerance (AsOf.join direction="forward"):
+    // each click resolves to the user's FIRST purchase in [click,
+    // click+30min] — the 1:1 first-match complement of q67's
+    // all-matches interval join. Same single-shuffle union+window plan
+    // as the backward form, scanned in the opposite direction.
+    "q77_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val buys = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      AsOf.join(clicks, buys, "user_id", "ts", "ts", valueCols = Nil,
+          direction = "forward",
+          tolerance = Some(expr("INTERVAL 30 MINUTES")))
+        .select(col("event_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("asof_ts"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2177,6 +2207,36 @@ object SparkEntry {
                / CAST(n_chars AS DOUBLE) AS pri
            FROM documents)
          SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 25""",
+
+    "q76_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(ws, x -> len(x)))
+                     AS DOUBLE) / len(ws), 4) AS mean_word_len,
+             CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a'))
+               AS BIGINT) AS stop_count
+           FROM w)
+         SELECT doc_id, n_words, mean_word_len, stop_count,
+           CAST(n_words >= 50 AND n_words <= 90
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND stop_count >= 2 AS BIGINT) AS keep
+         FROM m ORDER BY doc_id""",
+
+    "q77_asof_forward" ->
+      """SELECT c.event_id,
+           strftime((SELECT min(p.ts) FROM events p
+                     WHERE p.user_id = c.user_id
+                       AND p.event_type = 'purchase'
+                       AND p.ts >= c.ts
+                       AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+                    '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+         FROM events c WHERE c.event_type = 'click'
+         ORDER BY c.event_id""",
 
     "q75_fuzzy_dedup_e2e" ->
       """WITH RECURSIVE w AS (

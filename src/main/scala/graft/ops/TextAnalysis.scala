@@ -83,6 +83,42 @@ object TextAnalysis {
   def fingerprint48(text: Column): Column =
     TextFunctions.md5Hash48(TextFunctions.normalizeText(text))
 
+  /** Gopher-style quality-rule filter (Rae et al. 2021's repetition/
+    * format rules, the subset computable from the token stream): word
+    * count bounds, mean-word-length bounds, minimum stopword evidence.
+    * Returns per-document metrics plus the combined `keep` flag, so the
+    * caller can audit WHICH rule fired, not just the verdict.
+    *
+    * Scale shape: one pass over the words array per document with
+    * higher-order array functions — no explode, no shuffle, map-side
+    * only; the whole operator pipelines inside the scan stage.
+    * Thresholds are the published Gopher defaults where the corpus makes
+    * them meaningful; all parameters are explicit for tuning. */
+  def gopherQuality(docs: DataFrame, id: String, text: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    stopwords: Seq[String] = Seq("the", "a"),
+                    minStopwords: Int = 2): DataFrame = {
+    val ws = tokens(col(text))
+    val nWords = size(ws).cast("long")
+    val meanLen = round(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / size(ws), 4)
+    val isStop = (w: Column) =>
+      stopwords.map(s => w === s).reduce(_ || _)
+    val stopCount = size(filter(ws, isStop)).cast("long")
+    docs.select(
+        col(id),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        stopCount.as("stop_count"))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("stop_count") >= minStopwords).cast("long"))
+  }
+
   /** BM25 relevance of every document against a fixed term set — the
     * classic retrieval scorer (Robertson/Spärck Jones; the `+1` idf
     * variant Lucene uses, always positive). Returns one row per document
