@@ -1166,6 +1166,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PAGERANK (ops.Graph.pageRank): 3 damped iterations over a
+    // two-family link graph (doc → doc+1, doc → doc+3) — corpus
+    // link-analysis for source weighting. Damping 0.75 on purpose:
+    // exactly representable in binary AND decimal, so both engines fold
+    // the same constants. Sorted-fold contribution sums.
+    "q78_pagerank" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val tgt1 = ids.select(col("doc_id").as("dst"))
+      val e1 = ids.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        .join(tgt1, Seq("dst"))
+      val e2 = ids.filter(col("doc_id") % 10 < 7)
+        .select(col("doc_id").as("src"), (col("doc_id") + 3).as("dst"))
+        .join(tgt1, Seq("dst"))
+      graft.ops.Graph.pageRank(e1.unionByName(e2), iters = 3,
+          damping = 0.75)
+        .select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
+        .orderBy("doc_id")
+    }),
+
     // FORWARD as-of with tolerance (AsOf.join direction="forward"):
     // each click resolves to the user's FIRST purchase in [click,
     // click+30min] — the 1:1 first-match complement of q67's
@@ -2237,6 +2257,47 @@ object SparkEntry {
                     '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
          FROM events c WHERE c.event_type = 'click'
          ORDER BY c.event_id""",
+
+    // Constants 0.25/0.75/1.0 are exact in decimal AND binary, so
+    // DuckDB's decimal literal folding and Spark's double folding agree
+    // (0.85 would NOT: decimal(1.0-0.85)::DOUBLE != double 1.0-0.85).
+    "q78_pagerank" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+         e AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 <> 9
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3
+           WHERE a.doc_id % 10 < 7),
+         nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg
+                 FROM e GROUP BY 1),
+         pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+         s1 AS (SELECT e.v AS node,
+                  list_sum(list_sort(list(p.pr / d.deg))) AS s
+                FROM e JOIN deg d USING (u) JOIN pr0 p ON p.node = e.u
+                GROUP BY 1),
+         pr1 AS (SELECT n.node,
+                   0.25 + 0.75 * coalesce(s, CAST(0.0 AS DOUBLE)) AS pr
+                 FROM nodes n LEFT JOIN s1 USING (node)),
+         s2 AS (SELECT e.v AS node,
+                  list_sum(list_sort(list(p.pr / d.deg))) AS s
+                FROM e JOIN deg d USING (u) JOIN pr1 p ON p.node = e.u
+                GROUP BY 1),
+         pr2 AS (SELECT n.node,
+                   0.25 + 0.75 * coalesce(s, CAST(0.0 AS DOUBLE)) AS pr
+                 FROM nodes n LEFT JOIN s2 USING (node)),
+         s3 AS (SELECT e.v AS node,
+                  list_sum(list_sort(list(p.pr / d.deg))) AS s
+                FROM e JOIN deg d USING (u) JOIN pr2 p ON p.node = e.u
+                GROUP BY 1),
+         pr3 AS (SELECT n.node,
+                   0.25 + 0.75 * coalesce(s, CAST(0.0 AS DOUBLE)) AS pr
+                 FROM nodes n LEFT JOIN s3 USING (node))
+         SELECT node AS doc_id, round(pr, 6) AS pr
+         FROM pr3 ORDER BY doc_id""",
 
     "q75_fuzzy_dedup_e2e" ->
       """WITH RECURSIVE w AS (
