@@ -57,13 +57,26 @@ object Similarity {
     * k-means), so trained-IVF is validated by behavior tests rather than
     * the bit-exact DuckDB oracle (the seeded-centroid q24 covers that). */
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
-                      k: Int, iters: Int = 3): DataFrame = {
-    var centroids = corpus.orderBy(col(id)).limit(k)
-      .select(col(id).as("cid"), col(vec).cast("array<double>").as("cv"))
+                      k: Int, iters: Int = 3,
+                      init: Option[DataFrame] = None,
+                      metric: String = "cosine"): DataFrame = {
+    require(Set("cosine", "l2")(metric), s"metric cosine|l2, got $metric")
+    // warm start: an (cid, cv) frame from a previous training round —
+    // Lloyd is monotone from its init, which makes alternating schemes
+    // (OPQ) monotone instead of re-rolling a fresh local optimum
+    var centroids = init.getOrElse(
+        corpus.orderBy(col(id)).limit(k)
+          .select(col(id).as("cid"), col(vec).cast("array<double>").as("cv")))
       .persist()
     centroids.count()
     for (_ <- 1 to iters) {
-      val assigned = ivfAssign(corpus, id, vec, centroids, "cid", "cv")
+      // the assignment metric must MATCH the downstream objective: IVF
+      // probes by cosine, but PQ quantization error is squared-L2, and
+      // only an L2 assignment + mean update is monotone in it
+      val assigned =
+        if (metric == "cosine")
+          ivfAssign(corpus, id, vec, centroids, "cid", "cv")
+        else l2Assign(corpus, id, vec, centroids)
       val next = assigned
         .select(col("cluster"),
           posexplode(col(vec).cast("array<double>")).as(Seq("pos", "v")))
@@ -79,6 +92,20 @@ object Similarity {
       centroids = next
     }
     centroids
+  }
+
+  /** Nearest-centroid assignment by squared-L2 (rounded for argmin
+    * stability, centroid-id tie-break) — the PQ-objective counterpart
+    * of [[ivfAssign]]'s cosine form. */
+  private def l2Assign(corpus: DataFrame, id: String, vec: String,
+                       centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col(id), col(vec), col("cid"),
+        round(dist2(col(vec).cast("array<double>"), col("cv")), 6).as("__d"))
+    val w = Window.partitionBy(col(id)).orderBy(col("__d"), col("cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col(vec), col("cid").as("cluster"))
   }
 
   /** Assign every vector to its nearest centroid (max cosine, centroid-id
@@ -239,13 +266,19 @@ object Similarity {
     * subspaces; each iteration is fully distributed. */
   def pqCodebooksTrained(corpus: DataFrame, id: String, vec: String,
                          m: Int, k: Int, dims: Int,
-                         iters: Int = 3): DataFrame = {
+                         iters: Int = 3,
+                         init: Option[DataFrame] = None): DataFrame = {
     val subDim = dims / m
     (0 until m).map { j =>
       val sub = corpus.select(col(id),
         expr(s"slice(cast($vec as array<double>), ${j * subDim + 1}, $subDim)")
           .as("sv"))
-      val cents = kmeansCentroids(sub, id, "sv", k, iters)
+      val subInit = init.map(b => b.filter(col("j") === j)
+        .select(col("c").as("cid"), col("cv")))
+      // l2 metric: PQ minimizes squared-L2 reconstruction error, so the
+      // codebook training must too (cosine training optimizes a
+      // different objective and breaks OPQ's monotone alternation)
+      val cents = kmeansCentroids(sub, id, "sv", k, iters, subInit, "l2")
       // rank centroids by cid so codes are dense 0..k-1
       val w = Window.orderBy(col("cid"))
       cents.withColumn("c", row_number().over(w).cast("long") - 1)
@@ -566,6 +599,180 @@ object Similarity {
       sweep += 1
     }
     (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** FULL OPQ (non-parametric, Ge et al. CVPR'13): alternate codebook
+    * training in the rotated space with an orthogonal-Procrustes update
+    * of the rotation itself, minimizing true quantization error
+    * ‖R·x − y‖² (y = the PQ reconstruction). [[pcaRotation]] is the
+    * parametric initialization; each alternation then:
+    *   1. rotates the corpus (map-side matvec),
+    *   2. trains per-subspace k-means codebooks ([[pqCodebooksTrained]]),
+    *   3. PQ-encodes and reconstructs y,
+    *   4. accumulates M' = Σ (Rx)yᵀ and the quantization error in ONE
+    *      mapPartitions pass (d² + 1 values per task — tree-agg shape,
+    *      corpus never collected),
+    *   5. solves max tr(R·M) for M = RᵀM' via SVD (driver-side: Jacobi
+    *      eigen of MᵀM; d×d is model-sized) → R ← V·Uᵀ.
+    * Every distributed step is an existing scale-shaped operator; the
+    * only new driver work is d×d linear algebra.
+    *
+    * Returns (R, codebooks-in-rotated-space, per-iteration quantization
+    * error BEFORE each update — strictly the training objective, so the
+    * spec can assert it does not increase). */
+  def opqTrain(corpus: DataFrame, id: String, vec: String, dims: Int,
+               m: Int, k: Int, outerIters: Int = 3, kmeansIters: Int = 3)
+      : (Array[Array[Double]], DataFrame, Array[Double]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var r = pcaRotation(corpus, vec, dims, m)
+    var books: DataFrame = null
+    val errs = Array.newBuilder[Double]
+    for (_ <- 1 to outerIters) {
+      val rot = Caches.small(rotateWith(corpus, id, vec, r))
+      // warm-start codebooks from the previous alternation — with the
+      // exact Procrustes R-step this makes the whole loop monotone in
+      // the training objective (fresh k-means inits would re-roll a
+      // different local optimum each round and can regress)
+      books = Caches.small(
+        pqCodebooksTrained(rot, id, "rvec", m, k, dims, kmeansIters,
+          Option(books)))
+      val codes = pqEncode(rot, id, "rvec", books, m, dims)
+      // reconstruction y: codewords flattened in subspace order (the
+      // codebook is renamed first — codes already derives from it, and
+      // rejoining the same lineage trips the ambiguous-self-join check)
+      val bk = books.select(col("j").as("__bj"), col("c").as("__bc"),
+        col("cv").as("__bcv"))
+      val y = codes.join(broadcast(bk),
+          col("j") === col("__bj") && col("code") === col("__bc"))
+        .select(col(id), col("j"), col("__bcv").as("cv"))
+        .groupBy(id)
+        .agg(flatten(array_sort(collect_list(struct(col("j"), col("cv"))))
+          .getField("cv")).as("y"))
+      // one pass: M' = Σ (Rx)·yᵀ and err = Σ ‖Rx − y‖²
+      val stats = rot.join(y, id)
+        .select(col("rvec"), col("y"))
+        .as[(Array[Double], Array[Double])]
+        .mapPartitions { rows =>
+          val mp = new Array[Double](dims * dims)
+          var err = 0.0
+          rows.foreach { case (x, yv) =>
+            var a = 0
+            while (a < dims) {
+              val xa = x(a)
+              val d = xa - yv(a)
+              err += d * d
+              var b = 0
+              while (b < dims) { mp(a * dims + b) += xa * yv(b); b += 1 }
+              a += 1
+            }
+          }
+          Iterator.single((mp, err))
+        }
+        .collect()
+      errs += stats.map(_._2).sum
+      val mPrime = new Array[Double](dims * dims)
+      stats.foreach { case (g, _) =>
+        var i = 0
+        while (i < dims * dims) { mPrime(i) += g(i); i += 1 }
+      }
+      // M = Rᵀ·M'  (x = Rᵀ(Rx); model-sized matmul)
+      val mm = Array.tabulate(dims, dims) { (a, b) =>
+        var s = 0.0
+        var i = 0
+        while (i < dims) { s += r(i)(a) * mPrime(i * dims + b); i += 1 }
+        s
+      }
+      r = procrustes(mm)
+    }
+    (r, books, errs.result())
+  }
+
+  /** argmax over orthogonal R of tr(R·M): M = UΣVᵀ → R = V·Uᵀ. SVD by
+    * Jacobi eigen of MᵀM (V, σ²); U columns = M·v/σ, with Gram-Schmidt
+    * completion for (near-)null singular directions. */
+  private def procrustes(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += m(k)(i) * m(k)(j); k += 1 }
+      s
+    }
+    val (evals, evecs) = jacobiEigen(mtm) // evecs rows = eigenvectors v_i
+    val order = evals.zipWithIndex.sortBy(-_._1).map(_._2)
+    val v = order.map(evecs(_))
+    val sigma = order.map(i => math.sqrt(math.max(evals(i), 0.0)))
+    val u = Array.ofDim[Double](d, d) // u(i) = i-th left-singular vector
+    for (i <- 0 until d) {
+      val col = new Array[Double](d)
+      if (sigma(i) > 1e-10) {
+        var a = 0
+        while (a < d) {
+          var s = 0.0
+          var b = 0
+          while (b < d) { s += m(a)(b) * v(i)(b); b += 1 }
+          col(a) = s / sigma(i)
+          a += 1
+        }
+      } else { // complete the basis deterministically
+        col(i % d) = 1.0
+      }
+      // Gram-Schmidt against earlier u's (no-op for clean directions)
+      def orthogonalized(c0: Array[Double]): Array[Double] = {
+        val c = c0.clone()
+        var p = 0
+        while (p < i) {
+          var dot = 0.0
+          var a = 0
+          while (a < d) { dot += u(p)(a) * c(a); a += 1 }
+          a = 0
+          while (a < d) { c(a) -= dot * u(p)(a); a += 1 }
+          p += 1
+        }
+        c
+      }
+      var best = orthogonalized(col)
+      var n = math.sqrt(best.map(x => x * x).sum)
+      if (n < 1e-8) {
+        // degenerate direction (tiny/duplicate σ): complete the basis
+        // from the standard vector with the LARGEST residual after
+        // projection — never normalize catastrophic-cancellation noise
+        var e = 0
+        while (e < d) {
+          val cand = new Array[Double](d)
+          cand(e) = 1.0
+          val o = orthogonalized(cand)
+          val on = math.sqrt(o.map(x => x * x).sum)
+          if (on > n) { best = o; n = on }
+          e += 1
+        }
+      }
+      u(i) = best.map(_ / n)
+    }
+    // R(a)(b) = Σ_i v_i(a)·u_i(b)
+    val r = Array.tabulate(d, d) { (a, b) =>
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v(i)(a) * u(i)(b); i += 1 }
+      s
+    }
+    // polish to machine-precision orthonormality (Jacobi SVD leaves
+    // ~1e-8 residue; one modified Gram-Schmidt pass over the rows —
+    // already near-orthonormal, so the polish is numerically benign)
+    for (i <- 0 until d) {
+      for (p <- 0 until i) {
+        var dot = 0.0
+        var a = 0
+        while (a < d) { dot += r(p)(a) * r(i)(a); a += 1 }
+        a = 0
+        while (a < d) { r(i)(a) -= dot * r(p)(a); a += 1 }
+      }
+      val n = math.sqrt(r(i).map(x => x * x).sum)
+      var a = 0
+      while (a < d) { r(i)(a) /= n; a += 1 }
+    }
+    r
   }
 
   /** [[opqRotate]] with an externally supplied rotation (e.g.

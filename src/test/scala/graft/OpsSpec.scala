@@ -456,6 +456,57 @@ class OpsSpec extends SparkSpec {
       s"rotation should balance subspace variance: before=$before after=$after")
   }
 
+  test("opqTrain (full OPQ alternation): rotation stays orthonormal, " +
+    "the training objective does not regress across alternations, and " +
+    "the final rotation+codebooks beat identity-layout PQ on " +
+    "anisotropic data") {
+    val dims = 8; val m = 2; val k = 8
+    val rng = new scala.util.Random(29)
+    val df = (0L until 300L).map { i =>
+      val t = rng.nextGaussian(); val u = rng.nextGaussian()
+      (i, Array(t, t + 0.1 * u, -t, u, 0.01 * rng.nextGaussian(),
+        0.01 * rng.nextGaussian(), 0.01 * rng.nextGaussian(),
+        0.01 * rng.nextGaussian()).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val (r, books, errs) = Similarity.opqTrain(df, "vec_id", "embedding",
+      dims, m, k, outerIters = 3)
+    // orthonormal after Procrustes updates
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val d = (0 until dims).map(a => r(i)(a) * r(j)(a)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    // objective tracked per alternation; final <= first (small slack:
+    // the k-means inner step is a heuristic, not an exact argmin)
+    assert(errs.length === 3)
+    assert(errs.last <= errs.head * 1.01,
+      s"OPQ objective regressed: ${errs.toSeq}")
+    // end-to-end: quantization error of the trained (R, books) vs
+    // identity-layout PQ with the same budget
+    def qErr(rot: org.apache.spark.sql.DataFrame,
+             cb: org.apache.spark.sql.DataFrame): Double = {
+      val codes = Similarity.pqEncode(rot, "vec_id", "rvec", cb, m, dims)
+      val bk = cb.select($"j".as("bj"), $"c".as("bc"), $"cv".as("bcv"))
+      val y = codes.join(bk, $"j" === $"bj" && $"code" === $"bc")
+        .select($"vec_id", $"j", $"bcv".as("cv"))
+        .groupBy("vec_id")
+        .agg(flatten(array_sort(collect_list(struct($"j", $"cv")))
+          .getField("cv")).as("y"))
+      rot.join(y, "vec_id").select($"rvec", $"y")
+        .as[(Array[Double], Array[Double])].collect()
+        .map { case (x, yv) =>
+          x.zip(yv).map { case (a, b) => (a - b) * (a - b) }.sum }.sum
+    }
+    val rotated = Similarity.rotateWith(df, "vec_id", "embedding", r)
+    val identity = df.select($"vec_id",
+      $"embedding".cast("array<double>").as("rvec"))
+    val idBooks = Similarity.pqCodebooksTrained(identity, "vec_id",
+      "rvec", m, k, dims)
+    val opqErr = qErr(rotated, books)
+    val idErr = qErr(identity, idBooks)
+    assert(opqErr < idErr,
+      s"trained OPQ should beat identity PQ: opq=$opqErr id=$idErr")
+  }
+
   test("IVF-PQ: residual-encoded search retrieves the query's cluster; " +
     "a residual-codeword vector reconstructs to ADC 0") {
     val rng = new scala.util.Random(5)
