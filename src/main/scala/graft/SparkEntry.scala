@@ -1156,6 +1156,63 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // UNPIVOT/melt (Dataset.unpivot — wide metric columns to long
+    // (id, metric, value) form, the inverse of q34's pivot). Raw rows,
+    // no aggregation: the metric values are doubles and stay untouched
+    // on both engines.
+    "q79_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 997 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // TIME-SERIES GAP FILL: per-user daily scaffold (sequence+explode
+    // between first and last event day) left-joined with the day's
+    // closing value, forward-filled by an IGNORE NULLS window — the
+    // resample/ffill primitive for event telemetry. Values pass
+    // through untouched (no float re-aggregation).
+    "q80_gap_fill" -> ((s, dir) => {
+      val e = events(s, dir)
+      val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("day_value"))
+      val scaffold = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      scaffold.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("value"),
+          col("day_value").isNotNull.cast("long").as("observed"))
+        .orderBy("user_id", "day")
+    }),
+
+    // HISTOGRAM profiling: explicit floor bucketing (identical double
+    // expression on both engines — width_bucket builtins differ in
+    // operation order at bucket edges) + count/sum-free occupancy.
+    "q81_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(least(floor(col("o_totalprice") / lit(50000.0)), lit(9L))
+          .cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // GOPHER quality rules (TextAnalysis.gopherQuality): word-count,
     // mean-word-length, and stopword-evidence bounds with per-rule
     // metrics — word bounds tightened to [50, 90] so the synthetic
@@ -2227,6 +2284,52 @@ object SparkEntry {
                / CAST(n_chars AS DOUBLE) AS pri
            FROM documents)
          SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 25""",
+
+    "q79_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+         FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                  l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+         WHERE l_orderkey % 997 = 0
+         ORDER BY l_orderkey, l_linenumber, metric""",
+
+    "q80_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, day, day_value FROM (
+             SELECT user_id, CAST(ts AS DATE) AS day, value AS day_value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         bounds AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+             max(CAST(ts AS DATE)) AS d1
+           FROM events GROUP BY 1),
+         scaffold AS (
+           SELECT user_id, CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS day
+           FROM bounds)
+         SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CAST(d.day_value IS NOT NULL AS BIGINT) AS observed
+         FROM scaffold s LEFT JOIN daily d
+           ON d.user_id = s.user_id AND d.day = s.day
+         ORDER BY s.user_id, s.day""",
+
+    "q81_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT)
+             AS bucket,
+           count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q76_gopher_rules" ->
       """WITH w AS (
