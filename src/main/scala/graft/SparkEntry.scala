@@ -1156,6 +1156,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Grouped Pearson CORRELATION with deterministic float math: the
+    // five sufficient statistics each run through a sorted fold (the
+    // builtin corr sums in partition order — unreplayable), then one
+    // closed-form combine. Shuffle carries the collect_lists per group;
+    // at 100 TB swap to the pairwise-combinable builtin and drop the
+    // bit-exactness claim (documented trade).
+    "q82_corr" -> ((s, dir) => {
+      def sfold(c: Column) =
+        aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sfold(x).as("sx"), sfold(y).as("sy"),
+          sfold(x * y).as("sxy"),
+          sfold(x * x).as("sxx"), sfold(y * y).as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr"),
+          col("n").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Token ENTROPY + type-token ratio per document — the
+    // vocabulary-diversity quality signals (low entropy = repetitive/
+    // templated text). One explode + two keyed aggregations; the p·ln p
+    // fold is sorted for cross-engine determinism.
+    "q83_token_entropy" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(TF.normalizeText(col("text")), " ")).as("w"))
+      val counts = words.groupBy("doc_id", "w")
+        .agg(count(lit(1)).cast("double").as("c"))
+      val n = words.groupBy("doc_id")
+        .agg(count(lit(1)).cast("double").as("n"))
+      counts.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+          round(aggregate(
+            array_sort(collect_list(-(col("c") / col("n"))
+              * log(col("c") / col("n")))),
+            lit(0.0), (a, x) => a + x), 4).as("entropy"),
+          round(count(lit(1)) / first(col("n")), 4).as("ttr"),
+          first(col("n")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // UNPIVOT/melt (Dataset.unpivot — wide metric columns to long
     // (id, metric, value) form, the inverse of q34's pivot). Raw rows,
     // no aggregation: the metric values are doubles and stay untouched
@@ -2284,6 +2333,41 @@ object SparkEntry {
                / CAST(n_chars AS DOUBLE) AS pri
            FROM documents)
          SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 25""",
+
+    "q82_corr" ->
+      """WITH st AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             list_sum(list_sort(list(l_quantity))) AS sx,
+             list_sum(list_sort(list(l_extendedprice))) AS sy,
+             list_sum(list_sort(list(l_quantity * l_extendedprice))) AS sxy,
+             list_sum(list_sort(list(l_quantity * l_quantity))) AS sxx,
+             list_sum(list_sort(list(l_extendedprice * l_extendedprice)))
+               AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr,
+           CAST(n AS BIGINT) AS n
+         FROM st ORDER BY l_returnflag""",
+
+    "q83_token_entropy" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         c AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+               FROM w GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n
+               FROM w GROUP BY 1)
+         SELECT doc_id,
+           round(list_sum(list_sort(list(-(c / n) * ln(c / n)))), 4)
+             AS entropy,
+           round(count(*) / any_value(n), 4) AS ttr,
+           CAST(any_value(n) AS BIGINT) AS n_tokens
+         FROM c JOIN n USING (doc_id)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q79_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value
