@@ -22,9 +22,21 @@ object PlanAudit {
         val lines = plan.linesIterator.toSeq
         def n(p: String) = lines.count(_.contains(p))
         val nl = n("BroadcastNestedLoop") + n("CartesianProduct")
-        // widest ReadSchema column count across scans
+        // widest ReadSchema column count across scans (top-level fields
+        // of the struct<...> payload only — the raw line also carries
+        // path/filter commas)
         val widths = lines.filter(_.contains("ReadSchema"))
-          .map(l => l.count(_ == ',') + 1)
+          .map { l =>
+            val s = l.substring(l.indexOf("ReadSchema: struct<") + 19)
+            var depth = 0; var fields = 1
+            s.takeWhile { c =>
+              if (c == '<') depth += 1
+              else if (c == '>') depth -= 1
+              else if (c == ',' && depth == 0) fields += 1
+              depth >= 0
+            }
+            fields
+          }
         val pushed = lines.count(l =>
           l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
         println(s"[plan] $q exch=${n("Exchange")} bhj=${n("BroadcastHashJoin")} " +
