@@ -29,6 +29,17 @@ object DemoEtl {
       "/root/reference/fichiers source/export_patient.xlsx")
     println(s"[demo] excel rows=${excel.count()} cols=${excel.columns.length}")
 
+    // the DataSourceV2 connector must see the SAME table (schema from
+    // the header, rows parsed on executors, pruning into the parser)
+    val v2 = spark.read.format("graft-xlsx")
+      .load("/root/reference/fichiers source/export_patient.xlsx")
+    require(v2.count() == excel.count() &&
+      v2.columns.sameElements(excel.columns),
+      s"graft-xlsx connector disagrees with XlsxSource: " +
+        s"${v2.count()}×${v2.columns.length}")
+    println(s"[demo] graft-xlsx DSv2 parity OK (${v2.count()} rows, " +
+      s"pruned single-col read=${v2.select(v2.columns.head).count()})")
+
     // staging order column = file row order (monotonically_increasing_id
     // is monotone across parallelize partitions, which preserve row order)
     val staged = excel.withColumn("__src_order", monotonically_increasing_id())

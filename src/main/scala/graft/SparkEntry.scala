@@ -1156,6 +1156,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-group KMV distinct sketch (Sketches.kmvDistinctGrouped):
+    // distinct users per event type, one bottom-32 sketch per group in
+    // a single pass — exact below k (sf0.001: 15 users), estimated
+    // above (sf0.1: 1500), so BOTH estimator paths are oracle-gated.
+    "q84_kmv_grouped" -> ((s, dir) => {
+      Sketches.kmvDistinctGrouped(events(s, dir), Seq("event_type"),
+          col("user_id").cast("string"), k = 32)
+        .orderBy("event_type")
+    }),
+
+    // FEATURE HASHING (TextAnalysis.featureHash): vocabulary-free
+    // fixed-width featurization — md5 bucket + independent ±1 sign so
+    // collisions cancel; long-form (doc, bucket, value), pure integer
+    // arithmetic.
+    "q85_feature_hash" -> ((s, dir) => {
+      TA.featureHash(t(s, dir, "documents"), "doc_id", "text",
+          buckets = 32)
+        .orderBy("doc_id", "bucket")
+    }),
+
     // Grouped Pearson CORRELATION with deterministic float math: the
     // five sufficient statistics each run through a sorted fold (the
     // builtin corr sums in partition order — unreplayable), then one
@@ -2333,6 +2353,41 @@ object SparkEntry {
                / CAST(n_chars AS DOUBLE) AS pri
            FROM documents)
          SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 25""",
+
+    "q84_kmv_grouped" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             ('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)),
+               1, 12))::BIGINT AS h
+           FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+               FROM h),
+         s AS (SELECT event_type, count(*) AS n, max(h) AS hk
+               FROM r WHERE rn <= 32 GROUP BY 1)
+         SELECT event_type,
+           CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                ELSE round(CAST(31 AS DOUBLE)
+                           * CAST(281474976710656 AS DOUBLE) / hk, 4) END
+             AS est_distinct,
+           n AS k_used
+         FROM s ORDER BY event_type""",
+
+    "q85_feature_hash" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 32
+               AS bucket,
+             1 - 2 * (('0x' || substring(md5('1:' || w), 1, 12))::BIGINT % 2)
+               AS s
+           FROM w)
+         SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS value
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q82_corr" ->
       """WITH st AS (

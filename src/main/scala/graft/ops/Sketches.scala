@@ -66,6 +66,32 @@ object Sketches {
         col("n").cast("long").as("k_used"))
   }
 
+  /** Per-group KMV distinct-count: the same bottom-k estimator as
+    * [[kmvDistinct]], one sketch per group — distinct-users-per-segment
+    * style profiling in a single pass. The rank<=k cut is a keyed
+    * window, so Spark's WindowGroupLimit pushes the per-group bottom-k
+    * below the shuffle (k rows per partition·group move, not the
+    * distinct-hash universe); the estimate is exact whenever a group
+    * has fewer than k distinct hashes. */
+  def kmvDistinctGrouped(df: DataFrame, groupCols: Seq[String], e: Column,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val hashed = df.select((g :+ TextFunctions.md5Hash48(e).as("h")): _*)
+      .distinct()
+    val w = Window.partitionBy(g: _*).orderBy(col("h"))
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select((g :+
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(HashSpace) / col("hk"), 4))
+          .as("est_distinct") :+
+        col("n").cast("long").as("k_used")): _*)
+  }
+
   /** Pass 1: per-partition Misra–Gries candidate keys (as strings).
     * Any key with global frequency > n/capacity survives in at least
     * one partition's summary. Amortized O(1) per row: each decrement

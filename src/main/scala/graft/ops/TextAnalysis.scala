@@ -83,6 +83,26 @@ object TextAnalysis {
   def fingerprint48(text: Column): Column =
     TextFunctions.md5Hash48(TextFunctions.normalizeText(text))
 
+  /** FEATURE HASHING (the signed hashing trick, Weinberger et al. '09):
+    * each token lands in `buckets` dimensions by md5 hash, with a ±1
+    * sign from an independent hash so collisions cancel in expectation
+    * — the fixed-width text featurization that needs NO vocabulary
+    * artifact, which is what makes it work on an unbounded 100 TB
+    * stream (no dictionary to build, broadcast, or version). Long-form
+    * output `(id, bucket, value)`: one explode + one integer-sum
+    * groupBy, exactly replayable (md5 + integer arithmetic only). */
+  def featureHash(docs: DataFrame, id: String, text: String,
+                  buckets: Int = 32): DataFrame = {
+    val words = docs.select(col(id), explode(tokens(col(text))).as("__w"))
+    val bucket = pmod(TextFunctions.md5Hash48(col("__w")),
+      lit(buckets.toLong))
+    val sign = lit(1L) - lit(2L) *
+      pmod(TextFunctions.md5Hash48(col("__w"), seed = 1), lit(2L))
+    words.select(col(id), bucket.as("bucket"), sign.as("__s"))
+      .groupBy(id, "bucket")
+      .agg(sum(col("__s")).as("value"))
+  }
+
   /** Gopher-style quality-rule filter (Rae et al. 2021's repetition/
     * format rules, the subset computable from the token stream): word
     * count bounds, mean-word-length bounds, minimum stopword evidence.

@@ -78,6 +78,38 @@ class SketchSampleSpec extends SparkSpec {
     assert(got.head._2 > got(1)._2) // rare term outranks common term
   }
 
+  test("kmvDistinctGrouped: exact below k, within 20% above k, and " +
+    "partition-invariant") {
+    val df = ((1 to 10).map(i => ("small", s"u$i")) ++
+      (1 to 2000).map(i => ("big", s"v$i"))).toDF("g", "u")
+    def run(parts: Int) =
+      Sketches.kmvDistinctGrouped(df.repartition(parts), Seq("g"),
+        org.apache.spark.sql.functions.col("u"), k = 64)
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val a = run(4)
+    assert(a === run(9))
+    assert(a("small")._1 === 10.0 && a("small")._2 === 10L) // exact path
+    assert(math.abs(a("big")._1 - 2000.0) / 2000.0 < 0.2)   // estimate
+  }
+
+  test("featureHash: deterministic, bounded buckets, sign-cancellation " +
+    "(same word always same signed bucket; disjoint vocab -> disjoint " +
+    "contributions)") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha"),
+      (2L, "alpha"),
+      (3L, "beta")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHash(docs, "doc_id", "text", buckets = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8))
+    val byDoc = got.groupBy(_._1)
+    // same token → same (bucket, ±1): doc1 = 3 × doc2's single entry
+    val d1 = byDoc(1L).head; val d2 = byDoc(2L).head
+    assert(d1._2 === d2._2 && d1._3 === 3 * d2._3 && math.abs(d2._3) === 1L)
+  }
+
   test("fuzzy dedup end-to-end: near-dup chain clusters transitively " +
     "(a~b, b~c, a!~c) and the canonical keeper is the min id") {
     // b shares most trigrams with both a and c; a and c share few.
