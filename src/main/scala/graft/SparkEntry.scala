@@ -1176,6 +1176,38 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // COUNT-MIN sketch (Sketches.countMin/countMinLookup): 4×256 exact
+    // counter grid over the corpus token stream — fixed-size mergeable
+    // state (the shuffle carries ≤ partitions·4·256 partial cells no
+    // matter the corpus), then point lookups for a probe term set. The
+    // exact count rides along so the CM one-sided guarantee
+    // (est >= exact, always) is itself oracle-gated.
+    "q86_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(split(normText, " ")).as("w"))
+      val sketch = Sketches.countMin(words, col("w"), depth = 4, width = 256)
+      val probes = Seq("dup", "vector", "stream").toDF("w")
+      val exact = words.groupBy("w").agg(count(lit(1)).as("exact"))
+      Sketches.countMinLookup(sketch, probes, "w", depth = 4, width = 256)
+        .join(exact, Seq("w"), "left")
+        .select(col("w"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+        .orderBy("w")
+    }),
+
+    // Grouped embedding CENTROIDS (Similarity.groupCentroids): per-label
+    // mean vector in long (label, pos, centroid) form — one shuffle
+    // keyed on (label, dim) after a map-side posexplode; the class-
+    // prototype op every embedding pipeline runs. Sorted-fold means =
+    // bit-exact across engines (q82 discipline).
+    "q87_group_centroid" -> ((s, dir) => {
+      Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"),
+          round(col("centroid"), 6).as("centroid"))
+        .orderBy("label", "pos")
+    }),
+
     // Grouped Pearson CORRELATION with deterministic float math: the
     // five sufficient statistics each run through a sorted fold (the
     // builtin corr sums in partition order — unreplayable), then one
@@ -2388,6 +2420,39 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS value
          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q86_count_min" ->
+      """WITH w AS (
+           SELECT unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         cells AS (
+           SELECT d,
+             ('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || w),
+               1, 12))::BIGINT % 256 AS bucket,
+             count(*) AS cnt
+           FROM w, unnest([0,1,2,3]) AS t(d)
+           GROUP BY 1, 2),
+         probes AS (SELECT unnest(['dup','vector','stream']) AS w),
+         pb AS (
+           SELECT p.w, d,
+             ('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || p.w),
+               1, 12))::BIGINT % 256 AS bucket
+           FROM probes p, unnest([0,1,2,3]) AS t(d)),
+         est AS (
+           SELECT pb.w, min(coalesce(c.cnt, 0)) AS est
+           FROM pb LEFT JOIN cells c USING (d, bucket) GROUP BY 1),
+         ex AS (SELECT w, count(*) AS exact FROM w GROUP BY 1)
+         SELECT est.w, est.est, coalesce(ex.exact, 0) AS exact
+         FROM est LEFT JOIN ex USING (w) ORDER BY w""",
+
+    "q87_group_centroid" ->
+      """WITH x AS (
+           SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+         SELECT label, pos,
+           round(list_sum(list_sort(list(v))) / count(*), 6) AS centroid
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q82_corr" ->
       """WITH st AS (

@@ -45,6 +45,27 @@ object Similarity {
     scored.orderBy(col("cos").desc, col(id)).limit(k)
   }
 
+  /** Per-group mean embedding (centroid) in LONG form: one row per
+    * (group, dimension) with the group's mean of that dimension.
+    * posexplode turns the n×d corpus into n·d scalar rows map-side; ONE
+    * (group, pos)-keyed aggregation produces |groups|·d cells — the
+    * standard class-prototype / cluster-profile computation, and the
+    * shape `kmeansCentroids`' update step uses internally.
+    *
+    * Determinism: the per-cell mean folds its values in SORTED order
+    * (collect_list → array_sort → fold), so the double sum is
+    * bit-reproducible across partition layouts and engines — the
+    * oracle-gateable form of the grouped mean. At 100 TB the
+    * collect_list per cell holds one group's values for ONE dimension
+    * (rows/groups values), not whole vectors; if a single group×dim cell
+    * outgrew memory, swap the fold for the builtin avg and drop the
+    * bit-exactness claim (the documented q82 trade). */
+  def groupCentroids(df: DataFrame, group: String, vec: String): DataFrame =
+    df.select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col(group), col("pos"))
+      .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
+        lit(0.0), (a, x) => a + x) / count(lit(1))).as("centroid"))
+
   /** Lloyd-iteration k-means centroids in pure DataFrame ops, for
     * training the IVF index: deterministic init (the k lowest-id
     * vectors), assignment by max cosine against broadcast centroids,

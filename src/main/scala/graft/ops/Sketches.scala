@@ -131,4 +131,47 @@ object Sketches {
       .groupBy(key)
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Count-Min sketch build: a depth × width grid of EXACT counters —
+    * cell (d, b) counts the rows whose d-th hash lands in bucket b
+    * (independent hash functions = md5Hash48 seeded with the row index
+    * d, the same replayable family every sketch here uses).
+    *
+    * Scale shape: the map side explodes each row into `depth` cells and
+    * partially aggregates, so the shuffle carries at most
+    * partitions × depth × width partial cells — FIXED-size state
+    * regardless of corpus size or key cardinality, and two sketches
+    * merge by adding cells (the partial-agg combine IS the sketch
+    * merge). This is the frequency sketch for the regime where even the
+    * heavy-hitter candidate pass is too much state: depth·width counters
+    * stand in for the full key universe, at the price of overestimation
+    * (bucket collisions only inflate counts, never deflate — the
+    * classic CM one-sided error). */
+  def countMin(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"bad sketch shape ${depth}x$width")
+    val cells = df.select(explode(array((0 until depth).map(d =>
+      struct(lit(d).as("d"),
+        pmod(TextFunctions.md5Hash48(key, d), lit(width.toLong)).as("bucket"))): _*))
+      .as("c"))
+    cells.groupBy(col("c.d").as("d"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-Min point lookup: estimate of each probe key's frequency =
+    * min over the depth rows of its bucket counters (missing cell = 0).
+    * Estimates are exact upper bounds: est >= true count always, and
+    * P[est > true + εn] <= δ at depth = ln(1/δ), width = e/ε. The probe
+    * set is tiny (it is a lookup, not a scan), so the join broadcasts. */
+  def countMinLookup(sketch: DataFrame, probes: DataFrame, key: String,
+                     depth: Int, width: Int): DataFrame = {
+    val pb = probes.select(col(key)).distinct()
+      .select(col(key), explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          pmod(TextFunctions.md5Hash48(col(key), d), lit(width.toLong))
+            .as("bucket"))): _*)).as("c"))
+      .select(col(key), col("c.d").as("d"), col("c.bucket").as("bucket"))
+    broadcast(pb).join(sketch, Seq("d", "bucket"), "left")
+      .groupBy(col(key))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

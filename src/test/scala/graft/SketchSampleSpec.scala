@@ -126,4 +126,54 @@ class SketchSampleSpec extends SparkSpec {
     assert(cc(10L) === 10L && cc(20L) === 10L && cc(30L) === 10L)
     assert(!cc.contains(40L)) // no edges → not in the pair graph
   }
+
+  test("countMin: one-sided error (est >= exact for EVERY key), sketch " +
+    "size bounded by depth*width, and partition-layout independence") {
+    val data = (0 until 2000).map(i => s"k${i % 137}") ++
+      Seq.fill(400)("hot")
+    val df = spark.sparkContext.parallelize(data, 7).toDF("w")
+    val sk = Sketches.countMin(df, col("w"), depth = 4, width = 64)
+    assert(sk.count() <= 4L * 64)
+    val exact = df.groupBy("w").count().as[(String, Long)].collect().toMap
+    val probes = exact.keys.toSeq.toDF("w")
+    val est = Sketches.countMinLookup(sk, probes, "w", depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(est(k) >= c, s"undercount at $k") }
+    // hot key with 400 extra hits: estimate within the εn CM bound for
+    // a 64-wide sketch over ~2400 rows (ε = e/64 → slack < ~103)
+    assert(est("hot") >= exact("hot") && est("hot") <= exact("hot") + 150)
+    // hash-of-key cells: independent of input partitioning
+    val sk2 = Sketches.countMin(df.repartition(3), col("w"), 4, 64)
+    assert(sk.except(sk2).isEmpty && sk2.except(sk).isEmpty)
+  }
+
+  test("countMin: sketches MERGE by cell-wise addition (sketch of " +
+    "union == summed sketches)") {
+    val a = Seq.fill(50)("x").toDF("w")
+    val b = (Seq.fill(30)("x") ++ Seq.fill(20)("y")).toDF("w")
+    val merged = Sketches.countMin(a, col("w"), 3, 16)
+      .unionByName(Sketches.countMin(b, col("w"), 3, 16))
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMin(a.unionByName(b), col("w"), 3, 16)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
+  test("groupCentroids: matches the brute-force per-group per-dim mean " +
+    "and is partition-layout independent") {
+    val rows = Seq(
+      ("a", Array(1.0f, 2.0f, 3.0f)),
+      ("a", Array(3.0f, 2.0f, 1.0f)),
+      ("b", Array(10.0f, 0.0f, -2.0f)))
+    val df = rows.toDF("g", "v")
+    val got = graft.ops.Similarity.groupCentroids(df, "g", "v")
+      .as[(String, Int, Double)].collect()
+      .map { case (g, p, c) => (g, p) -> c }.toMap
+    assert(got(("a", 0)) === 2.0 && got(("a", 1)) === 2.0 &&
+      got(("a", 2)) === 2.0)
+    assert(got(("b", 0)) === 10.0 && got(("b", 2)) === -2.0)
+    val re = graft.ops.Similarity.groupCentroids(df.repartition(5), "g", "v")
+      .as[(String, Int, Double)].collect()
+      .map { case (g, p, c) => (g, p) -> c }.toMap
+    assert(re === got)
+  }
 }
