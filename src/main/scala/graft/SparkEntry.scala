@@ -1208,6 +1208,33 @@ object SparkEntry {
         .orderBy("label", "pos")
     }),
 
+    // HLL cardinality sketch (Sketches.hllEstimate): 64 registers over
+    // distinct users — linear-counting regime at sf<=0.01 (few users,
+    // empty registers), raw-estimator regime at sf0.1, so both branches
+    // of the standard estimator are oracle-gated. Exact distinct rides
+    // along for the error contrast.
+    "q88_hll" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+      Sketches.hllEstimate(ev, col("user_id").cast("string"), p = 6)
+        .crossJoin(exact)
+    }),
+
+    // Salted two-phase aggregation (Partitioning.saltedSumCount): hot
+    // keys split across 8 reducers in phase 1, partials combined in
+    // phase 2 — EXACT (decimal sums), so the oracle is the plain
+    // GROUP BY. The skew pattern for per-key-large aggregation state.
+    "q89_salted_agg" -> ((s, dir) => {
+      Partitioning.saltedSumCount(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price")),
+          Seq("l_returnflag"), col("price"), saltFactor = 8)
+        .select(col("l_returnflag"),
+          col("sum_val").cast("decimal(38,2)").cast("string").as("sum_price"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // Grouped Pearson CORRELATION with deterministic float math: the
     // five sufficient statistics each run through a sorted fold (the
     // builtin corr sums in partition order — unreplayable), then one
@@ -2453,6 +2480,43 @@ object SparkEntry {
          SELECT label, pos,
            round(list_sum(list_sort(list(v))) / count(*), 6) AS centroid
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q88_hll" ->
+      """WITH h AS (
+           SELECT ('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)),
+             1, 12))::BIGINT AS h
+           FROM events),
+         rk AS (
+           SELECT h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 43
+                  ELSE 43 - length(format('{:b}', h // 64)) END AS rank
+           FROM h),
+         reg AS (SELECT bucket, max(rank) AS mx FROM rk GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS nz,
+                 list_sum(list_sort(list(
+                   power(CAST(2 AS DOUBLE), -mx)))) AS s
+               FROM reg),
+         e AS (SELECT nz, s + (CAST(64 AS DOUBLE) - nz) AS st,
+                 64 - nz AS v FROM s),
+         raw AS (SELECT nz, v,
+                   CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                     * CAST(64 AS DOUBLE) / st AS eraw
+                 FROM e),
+         fin AS (SELECT CASE WHEN eraw <= CAST(160 AS DOUBLE) AND v > 0
+                   THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+                   ELSE eraw END AS est, nz FROM raw),
+         x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS exact_distinct FROM events)
+         SELECT round(est, 4) AS est_distinct, nz AS nonzero_buckets,
+           exact_distinct
+         FROM fin, x""",
+
+    "q89_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+           count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q82_corr" ->
       """WITH st AS (

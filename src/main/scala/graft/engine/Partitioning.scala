@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout tools for the 100 TB path: bucketed co-located joins
@@ -48,5 +48,30 @@ object Partitioning {
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: phase 1 pre-aggregates on
+    * (keys, salt) — a deterministic per-row salt splits any hot key
+    * across `saltFactor` reducers — phase 2 combines the partials on
+    * the true keys. Exact (not approximate) for associative+commutative
+    * aggregates over exact types: counts and integer/decimal sums
+    * combine losslessly, so the result equals the plain groupBy's.
+    *
+    * Honest scale note: for plain sum/count Spark's hash aggregate
+    * already does a map-side partial combine, which handles most skew;
+    * the explicit salted form is the pattern for when the PARTIAL state
+    * itself is per-key-large (large collect-style or distinct-heavy
+    * aggregation states), where one reducer would otherwise hold the
+    * whole hot key's state. It is exposed on the exact-sum case so its
+    * equivalence contract is oracle-checkable. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], value: Column,
+                     saltFactor: Int): DataFrame = {
+    val salt = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+      lit(saltFactor)).cast("int")
+    df.withColumn("__salt", salt)
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(value).as("__s"), count(lit(1)).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__s")).as("sum_val"), sum(col("__c")).as("cnt"))
   }
 }

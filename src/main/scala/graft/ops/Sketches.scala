@@ -174,4 +174,55 @@ object Sketches {
       .groupBy(col(key))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** HyperLogLog-style distinct count from the 48-bit md5 hash:
+    * bucket = low p bits, rank = leading-zero count of the remaining
+    * (48−p)-bit word + 1, register = max rank per bucket, raw estimate
+    * alpha·m²/Σ2^−M with the standard linear-counting fallback when the
+    * raw estimate is small and empty registers remain (Flajolet et al.'s
+    * two estimator regimes — both are exercised across the test SFs).
+    *
+    * Where KMV ([[kmvDistinct]]) keeps k hash VALUES, HLL keeps m
+    * 6-bit-ish register MAXES — the fixed-m register file is the
+    * cheapest mergeable cardinality state (merge = element-wise max),
+    * which is why it is the sketch to ship per-partition at 100 TB: the
+    * groupBy(bucket).max(rank) below IS that merge, with ≤ partitions·m
+    * partial registers ever shuffling. Every step is integer/dyadic
+    * arithmetic (2^−M is exact in a double; the Σ folds in sorted
+    * order), so the whole estimator is DuckDB-replayable bit-for-bit.
+    * Returns one row: (est_distinct, nonzero_buckets). */
+  def hllEstimate(df: DataFrame, e: Column, p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 16, s"bad precision $p")
+    val m = 1 << p
+    val remBits = 48 - p
+    val h = TextFunctions.md5Hash48(e)
+    val bucket = pmod(h, lit(m.toLong))
+    val r = shiftright(h, p)
+    val rank = when(r === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(r)))
+    val registers = df.select(bucket.as("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max(col("rank")).as("mx"))
+    // alpha_m for m >= 64 (the standard constant, written as the same
+    // double expression the oracle uses)
+    val alpha =
+      if (m >= 128) lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+      else if (m == 64) lit(0.709)
+      else lit(0.697)
+    registers
+      .agg(count(lit(1)).as("nz"),
+        aggregate(array_sort(collect_list(
+            pow(lit(2.0), -col("mx").cast("double")))),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(col("nz"),
+        (col("s") + (lit(m.toDouble) - col("nz"))).as("st"),
+        (lit(m.toLong) - col("nz")).as("v"))
+      .select(col("nz"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) / col("st")).as("eraw"),
+        col("v"))
+      .select(
+        round(when(col("eraw") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("eraw")), 4).as("est_distinct"),
+        col("nz").as("nonzero_buckets"))
+  }
 }

@@ -69,4 +69,25 @@ class PartitioningSpec extends AnyFunSuite {
     // salt column does not leak into the output schema
     assert(!salted.columns.contains("__salt"))
   }
+
+  test("saltedSumCount equals the plain groupBy on skewed data and is " +
+    "partition-layout independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one hot key with 90% of the rows
+    val rows = (0 until 900).map(i => ("hot", i)) ++
+      (0 until 100).map(i => (s"k${i % 7}", i))
+    val df = rows.toDF("k", "x")
+      .select(col("k"), col("x").cast("decimal(18,2)").as("x"))
+    val got = Partitioning.saltedSumCount(df, Seq("k"), col("x"), 8)
+      .select(col("k"), col("sum_val").cast("decimal(38,2)"), col("cnt"))
+    val want = df.groupBy("k")
+      .agg(sum("x").cast("decimal(38,2)").as("sum_val"),
+        count(lit(1)).as("cnt"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    val re = Partitioning.saltedSumCount(df.repartition(13), Seq("k"),
+        col("x"), 8)
+      .select(col("k"), col("sum_val").cast("decimal(38,2)"), col("cnt"))
+    assert(re.except(want).isEmpty && want.except(re).isEmpty)
+  }
 }

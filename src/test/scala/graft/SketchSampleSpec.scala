@@ -158,6 +158,23 @@ class SketchSampleSpec extends SparkSpec {
     assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
   }
 
+  test("hllEstimate: raw-regime accuracy within 3 standard errors, " +
+    "linear-counting regime near-exact, and partition-layout independent") {
+    val big = (0 until 5000).map(i => s"user$i").toDF("k")
+    val Array((est, _)) = Sketches.hllEstimate(big, col("k"), p = 6)
+      .as[(Double, Long)].collect()
+    // σ ≈ 1.04/√64 = 13% → 3σ band
+    assert(est > 5000 * 0.61 && est < 5000 * 1.39, s"est=$est")
+    val re = Sketches.hllEstimate(big.repartition(11), col("k"), p = 6)
+      .as[(Double, Long)].collect()
+    assert(re.head._1 === est)
+    val small = (0 until 10).map(i => s"u$i").toDF("k")
+    val Array((estS, nzS)) = Sketches.hllEstimate(small, col("k"), p = 6)
+      .as[(Double, Long)].collect()
+    // linear counting: est = 64·ln(64/V), V = 64 − nz — near-exact here
+    assert(nzS <= 10 && math.abs(estS - 10.0) < 2.0, s"est=$estS nz=$nzS")
+  }
+
   test("groupCentroids: matches the brute-force per-group per-dim mean " +
     "and is partition-layout independent") {
     val rows = Seq(
