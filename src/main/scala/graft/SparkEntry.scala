@@ -1220,6 +1220,27 @@ object SparkEntry {
         .crossJoin(exact)
     }),
 
+    // BPE merge-candidate counting (TextAnalysis.bpePairCounts): the
+    // first byte-pair-encoding training step — adjacent char-pair
+    // counts weighted by word frequency, generated from the DISTINCT
+    // vocabulary (Zipf pre-aggregation), top-30 merges with a total
+    // tie-break order.
+    "q90_bpe_pairs" -> ((s, dir) => {
+      TA.bpePairCounts(t(s, dir, "documents"), "text", topK = 30)
+    }),
+
+    // Batch k-NN JOIN (Similarity.knnJoin): every embedding's top-3
+    // neighbors via the q23 multi-table sign-LSH blocking (key-equality
+    // band joins only), directed candidate mirror, per-query window
+    // top-k. The all-queries ANN workload — graph construction /
+    // retrieval labeling — with the oracle replaying hyperplanes,
+    // blocking, and ranking end-to-end.
+    "q91_knn_join" -> ((s, dir) => {
+      Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, planesPerTable = 4, tables = 8, dims = 64)
+        .orderBy("qid", "rank")
+    }),
+
     // Salted two-phase aggregation (Partitioning.saltedSumCount): hot
     // keys split across 8 reducers in phase 1, partials combined in
     // phase 2 — EXACT (decimal sums), so the oracle is the plain
@@ -2510,6 +2531,58 @@ object SparkEntry {
          SELECT round(est, 4) AS est_distinct, nz AS nonzero_buckets,
            exact_distinct
          FROM fin, x""",
+
+    "q90_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         v AS (SELECT w, count(*) AS freq FROM w
+               WHERE length(w) >= 2 GROUP BY 1),
+         p AS (
+           SELECT freq, unnest(list_transform(range(1, length(w)),
+             i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)))
+             AS pair
+           FROM v)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""",
+
+    "q91_knn_join" ->
+      """WITH banded AS (
+           SELECT vec_id,
+             unnest(list_transform(range(0,8), t ->
+               CAST(t AS VARCHAR) || ':' ||
+               CAST(CAST(list_sum(list_transform(range(0,4), p ->
+                 CASE WHEN list_sum(list_transform(range(1,65), i ->
+                   CAST(embedding[i] AS DOUBLE) *
+                   ((((('0x' || substring(md5(CAST(t*4+p AS VARCHAR) || '_'
+                         || CAST(i-1 AS VARCHAR)),1,12))::BIGINT) % 1000)
+                     / 500.0) - 1.0))) >= 0
+                 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS VARCHAR)))
+               AS band_key
+           FROM embeddings),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.vec_id <> b.vec_id),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+           FROM embeddings),
+         p AS (
+           SELECT qid, nid, round(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 4) AS cos
+           FROM cand JOIN v a ON cand.qid = a.vec_id
+                     JOIN v b ON cand.nid = b.vec_id),
+         r AS (
+           SELECT qid, nid, cos, row_number() OVER (
+             PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM p)
+         SELECT qid, nid, cos, rank FROM r WHERE rank <= 3
+         ORDER BY qid, rank""",
 
     "q89_salted_agg" ->
       """SELECT l_returnflag,

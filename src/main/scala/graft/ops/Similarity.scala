@@ -252,6 +252,40 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Batch k-NN JOIN: every vector's top-k neighbors in one distributed
+    * pass — the all-queries form of ANN (labeling, retrieval-augmented
+    * dedup, graph construction), vs [[cosineTopK]]'s single query.
+    *
+    * Scale path: candidates come from the SAME multi-table sign-LSH
+    * blocking as near-dup search (key-equality join on band keys —
+    * never a cross join), mirrored into a directed relation so each
+    * vector ranks its own candidate list; two id-keyed shuffle joins
+    * attach vectors, one window takes per-query top-k (WindowGroupLimit
+    * pushes the k-cut below the shuffle). Recall is the LSH contract:
+    * a true neighbor is seen iff it co-buckets in ≥1 table — spend
+    * `tables` for recall, `planesPerTable` to bound bucket size (grow
+    * with the corpus per [[planesForCorpus]]), `maxBucket` to drop
+    * degenerate hot buckets. */
+  def knnJoin(corpus: DataFrame, id: String, vec: String, k: Int,
+              planesPerTable: Int, tables: Int, dims: Int,
+              maxBucket: Int = 0): DataFrame = {
+    val cands = DedupOps.blockedPairs(
+      lshBandKeys(corpus, id, vec, planesPerTable, tables, dims), maxBucket)
+    val directed = cands.select(col("id_a").as("qid"), col("id_b").as("nid"))
+      .unionByName(cands.select(col("id_b").as("qid"), col("id_a").as("nid")))
+    val prepped = corpus.select(col(id),
+      col(vec).cast("array<double>").as("__pv"),
+      sqrt(dot(col(vec), col(vec))).as("__pn"))
+    val scored = directed
+      .join(prepped.toDF("qid", "qv", "qn"), Seq("qid"))
+      .join(prepped.toDF("nid", "nv", "nn"), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(try_divide(dot(col("qv"), col("nv")), col("qn") * col("nn")), 4)
+          .as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- product quantization (PQ) --------------------------------------
 
   /** Squared L2 distance via three sequential dot folds (bit-identical

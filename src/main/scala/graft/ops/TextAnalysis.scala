@@ -187,4 +187,31 @@ object TextAnalysis {
           (a, x) => a + x), 4).as("score"),
         count(lit(1)).cast("long").as("n_terms"))
   }
+
+  /** BPE merge-candidate counts: the first step of byte-pair-encoding
+    * vocabulary training — count every adjacent character pair across
+    * the corpus, weighted by word frequency, and return the top merge
+    * candidates.
+    *
+    * Scale shape (why this is not "explode the whole corpus to chars"):
+    * pairs are generated from the DISTINCT-word vocabulary and weighted
+    * by word frequency, so per-character work is O(vocab·word_len) not
+    * O(corpus_tokens·word_len) — the vocabulary pre-aggregation that
+    * makes BPE training tractable at 100 TB (Zipf: the vocab is orders
+    * of magnitude smaller than the token stream; the token stream is
+    * touched exactly once, by the word count). Two key-equality
+    * shuffles: word counts, then pair sums. */
+  def bpePairCounts(docs: DataFrame, text: String, topK: Int): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(text))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = vocab.select(col("freq"),
+      explode(expr(
+        "transform(sequence(1, length(w) - 1)," +
+          " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"))
+        .as("pair"))
+    pairs.groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
+  }
 }

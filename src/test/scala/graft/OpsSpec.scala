@@ -568,4 +568,39 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((0L, 1L, 1.0)))
   }
+
+  test("knnJoin: LSH-recalled neighbors carry exact brute-force cosines " +
+    "and ranks; the plan has no cartesian / corpus broadcast") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val knn = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3,
+      planesPerTable = 4, tables = 8, dims = 64)
+    val got = knn.as[(Long, Long, Double, Int)].collect()
+    // every query gets at most k neighbors, ranked 1..k by cos desc
+    val byQ = got.groupBy(_._1)
+    byQ.values.foreach { ns =>
+      assert(ns.length <= 3)
+      val sorted = ns.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to ns.length).toSeq)
+      assert(sorted.map(-_._3).toSeq === sorted.map(-_._3).toSeq.sorted)
+    }
+    // emitted cosines are the exact pairwise values (spot-check against
+    // the O(n²) brute pair list at this tiny SF)
+    val brute = Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", -1.0)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) => Seq((a, b) -> c, (b, a) -> c) }.toMap
+    got.foreach { case (q, n, c, _) => assert(brute((q, n)) === c) }
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bpePairCounts: hand-checked frequency-weighted adjacent pairs " +
+    "from the distinct vocabulary") {
+    val docs = Seq("aab aab", "ab").toDF("text")
+    val got = graft.ops.TextAnalysis.bpePairCounts(docs, "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    // vocab: aab(freq 2) → "a a"×2, "a b"×2 ; ab(freq 1) → "a b"×1
+    assert(got === Seq(("a b", 3L), ("a a", 2L)))
+  }
 }
