@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.TxLog
+
+/** The transactional table format: atomic commits, snapshot isolation,
+  * time travel, stats-pruned MERGE, concurrency, crash safety, vacuum. */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("txlog").toString + "/tbl"
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag)).toDF("id", "v")
+
+  test("append + read: versions accumulate, time travel reproduces " +
+    "every committed snapshot") {
+    val root = freshRoot()
+    assert(TxLog.append(spark, root, rows(0 until 100, "a"), "id") === 1L)
+    assert(TxLog.append(spark, root, rows(100 until 150, "b"), "id") === 2L)
+    assert(TxLog.currentVersion(spark, root) === 2L)
+    assert(TxLog.read(spark, root).count() === 150)
+    // time travel: v1 is immutable
+    assert(TxLog.read(spark, root, version = Some(1L)).count() === 100)
+    assert(TxLog.read(spark, root, Some(1L))
+      .agg(max("id")).as[Long].head() === 99L)
+  }
+
+  test("merge rewrites ONLY key-range-overlapping files; disjoint files " +
+    "are carried into the new version byte-identical") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 100, "old"), "id")
+    TxLog.append(spark, root, rows(1000 until 1100, "old"), "id")
+    val before = TxLog.snapshot(spark, root)
+    val lowFiles = before.files.filter(_.maxKey < 1000).map(_.path).toSet
+    assert(lowFiles.nonEmpty)
+    // batch hits only the high range
+    TxLog.merge(spark, root, rows(1050 until 1150, "new"), "id")
+    val after = TxLog.snapshot(spark, root)
+    // every low-range file survives with the same path (not rewritten)
+    assert(lowFiles.subsetOf(after.files.map(_.path).toSet))
+    // and the merge is a correct upsert: no duplicate keys, incoming won
+    val df = TxLog.read(spark, root)
+    assert(df.count() === 100 + 150)
+    assert(df.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    val tags = df.filter(col("id") >= 1050 && col("id") < 1100)
+      .select("v").distinct().as[String].collect().toSeq
+    assert(tags === Seq("new"))
+    assert(df.filter(col("id") < 100 && col("v") =!= "old").count() === 0)
+  }
+
+  test("merge into an empty table is the initial load; an empty batch " +
+    "is a no-op commit-wise") {
+    val root = freshRoot()
+    assert(TxLog.merge(spark, root, rows(0 until 10, "x"), "id") === 1L)
+    assert(TxLog.read(spark, root).count() === 10)
+    assert(TxLog.merge(spark, root, rows(0 until 0, "y"), "id") === 1L)
+    assert(TxLog.currentVersion(spark, root) === 1L)
+  }
+
+  test("crash before the manifest commit: orphan data files are " +
+    "invisible to readers and swept by vacuum") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 50, "a"), "id")
+    // simulate a writer that died after writing data, before committing:
+    // drop an unreferenced parquet straight into data/
+    rows(900 until 950, "ghost").coalesce(1)
+      .write.parquet(s"$root/data/orphan-stage")
+    val orphan = new java.io.File(s"$root/data/orphan-stage")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(s"$root/data/orphan.parquet")
+    assert(orphan.renameTo(dest))
+    assert(TxLog.read(spark, root).count() === 50) // still the old snapshot
+    TxLog.vacuum(spark, root, keepVersions = 1)
+    assert(!dest.exists()) // orphan swept
+    assert(TxLog.read(spark, root).count() === 50)
+  }
+
+  test("optimistic concurrency: a committed rival version makes the " +
+    "append retry on top of it — both writers' rows land") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 10, "a"), "id")
+    // simulate a rival writer that committed version 2 first: clone v1's
+    // manifest (same files) as v2 via the public snapshot + raw format
+    val snap = TxLog.snapshot(spark, root)
+    val body = (Seq("graft-txlog v1", "2") ++ snap.files.map(f =>
+      s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}")).mkString("\n")
+    Files.write(java.nio.file.Paths.get(
+      s"$root/_txlog/${"%020d".format(2)}.manifest"), body.getBytes("UTF-8"))
+    // this append targets v2, loses the CAS, retries, lands at v3
+    assert(TxLog.append(spark, root, rows(10 until 20, "b"), "id") === 3L)
+    assert(TxLog.read(spark, root).count() === 20)
+  }
+
+  test("vacuum keeps the retained window readable and drops older " +
+    "versions' exclusive files and manifests") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 30, "a"), "id")
+    val v1Files = TxLog.snapshot(spark, root).files.map(_.path)
+    TxLog.overwrite(spark, root, rows(0 until 5, "b"), "id")
+    // pre-vacuum: time travel to v1 still works
+    assert(TxLog.read(spark, root, Some(1L)).count() === 30)
+    TxLog.vacuum(spark, root, keepVersions = 1)
+    assert(TxLog.read(spark, root).count() === 5)
+    // v1's files are gone from disk, and so is its manifest
+    v1Files.foreach(p => assert(!new java.io.File(s"$root/$p").exists(), p))
+    assert(!new java.io.File(
+      s"$root/_txlog/${"%020d".format(1)}.manifest").exists())
+    intercept[IllegalArgumentException] {
+      TxLog.read(spark, root, Some(1L))
+    }
+  }
+
+  test("streaming sink: foreachBatch + TxLog.merge gives a " +
+    "transactional, idempotent-per-key micro-batch warehouse") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 100, "seed"), "id")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((50L, "upd1"), (51L, "upd1"))
+    ms.addData((52L, "upd2"), (200L, "ins"))
+    val q = ms.toDF.toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TxLog.merge(spark, root, batch, "id"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val df = TxLog.read(spark, root)
+    assert(df.count() === 101) // 100 seed + 1 true insert
+    assert(df.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    assert(df.filter(col("id") === 52L).select("v").as[String].head()
+      === "upd2")
+    // each micro-batch was one atomic commit
+    assert(TxLog.currentVersion(spark, root) >= 2L)
+  }
+
+  test("merge pruning bound: with sequence-correlated keys the touched " +
+    "read set is a small fraction of the table's files") {
+    val root = freshRoot()
+    // 10 appends of disjoint 100-key ranges → >= 10 disjoint files
+    (0 until 10).foreach(i =>
+      TxLog.append(spark, root,
+        rows(i * 100 until (i + 1) * 100, s"t$i").repartition(2), "id"))
+    val before = TxLog.snapshot(spark, root)
+    TxLog.merge(spark, root, rows(350 until 370, "upd"), "id")
+    val after = TxLog.snapshot(spark, root)
+    val survivors = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    // only the range-overlapping files (range 300-399's) were rewritten
+    val rewritten = before.files.map(_.path).toSet -- survivors
+    assert(rewritten.nonEmpty &&
+      rewritten.size <= before.files.size / 5,
+      s"${rewritten.size}/${before.files.size} files rewritten")
+    assert(TxLog.read(spark, root).count() === 1000)
+  }
+}
