@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dedup, Merge, Partitioning, Patients, TextFunctions => TF}
-import graft.ops.{AsOf, DedupOps, JoinOps, Multimodal, Sampling, Similarity, Sketches, TextAnalysis => TA}
+import graft.ops.{AsOf, Behavior, DedupOps, JoinOps, Multimodal, Sampling, Similarity, Sketches, TextAnalysis => TA}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 plus the training-data-pipeline operators, each paired
@@ -1218,6 +1218,49 @@ object SparkEntry {
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
       Sketches.hllEstimate(ev, col("user_id").cast("string"), p = 6)
         .crossJoin(exact)
+    }),
+
+    // SemDeDup-style SEMANTIC dedup (Similarity.semanticDedup):
+    // cluster against the q24 seeded centroids, exemplar per cluster
+    // (max cosine, id tie-break), drop members with cosine >= 0.4 to
+    // their exemplar. Linear member⋈exemplar comparison — the scale-
+    // bounded special case of intra-cluster pairwise pruning.
+    "q92_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+          centroids, "cid", "cv", threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // Embedding-dimension COVARIANCE (Similarity.dimCovariance): the
+    // d(d+1)/2-cell Gram/covariance profile (first 8 dims here), one
+    // (i,j)-keyed aggregation after map-side pair expansion; sorted-fold
+    // sums → bit-exact.
+    "q93_dim_covariance" -> ((s, dir) => {
+      Similarity.dimCovariance(t(s, dir, "embeddings"), "embedding",
+          dims = 8)
+        .orderBy("i", "j")
+    }),
+
+    // Ordered FUNNEL (Behavior.funnel): view → click → purchase,
+    // strictly ordered AND converting within 2 hours of the previous
+    // stage — real drop-off at every SF. Stage chain = user-keyed
+    // min-aggs + co-keyed joins, no global ordering anywhere.
+    "q94_funnel" -> ((s, dir) => {
+      Behavior.funnel(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), windowSeconds = Some(7200L))
+        .orderBy("stage_idx")
+    }),
+
+    // COHORT retention triangle (Behavior.cohortRetention): first-
+    // activity week cohorts × week offset, distinct-user counts; week
+    // index is pure integer date arithmetic (no engine week-of-year
+    // convention).
+    "q95_cohort" -> ((s, dir) => {
+      Behavior.cohortRetention(events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
     }),
 
     // BPE merge-candidate counting (TextAnalysis.bpePairCounts): the
@@ -2531,6 +2574,93 @@ object SparkEntry {
          SELECT round(est, 4) AS est_distinct, nz AS nonzero_buckets,
            exact_distinct
          FROM fin, x""",
+
+    "q92_semantic_dedup" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+         nv AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+           FROM embeddings),
+         nc AS (SELECT cid, cv,
+             sqrt(list_sum(list_transform(range(1, len(cv)+1),
+               i -> CAST(cv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)))) AS nrm
+           FROM cent),
+         scored AS (
+           SELECT e.vec_id, e.embedding, e.nrm AS enrm, c.cid, round(
+             list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)))
+             / (e.nrm * c.nrm), 6) AS cs
+           FROM nv e CROSS JOIN nc c),
+         assigned AS (
+           SELECT vec_id, embedding, enrm, cid AS cluster, cs FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid) AS rn FROM scored)
+           WHERE rn = 1),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY cluster
+             ORDER BY cs DESC, vec_id) AS rn
+           FROM assigned),
+         ex AS (SELECT cluster, vec_id AS eid, embedding AS ev,
+                  enrm AS enrm_e
+                FROM ranked WHERE rn = 1),
+         sim AS (
+           SELECT r.vec_id, r.cluster, r.cs, x.eid, round(
+             list_sum(list_transform(range(1, len(r.embedding)+1),
+               i -> CAST(r.embedding[i] AS DOUBLE)*CAST(x.ev[i] AS DOUBLE)))
+             / (r.enrm * x.enrm_e), 4) AS cos_ex
+           FROM ranked r JOIN ex x USING (cluster))
+         SELECT vec_id, cluster, cs, cos_ex,
+           CAST(CASE WHEN vec_id = eid OR cos_ex < 0.4 THEN 1 ELSE 0 END
+             AS BIGINT) AS keep
+         FROM sim ORDER BY vec_id""",
+
+    "q93_dim_covariance" ->
+      """WITH p AS (
+           SELECT i, j, CAST(embedding[i + 1] AS DOUBLE) AS xi,
+                  CAST(embedding[j + 1] AS DOUBLE) AS xj
+           FROM embeddings, unnest(range(0, 8)) AS t1(i),
+                unnest(range(0, 8)) AS t2(j)
+           WHERE j >= i),
+         st AS (
+           SELECT i, j,
+             list_sum(list_sort(list(xi * xj))) AS sxy,
+             list_sum(list_sort(list(xi))) AS sx,
+             list_sum(list_sort(list(xj))) AS sy,
+             CAST(count(*) AS DOUBLE) AS n
+           FROM p GROUP BY 1, 2)
+         SELECT i, j, round((sxy - sx * sy / n) / n, 6) AS cov
+         FROM st ORDER BY 1, 2""",
+
+    "q94_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+                JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s0.t0
+                  AND e.ts <= s0.t0 + INTERVAL 7200 SECOND GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 7200 SECOND GROUP BY 1)
+         SELECT stage_idx, stage, users FROM (
+           VALUES (0, 'view', (SELECT count(*) FROM s0)),
+                  (1, 'click', (SELECT count(*) FROM s1)),
+                  (2, 'purchase', (SELECT count(*) FROM s2)))
+           AS v(stage_idx, stage, users)
+         ORDER BY stage_idx""",
+
+    "q95_cohort" ->
+      """WITH weekly AS (
+           SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS w
+           FROM events),
+         coh AS (SELECT user_id, min(w) AS cw FROM weekly GROUP BY 1)
+         SELECT cw AS cohort_week, w - cw AS week_offset,
+           count(*) AS users
+         FROM weekly JOIN coh USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q90_bpe_pairs" ->
       """WITH w AS (

@@ -252,6 +252,72 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style SEMANTIC dedup: cluster the corpus (assignment
+    * against broadcast centroids), pick each cluster's exemplar (max
+    * cosine to the centroid, id tie-break), and drop members too similar
+    * to their exemplar. The embedding-space analogue of MinHash dedup
+    * for paraphrase-level duplicates (public recipe: Abbas et al.'s
+    * SemDeDup — cluster, then prune within clusters).
+    *
+    * Scale shape: assignment is map-side against a broadcast model;
+    * exemplar choice is one window per cluster; the similarity test is
+    * ONE member⋈exemplar equi-join on the cluster id — linear in corpus
+    * size, never pairwise (the full SemDeDup intra-cluster pair matrix
+    * is bounded instead by comparing to the single exemplar, the
+    * keep-one-representative special case).
+    *
+    * Returns (id, cluster, cs [cosine to centroid], cos_ex [cosine to
+    * exemplar], keep ∈ {0,1}): keep = exemplar itself, or member with
+    * cos_ex below `threshold`. */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String,
+                    centroids: DataFrame, cid: String, cvec: String,
+                    threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, id, vec, centroids, cid, cvec)
+    val cvecs = broadcast(
+      centroids.select(col(cid).as("cluster"), col(cvec).as("__cv")))
+    val scored = assigned.join(cvecs, Seq("cluster"))
+      .select(col(id), col(vec), col("cluster"),
+        round(cosine(col(vec), col("__cv")), 6).as("cs"))
+    val w = Window.partitionBy("cluster").orderBy(col("cs").desc, col(id))
+    val ranked = scored.withColumn("__rn", row_number().over(w))
+    val exemplars = ranked.filter(col("__rn") === 1)
+      .select(col("cluster"), col(vec).as("__ev"), col(id).as("__eid"))
+    ranked.join(exemplars, Seq("cluster"))
+      .withColumn("cos_ex", round(cosine(col(vec), col("__ev")), 4))
+      .select(col(id), col("cluster"), col("cs"), col("cos_ex"),
+        (col(id) === col("__eid") || col("cos_ex") < lit(threshold))
+          .cast("long").as("keep"))
+  }
+
+  /** Covariance of embedding dimension pairs (i <= j < dims), long form
+    * (i, j, cov) — the Gram/covariance profile that drives whitening,
+    * PCA sanity checks, and feature diagnostics. Map-side expansion to
+    * d(d+1)/2 cells per row, ONE (i,j)-keyed aggregation; each cell's
+    * sums fold in sorted order, so the doubles are bit-reproducible
+    * (q82 discipline — at 100 TB swap the folds for the builtin sums /
+    * the one-row-per-partition Gram of [[pcaRotation]] and drop the
+    * bit-exactness claim). */
+  def dimCovariance(df: DataFrame, vec: String, dims: Int): DataFrame = {
+    val cells = df.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+            transform(sequence(i, ${dims - 1}), j -> named_struct(
+              'i', i, 'j', j,
+              'xi', CAST(element_at($vec, i + 1) AS DOUBLE),
+              'xj', CAST(element_at($vec, j + 1) AS DOUBLE)))))"""))
+      .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.xi").as("xi"), col("c.xj").as("xj"))
+    def sfold(c: Column) =
+      aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+    cells.groupBy("i", "j")
+      .agg(sfold(col("xi") * col("xj")).as("sxy"),
+        sfold(col("xi")).as("sx"), sfold(col("xj")).as("sy"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("i"), col("j"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+          .as("cov"))
+  }
+
   /** Batch k-NN JOIN: every vector's top-k neighbors in one distributed
     * pass — the all-queries form of ANN (labeling, retrieval-augmented
     * dedup, graph construction), vs [[cosineTopK]]'s single query.
