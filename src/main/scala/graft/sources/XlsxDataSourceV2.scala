@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,7 +70,8 @@ private[sources] object XlsxDataSourceV2 {
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
       fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+        .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx")
+          && !s.getPath.getName.startsWith(".")) // crashed writers' temps
         .map(_.getPath.toString).sorted
     else Seq(st.getPath.toString)
   }
@@ -84,7 +86,7 @@ private[sources] object XlsxDataSourceV2 {
 
 private[sources] class XlsxTable(tableSchema: StructType,
                                  options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graft-xlsx(${Option(options.get("path")).getOrElse("?")})"
@@ -92,10 +94,126 @@ private[sources] class XlsxTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new XlsxScanBuilder(tableSchema, o)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-xlsx: .save(path) required"))
+    new XlsxWriteBuilder(info.schema(), path)
+  }
+}
+
+/** Write half of the connector — `df.write.format("graft-xlsx")
+  * .mode("append"|"overwrite").save(dir)`. Each input partition becomes
+  * ONE workbook (`part-NNNNN-<uuid>.xlsx`, header row included), the
+  * shape the read side already treats as a table — so a distributed
+  * write round-trips through the same connector. All columns must be
+  * StringType (the all-text export contract; cast upstream).
+  *
+  * Commit protocol: tasks write `.tmp-` files; the driver's commit
+  * renames them into place (and, for truncate/overwrite, deletes the
+  * previously-live workbooks first); abort deletes the temps — no
+  * torn-output window beyond the rename batch, same rename-based
+  * contract as the engine's other sinks. */
+private[sources] class XlsxWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    schema.fields.foreach(f => require(f.dataType == StringType,
+      s"graft-xlsx writes text workbooks: column '${f.name}' is " +
+        s"${f.dataType.simpleString}, cast it to string upstream"))
+    new XlsxWrite(schema, path, truncateFirst)
+  }
+}
+
+private[sources] class XlsxWrite(schema: StructType, path: String,
+                                 truncateFirst: Boolean) extends Write {
+  override def toBatch: BatchWrite =
+    new XlsxBatchWrite(schema, path, truncateFirst)
+}
+
+private[sources] case class XlsxCommitMessage(tmp: String, fin: String)
+    extends WriterCommitMessage
+
+private[sources] class XlsxBatchWrite(schema: StructType, path: String,
+                                      truncateFirst: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new XlsxWriterFactory(schema.fieldNames.toSeq, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.mkdirs(new Path(path))
+    val msgs = messages
+      .collect { case m: XlsxCommitMessage => m }.filter(_.tmp.nonEmpty)
+    if (truncateFirst) {
+      // staged temps are dot-prefixed, so this sweeps only LIVE workbooks
+      fs.listStatus(new Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.toLowerCase.endsWith(".xlsx") && !n.startsWith("."))
+          fs.delete(st.getPath, false)
+      }
+    }
+    msgs.foreach { m =>
+      require(fs.rename(new Path(m.tmp), new Path(m.fin)),
+        s"graft-xlsx: failed to publish ${m.fin}")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.collect { case m: XlsxCommitMessage if m.tmp.nonEmpty =>
+      fs.delete(new Path(m.tmp), false)
+    }
+  }
+}
+
+private[sources] class XlsxWriterFactory(fieldNames: Seq[String], path: String)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new XlsxDataWriter(fieldNames, path, partitionId, taskId)
+}
+
+/** Buffers one partition's rows (a workbook is dimension-sized by
+  * contract) and emits a single workbook on commit. Empty partitions
+  * emit nothing. */
+private[sources] class XlsxDataWriter(fieldNames: Seq[String], path: String,
+                                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+
+  override def write(row: InternalRow): Unit =
+    buf += fieldNames.indices.map(i =>
+      if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
+
+  override def commit(): WriterCommitMessage = {
+    if (buf.isEmpty) return XlsxCommitMessage("", "")
+    val base = f"part-$partitionId%05d-$taskId.xlsx"
+    val tmp = new Path(path, s".tmp-$base")
+    val fs = tmp.getFileSystem(new Configuration())
+    fs.mkdirs(new Path(path))
+    val out = fs.create(tmp, true)
+    try out.write(XlsxSource.writeBytes(fieldNames, buf.iterator))
+    finally out.close()
+    XlsxCommitMessage(tmp.toString, new Path(path, base).toString)
+  }
+
+  override def abort(): Unit = ()
+
+  override def close(): Unit = buf.clear()
 }
 
 private[sources] class XlsxScanBuilder(fullSchema: StructType,

@@ -94,6 +94,86 @@ object XlsxSource {
     letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
   }
 
+  /** 0 → "A", 25 → "Z", 26 → "AA" — inverse of [[colIndex]]. */
+  private[sources] def colLetters(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) {
+      val r = (n - 1) % 26
+      sb.insert(0, ('A' + r).toChar)
+      n = (n - 1) / 26
+    }
+    sb.toString
+  }
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  /** Serialize (header, rows) as a minimal single-sheet .xlsx — the
+    * write half of the S1 surface. Cells are written as `inlineStr`
+    * (self-contained; no sharedStrings part), nulls as omitted cells —
+    * both shapes [[parseRows]] already reads, so write→read round-trips
+    * bit-for-bit on the string payload. One workbook is dimension-sized
+    * by contract (the reference's export shape), so building it in
+    * memory per partition is the intended granularity. */
+  def writeBytes(header: Seq[String], rows: Iterator[Seq[String]]): Array[Byte] = {
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bout)
+    def part(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    val decl = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    part("[Content_Types].xml", decl +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+      """</Types>""")
+    part("_rels/.rels", decl +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      """</Relationships>""")
+    part("xl/workbook.xml", decl +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>""" +
+      """</workbook>""")
+    part("xl/_rels/workbook.xml.rels", decl +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+      """</Relationships>""")
+    z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write((decl +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      .getBytes("UTF-8"))
+    var rowIdx = 1
+    def writeRow(cells: Seq[String]): Unit = {
+      val sb = new StringBuilder(s"""<row r="$rowIdx">""")
+      cells.zipWithIndex.foreach { case (v, i) =>
+        if (v != null)
+          sb.append(s"""<c r="${colLetters(i)}$rowIdx" t="inlineStr">""")
+            .append("<is><t>").append(xmlEscape(v)).append("</t></is></c>")
+      }
+      sb.append("</row>")
+      z.write(sb.toString.getBytes("UTF-8"))
+      rowIdx += 1
+    }
+    writeRow(header)
+    rows.foreach(writeRow)
+    z.write("</sheetData></worksheet>".getBytes("UTF-8"))
+    z.closeEntry()
+    z.close()
+    bout.toByteArray
+  }
+
   private def load(zin: ZipInputStream): Node =
     XML.load(new java.io.InputStreamReader(
       new java.io.FilterInputStream(zin) {

@@ -82,4 +82,44 @@ class XlsxV2Spec extends SparkSpec {
       .as[(String, String)].collect().toSeq
     assert(got === Seq(("ada", "lyon"), ("bob", "nice")))
   }
+
+  test("write path: distributed append writes one workbook per " +
+    "partition and round-trips through the same connector") {
+    val out = Files.createTempDirectory("xlsxw").toString + "/tbl"
+    val df = (1 to 50).map(i => (s"id$i", s"v$i", if (i % 7 == 0) null
+      else s"x$i")).toDF("ID", "VAL", "OPT")
+    df.repartition(4).write.format("graft-xlsx").mode("append").save(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".xlsx"))
+    assert(files.length >= 2 && files.forall(!_.getName.startsWith(".")))
+    val back = spark.read.format("graft-xlsx").load(out)
+    assert(back.columns.toSeq === Seq("ID", "VAL", "OPT"))
+    assert(back.orderBy("ID").collect().toSeq ===
+      df.orderBy("ID").collect().toSeq) // nulls + values bit-identical
+    // a second append ADDS workbooks
+    Seq(("extra", "e", "e")).toDF("ID", "VAL", "OPT")
+      .coalesce(1).write.format("graft-xlsx").mode("append").save(out)
+    assert(spark.read.format("graft-xlsx").load(out).count() === 51)
+  }
+
+  test("write path: overwrite truncates previously-live workbooks; " +
+    "XML-special characters survive the round-trip") {
+    val out = Files.createTempDirectory("xlsxw2").toString + "/tbl"
+    (1 to 10).map(i => (s"a$i", "old")).toDF("K", "V")
+      .write.format("graft-xlsx").mode("append").save(out)
+    Seq(("k<&>\"", "new & <improved>")).toDF("K", "V")
+      .coalesce(1).write.format("graft-xlsx").mode("overwrite").save(out)
+    val back = spark.read.format("graft-xlsx").load(out)
+      .as[(String, String)].collect().toSeq
+    assert(back === Seq(("k<&>\"", "new & <improved>")))
+  }
+
+  test("write path: non-string columns are rejected with a clear error") {
+    val out = Files.createTempDirectory("xlsxw3").toString + "/tbl"
+    val e = intercept[Exception] {
+      Seq((1, "a")).toDF("N", "S")
+        .write.format("graft-xlsx").mode("append").save(out)
+    }
+    assert(e.getMessage.contains("cast it to string"))
+  }
 }
