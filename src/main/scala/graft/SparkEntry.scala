@@ -1009,6 +1009,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The SAME chain graph through the ALTERNATING STAR algorithm
+    // (Graph.connectedComponentsStar, Kiveris et al.): edge-rewriting
+    // CC for high-diameter adversarial graphs, vs q70's pointer
+    // jumping — two algorithms, one oracle-checked contract.
+    "q96_cc_star" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+      graft.ops.Graph.connectedComponentsStar(edges)
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -2423,6 +2437,11 @@ object SparkEntry {
     // component representative is the decade floor (nodes that appear
     // in any edge = all docs, since every decade chains 0..9)
     "q70_connected_components" ->
+      """SELECT doc_id, (doc_id // 10) * 10 AS component
+         FROM documents
+         ORDER BY doc_id""",
+
+    "q96_cc_star" ->
       """SELECT doc_id, (doc_id // 10) * 10 AS component
          FROM documents
          ORDER BY doc_id""",

@@ -52,4 +52,73 @@ object Graph {
     }
     pr
   }
+
+  /** Normalize an edge frame to canonical undirected form: (a<b),
+    * self-loops dropped, deduplicated. */
+  private def canon(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+
+  private def symm(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the adversarial-graph companion to
+    * [[DedupOps.connectedComponents]]'s pointer jumping.
+    *
+    * Why both exist: pointer jumping carries a LABEL TABLE (|V| rows)
+    * through every round and joins it against the full edge list —
+    * great when the graph is star/clique-shaped (near-dup graphs).
+    * Star contraction instead REWRITES THE EDGE LIST toward a star per
+    * component; its intermediate state shrinks monotonically on
+    * high-diameter graphs (long chains, lattices, web-crawl tendrils),
+    * converges in O(log n) alternations with per-round work O(|E|),
+    * and needs no per-node label join. Per round: two groupBy-min's
+    * and two key-equality joins — shuffle-partitioned, no broadcast of
+    * anything data-sized, lineage truncated per round.
+    *
+    * Returns (node, component) with component = the component's minimum
+    * node id — identical output contract to the pointer-jumping form
+    * (equivalence property-tested in GraphSpec). */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxIter: Int = 30): DataFrame = {
+    var e = Caches.small(canon(
+      pairs.select(col(idA).as("u"), col(idB).as("v"))))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR: per node u, m = min(N(u) ∪ {u}); connect every
+      // strictly-larger neighbor to m
+      val se = symm(e)
+      val lsMin = se.groupBy("u").agg(min(col("v")).as("__mv"))
+      val ls = canon(se.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("__mv")).as("v")))
+      // SMALL-STAR: per node u, m = min of its strictly-smaller
+      // neighbors; connect those neighbors (and u) to m
+      val ss0 = symm(ls)
+      val smaller = ss0.filter(col("v") < col("u"))
+      val ssMin = smaller.groupBy("u").agg(min(col("v")).as("__mv"))
+      val ss = Caches.small(canon(
+        smaller.join(ssMin, "u")
+          .select(col("v").as("u"), col("__mv").as("v"))
+          .unionByName(ssMin.select(col("u"), col("__mv").as("v")))))
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+      i += 1
+    }
+    // converged edge set is a star per component rooted at its min:
+    // non-roots appear as `b` with the root as `a`; roots label themselves
+    val members = e.select(col("b").as("node"), col("a").as("component"))
+      .groupBy("node").agg(min("component").as("component"))
+    val roots = e.select(col("a").as("node")).distinct()
+      .join(members, Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    members.unionByName(roots)
+  }
 }

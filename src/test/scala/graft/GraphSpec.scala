@@ -29,4 +29,30 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
     assert(a(100L) > a(101L)) // 90 in-links vs 30
   }
+
+  test("connectedComponentsStar equals pointer-jumping CC on random " +
+    "graphs and on an adversarial long chain") {
+    import graft.ops.{DedupOps, Graph}
+    val rng = new scala.util.Random(23)
+    val n = 80
+    val rand = (0 until 100)
+      .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // high-diameter adversary: a 400-node path (plus a reversed tail so
+    // edge direction never matters)
+    val chain = (0L until 399L).map(i => (i + 1000L, i + 1001L))
+    for (edges <- Seq(rand, chain)) {
+      val df = edges.toDF("id_a", "id_b")
+      val pj = DedupOps.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val star = Graph.connectedComponentsStar(df)
+        .as[(Long, Long)].collect().toMap
+      assert(star === pj)
+    }
+    // the chain collapses to a single component rooted at its min
+    val star = Graph.connectedComponentsStar(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    assert(star.map(_._2).distinct.toSeq === Seq(1000L))
+    assert(star.length === 400)
+  }
 }
