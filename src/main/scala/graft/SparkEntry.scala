@@ -1023,6 +1023,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance near-dup: prefix-block equi-join candidates (hot
+    // blocks capped, like MinHash buckets) verified with the BANDED
+    // levenshtein(l, r, threshold) — O(k·n) per pair, not O(n²).
+    "q97_edit_distance" -> ((s, dir) => {
+      DedupOps.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          prefixLen = 16, lenBand = 20, maxDist = 20, maxBlock = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Bigram LM surprisal with add-k smoothing (k=0.5, binary-exact) —
+    // the 2-gram upgrade of q53's perplexity quality filter; per-doc
+    // mean is an ordered fold over the sorted nll multiset.
+    "q98_bigram_lm" -> ((s, dir) => {
+      TA.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text",
+          k = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // SLIDING (overlapping) windows — window(ts, 10 min, slide 5 min):
+    // each event lands in exactly two windows; Spark expands the
+    // window set map-side (explode of the window array), then one
+    // shuffle on window start. Complements q13's tumbling hour.
+    "q99_sliding_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("wend"),
+          col("n"), col("sum_value"))
+        .orderBy("wstart")
+    }),
+
+    // Symmetric int8 embedding quantization — per-vector max-abs scale,
+    // codes = round(127·x/scale): the 4× shrink before ANN serving.
+    // Map-side transform() over built-ins, no shuffle.
+    "q100_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
+    // LATERAL correlated subquery in FROM — per-nation top-2 customers
+    // by balance. Catalyst decorrelates this into a ranked window +
+    // join (DomainJoin rewrite), NOT a per-row subquery loop — the
+    // set-at-a-time plan survives any row count.
+    "q101_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT n.n_name, t.c_custkey, t.bal
+               FROM nation n,
+               LATERAL (
+                 SELECT c_custkey, round(c_acctbal, 2) AS bal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 2
+               ) t
+               ORDER BY n.n_name, t.bal DESC, t.c_custkey""")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -2445,6 +2504,96 @@ object SparkEntry {
       """SELECT doc_id, (doc_id // 10) * 10 AS component
          FROM documents
          ORDER BY doc_id""",
+
+    // Replays the prefix blocking, the maxBlock=64 hot-block cap, the
+    // ±20 length band, and the ≤20 distance cut with DuckDB's own
+    // levenshtein (integer result — engine-independent).
+    "q97_edit_distance" ->
+      """WITH base AS (
+           SELECT doc_id, text, substr(text, 1, 16) AS blk,
+                  length(text) AS len
+           FROM documents),
+         kept AS (
+           SELECT blk FROM base GROUP BY blk HAVING count(*) <= 64),
+         blocked AS (SELECT base.* FROM base JOIN kept USING (blk))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                levenshtein(a.text, b.text) AS edit_dist
+         FROM blocked a JOIN blocked b USING (blk)
+         WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 20
+           AND levenshtein(a.text, b.text) <= 20
+         ORDER BY id_a, id_b""",
+
+    // Same count model, same smoothing arithmetic (every float op cast
+    // to DOUBLE so DuckDB cannot fold the 0.5 literal in DECIMAL), same
+    // sorted-fold per-doc mean as the Spark side.
+    "q98_bigram_lm" ->
+      """WITH ws AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         bg AS (
+           SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM ws, unnest(range(1, len(ws))) AS t(i)),
+         uni AS (
+           SELECT w1, count(*) AS uc
+           FROM (SELECT unnest(ws) AS w1 FROM ws) GROUP BY 1),
+         bc AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+         v AS (SELECT count(*) AS v FROM uni),
+         nll AS (
+           SELECT doc_id,
+             -ln((bc::DOUBLE + 0.5::DOUBLE) /
+                 (uc::DOUBLE + 0.5::DOUBLE * v::DOUBLE)) AS nll
+           FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+         SELECT doc_id,
+           round(list_sum(list_sort(list(nll))) / count(*), 4)
+             AS mean_bigram_nll,
+           count(*) AS n_bigrams
+         FROM nll GROUP BY doc_id ORDER BY doc_id""",
+
+    // Epoch-aligned 5-minute grid replayed with integer second
+    // arithmetic (floor BEFORE the bigint cast — a .999999 fraction
+    // must truncate, not round, or boundary events jump buckets);
+    // NTZ timestamp arithmetic so no session-timezone dependence.
+    "q99_sliding_window" ->
+      """WITH w AS (
+           SELECT TIMESTAMP '1970-01-01 00:00:00' +
+               ((floor(epoch(ts))::BIGINT // 300) * 300 - k * 300)
+                 * INTERVAL 1 SECOND AS ws,
+             value
+           FROM events, unnest([0, 1]) AS t(k))
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
+           strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS wend,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1""",
+
+    // Same double sequence: float→double is exact, 127 is exact, round
+    // is half-away-from-zero in both engines.
+    "q100_quantize_int8" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(x::DOUBLE))) AS scale
+           FROM embeddings)
+         SELECT vec_id,
+           CASE WHEN scale = 0
+             THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding, x -> greatest(-127, least(127,
+               CAST(round(x::DOUBLE * 127.0 / scale) AS INTEGER))))
+           END AS codes,
+           scale
+         FROM s ORDER BY vec_id""",
+
+    "q101_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.bal
+         FROM nation n,
+         LATERAL (
+           SELECT c_custkey, round(c_acctbal, 2) AS bal
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey
+           LIMIT 2
+         ) t
+         ORDER BY n.n_name, t.bal DESC, t.c_custkey""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

@@ -922,6 +922,31 @@ object Similarity {
       .toDF(id, "rvec")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max |xᵢ|, codes = round(127·x/scale) (∈ [−127, 127] by
+    * construction; clamped anyway for API robustness). Returns
+    * (id, codes: array<int>, scale: double); dequant ≈ code·scale/127.
+    * Zero vectors quantize to all-zero codes with scale 0.
+    *
+    * The standard 4× memory/IO shrink before ANN serving. Pure map-side
+    * `transform` over built-ins — codegen'd, no shuffle, no UDF; at
+    * 100 TB it runs at scan speed and is the cheap first stage before
+    * PQ ([[pqEncode]]) when 8 bit/dim is affordable. All arithmetic in
+    * double with binary-exact constants so any engine replays it
+    * bit-for-bit. */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val scale = array_max(transform(col(vec), v => abs(v.cast("double"))))
+    df.select(col(id), col(vec).as("__v"), scale.as("scale"))
+      .select(col(id),
+        when(col("scale") === 0.0,
+            transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"), v =>
+            greatest(lit(-127), least(lit(127),
+              round(v.cast("double") * 127.0 / col("scale"), 0).cast("int")))))
+          .as("codes"),
+        col("scale"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
                          threshold: Double): DataFrame = {
     // Precompute the double-cast vector and its norm ONCE per row (the

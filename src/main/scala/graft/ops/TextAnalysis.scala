@@ -214,4 +214,56 @@ object TextAnalysis {
     pairs.groupBy("pair").agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
+
+  /** Bigram language-model surprisal with add-k smoothing — the
+    * two-gram upgrade of the unigram perplexity quality filter
+    * (Wenzek et al., CCNet: LM perplexity as a quality signal).
+    * P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V); per-doc score = mean
+    * −ln P over the doc's bigrams (docs with <2 tokens drop out).
+    * Returns (id, mean_bigram_nll rounded to 4 dp, n_bigrams).
+    *
+    * Deterministic cross-engine: the per-doc reduction is an ordered
+    * fold over the SORTED nll multiset (not an unordered float sum),
+    * and k is chosen binary-exact (0.5 default) so both engines run
+    * the identical IEEE sequence.
+    *
+    * Scale (100 TB): two key-equality shuffles build the count model
+    * (bigram counts ≈ corpus bigram vocab, unigram counts ≈ vocab);
+    * scoring is two shuffle joins of the token stream against those
+    * models plus one broadcast scalar (vocab size). Zipf keeps both
+    * model sides orders of magnitude smaller than the stream; nothing
+    * is ever collected to the driver. */
+  def bigramSurprisal(docs: DataFrame, id: String, text: String,
+                      k: Double = 0.5): DataFrame = {
+    val words = docs.select(col(id).as("__id"), tokens(col(text)).as("__ws"))
+    val bigrams = words
+      .select(col("__id"), col("__ws"),
+        explode_outer(when(size(col("__ws")) >= 2,
+            sequence(lit(1), size(col("__ws")) - 1))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .filter(col("__i").isNotNull)
+      .select(col("__id"),
+        element_at(col("__ws"), col("__i")).as("w1"),
+        element_at(col("__ws"), col("__i") + 1).as("w2"))
+    val unigrams = docs
+      .select(explode(tokens(col(text))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__uc"))
+    val bigramCounts = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("__bc"))
+    val vocabSize = unigrams.agg(count(lit(1)).as("__v"))
+    bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(unigrams, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("__id"),
+        (-log((col("__bc").cast("double") + lit(k)) /
+          (col("__uc").cast("double") + lit(k) * col("__v").cast("double"))))
+          .as("__nll"))
+      .groupBy("__id")
+      .agg(round(
+          aggregate(array_sort(collect_list(col("__nll"))), lit(0.0),
+            (a, x) => a + x) / count(lit(1)), 4).as("mean_bigram_nll"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+      .select(col("__id").as(id), col("mean_bigram_nll"), col("n_bigrams"))
+  }
 }

@@ -40,6 +40,46 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("quantizeInt8: exact half-up codes, zero vector gets scale 0 and " +
+    "all-zero codes, dequant stays within half a step") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (i, c, s) => i -> ((c, s)) }.toMap
+    assert(got(1L) === ((Seq(64, -127, 32), 1.0))) // round(63.5) = 64 half-up
+    assert(got(2L) === ((Seq(0, 0, 0), 0.0)))
+    val (codes, scale) = got(1L)
+    for ((c, x) <- codes.zip(Seq(0.5, -1.0, 0.25)))
+      assert(math.abs(c * scale / 127.0 - x) <= scale / 254.0 + 1e-12)
+  }
+
+  test("editDistancePairs: shared-prefix near-dups verified by threshold, " +
+    "distant pairs and capped hot blocks excluded") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // ed=3 to 1
+      (3L, "the quick brown cow sleeps under a warm tree and more"), // same prefix, far
+      (4L, "completely different text with no shared prefix at all"),
+      // a hot block: 5 docs sharing one prefix, cap=4 drops them all
+      (10L, "hot block prefix A"), (11L, "hot block prefix B"),
+      (12L, "hot block prefix C"), (13L, "hot block prefix D"),
+      (14L, "hot block prefix E")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 16, lenBand = 20, maxDist = 5, maxBlock = 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3)))
+    // widened threshold admits the same-prefix-but-far pair too
+    val wide = DedupOps.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 16, lenBand = 20, maxDist = 40, maxBlock = 4)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(wide((1L, 2L)) === 3 && wide.contains((1L, 3L)))
+  }
+
   test("connectedComponents equals a union-find reference on random " +
     "graphs (incl. isolated pairs, chains, and merged clusters)") {
     val rng = new scala.util.Random(17)
