@@ -39,6 +39,11 @@ object Bench {
       catch { case _: Throwable => }
     }
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Inter-query hygiene, OUTSIDE the timed region: a GC cycle lets
+      // the ContextCleaner release the previous queries' localCheckpoint
+      // blocks, so a query's measured time reflects its own work, not
+      // the heap debt of the 100 queries before it.
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -1082,6 +1082,29 @@ object SparkEntry {
                ORDER BY n.n_name, t.bal DESC, t.c_custkey""")
     }),
 
+    // Fuzzy record linkage with the NATIVE jaro_winkler Expression
+    // (functions.StringExpressions — codegen'd static call; Spark has
+    // no built-in JW). Brand-blocked candidate pairs, binary-exact
+    // 0.875 threshold, DECIMAL(9,6) output so both engines round the
+    // score identically.
+    "q102_jaro_winkler" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_brand").as("b"), col("p_partkey"), col("p_name"))
+      val lhs = p.select(col("b"), col("p_partkey").as("key_a"),
+        col("p_name").as("name_a"))
+      val rhs = p.select(col("b"), col("p_partkey").as("key_b"),
+        col("p_name").as("name_b"))
+      lhs.join(rhs, Seq("b"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"),
+          graft.functions.StringExpressions
+            .jaroWinkler(col("name_a"), col("name_b")).as("jw0"))
+        .filter(col("jw0") > 0.875)
+        .select(col("key_a"), col("key_b"),
+          col("jw0").cast("decimal(9,6)").as("jw"))
+        .orderBy("key_a", "key_b")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -2594,6 +2617,14 @@ object SparkEntry {
            LIMIT 2
          ) t
          ORDER BY n.n_name, t.bal DESC, t.c_custkey""",
+
+    "q102_jaro_winkler" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           jaro_winkler_similarity(a.p_name, b.p_name)::DECIMAL(9,6) AS jw
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.875
+         ORDER BY key_a, key_b""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

@@ -76,9 +76,20 @@ object GraftExtensions {
       HilbertIndex2(children(0), children(1), bits)
     })
 
+  val jaroWinkler: FnDef = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      if (children.size != 2)
+        throw new IllegalArgumentException(
+          s"Function jaro_winkler requires 2 arguments, got ${children.size}")
+      JaroWinkler(children(0), children(1))
+    })
+
   val all: Seq[FnDef] = Seq(
     dotProductD,
     hilbertIndex2,
+    jaroWinkler,
     columnFn("graft_normalize_text", 1)(cs => TF.normalizeText(cs(0))),
     columnFn("graft_md5hash48", 1)(cs => TF.md5Hash48(cs(0))),
     columnFn("graft_document_date", 1)(cs => TF.extractDocumentDate(cs(0))),

@@ -87,8 +87,21 @@ object Graph {
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
                               idB: String = "id_b",
                               maxIter: Int = 30): DataFrame = {
+    // Convergence signature: (row count, order-independent hash XOR —
+    // sound over these DISTINCT edge rows; wraps nothing under ANSI).
+    // Equal edge sets ⇒ equal signatures, so a signature CHANGE proves
+    // non-convergence with one cheap agg over the already-checkpointed
+    // frame; only on signature EQUALITY do we run the authoritative
+    // set-diff (once, at the converged round) — sound under hash
+    // collisions, and one job per round instead of count+except every
+    // round.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var e = Caches.small(canon(
       pairs.select(col(idA).as("u"), col(idB).as("v"))))
+    var eSig = sig(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -108,8 +121,10 @@ object Graph {
         smaller.join(ssMin, "u")
           .select(col("v").as("u"), col("__mv").as("v"))
           .unionByName(ssMin.select(col("u"), col("__mv").as("v")))))
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      val ssSig = sig(ss)
+      converged = ssSig == eSig && ss.except(e).isEmpty
       e = ss
+      eSig = ssSig
       i += 1
     }
     // converged edge set is a star per component rooted at its min:

@@ -55,6 +55,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(6) === viaColumn)
   }
 
+  test("jaro_winkler: DuckDB-pinned reference values, boost gating, " +
+    "empty-string convention, and SQL callability") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // values cross-checked against DuckDB jaro_winkler_similarity
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DUANE", "DWAYNE") === 0.8400000000000001)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("aaaaa", "aaaab") === 0.92)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert(jw("prefixmatch", "prefixxxxxx") === 0.6969696969696969)
+    assert(jw("CRATE", "TRACE") === 0.7333333333333334)
+    // DuckDB convention: any empty side scores 0, including both empty
+    assert(jw("", "") === 0.0 && jw("abc", "") === 0.0)
+    assert(jw("ab", "ba") === 0.0) // window 0: no matches
+    assert(jw("abc", "abc") === 1.0)
+    // SQL surface; whole-stage codegen path agrees with direct eval
+    val got = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS j").head().getDouble(0)
+    assert(got === 0.9611111111111111)
+  }
+
   test("dot_product_d rejects non-array inputs at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT dot_product_d(1, 2)").collect()
