@@ -1105,6 +1105,33 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    // Duplicate-SPAN detection (suffix-array dedup, relational form):
+    // 8-gram posting counts → duplicated positions → per-doc interval
+    // merge. Two key-equality shuffles + one per-doc window.
+    "q103_dup_spans" -> ((s, dir) => {
+      DedupOps.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minCount = 2L)
+        .orderBy("doc_id")
+    }),
+
+    // Snapshot CDC diff (engine.Merge.snapshotDiff): two versions of
+    // the orders table derived deterministically (drops, inserts, and
+    // a price bump on key%5), classified insert/delete/update by one
+    // full-outer key join with null-safe column compare.
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val v1 = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val v2 = orders.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")), 2).as("o_totalprice"))
+      Merge.snapshotDiff(v1, v2, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -2625,6 +2652,72 @@ object SparkEntry {
            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.875
          ORDER BY key_a, key_b""",
+
+    // 1-based starts here vs 0-based in Spark — positions never leave
+    // the interval arithmetic, which is translation-invariant.
+    "q103_dup_spans" ->
+      """WITH ws AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos,
+             array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+           FROM ws, unnest(range(1, len(ws) - 6)) AS t(i)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+         w AS (
+           SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS nw
+           FROM d),
+         isl AS (
+           SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM w),
+         sp AS (
+           SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+           FROM isl GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
+           FROM sp GROUP BY 1)
+         SELECT ws.doc_id, len(ws) AS n_tokens,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(coalesce(dup_tokens, 0)::DOUBLE / len(ws)::DOUBLE, 4)
+             AS dup_frac
+         FROM ws LEFT JOIN agg USING (doc_id) ORDER BY ws.doc_id""",
+
+    "q104_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         v2 AS (
+           SELECT o_orderkey, o_orderstatus,
+             round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END, 2) AS o_totalprice
+           FROM orders WHERE o_orderkey % 4 <> 0),
+         d AS (
+           SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                  WHEN v2.o_orderkey IS NULL THEN 'delete'
+                  WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                    OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                    THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             v1.o_orderstatus AS old_o_orderstatus,
+             v2.o_orderstatus AS new_o_orderstatus,
+             v1.o_totalprice AS old_o_totalprice,
+             v2.o_totalprice AS new_o_totalprice
+           FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+         SELECT * FROM d WHERE change_type <> 'unchanged'
+         ORDER BY o_orderkey""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

@@ -73,6 +73,21 @@ class DedupMergeSpec extends SparkSpec {
       === (51L to 75L))
   }
 
+  test("snapshotDiff: insert/delete/update classification, unchanged " +
+    "dropped, null-to-value transitions classify as update") {
+    val v1 = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "p")
+    val v2 = Seq((1L, Some("a"), 10.0), (3L, Some("c"), 30.0),
+      (4L, Some("d"), 44.0), (5L, Some("e"), 50.0))
+      .toDF("k", "s", "p")
+    val got = Merge.snapshotDiff(v1, v2, Seq("k"), Seq("s", "p"))
+      .orderBy("k")
+      .select("k", "change_type").as[(Long, String)].collect().toSeq
+    assert(got === Seq((2L, "delete"), (3L, "update"),
+      (4L, "update"), (5L, "insert"))) // key 1 unchanged -> dropped
+  }
+
   test("dedup idempotence: keepFirst(keepFirst(x)) == keepFirst(x)") {
     val df = (1 to 200).map(i => (i.toLong, (i % 17).toString)).toDF("ord", "key")
     val once = Dedup.keepFirst(df, Seq("key"), col("ord"))

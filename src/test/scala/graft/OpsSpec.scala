@@ -40,6 +40,24 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("dupSpans: overlapping duplicated k-grams merge into one maximal " +
+    "span; within-doc repeats count; clean docs report zero") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // shares "a b c","b c d" with doc 2
+      (2L, "a b c d x y"),
+      (3L, "z z z z"),           // "z z z" twice WITHIN the doc
+      (4L, "unique words only here")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dupSpans(docs, "doc_id", "text", k = 3, minCount = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 6L, 1L, 4L, 0.6667), // positions 0,1 merge -> [0,4)
+      (2L, 6L, 1L, 4L, 0.6667),
+      (3L, 4L, 1L, 4L, 1.0),    // the whole doc is one duplicated span
+      (4L, 4L, 0L, 0L, 0.0)))
+  }
+
   test("quantizeInt8: exact half-up codes, zero vector gets scale 0 and " +
     "all-zero codes, dequant stays within half a step") {
     val df = Seq(
