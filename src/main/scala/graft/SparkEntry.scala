@@ -1132,6 +1132,120 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Hashed-linear quality classifier — fastText-shaped inference:
+    // md5-derived token weights, mean logit (sorted fold), sigmoid
+    // score. Scan-speed model scoring, no model server.
+    "q105_quality_classifier" -> ((s, dir) => {
+      TA.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: one keyed window (lead) + one groupBy; row-normalized
+    // probabilities via a partition-sum window over the COUNTS table
+    // (event-type² rows, not the event stream).
+    "q106_markov_transitions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val counts = events(s, dir)
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(byUser).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      counts.select(col("src"), col("dst"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("src"))), 4).as("p"))
+        .orderBy("src", "dst")
+    }),
+
+    // Equal-frequency (decile) binning the SCALE-SAFE way: exact
+    // percentile boundaries from one aggregation, broadcast back,
+    // map-side assignment — no global ntile sort anywhere (the
+    // single-partition window hazard q26 documents for rankings).
+    "q107_decile_binning" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val bounds = orders.agg(expr(
+        "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      orders.crossJoin(broadcast(bounds))
+        .select(col("o_totalprice"),
+          (lit(1) + size(filter(col("bs"), b => col("o_totalprice") > b)))
+            .as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("decile")
+    }),
+
+    // Entity resolution END-TO-END: brand-blocked Jaro-Winkler match
+    // graph (native expression, 0.9375 = 15/16 binary-exact threshold)
+    // → pointer-jumping connected components → golden record = the
+    // min-key member, every part labeled with its entity and canonical
+    // name. The production ER pipeline shape in one plan.
+    "q108_entity_resolution" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val base = p.select(col("p_brand").as("b"), col("p_partkey"),
+        col("p_name"))
+      val lhs = base.select(col("b"), col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"))
+      val rhs = base.select(col("b"), col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"))
+      val pairs = lhs.join(rhs, Seq("b"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.StringExpressions
+          .jaroWinkler(col("name_a"), col("name_b")) > 0.9375)
+        .select("id_a", "id_b")
+      val cc = DedupOps.connectedComponents(pairs)
+      p.select(col("p_partkey"))
+        .join(cc.select(col("node").as("p_partkey"), col("component")),
+          Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("component"), col("p_partkey")).as("entity_id"))
+        .join(p.select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")), Seq("entity_id"))
+        .select(col("p_partkey"), col("entity_id"), col("canonical_name"),
+          (col("p_partkey") === col("entity_id")).cast("long")
+            .as("is_canonical"))
+        .orderBy("p_partkey")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE: the grouped aggregate of snapshot
+    // v2 is produced WITHOUT re-aggregating v2 — old aggregate ± the
+    // CDC delta from Merge.snapshotDiff (deletes/updates retract from
+    // the OLD group, inserts/updates add to the NEW group — group
+    // moves handled). The oracle recomputes v2 directly, so the gate
+    // proves maintained ≡ recomputed. All-integer arithmetic (price
+    // cents), so retraction is exact. At 100 TB this is the difference
+    // between touching the delta and re-scanning the warehouse.
+    "q109_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def cents(c: Column) = round(c * 100, 0).cast("long")
+      val v1 = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents"))
+      val v2 = orders.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice"))).as("cents"))
+      val oldAgg = v1.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val d = Merge.snapshotDiff(v1, v2, Seq("o_orderkey"),
+        Seq("o_orderpriority", "cents"))
+      val retract = d.filter(col("change_type").isin("delete", "update"))
+        .groupBy(col("old_o_orderpriority").as("o_orderpriority"))
+        .agg((-count(lit(1))).as("n"), (-sum(col("old_cents"))).as("sum_cents"))
+      val add = d.filter(col("change_type").isin("insert", "update"))
+        .groupBy(col("new_o_orderpriority").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("new_cents")).as("sum_cents"))
+      oldAgg.unionByName(retract).unionByName(add)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_cents")).cast("long").as("sum_cents"))
+        .filter(col("n") > 0)
+        .orderBy("o_orderpriority")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -2718,6 +2832,81 @@ object SparkEntry {
            FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
          SELECT * FROM d WHERE change_type <> 'unchanged'
          ORDER BY o_orderkey""",
+
+    "q105_quality_classifier" ->
+      """WITH w AS (
+           SELECT doc_id,
+             ((('0x' || substring(md5('0:' || unnest(string_split(
+                 lower(trim(regexp_replace(text,'\s+',' ','g'))),' '))),
+                 1, 12))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0) AS w
+           FROM documents),
+         l AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             list_sum(list_sort(list(w))) / count(*) AS logit
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           round(1.0::DOUBLE / (1.0::DOUBLE + exp(-logit)), 4) AS score,
+           CASE WHEN logit > 0.0 THEN 'keep' ELSE 'drop' END AS label
+         FROM l ORDER BY doc_id""",
+
+    "q106_markov_transitions" ->
+      """WITH tr AS (
+           SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+           FROM events),
+         c AS (
+           SELECT src, dst, count(*) AS n
+           FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2)
+         SELECT src, dst, n,
+           round(n::DOUBLE / (sum(n) OVER (PARTITION BY src))::DOUBLE, 4)
+             AS p
+         FROM c ORDER BY src, dst""",
+
+    "q107_decile_binning" ->
+      """WITH b AS (
+           SELECT quantile_cont(o_totalprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM orders),
+         a AS (
+           SELECT o_totalprice,
+             1 + len(list_filter(bs, x -> o_totalprice > x)) AS decile
+           FROM orders, b)
+         SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+         FROM a GROUP BY 1 ORDER BY 1""",
+
+    "q108_entity_resolution" ->
+      """WITH RECURSIVE j AS (
+           SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.9375),
+         e AS (SELECT id_a AS s, id_b AS d FROM j
+               UNION ALL SELECT id_b, id_a FROM j),
+         reach(node, r) AS (
+           SELECT p_partkey, p_partkey FROM part
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.node),
+         ent AS (
+           SELECT node AS p_partkey, min(r) AS entity_id
+           FROM reach GROUP BY node)
+         SELECT ent.p_partkey, ent.entity_id,
+           c.p_name AS canonical_name,
+           CAST(ent.p_partkey = ent.entity_id AS BIGINT) AS is_canonical
+         FROM ent JOIN part c ON c.p_partkey = ent.entity_id
+         ORDER BY ent.p_partkey""",
+
+    // Direct recompute of the v2 aggregate — the maintained form must
+    // equal this exactly (integer cents, no float retraction drift).
+    "q109_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           sum(round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END * 100)::BIGINT)::BIGINT
+             AS sum_cents
+         FROM orders WHERE o_orderkey % 4 <> 0
+         GROUP BY 1 ORDER BY 1""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

@@ -215,6 +215,36 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** Hashed-linear quality classifier — model INFERENCE at corpus
+    * scale, fastText-shaped: each token hashes to a deterministic
+    * weight w = (md5₄₈(token) mod 2001 − 1000)/1000 ∈ [−1, 1] (a stand-
+    * in for trained weights; in production the weight table is a
+    * broadcast join on the same hash key), a document's logit is the
+    * MEAN token weight, and the score is the logistic sigmoid of it.
+    * Returns (id, n_tokens, score rounded 4 dp, label keep/drop).
+    *
+    * Deterministic cross-engine: the md5 weight derivation is exact
+    * integer arithmetic, the mean is an ordered fold over the sorted
+    * weight multiset, and exp parity matches the ln parity the
+    * surprisal queries already pin. Pure map + one per-doc groupBy —
+    * at 100 TB this is scan-speed scoring with no model server. */
+  def hashedLinearScore(docs: DataFrame, id: String,
+                        text: String): DataFrame = {
+    val w = (TextFunctions.md5Hash48(col("w")) % 2001L - 1000L)
+      .cast("double") / 1000.0
+    docs
+      .select(col(id).as("__id"), explode_outer(tokens(col(text))).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("__id"), w.as("__w"))
+      .groupBy("__id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (aggregate(array_sort(collect_list(col("__w"))), lit(0.0),
+          (a, x) => a + x) / count(lit(1))).as("__logit"))
+      .select(col("__id").as(id), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__logit"))), 4).as("score"),
+        when(col("__logit") > 0.0, "keep").otherwise("drop").as("label"))
+  }
+
   /** Bigram language-model surprisal with add-k smoothing — the
     * two-gram upgrade of the unigram perplexity quality filter
     * (Wenzek et al., CCNet: LM perplexity as a quality signal).
