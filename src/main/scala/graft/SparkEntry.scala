@@ -1246,6 +1246,74 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // BPE ENCODE — the apply side of q90's merge training: top-10
+    // ranked pairs folded into 10 literal replaces over the boundary-
+    // delimited vocabulary, joined back to the token stream. The
+    // DuckDB oracle replays the SAME merges through a recursive CTE
+    // stepping rank by rank.
+    "q110_bpe_encode" -> ((s, dir) => {
+      TA.bpeEncode(t(s, dir, "documents"), "doc_id", "text", numMerges = 10)
+        .orderBy("doc_id")
+    }),
+
+    // Declarative data-quality audit (ops.Audit): five orders-table
+    // rules in ONE aggregation pass + a referential anti-join check
+    // against customer — a Deequ-shaped constraint report as rows.
+    "q111_dq_audit" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val rules = graft.ops.Audit.singlePass(orders,
+        metrics = Seq(
+          "row_count" -> count(lit(1)),
+          "orderkey_nulls" -> sum(col("o_orderkey").isNull.cast("long")),
+          "orderkey_dupes" ->
+            (count(col("o_orderkey")) - count_distinct(col("o_orderkey"))),
+          "negative_totalprice" ->
+            sum((col("o_totalprice") < 0).cast("long")),
+          "bad_status" ->
+            sum((!col("o_orderstatus").isin("F", "O", "P")).cast("long"))),
+        rules = Map(
+          "row_count" -> (v => v > 0),
+          "orderkey_nulls" -> (v => v === 0),
+          "orderkey_dupes" -> (v => v === 0),
+          "negative_totalprice" -> (v => v === 0),
+          "bad_status" -> (v => v === 0)))
+      rules.unionByName(graft.ops.Audit.referential(
+          "orphan_custkeys", orders, "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .orderBy("check")
+    }),
+
+    // Full window-function ranking surface over a unique ordering:
+    // percent_rank, cume_dist, ntile — one keyed window shuffle.
+    "q112_rank_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(7).over(w).as("bucket7"))
+        .orderBy("o_orderkey")
+    }),
+
+    // HLL SKETCH ALGEBRA: per-source registers (Sketches.hllRegistersBy)
+    // merged by max-per-bucket into the global sketch — the lossless
+    // roll-up that lets a warehouse sketch per partition and aggregate
+    // register rows instead of rescanning. Per-source estimates and the
+    // merged estimate in one report.
+    "q113_hll_merge" -> ((s, dir) => {
+      val regs = Sketches.hllRegistersBy(events(s, dir),
+        col("event_type"), col("user_id").cast("string"), p = 6)
+      val per = Sketches.hllEstimateFromRegisters(regs, Seq("grp"), 6)
+        .select(col("grp").as("source"), col("est_distinct"),
+          col("nonzero_buckets"))
+      val merged = Sketches.hllEstimateFromRegisters(
+          regs.groupBy("bucket").agg(max(col("mx")).as("mx")), Seq.empty, 6)
+        .select(lit("__MERGED__").as("source"), col("est_distinct"),
+          col("nonzero_buckets"))
+      per.unionByName(merged).orderBy("source")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -2907,6 +2975,127 @@ object SparkEntry {
              AS sum_cents
          FROM orders WHERE o_orderkey % 4 <> 0
          GROUP BY 1 ORDER BY 1""",
+
+    // The merge table is re-derived exactly as q90's oracle derives it
+    // (count desc, pair asc, LIMIT 10, ranked), then applied rank by
+    // rank in a recursive CTE over the distinct vocabulary: chr(31)
+    // boundary markers make each merge one literal replace, identical
+    // to the Spark side's folded replaces.
+    "q110_bpe_encode" ->
+      """WITH RECURSIVE m AS (
+           SELECT string_split(pair, ' ')[1] AS a,
+                  string_split(pair, ' ')[2] AS b,
+                  row_number() OVER (ORDER BY cnt DESC, pair) AS r
+           FROM (
+             SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+               SELECT freq, unnest(list_transform(range(1, length(w)),
+                 i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)))
+                 AS pair
+               FROM (
+                 SELECT w, count(*) AS freq FROM (
+                   SELECT unnest(string_split(
+                     lower(trim(regexp_replace(text,'\s+',' ','g'))),' '))
+                     AS w
+                   FROM documents)
+                 WHERE length(w) >= 2 GROUP BY 1))
+             GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10)),
+         wd AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         wdne AS (SELECT doc_id, w FROM wd WHERE w <> ''),
+         v0 AS (
+           SELECT DISTINCT w,
+             regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS s
+           FROM wdne),
+         enc(w, s, r) AS (
+           SELECT w, s, 0 FROM v0
+           UNION ALL
+           SELECT enc.w,
+             replace(enc.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+               || chr(31), chr(31) || m.a || m.b || chr(31)),
+             enc.r + 1
+           FROM enc JOIN m ON m.r = enc.r + 1),
+         fin AS (
+           SELECT w, (length(s) - length(replace(s, chr(31), ''))) // 2
+             AS nt
+           FROM enc WHERE r = 10)
+         SELECT doc_id, count(*) AS n_words,
+           sum(nt)::BIGINT AS n_bpe_tokens
+         FROM wdne JOIN fin USING (w)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q111_dq_audit" ->
+      """SELECT * FROM (
+           SELECT 'row_count' AS check, count(*)::BIGINT AS value,
+             (count(*) > 0)::BIGINT AS passed FROM orders
+           UNION ALL
+           SELECT 'orderkey_nulls',
+             sum((o_orderkey IS NULL)::BIGINT)::BIGINT,
+             (sum((o_orderkey IS NULL)::BIGINT) = 0)::BIGINT FROM orders
+           UNION ALL
+           SELECT 'orderkey_dupes',
+             (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT,
+             (count(o_orderkey) = count(DISTINCT o_orderkey))::BIGINT
+           FROM orders
+           UNION ALL
+           SELECT 'negative_totalprice',
+             sum((o_totalprice < 0)::BIGINT)::BIGINT,
+             (sum((o_totalprice < 0)::BIGINT) = 0)::BIGINT FROM orders
+           UNION ALL
+           SELECT 'bad_status',
+             sum((o_orderstatus NOT IN ('F','O','P'))::BIGINT)::BIGINT,
+             (sum((o_orderstatus NOT IN ('F','O','P'))::BIGINT) = 0)::BIGINT
+           FROM orders
+           UNION ALL
+           SELECT 'orphan_custkeys', count(*)::BIGINT,
+             (count(*) = 0)::BIGINT
+           FROM orders o WHERE NOT EXISTS (
+             SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         ORDER BY "check"""",
+
+    "q112_rank_functions" ->
+      """SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(7) OVER w AS bucket7
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q113_hll_merge" ->
+      """WITH h AS (
+           SELECT event_type, ('0x' || substring(md5('0:'
+             || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+           FROM events),
+         rk AS (
+           SELECT event_type, h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 43
+                  ELSE 43 - length(format('{:b}', h // 64)) END AS rank
+           FROM h),
+         reg AS (SELECT event_type AS source, bucket, max(rank) AS mx
+                 FROM rk GROUP BY 1, 2),
+         allreg AS (
+           SELECT source, bucket, mx FROM reg
+           UNION ALL
+           SELECT '__MERGED__', bucket, max(mx) FROM reg GROUP BY 2),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS nz,
+                 list_sum(list_sort(list(
+                   power(CAST(2 AS DOUBLE), -mx)))) AS s
+               FROM allreg GROUP BY 1),
+         e AS (SELECT source, nz, s + (CAST(64 AS DOUBLE) - nz) AS st,
+                 64 - nz AS v FROM s),
+         raw AS (SELECT source, nz, v,
+                   CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                     * CAST(64 AS DOUBLE) / st AS eraw
+                 FROM e)
+         SELECT source,
+           round(CASE WHEN eraw <= CAST(160 AS DOUBLE) AND v > 0
+             THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+             ELSE eraw END, 4) AS est_distinct,
+           nz AS nonzero_buckets
+         FROM raw ORDER BY source""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

@@ -225,4 +225,55 @@ object Sketches {
           .otherwise(col("eraw")), 4).as("est_distinct"),
         col("nz").as("nonzero_buckets"))
   }
+
+  /** Per-group HLL REGISTERS `(grp, bucket, mx)` — the mergeable sketch
+    * state itself, not an estimate. This is the property that makes HLL
+    * the warehouse cardinality sketch: registers from disjoint
+    * partitions/sources/days union by `max` per bucket with NO loss, so
+    * a 100 TB corpus is sketched source-by-source (m·groups tiny rows)
+    * and any roll-up is a groupBy-max over register rows — never a
+    * rescan. */
+  def hllRegistersBy(df: DataFrame, grp: Column, e: Column,
+                     p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 16, s"bad precision $p")
+    val m = 1 << p
+    val remBits = 48 - p
+    val h = TextFunctions.md5Hash48(e)
+    val bucket = pmod(h, lit(m.toLong))
+    val r = shiftright(h, p)
+    val rank = when(r === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(r)))
+    df.select(grp.as("grp"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy("grp", "bucket").agg(max(col("rank")).as("mx"))
+  }
+
+  /** Standard-HLL estimate from register rows, per value of the `keys`
+    * columns (empty = one global row). Identical arithmetic to
+    * [[hllEstimate]] (sorted-fold register sum, linear counting below
+    * 2.5·m) so merged-register estimates replay in any engine. */
+  def hllEstimateFromRegisters(regs: DataFrame, keys: Seq[String],
+                               p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha =
+      if (m >= 128) lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+      else if (m == 64) lit(0.709)
+      else lit(0.697)
+    regs
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("nz"),
+        aggregate(array_sort(collect_list(
+            pow(lit(2.0), -col("mx").cast("double")))),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(keys.map(col) ++ Seq(col("nz"),
+        (col("s") + (lit(m.toDouble) - col("nz"))).as("st"),
+        (lit(m.toLong) - col("nz")).as("v")): _*)
+      .select(keys.map(col) ++ Seq(col("nz"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) / col("st")).as("eraw"),
+        col("v")): _*)
+      .select(keys.map(col) ++ Seq(
+        round(when(col("eraw") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("eraw")), 4).as("est_distinct"),
+        col("nz").as("nonzero_buckets")): _*)
+  }
 }

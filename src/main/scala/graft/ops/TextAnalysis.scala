@@ -215,6 +215,50 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** Greedy BPE ENCODER — applies a learned merge table (the top-K
+    * first-iteration pairs from [[bpePairCounts]], ranked by count then
+    * pair) to every word, in rank order. The tokenizer-application side
+    * of the BPE story: q90 trains the table, this runs it over the
+    * corpus. Returns (id, n_words, n_bpe_tokens).
+    *
+    * Mechanics: each word becomes a boundary-delimited token string
+    * (U+001F c U+001F per char), and each merge (a,b) is ONE literal
+    * `replace` of "␟a␟␟b␟"→"␟ab␟" — left-to-right non-overlapping,
+    * which for a fixed pair equals exhaustive greedy application
+    * (a merged token can never recreate its own pair), and applying
+    * ranks in order equals the lowest-rank-first priority scan. All
+    * codegen'd string ops, no lambdas.
+    *
+    * Scale (100 TB): encoding runs over the DISTINCT VOCABULARY, not
+    * the token stream (Zipf: orders of magnitude smaller), then joins
+    * back by word — the same trick bpePairCounts uses. The merge table
+    * is a driver-side model (topK rows), like the k-means centroids:
+    * collected once, folded into the plan as literals. */
+  def bpeEncode(docs: DataFrame, id: String, text: String,
+                numMerges: Int = 10): DataFrame = {
+    val merges: Seq[(String, String)] =
+      bpePairCounts(docs, text, numMerges).collect().toSeq
+        .map { r =>
+          val Array(a, b) = r.getString(0).split(" ", 2)
+          (a, b)
+        }
+    val U = "\u001f"
+    val words = docs
+      .select(col(id).as("__id"), explode_outer(tokens(col(text))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+    val vocab = words.select("w").distinct()
+    var s: Column = regexp_replace(col("w"), "(.)", U + "$1" + U)
+    for ((a, b) <- merges)
+      s = replace(s, lit(U + a + U + U + b + U), lit(U + a + b + U))
+    val enc = vocab.select(col("w"),
+      ((length(s) - length(replace(s, lit(U), lit("")))) / 2)
+        .cast("long").as("__nt"))
+    words.join(enc, Seq("w"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_bpe_tokens"))
+      .select(col("__id").as(id), col("n_words"), col("n_bpe_tokens"))
+  }
+
   /** Hashed-linear quality classifier — model INFERENCE at corpus
     * scale, fastText-shaped: each token hashes to a deterministic
     * weight w = (md5₄₈(token) mod 2001 − 1000)/1000 ∈ [−1, 1] (a stand-

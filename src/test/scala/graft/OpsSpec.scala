@@ -40,6 +40,18 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("bpeEncode: rank-ordered merges apply greedily left-to-right " +
+    "(hand-computed token counts)") {
+    // vocab: aaab (freq 2), aab (1) -> merges rank1 ('a a', cnt 5),
+    // rank2 ('a b', cnt 3). aaab -> [aa,a,b] -> [aa,ab] = 2 tokens;
+    // aab -> [aa,b] = 2 tokens.
+    val docs = Seq((1L, "aaab aab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", numMerges = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 4L), (2L, 1L, 2L)))
+  }
+
   test("dupSpans: overlapping duplicated k-grams merge into one maximal " +
     "span; within-doc repeats count; clean docs report zero") {
     val docs = Seq(

@@ -9,6 +9,25 @@ import graft.ops.{DedupOps, Sampling, Sketches, TextAnalysis}
 class SketchSampleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hll register merge is LOSSLESS: max-per-bucket over per-source " +
+    "registers equals the registers of the unioned stream, so the " +
+    "merged estimate equals the direct whole-stream estimate") {
+    val df = (0 until 2000)
+      .map(i => (s"src${i % 3}", s"user${i % 457}"))
+      .toDF("src", "u")
+    val bySrc = Sketches.hllRegistersBy(df, col("src"), col("u"), p = 6)
+    val merged = bySrc.groupBy("bucket").agg(max(col("mx")).as("mx"))
+    val direct = Sketches
+      .hllRegistersBy(df, lit("all"), col("u"), p = 6)
+      .select("bucket", "mx")
+    assert(merged.orderBy("bucket").collect().toSeq ===
+      direct.orderBy("bucket").collect().toSeq)
+    val estM = Sketches.hllEstimateFromRegisters(merged, Seq.empty, 6)
+      .select("est_distinct").head.getDouble(0)
+    // 457 distinct at p=6: estimate within the ~13% rse regime
+    assert(math.abs(estM - 457.0) / 457.0 < 0.3)
+  }
+
   test("heavyHitterCandidates: every key above the n/capacity bound " +
     "survives, and eviction actually prunes the light tail") {
     // 8 partitions, 4000 unique light keys + 3 heavy keys (freq 500
