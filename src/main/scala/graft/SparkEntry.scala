@@ -1314,6 +1314,63 @@ object SparkEntry {
       per.unionByName(merged).orderBy("source")
     }),
 
+    // TPC-H Q3 shape: segment-filtered customer ⋈ date-filtered orders
+    // ⋈ lineitem, top-10 orders by revenue. Dimension side broadcasts;
+    // filters reach the scans; revenue is a sorted fold per order so
+    // the double sum is engine-independent.
+    "q114_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1998-06-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1998-06-01").cast("date"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(round(aggregate(array_sort(collect_list(col("rev"))),
+          lit(0.0), (a, x) => a + x), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: the full dimension chain region→nation→customer
+    // joined against orders+lineitem+supplier with the co-nation
+    // condition; per-nation revenue. Every dimension broadcasts; the
+    // one big shuffle is lineitem⋈orders on orderkey.
+    "q115_local_supplier_volume" -> ((s, dir) => {
+      val nations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1999-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(aggregate(array_sort(collect_list(col("rev"))),
+          lit(0.0), (a, x) => a + x), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3096,6 +3153,39 @@ object SparkEntry {
              ELSE eraw END, 4) AS est_distinct,
            nz AS nonzero_buckets
          FROM raw ORDER BY source""",
+
+    "q114_shipping_priority" ->
+      """WITH r AS (
+           SELECT l.l_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate::DATE < DATE '1998-06-01'
+             AND l.l_shipdate::DATE > DATE '1998-06-01')
+         SELECT l_orderkey, orderdate,
+           round(list_sum(list_sort(list(rev))), 2) AS revenue
+         FROM r GROUP BY 1, 2
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q115_local_supplier_volume" ->
+      """WITH r AS (
+           SELECT n.n_name, l.l_extendedprice * (1 - l.l_discount) AS rev
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                          AND s.s_nationkey = c.c_nationkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region rg ON n.n_regionkey = rg.r_regionkey
+           WHERE rg.r_name = 'ASIA'
+             AND o.o_orderdate::DATE >= DATE '1997-01-01'
+             AND o.o_orderdate::DATE < DATE '1999-01-01')
+         SELECT n_name,
+           round(list_sum(list_sort(list(rev))), 2) AS revenue
+         FROM r GROUP BY 1 ORDER BY revenue DESC, n_name""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both
