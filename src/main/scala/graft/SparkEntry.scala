@@ -1371,6 +1371,16 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ITERATIVE BPE training (TextAnalysis.bpeTrain): pair counts are
+    // RECOMPUTED after each merge, so later ranks can pair merged
+    // tokens — true BPE, vs q90's static first-iteration table. The
+    // oracle unrolls the 3 iterations statically (the q78 PageRank
+    // trick), recounting from the replaced vocabulary each step.
+    "q116_bpe_train" -> ((s, dir) => {
+      TA.bpeTrain(t(s, dir, "documents"), "text", numMerges = 3)
+        .orderBy("rank")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3186,6 +3196,61 @@ object SparkEntry {
          SELECT n_name,
            round(list_sum(list_sort(list(rev))), 2) AS revenue
          FROM r GROUP BY 1 ORDER BY revenue DESC, n_name""",
+
+    // Three statically-unrolled train iterations: count pairs over the
+    // delimited vocab, argmax (cnt desc, pair asc), literal-replace the
+    // winner, recount — merged tokens can win later ranks.
+    "q116_bpe_train" ->
+      """WITH v0 AS (
+           SELECT regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')
+               AS s, freq
+           FROM (
+             SELECT w, count(*) AS freq FROM (
+               SELECT unnest(string_split(
+                 lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+               FROM documents)
+             WHERE length(w) >= 2 GROUP BY 1)),
+         p1 AS (
+           SELECT pair, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_transform(range(1, len(t)),
+               j -> t[j] || ' ' || t[j+1])) AS pair
+             FROM (SELECT string_split(trim(s, chr(31)),
+               chr(31) || chr(31)) AS t, freq FROM v0))
+           GROUP BY 1),
+         m1 AS (SELECT pair, string_split(pair, ' ')[1] AS a,
+                  string_split(pair, ' ')[2] AS b
+                FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+         v1 AS (SELECT replace(v.s, chr(31) || m.a || chr(31) || chr(31)
+                  || m.b || chr(31), chr(31) || m.a || m.b || chr(31)) AS s,
+                  v.freq
+                FROM v0 v, m1 m),
+         p2 AS (
+           SELECT pair, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_transform(range(1, len(t)),
+               j -> t[j] || ' ' || t[j+1])) AS pair
+             FROM (SELECT string_split(trim(s, chr(31)),
+               chr(31) || chr(31)) AS t, freq FROM v1))
+           GROUP BY 1),
+         m2 AS (SELECT pair, string_split(pair, ' ')[1] AS a,
+                  string_split(pair, ' ')[2] AS b
+                FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+         v2 AS (SELECT replace(v.s, chr(31) || m.a || chr(31) || chr(31)
+                  || m.b || chr(31), chr(31) || m.a || m.b || chr(31)) AS s,
+                  v.freq
+                FROM v1 v, m2 m),
+         p3 AS (
+           SELECT pair, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_transform(range(1, len(t)),
+               j -> t[j] || ' ' || t[j+1])) AS pair
+             FROM (SELECT string_split(trim(s, chr(31)),
+               chr(31) || chr(31)) AS t, freq FROM v2))
+           GROUP BY 1),
+         m3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+         SELECT * FROM (
+           SELECT 1::BIGINT AS rank, pair FROM m1
+           UNION ALL SELECT 2::BIGINT, pair FROM m2
+           UNION ALL SELECT 3::BIGINT, pair FROM m3)
+         ORDER BY rank""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

@@ -215,6 +215,56 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** ITERATIVE BPE TRAINER — true byte-pair-encoding training: after
+    * each merge the corpus pair counts are RECOMPUTED over the merged
+    * vocabulary, so later merges can pair previously-merged tokens
+    * (which the static first-iteration table of [[bpePairCounts]] can
+    * never produce). Returns (rank, pair) — the learned merge table
+    * [[bpeEncode]] consumes.
+    *
+    * Scale (100 TB): the loop state is the DISTINCT VOCABULARY with
+    * frequencies (Zipf: ≪ token stream; the stream is scanned exactly
+    * once, by the initial word count). Each iteration is one pair-count
+    * aggregation over vocab rows plus one literal `replace` — a driver
+    * round trip per merge, like every iterative trainer here (k-means,
+    * OPQ). Lineage is truncated per round via localCheckpoint. */
+  def bpeTrain(docs: DataFrame, text: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val U = "\u001f"
+    var vocab = Caches.small(docs
+      .select(explode(tokens(col(text))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", U + "$1" + U).as("s"),
+        col("freq")))
+    val merges = scala.collection.mutable.Buffer[(Long, String)]()
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val toks = split(trim(col("s"), U), U + U)
+      val pairCol = explode_outer(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+      val best = vocab.select(pairCol.as("pair"), col("freq"))
+        .filter(col("pair").isNotNull)
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        merges += ((r.toLong, pair))
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = Caches.small(vocab.withColumn("s",
+          replace(col("s"), lit(U + a + U + U + b + U), lit(U + a + b + U))))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "pair")
+  }
+
   /** Greedy BPE ENCODER — applies a learned merge table (the top-K
     * first-iteration pairs from [[bpePairCounts]], ranked by count then
     * pair) to every word, in rank order. The tokenizer-application side

@@ -17,8 +17,8 @@ class ContractSpec extends AnyFunSuite {
   test("query names follow the qNN_ prefix convention and are unique " +
     "per number") {
     val names = SparkEntry.queries.keySet.toSeq
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.sorted)
-    val nums = names.map(_.take(3))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), names.sorted)
+    val nums = names.map(_.takeWhile(_ != '_'))
     assert(nums.distinct.size === nums.size, "duplicate query numbers")
   }
 }

@@ -88,6 +88,28 @@ class DedupMergeSpec extends SparkSpec {
       (4L, "update"), (5L, "insert"))) // key 1 unchanged -> dropped
   }
 
+  test("snapshotDiff roundtrip property: applying the diff to v1 " +
+    "reconstructs v2 exactly (5 seeded random snapshot pairs)") {
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      def snap() = (0 until 60).filter(_ => rng.nextBoolean())
+        .map(k => (k.toLong, s"s${rng.nextInt(3)}", rng.nextInt(5).toDouble))
+      val v1 = snap().toDF("k", "s", "p")
+      val v2 = snap().toDF("k", "s", "p")
+      val d = Merge.snapshotDiff(v1, v2, Seq("k"), Seq("s", "p"))
+      val touched = d
+        .filter(col("change_type").isin("delete", "update")).select("k")
+      val replaced = d
+        .filter(col("change_type").isin("insert", "update"))
+        .select(col("k"), col("new_s").as("s"), col("new_p").as("p"))
+      val applied = v1.join(touched, Seq("k"), "left_anti")
+        .unionByName(replaced)
+      val want = v2.as[(Long, String, Double)].collect().toSet
+      val got = applied.as[(Long, String, Double)].collect().toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("dedup idempotence: keepFirst(keepFirst(x)) == keepFirst(x)") {
     val df = (1 to 200).map(i => (i.toLong, (i % 17).toString)).toDF("ord", "key")
     val once = Dedup.keepFirst(df, Seq("key"), col("ord"))

@@ -40,6 +40,17 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("bpeTrain is truly iterative: rank 2 pairs tokens MERGED at " +
+    "rank 1, and training stops early when no pairs remain") {
+    val docs = Seq((1L, "abab abab"), (2L, "abab")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+      .orderBy("rank").as[(Long, String)].collect().toSeq
+    // iter1: 'a b' (cnt 6) beats 'b a' (3); apply -> every word [ab,ab];
+    // iter2: 'ab ab' — a pair of MERGED tokens, impossible for the
+    // static first-iteration table; apply -> [abab]; iter3: exhausted.
+    assert(got === Seq((1L, "a b"), (2L, "ab ab")))
+  }
+
   test("bpeEncode: rank-ordered merges apply greedily left-to-right " +
     "(hand-computed token counts)") {
     // vocab: aaab (freq 2), aab (1) -> merges rank1 ('a a', cnt 5),
