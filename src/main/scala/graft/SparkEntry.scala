@@ -1381,6 +1381,39 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // KMV set-similarity: Jaccard of clicker vs purchaser user sets
+    // estimated from two bottom-64 sketches (the sets never meet in a
+    // join — only the k-row artifacts do); exact values ride along.
+    "q117_kmv_jaccard" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Sketches.kmvJaccard(
+        ev.filter(col("event_type") === "click" && col("value") > 80)
+          .select("user_id"),
+        ev.filter(col("event_type") === "purchase" && col("value") > 80)
+          .select("user_id"),
+        "user_id", k = 64)
+    }),
+
+    // Suffix-stripping stemmer (Porter step-1a/-1b-lite) as a pure
+    // regex cascade — runs at scan speed; grouped stem frequencies.
+    "q118_stemming" -> ((s, dir) => {
+      val w = col("w")
+      val stem =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(w, "sses$", "ss"),
+              "ies$", "i"),
+            "([a-z]{2,})ing$", "$1"),
+          "([a-z]{2,}[^s])s$", "$1")
+      t(s, dir, "documents")
+        .select(explode_outer(TA.tokens(col("text"))).as("w"))
+        .filter(col("w").isNotNull && col("w") =!= "")
+        .select(stem.as("stem"))
+        .groupBy("stem").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("stem")).limit(50)
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3251,6 +3284,58 @@ object SparkEntry {
            UNION ALL SELECT 2::BIGINT, pair FROM m2
            UNION ALL SELECT 3::BIGINT, pair FROM m3)
          ORDER BY rank""",
+
+    "q117_kmv_jaccard" ->
+      """WITH a AS (
+           SELECT DISTINCT ('0x' || substring(md5('0:'
+             || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+           FROM events WHERE event_type = 'click' AND value > 80),
+         b AS (
+           SELECT DISTINCT ('0x' || substring(md5('0:'
+             || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+           FROM events WHERE event_type = 'purchase' AND value > 80),
+         ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+         kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+         u AS (SELECT DISTINCT h FROM
+                 (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+               ORDER BY h LIMIT 64),
+         f AS (
+           SELECT count(*)::BIGINT AS usz,
+             sum((ka.h IS NOT NULL AND kb.h IS NOT NULL)::BIGINT)::BIGINT
+               AS inboth
+           FROM u LEFT JOIN ka ON u.h = ka.h LEFT JOIN kb ON u.h = kb.h),
+         ex AS (
+           SELECT
+             sum((A.x IS NOT NULL AND B.x IS NOT NULL)::BIGINT)::BIGINT
+               AS ei,
+             count(*)::BIGINT AS eu
+           FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) AS x
+                 FROM events WHERE event_type = 'click' AND value > 80) A
+           FULL JOIN (SELECT DISTINCT CAST(user_id AS VARCHAR) AS x
+                 FROM events WHERE event_type = 'purchase' AND value > 80) B
+             ON A.x = B.x)
+         SELECT 64 AS sketch_k, usz AS union_sketch_size,
+           inboth AS in_both,
+           round(inboth::DOUBLE / usz::DOUBLE, 4) AS j_est,
+           ei AS exact_inter, eu AS exact_union,
+           round(ei::DOUBLE / eu::DOUBLE, 4) AS j_exact
+         FROM f, ex""",
+
+    "q118_stemming" ->
+      """SELECT stem, count(*)::BIGINT AS n FROM (
+           SELECT regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(w, 'sses$', 'ss'),
+                        'ies$', 'i'),
+                      '([a-z]{2,})ing$', '\1'),
+                    '([a-z]{2,}[^s])s$', '\1') AS stem
+           FROM (SELECT unnest(string_split(
+                   lower(trim(regexp_replace(text,'\s+',' ','g'))),' '))
+                   AS w
+                 FROM documents)
+           WHERE w <> '')
+         GROUP BY 1 ORDER BY n DESC, stem LIMIT 50""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

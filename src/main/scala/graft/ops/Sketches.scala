@@ -226,6 +226,50 @@ object Sketches {
         col("nz").as("nonzero_buckets"))
   }
 
+  /** KMV set-similarity: estimate the JACCARD of two sets from their
+    * bottom-k sketches alone (Beyer et al.) — the union's bottom-k is
+    * a uniform sample of the union, so the fraction of it present in
+    * BOTH sketches estimates |A∩B|/|A∪B|. Exact values ride along for
+    * the error contrast. Returns one row:
+    * (sketch_k, union_sketch_size, in_both, j_est, exact_inter,
+    * exact_union, j_exact).
+    *
+    * Scale (100 TB): each sketch is a TakeOrdered over distinct hashes
+    * (map-side partial bottom-k, one merge); the similarity of two
+    * corpus-scale sets is then decided by joining two k-row artifacts —
+    * the sets themselves never meet in a join. Deterministic md5
+    * hashing, so any engine replays the estimate bit-for-bit. */
+  def kmvJaccard(a: DataFrame, b: DataFrame, e: String,
+                 k: Int = 64): DataFrame = {
+    def sk(df: DataFrame) = Caches.small(
+      df.select(TextFunctions.md5Hash48(col(e).cast("string")).as("h"))
+        .distinct().orderBy(col("h")).limit(k))
+    val ka = sk(a)
+    val kb = sk(b)
+    val union = ka.unionByName(kb).distinct().orderBy(col("h")).limit(k)
+    val flags = union
+      .join(ka.withColumn("ina", lit(1)), Seq("h"), "left")
+      .join(kb.withColumn("inb", lit(1)), Seq("h"), "left")
+      .agg(count(lit(1)).as("union_sketch_size"),
+        sum((col("ina").isNotNull && col("inb").isNotNull).cast("long"))
+          .as("in_both"))
+    val exact = a.select(col(e).cast("string").as("x")).distinct()
+      .withColumn("ina", lit(1))
+      .join(b.select(col(e).cast("string").as("x")).distinct()
+        .withColumn("inb", lit(1)), Seq("x"), "full_outer")
+      .agg(sum((col("ina").isNotNull && col("inb").isNotNull).cast("long"))
+          .as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+    flags.crossJoin(exact)
+      .select(lit(k).as("sketch_k"), col("union_sketch_size"),
+        col("in_both"),
+        round(col("in_both").cast("double") /
+          col("union_sketch_size").cast("double"), 4).as("j_est"),
+        col("exact_inter"), col("exact_union"),
+        round(col("exact_inter").cast("double") /
+          col("exact_union").cast("double"), 4).as("j_exact"))
+  }
+
   /** Per-group HLL REGISTERS `(grp, bucket, mx)` — the mergeable sketch
     * state itself, not an estimate. This is the property that makes HLL
     * the warehouse cardinality sketch: registers from disjoint
