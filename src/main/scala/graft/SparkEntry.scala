@@ -1414,6 +1414,50 @@ object SparkEntry {
         .orderBy(col("n").desc, col("stem")).limit(50)
     }),
 
+    // Statistical anomaly detection: per-type mean/std from SORTED-FOLD
+    // moment sums (deterministic cross-engine, unlike builtin stddev's
+    // partition-order sums), z-score flags via a broadcast join back.
+    "q119_anomaly_zscore" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sortedSum = (c: Column) =>
+        aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sortedSum(col("value")).as("sx"),
+          sortedSum(col("value") * col("value")).as("sx2"))
+        .select(col("event_type"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("std"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          round(max(col("mean")), 4).as("mean"),
+          round(max(col("std")), 4).as("std"),
+          sum((abs(col("value") - col("mean")) > lit(2.0) * col("std"))
+            .cast("long")).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // Group-mean imputation: deterministically nulled values (id%7)
+    // refilled from the sorted-fold group mean — the data-prep
+    // imputation primitive, broadcast join + coalesce.
+    "q120_imputation" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      val means = ev.filter(col("v").isNotNull)
+        .groupBy("event_type")
+        .agg((aggregate(array_sort(collect_list(col("v"))), lit(0.0),
+          (a, x) => a + x) / count(lit(1))).as("gmean"))
+      ev.join(broadcast(means), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          (col("v").isNull).cast("long").as("was_imputed"),
+          round(coalesce(col("v"), col("gmean")), 2).as("value_filled"))
+        .orderBy("event_id")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3336,6 +3380,39 @@ object SparkEntry {
                  FROM documents)
            WHERE w <> '')
          GROUP BY 1 ORDER BY n DESC, stem LIMIT 50""",
+
+    "q119_anomaly_zscore" ->
+      """WITH s AS (
+           SELECT event_type, count(*)::BIGINT AS n,
+             list_sum(list_sort(list(value))) AS sx,
+             list_sum(list_sort(list(value * value))) AS sx2
+           FROM events GROUP BY 1),
+         st AS (
+           SELECT event_type, n, sx / n AS mean,
+             sqrt((sx2 - sx * sx / n) / (n - 1)) AS std
+           FROM s)
+         SELECT e.event_type, max(st.n) AS n,
+           round(max(st.mean), 4) AS mean,
+           round(max(st.std), 4) AS std,
+           sum((abs(e.value - st.mean) > 2.0::DOUBLE * st.std)::BIGINT)
+             ::BIGINT AS n_outliers
+         FROM events e JOIN st ON e.event_type = st.event_type
+         GROUP BY 1 ORDER BY 1""",
+
+    "q120_imputation" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+           FROM events),
+         m AS (
+           SELECT event_type,
+             list_sum(list_sort(list(v))) / count(*) AS gmean
+           FROM ev WHERE v IS NOT NULL GROUP BY 1)
+         SELECT event_id, ev.event_type,
+           (v IS NULL)::BIGINT AS was_imputed,
+           round(coalesce(v, gmean), 2) AS value_filled
+         FROM ev JOIN m ON ev.event_type = m.event_type
+         ORDER BY event_id""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both
