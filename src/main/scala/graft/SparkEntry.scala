@@ -1458,6 +1458,41 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // RAG-ingestion chunking: overlapping 64-token windows (stride 48,
+    // 16-token overlap) per document — map-side sequence+explode+slice,
+    // no shuffle until the final sort. Trailing chunks may run short.
+    "q121_rag_chunking" -> ((s, dir) => {
+      val ws = TA.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ws.as("__ws"))
+        .select(col("doc_id"), col("__ws"),
+          explode(sequence(lit(0),
+            floor((size(col("__ws")) - 1) / 48).cast("int"))).as("k"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+          (col("k") * 48 + 1).cast("long").as("start_token"),
+          slice(col("__ws"), col("k") * 48 + 1, lit(64)).as("__c"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+          size(col("__c")).cast("long").as("chunk_tokens"),
+          array_join(col("__c"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Deterministic pseudonymization: salted-md5 surrogate ids — stable
+    // across tables and runs (referential consistency survives
+    // anonymization: grouping by the surrogate equals grouping by the
+    // raw key), no lookup table to store or leak. Map-side transform.
+    "q122_pseudonymize" -> ((s, dir) => {
+      val surrogate = concat(lit("u_"), substring(
+        md5(concat(lit("salt1:"), col("user_id").cast("string"))), 1, 16))
+      events(s, dir)
+        .select(surrogate.as("user_pseudo"), col("event_type"), col("value"))
+        .groupBy("user_pseudo")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_type")).as("n_types"),
+          round(min(col("value")), 2).as("min_value"))
+        .orderBy("user_pseudo")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3413,6 +3448,29 @@ object SparkEntry {
            round(coalesce(v, gmean), 2) AS value_filled
          FROM ev JOIN m ON ev.event_type = m.event_type
          ORDER BY event_id""",
+
+    "q121_rag_chunking" ->
+      """WITH ws AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         c AS (
+           SELECT doc_id, k AS chunk_idx, k * 48 + 1 AS start_token,
+             list_slice(ws, k * 48 + 1, k * 48 + 64) AS c
+           FROM ws, unnest(range(0, (len(ws) - 1) // 48 + 1)) AS t(k))
+         SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           start_token::BIGINT AS start_token,
+           len(c)::BIGINT AS chunk_tokens,
+           array_to_string(c, ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+
+    "q122_pseudonymize" ->
+      """SELECT 'u_' || substring(md5('salt1:'
+             || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT event_type)::BIGINT AS n_types,
+           round(min(value), 2) AS min_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both
