@@ -1493,6 +1493,33 @@ object SparkEntry {
         .orderBy("user_pseudo")
     }),
 
+    // Multi-model marketing attribution: per purchase, candidate
+    // clicks in the prior 30 min (user-keyed equi join + time filter —
+    // never a theta-only join), first/last touch via lexicographic
+    // struct min/max, linear share as a per-row division. No big
+    // float sums anywhere.
+    "q123_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"), col("value"))
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+          col("cts") < col("pts"))
+        .groupBy("purchase_id")
+        .agg(max(col("user_id")).as("user_id"),
+          count(lit(1)).as("n_clicks"),
+          min(struct(col("cts").as("t"), col("click_id").as("c")))
+            .getField("c").as("first_click_id"),
+          max(struct(col("cts").as("t"), col("click_id").as("c")))
+            .getField("c").as("last_click_id"),
+          round(max(col("value")) / count(lit(1)), 4).as("linear_share"))
+        .orderBy("purchase_id")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3471,6 +3498,32 @@ object SparkEntry {
            count(DISTINCT event_type)::BIGINT AS n_types,
            round(min(value), 2) AS min_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q123_attribution" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, ts AS cts
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, event_id AS purchase_id, ts AS pts, value
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.purchase_id, p.user_id, p.value, c.click_id, c.cts
+           FROM p JOIN c ON p.user_id = c.user_id
+             AND c.cts >= p.pts - INTERVAL 30 MINUTE
+             AND c.cts < p.pts),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY purchase_id
+               ORDER BY cts, click_id) AS rn_a,
+             row_number() OVER (PARTITION BY purchase_id
+               ORDER BY cts DESC, click_id DESC) AS rn_d
+           FROM j)
+         SELECT purchase_id, max(user_id) AS user_id,
+           count(*)::BIGINT AS n_clicks,
+           max(CASE WHEN rn_a = 1 THEN click_id END) AS first_click_id,
+           max(CASE WHEN rn_d = 1 THEN click_id END) AS last_click_id,
+           round(max(value) / count(*), 4) AS linear_share
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both

@@ -144,6 +144,38 @@ class PipelineSpec extends SparkSpec {
       got(1).rms === 0.0)
   }
 
+  test("observe: pipeline data-quality metrics ride the SAME job as the " +
+    "action (no second scan), delivered via QueryExecutionListener") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val seen = new ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get("dq").foreach(seen.add)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      val df = Seq((1L, 5.0), (2L, -1.0), (3L, 7.0)).toDF("k", "v")
+        .observe("dq", count(lit(1)).as("rows"),
+          sum((col("v") < 0).cast("long")).as("neg_values"))
+      val out = df.filter(col("v") > 0).count()
+      assert(out === 2)
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = seen.poll()
+      assert(m != null, "observed metrics not delivered")
+      // metrics describe the FULL observed frame, pre-filter
+      assert(m.getAs[Long]("rows") === 3L)
+      assert(m.getAs[Long]("neg_values") === 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming: windowedAgg on a memory stream equals the same " +
     "transform on the batch frame") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
