@@ -1520,6 +1520,30 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // Time-weighted average (TWAP) over IRREGULAR event times: each
+    // observation weighted by its holding interval to the next event
+    // (microsecond-exact integer Δt via unix_micros; the weighted sum
+    // is a sorted fold). One keyed window + one groupBy.
+    "q124_twap" -> ((s, dir) => {
+      val byUserDay = Window
+        .partitionBy(col("user_id"), col("day"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("nxt", lead(col("us"), 1).over(byUserDay))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt", col("nxt") - col("us"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).cast("long").as("total_us"),
+          round(aggregate(array_sort(collect_list(col("value") * col("dt"))),
+            lit(0.0), (a, x) => a + x) /
+            sum(col("dt")).cast("double"), 4).as("twap"))
+        .orderBy("user_id", "day")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3524,6 +3548,23 @@ object SparkEntry {
            max(CASE WHEN rn_d = 1 THEN click_id END) AS last_click_id,
            round(max(value) / count(*), 4) AS linear_share
          FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q124_twap" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             event_id, value, epoch_us(ts) AS us
+           FROM events),
+         n AS (
+           SELECT *, lead(us) OVER (PARTITION BY user_id, day
+             ORDER BY us, event_id) AS nxt
+           FROM e),
+         d AS (SELECT user_id, day, value, nxt - us AS dt
+               FROM n WHERE nxt IS NOT NULL)
+         SELECT user_id, day, count(*)::BIGINT AS n_intervals,
+           sum(dt)::BIGINT AS total_us,
+           round(list_sum(list_sort(list(value * dt))) /
+             sum(dt)::DOUBLE, 4) AS twap
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both
