@@ -1544,6 +1544,38 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // MDM field-level SURVIVORSHIP: three deterministic source variants
+    // of the customer record (with per-source gaps) merged to a golden
+    // record field by field in priority order, with per-field
+    // provenance. One full-outer key join chain; coalesce is codegen'd.
+    "q125_survivorship" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val s1 = c.filter(col("c_custkey") % 3 =!= 0).select(
+        col("c_custkey"),
+        col("c_name").as("n1"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(round(col("c_acctbal"), 2)).as("b1"),
+        when(col("c_custkey") % 2 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("m1"))
+      val s2 = c.filter(col("c_custkey") % 4 =!= 0).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("n2"),
+        round(col("c_acctbal"), 2).as("b2"),
+        concat(lit("OLD_"), col("c_mktsegment")).as("m2"))
+      val s3 = c.select(col("c_custkey"), col("c_name").as("n3"),
+        round(col("c_acctbal"), 2).as("b3"), col("c_mktsegment").as("m3"))
+      s1.join(s2, Seq("c_custkey"), "full_outer")
+        .join(s3, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("n1"), col("n2"), col("n3")).as("name"),
+          coalesce(col("b1"), col("b2"), col("b3")).as("acctbal"),
+          coalesce(col("m1"), col("m2"), col("m3")).as("mktsegment"),
+          when(col("m1").isNotNull, 1).when(col("m2").isNotNull, 2)
+            .otherwise(3).as("segment_source"))
+        .orderBy("c_custkey")
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3565,6 +3597,36 @@ object SparkEntry {
            round(list_sum(list_sort(list(value * dt))) /
              sum(dt)::DOUBLE, 4) AS twap
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q125_survivorship" ->
+      """WITH s1 AS (
+           SELECT c_custkey, c_name AS n1,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE round(c_acctbal, 2) END AS b1,
+             CASE WHEN c_custkey % 2 = 0 THEN NULL
+                  ELSE c_mktsegment END AS m1
+           FROM customer WHERE c_custkey % 3 <> 0),
+         s2 AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS n2,
+             round(c_acctbal, 2) AS b2,
+             'OLD_' || c_mktsegment AS m2
+           FROM customer WHERE c_custkey % 4 <> 0),
+         s3 AS (
+           SELECT c_custkey, c_name AS n3, round(c_acctbal, 2) AS b3,
+             c_mktsegment AS m3
+           FROM customer)
+         SELECT coalesce(s1.c_custkey, s2.c_custkey, s3.c_custkey)
+             AS c_custkey,
+           coalesce(n1, n2, n3) AS name,
+           coalesce(b1, b2, b3) AS acctbal,
+           coalesce(m1, m2, m3) AS mktsegment,
+           CASE WHEN m1 IS NOT NULL THEN 1
+                WHEN m2 IS NOT NULL THEN 2 ELSE 3 END AS segment_source
+         FROM s1
+         FULL JOIN s2 ON s1.c_custkey = s2.c_custkey
+         FULL JOIN s3 ON coalesce(s1.c_custkey, s2.c_custkey) = s3.c_custkey
+         ORDER BY c_custkey""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both
