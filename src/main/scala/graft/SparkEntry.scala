@@ -1576,6 +1576,37 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Pareto / contribution analysis: per-nation revenue (sorted-fold),
+    // share of total and cumulative share over the DESC ordering —
+    // every float sum here runs in an explicitly ordered frame, so both
+    // engines add in the same sequence. The global window holds only
+    // nation-count rows (the aggregate), never the fact table.
+    "q126_pareto" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val byNation = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(aggregate(array_sort(collect_list(col("rev"))),
+          lit(0.0), (a, x) => a + x).as("rev"))
+      val ordered = Window.orderBy(col("rev").desc, col("n_name"))
+      val cum = ordered.rowsBetween(Window.unboundedPreceding, 0)
+      val all = ordered.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      byNation.select(col("n_name"), round(col("rev"), 2).as("revenue"),
+          round(col("rev") / sum(col("rev")).over(all), 4).as("share"),
+          round(sum(col("rev")).over(cum) / sum(col("rev")).over(all), 4)
+            .as("cum_share"))
+        .withColumn("pareto80", (col("cum_share") <= 0.8).cast("long"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Sequence PACKING (ops.Packing): documents fill fixed 512-token
     // sequences greedily per shard; output is each doc's (seq_id,
     // offset) from one windowed running sum — no concatenated text
@@ -3627,6 +3658,31 @@ object SparkEntry {
          FULL JOIN s2 ON s1.c_custkey = s2.c_custkey
          FULL JOIN s3 ON coalesce(s1.c_custkey, s2.c_custkey) = s3.c_custkey
          ORDER BY c_custkey""",
+
+    "q126_pareto" ->
+      """WITH r AS (
+           SELECT n_name, list_sum(list_sort(list(
+             l_extendedprice * (1 - l_discount)))) AS rev
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1)
+         SELECT n_name, round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (ORDER BY rev DESC, n_name
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+             AS share,
+           round(sum(rev) OVER (ORDER BY rev DESC, n_name
+               ROWS UNBOUNDED PRECEDING)
+             / sum(rev) OVER (ORDER BY rev DESC, n_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             4) AS cum_share,
+           (round(sum(rev) OVER (ORDER BY rev DESC, n_name
+               ROWS UNBOUNDED PRECEDING)
+             / sum(rev) OVER (ORDER BY rev DESC, n_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             4) <= 0.8::DOUBLE)::BIGINT AS pareto80
+         FROM r ORDER BY revenue DESC, n_name""",
 
     // Constants appear as the SAME double expressions Spark computes
     // ((1.2 + 1.0), (1.0 - 0.75)) — not pre-folded literals — so both
