@@ -71,11 +71,18 @@ object Bench {
     }
     val failed = timings.filterNot(_._3).map(_._1)
     val qs = timings.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v else -1.0)
+      s"\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1.0")
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    // The headline fields sit at the END of the JSON object (key order
+    // is irrelevant to a parser): log capture keeps the TAIL of long
+    // lines, so a truncated capture can eat per-query timings but never
+    // the total/failed/n summary. A human-readable copy goes to stderr
+    // up front for the same reason.
+    System.err.println(f"[bench] total=$total%.3f sec n=${timings.size} " +
+      s"failed=${failed.size} sf=$sfDir")
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","n":${timings.size},"failed":$fl,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()

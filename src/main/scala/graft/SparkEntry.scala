@@ -1057,9 +1057,14 @@ object SparkEntry {
 
     // Symmetric int8 embedding quantization — per-vector max-abs scale,
     // codes = round(127·x/scale): the 4× shrink before ANN serving.
-    // Map-side transform() over built-ins, no shuffle.
+    // Map-side transform() over built-ins, no shuffle. The codes ARRAY is
+    // serialized to CSV on both sides so the driver gate sorts/hashes
+    // scalars (pandas can't sort ndarray cells).
     "q100_quantize_int8" -> ((s, dir) => {
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
+          col("scale"))
         .orderBy("vec_id")
     }),
 
@@ -1085,8 +1090,10 @@ object SparkEntry {
     // Fuzzy record linkage with the NATIVE jaro_winkler Expression
     // (functions.StringExpressions — codegen'd static call; Spark has
     // no built-in JW). Brand-blocked candidate pairs, binary-exact
-    // 0.875 threshold, DECIMAL(9,6) output so both engines round the
-    // score identically.
+    // 0.875 threshold. Score is emitted as integer MICRO-units
+    // (round(jw·1e6) AS BIGINT): both engines compute identical doubles
+    // on these pairs, and integers hash identically everywhere —
+    // decimal/float textual representation cannot diverge the gate.
     "q102_jaro_winkler" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .select(col("p_brand").as("b"), col("p_partkey"), col("p_name"))
@@ -1101,7 +1108,7 @@ object SparkEntry {
             .jaroWinkler(col("name_a"), col("name_b")).as("jw0"))
         .filter(col("jw0") > 0.875)
         .select(col("key_a"), col("key_b"),
-          col("jw0").cast("decimal(9,6)").as("jw"))
+          round(col("jw0") * 1e6, 0).cast("bigint").as("jw_micro"))
         .orderBy("key_a", "key_b")
     }),
 
@@ -1357,18 +1364,27 @@ object SparkEntry {
         .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
           col("o_orderdate").cast("date") < lit("1999-01-01").cast("date"))
         .select("o_orderkey", "o_custkey")
+      // EXACT decimal revenue (q89's pattern): prices/discounts are 2dp
+      // values, so the decimal product at scale 4 is exact and sum() is
+      // associative/commutative with a fixed-size buffer — engine- and
+      // order-independent at any scale, unlike a float sum (or the
+      // collect_list sorted fold this replaces, whose buffer held the
+      // whole group).
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .as("rev"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(aggregate(array_sort(collect_list(col("rev"))),
-          lit(0.0), (a, x) => a + x), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .agg(sum(col("rev")).as("rev_sum"))
+        .select(col("n_name"),
+          col("rev_sum").cast("decimal(38,4)").cast("string").as("revenue"))
+        .orderBy("n_name")
     }),
 
     // ITERATIVE BPE training (TextAnalysis.bpeTrain): pair counts are
@@ -1417,14 +1433,24 @@ object SparkEntry {
     // Statistical anomaly detection: per-type mean/std from SORTED-FOLD
     // moment sums (deterministic cross-engine, unlike builtin stddev's
     // partition-order sums), z-score flags via a broadcast join back.
+    // TWO-LEVEL fold (q82's pattern): event_type is a handful of coarse
+    // groups over the whole fact table, so a single-level fold's buffer
+    // would hold the entire table — bucketing by event_id%4096 bounds
+    // every buffer while keeping the summation order a pure function of
+    // the value multiset (bit-identical on any engine / partitioning).
     "q119_anomaly_zscore" -> ((s, dir) => {
       val ev = events(s, dir)
       val sortedSum = (c: Column) =>
         aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
-      val stats = ev.groupBy("event_type")
-        .agg(count(lit(1)).cast("long").as("n"),
-          sortedSum(col("value")).as("sx"),
-          sortedSum(col("value") * col("value")).as("sx2"))
+      val l1 = ev.groupBy(col("event_type"),
+          pmod(col("event_id"), lit(4096)).as("b"))
+        .agg(count(lit(1)).as("n1"),
+          sortedSum(col("value")).as("sx1"),
+          sortedSum(col("value") * col("value")).as("sx21"))
+      val stats = l1.groupBy("event_type")
+        .agg(sum(col("n1")).cast("long").as("n"),
+          sortedSum(col("sx1")).as("sx"),
+          sortedSum(col("sx21")).as("sx2"))
         .select(col("event_type"), col("n"),
           (col("sx") / col("n")).as("mean"),
           sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
@@ -1440,17 +1466,21 @@ object SparkEntry {
     }),
 
     // Group-mean imputation: deterministically nulled values (id%7)
-    // refilled from the sorted-fold group mean — the data-prep
-    // imputation primitive, broadcast join + coalesce.
+    // refilled from the two-level sorted-fold group mean (bounded
+    // buffers — see q119) — the data-prep imputation primitive,
+    // broadcast join + coalesce.
     "q120_imputation" -> ((s, dir) => {
       val ev = events(s, dir)
         .select(col("event_id"), col("event_type"),
           when(col("event_id") % 7 === 0, lit(null).cast("double"))
             .otherwise(col("value")).as("v"))
+      val sfold = (c: Column) =>
+        aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
       val means = ev.filter(col("v").isNotNull)
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(4096)).as("b"))
+        .agg(sfold(col("v")).as("s1"), count(lit(1)).as("n1"))
         .groupBy("event_type")
-        .agg((aggregate(array_sort(collect_list(col("v"))), lit(0.0),
-          (a, x) => a + x) / count(lit(1))).as("gmean"))
+        .agg((sfold(col("s1")) / sum(col("n1"))).as("gmean"))
       ev.join(broadcast(means), Seq("event_type"))
         .select(col("event_id"), col("event_type"),
           (col("v").isNull).cast("long").as("was_imputed"),
@@ -1576,25 +1606,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
-    // Pareto / contribution analysis: per-nation revenue (sorted-fold),
-    // share of total and cumulative share over the DESC ordering —
-    // every float sum here runs in an explicitly ordered frame, so both
-    // engines add in the same sequence. The global window holds only
-    // nation-count rows (the aggregate), never the fact table.
+    // Pareto / contribution analysis: per-nation revenue summed as an
+    // EXACT decimal (associative, fixed-size buffer — replaces a sorted
+    // fold that collected the whole fact table per nation), converted
+    // to double only at the 25-row aggregate (numerator < 2^53, so the
+    // conversion is exact on both engines); share and cumulative share
+    // run in explicitly ordered window frames over nation-count rows.
     "q126_pareto" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .as("rev"))
       val byNation = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(aggregate(array_sort(collect_list(col("rev"))),
-          lit(0.0), (a, x) => a + x).as("rev"))
+        .agg(sum(col("rev")).cast("double").as("rev"))
       val ordered = Window.orderBy(col("rev").desc, col("n_name"))
       val cum = ordered.rowsBetween(Window.unboundedPreceding, 0)
       val all = ordered.rowsBetween(Window.unboundedPreceding,
@@ -1898,21 +1930,30 @@ object SparkEntry {
     }),
 
     // Grouped Pearson CORRELATION with deterministic float math: the
-    // five sufficient statistics each run through a sorted fold (the
-    // builtin corr sums in partition order — unreplayable), then one
-    // closed-form combine. Shuffle carries the collect_lists per group;
-    // at 100 TB swap to the pairwise-combinable builtin and drop the
-    // bit-exactness claim (documented trade).
+    // five sufficient statistics run through a TWO-LEVEL sorted fold
+    // (the builtin corr sums in partition order — unreplayable). Level 1
+    // folds within 4096 l_orderkey buckets, level 2 folds the sorted
+    // bucket subtotals — every aggregation buffer is O(group/4096) or
+    // O(4096), never the whole group (the single-level sorted fold this
+    // replaces collected all of lineitem into 3 buffers — an OOM at
+    // 100×). Both levels sort before folding, so the summation order is
+    // a pure function of the multiset of values: bit-identical on any
+    // engine, any partitioning, any scale.
     "q82_corr" -> ((s, dir) => {
       def sfold(c: Column) =
         aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
       val x = col("l_quantity"); val y = col("l_extendedprice")
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          sfold(x).as("sx"), sfold(y).as("sy"),
-          sfold(x * y).as("sxy"),
-          sfold(x * x).as("sxx"), sfold(y * y).as("syy"))
+      val l1 = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(4096)).as("b"))
+        .agg(count(lit(1)).as("n1"),
+          sfold(x).as("sx1"), sfold(y).as("sy1"),
+          sfold(x * y).as("sxy1"),
+          sfold(x * x).as("sxx1"), sfold(y * y).as("syy1"))
+      l1.groupBy(col("l_returnflag"))
+        .agg(sum(col("n1")).cast("double").as("n"),
+          sfold(col("sx1")).as("sx"), sfold(col("sy1")).as("sy"),
+          sfold(col("sxy1")).as("sxy"),
+          sfold(col("sxx1")).as("sxx"), sfold(col("syy1")).as("syy"))
         .select(col("l_returnflag"),
           round((col("n") * col("sxy") - col("sx") * col("sy"))
             / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
@@ -3092,7 +3133,8 @@ object SparkEntry {
          FROM w GROUP BY 1, 2 ORDER BY 1""",
 
     // Same double sequence: float→double is exact, 127 is exact, round
-    // is half-away-from-zero in both engines.
+    // is half-away-from-zero in both engines. Codes serialized to CSV so
+    // the gate hashes scalars (see the Spark side).
     "q100_quantize_int8" ->
       """WITH s AS (
            SELECT vec_id, embedding,
@@ -3100,11 +3142,12 @@ object SparkEntry {
                x -> abs(x::DOUBLE))) AS scale
            FROM embeddings)
          SELECT vec_id,
-           CASE WHEN scale = 0
-             THEN list_transform(embedding, x -> 0)
-             ELSE list_transform(embedding, x -> greatest(-127, least(127,
-               CAST(round(x::DOUBLE * 127.0 / scale) AS INTEGER))))
-           END AS codes,
+           array_to_string(
+             CASE WHEN scale = 0
+               THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding, x -> greatest(-127, least(127,
+                 CAST(round(x::DOUBLE * 127.0 / scale) AS INTEGER))))
+             END, ',') AS codes_csv,
            scale
          FROM s ORDER BY vec_id""",
 
@@ -3122,7 +3165,8 @@ object SparkEntry {
 
     "q102_jaro_winkler" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           jaro_winkler_similarity(a.p_name, b.p_name)::DECIMAL(9,6) AS jw
+           CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
+             AS BIGINT) AS jw_micro
          FROM part a JOIN part b
            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.875
@@ -3406,9 +3450,14 @@ object SparkEntry {
          FROM r GROUP BY 1, 2
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
+    // Exact decimal arithmetic end-to-end (scale-4 product of 2dp
+    // values, associative decimal sum, no rounding anywhere) — both
+    // engines print the identical scale-4 string.
     "q115_local_supplier_volume" ->
       """WITH r AS (
-           SELECT n.n_name, l.l_extendedprice * (1 - l.l_discount) AS rev
+           SELECT n.n_name,
+             l.l_extendedprice::DECIMAL(18,2)
+               * (1 - l.l_discount::DECIMAL(3,2)) AS rev
            FROM lineitem l
            JOIN orders o ON l.l_orderkey = o.o_orderkey
            JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3420,8 +3469,8 @@ object SparkEntry {
              AND o.o_orderdate::DATE >= DATE '1997-01-01'
              AND o.o_orderdate::DATE < DATE '1999-01-01')
          SELECT n_name,
-           round(list_sum(list_sort(list(rev))), 2) AS revenue
-         FROM r GROUP BY 1 ORDER BY revenue DESC, n_name""",
+           CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+         FROM r GROUP BY 1 ORDER BY n_name""",
 
     // Three statically-unrolled train iterations: count pairs over the
     // delimited vocab, argmax (cnt desc, pair asc), literal-replace the
@@ -3530,12 +3579,20 @@ object SparkEntry {
            WHERE w <> '')
          GROUP BY 1 ORDER BY n DESC, stem LIMIT 50""",
 
+    // Two-level fold mirroring Spark: per-(type, event_id%4096) sorted
+    // folds, then a sorted fold of the subtotals — bounded buffers,
+    // order a pure function of the value multiset.
     "q119_anomaly_zscore" ->
-      """WITH s AS (
-           SELECT event_type, count(*)::BIGINT AS n,
-             list_sum(list_sort(list(value))) AS sx,
-             list_sum(list_sort(list(value * value))) AS sx2
-           FROM events GROUP BY 1),
+      """WITH l1 AS (
+           SELECT event_type, event_id % 4096 AS b, count(*) AS n1,
+             list_sum(list_sort(list(value))) AS sx1,
+             list_sum(list_sort(list(value * value))) AS sx21
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT event_type, CAST(sum(n1) AS BIGINT) AS n,
+             list_sum(list_sort(list(sx1))) AS sx,
+             list_sum(list_sort(list(sx21))) AS sx2
+           FROM l1 GROUP BY 1),
          st AS (
            SELECT event_type, n, sx / n AS mean,
              sqrt((sx2 - sx * sx / n) / (n - 1)) AS std
@@ -3553,10 +3610,14 @@ object SparkEntry {
            SELECT event_id, event_type,
              CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
            FROM events),
+         l1 AS (
+           SELECT event_type, event_id % 4096 AS b,
+             list_sum(list_sort(list(v))) AS s1, count(*) AS n1
+           FROM ev WHERE v IS NOT NULL GROUP BY 1, 2),
          m AS (
            SELECT event_type,
-             list_sum(list_sort(list(v))) / count(*) AS gmean
-           FROM ev WHERE v IS NOT NULL GROUP BY 1)
+             list_sum(list_sort(list(s1))) / sum(n1) AS gmean
+           FROM l1 GROUP BY 1)
          SELECT event_id, ev.event_type,
            (v IS NULL)::BIGINT AS was_imputed,
            round(coalesce(v, gmean), 2) AS value_filled
@@ -3659,10 +3720,13 @@ object SparkEntry {
          FULL JOIN s3 ON coalesce(s1.c_custkey, s2.c_custkey) = s3.c_custkey
          ORDER BY c_custkey""",
 
+    // Exact decimal per-nation sum, converted to double at the 25-row
+    // aggregate (numerator < 2^53 → conversion exact on both engines).
     "q126_pareto" ->
       """WITH r AS (
-           SELECT n_name, list_sum(list_sort(list(
-             l_extendedprice * (1 - l_discount)))) AS rev
+           SELECT n_name, CAST(sum(
+             l_extendedprice::DECIMAL(18,2)
+               * (1 - l_discount::DECIMAL(3,2))) AS DOUBLE) AS rev
            FROM lineitem l
            JOIN orders o ON l.l_orderkey = o.o_orderkey
            JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3978,17 +4042,29 @@ object SparkEntry {
            count(*) AS cnt
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
+    // Two-level sorted fold, mirroring the Spark side exactly: fold
+    // within l_orderkey%4096 buckets, then fold the sorted subtotals —
+    // the summation order is a pure function of the value multiset.
     "q82_corr" ->
-      """WITH st AS (
-           SELECT l_returnflag,
-             CAST(count(*) AS DOUBLE) AS n,
-             list_sum(list_sort(list(l_quantity))) AS sx,
-             list_sum(list_sort(list(l_extendedprice))) AS sy,
-             list_sum(list_sort(list(l_quantity * l_extendedprice))) AS sxy,
-             list_sum(list_sort(list(l_quantity * l_quantity))) AS sxx,
+      """WITH l1 AS (
+           SELECT l_returnflag, l_orderkey % 4096 AS b,
+             count(*) AS n1,
+             list_sum(list_sort(list(l_quantity))) AS sx1,
+             list_sum(list_sort(list(l_extendedprice))) AS sy1,
+             list_sum(list_sort(list(l_quantity * l_extendedprice))) AS sxy1,
+             list_sum(list_sort(list(l_quantity * l_quantity))) AS sxx1,
              list_sum(list_sort(list(l_extendedprice * l_extendedprice)))
-               AS syy
-           FROM lineitem GROUP BY 1)
+               AS syy1
+           FROM lineitem GROUP BY 1, 2),
+         st AS (
+           SELECT l_returnflag,
+             CAST(sum(n1) AS DOUBLE) AS n,
+             list_sum(list_sort(list(sx1))) AS sx,
+             list_sum(list_sort(list(sy1))) AS sy,
+             list_sum(list_sort(list(sxy1))) AS sxy,
+             list_sum(list_sort(list(sxx1))) AS sxx,
+             list_sum(list_sort(list(syy1))) AS syy
+           FROM l1 GROUP BY 1)
          SELECT l_returnflag,
            round((n * sxy - sx * sy)
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
