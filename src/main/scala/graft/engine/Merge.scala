@@ -45,9 +45,19 @@ object Merge {
     * Scale (100 TB): a single key-partitioned join — bucket both
     * snapshots on the key and it is exchange-free; AQE broadcasts when
     * one snapshot is a small increment. Column comparison is null-safe
-    * equality (`<=>`), codegen'd, no hashing detour. */
+    * equality (`<=>`), codegen'd, no hashing detour.
+    *
+    * Key contract: key columns must be NON-NULL. The join is plain
+    * equality, so a row whose key is null in both snapshots never
+    * matches itself and would surface as a delete + an insert rather
+    * than an update/unchanged — if null keys are legal upstream, map
+    * them to a sentinel (or swap in a null-safe join) first. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String], compare: Seq[String]): DataFrame = {
+    require(compare.nonEmpty,
+      "snapshotDiff needs at least one compare column: with none, every " +
+        "matched row would be 'unchanged' by definition — pass the value " +
+        "columns to diff (or use newRows/Merge for key-existence checks)")
     val o = oldSnap.select(keys.map(col) ++
       compare.map(c => col(c).as(s"old_$c")) :+ lit(true).as("__op"): _*)
     val n = newSnap.select(keys.map(col) ++

@@ -45,12 +45,14 @@ final case class TxSnapshot(version: Long, files: Seq[TxFile])
   *    warehouse case — that is a tiny fraction; hash-like keys overlap
   *    everything and degrade gracefully to the full upsert).
   *
-  * Durability of the commit point rides on `FileSystem.rename` refusing
-  * an existing destination — exact on HDFS (atomic metadata op, the
-  * same contract Delta relies on) and on local fs; object stores would
-  * need a CAS/lock service instead, as every log-structured format
-  * documents. Key-column contract: numeric (castable to long) — the
-  * same restriction Iceberg's lower/upper bounds relax with typed
+  * The commit point's CAS is filesystem-specific (see [[tryCommit]]):
+  * HDFS rename refuses an existing destination (atomic metadata op, the
+  * same contract Delta relies on); on local fs POSIX rename silently
+  * overwrites, so the commit uses a hard-link create-exclusive instead
+  * (EEXIST in the kernel — exactly one racer wins). Object stores would
+  * need a CAS/lock service, as every log-structured format documents.
+  * Key-column contract: numeric (castable to long) — the same
+  * restriction Iceberg's lower/upper bounds relax with typed
   * serialization, kept simple here.
   *
   * Reference behavior covered: the S7/S8 append + update-in-place sinks
@@ -151,13 +153,26 @@ object TxLog {
   }
 
   /** Atomic commit attempt: manifest for version `v` listing `files`.
-    * False iff another writer already committed `v` (rename refuses an
-    * existing destination — the CAS). */
+    * False iff another writer already committed `v`.
+    *
+    * The commit primitive is filesystem-specific, because the CAS each
+    * one actually provides differs:
+    *  - local fs: `rename` delegates to POSIX rename, which SILENTLY
+    *    OVERWRITES an existing destination — exists()+rename would be
+    *    check-then-act, and two racing writers could both "commit" v+1
+    *    with one set of files silently lost. `Files.createLink` (hard
+    *    link) is a true create-exclusive: it fails with EEXIST atomically
+    *    in the kernel, so exactly one racer wins.
+    *  - HDFS: rename is an atomic namespace op that REFUSES an existing
+    *    destination — the standard manifest-commit primitive (what
+    *    Delta's HDFS LogStore relies on).
+    *  - object stores would need an external CAS/lock service; unsupported
+    *    here, as every log-structured format documents. */
   private def tryCommit(fs: FileSystem, root: String, v: Long,
                         files: Seq[TxFile]): Boolean = {
     fs.mkdirs(new Path(s"$root/$LogDir"))
     val dest = manifestPath(root, v)
-    if (fs.exists(dest)) return false
+    if (fs.exists(dest)) return false // fast path; the real CAS is below
     val tmp = new Path(s"$root/$LogDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try {
@@ -165,9 +180,23 @@ object TxLog {
         s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}")).mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
-    val ok = fs.rename(tmp, dest)
-    if (!ok) fs.delete(tmp, false)
-    ok
+    if (fs.getScheme == "file") {
+      val linked =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      fs.delete(tmp, false) // dest (if linked) shares the inode; tmp name goes
+      linked
+    } else {
+      val ok = fs.rename(tmp, dest)
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
   }
 
   @tailrec
@@ -228,11 +257,21 @@ object TxLog {
 
   /** Drop data files referenced by NO manifest among the kept versions
     * (the last `keepVersions`), then drop the older manifests. Bounds
-    * storage while preserving time travel over the kept window. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    * storage while preserving time travel over the kept window.
+    *
+    * `graceMs` (Delta-style retention): files MODIFIED within the last
+    * `graceMs` are never touched, because an in-flight commit moves its
+    * data files into `data/` BEFORE publishing its manifest — without
+    * the grace window a concurrent vacuum would delete those
+    * not-yet-referenced files and the commit would then publish a
+    * version pointing at nothing. Set 0 only when no writer can be
+    * running concurrently. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+             graceMs: Long = 10 * 60 * 1000L): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = hfs(spark, root)
     val cur = currentVersion(spark, root)
+    val cutoff = System.currentTimeMillis() - graceMs
     val keepFrom = math.max(1L, cur - keepVersions + 1)
     val live = (keepFrom to cur).flatMap(v =>
       snapshot(spark, root, Some(v)).files.map(_.path)).toSet
@@ -240,10 +279,13 @@ object TxLog {
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
       val rel = s"data/${st.getPath.getName}"
       if (st.isFile && !live.contains(rel) &&
-          !st.getPath.getName.startsWith(".")) fs.delete(st.getPath, false)
-      // crashed writers leave staging dirs; they are unreferenced by
-      // construction (a commit only lists files moved OUT of staging)
-      else if (st.isDirectory && st.getPath.getName.startsWith("tmp-"))
+          !st.getPath.getName.startsWith(".") &&
+          st.getModificationTime < cutoff) fs.delete(st.getPath, false)
+      // crashed writers leave staging dirs; unreferenced by construction
+      // (a commit only lists files moved OUT of staging) — but an ACTIVE
+      // writer's staging dir looks identical, hence the same grace test
+      else if (st.isDirectory && st.getPath.getName.startsWith("tmp-") &&
+          st.getModificationTime < cutoff)
         fs.delete(st.getPath, true)
     }
     val logDir = new Path(s"$root/$LogDir")

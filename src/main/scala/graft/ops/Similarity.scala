@@ -63,8 +63,11 @@ object Similarity {
   def groupCentroids(df: DataFrame, group: String, vec: String): DataFrame =
     df.select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
       .groupBy(col(group), col("pos"))
+      // denominator = count(v), NOT count(*): collect_list silently drops
+      // null elements, so a null vector component must also leave the
+      // denominator or it would deflate that dimension's mean
       .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
-        lit(0.0), (a, x) => a + x) / count(lit(1))).as("centroid"))
+        lit(0.0), (a, x) => a + x) / count(col("v"))).as("centroid"))
 
   /** Lloyd-iteration k-means centroids in pure DataFrame ops, for
     * training the IVF index: deterministic init (the k lowest-id

@@ -47,8 +47,9 @@ class XlsxDataSourceV2 extends TableProvider with DataSourceRegister {
     val files = XlsxDataSourceV2.resolveFiles(options)
     require(files.nonEmpty, "graft-xlsx: no .xlsx files at the given path")
     val sheet = options.getInt("sheet", 1)
-    val (header, _) =
-      XlsxSource.parseRows(XlsxDataSourceV2.readBytes(files.head), sheet)
+    val (header, _) = XlsxSource.parseRows(
+      XlsxDataSourceV2.readBytes(files.head, XlsxDataSourceV2.sessionConf()),
+      sheet)
     StructType(header.map(h => StructField(h, StringType)))
   }
 
@@ -59,6 +60,16 @@ class XlsxDataSourceV2 extends TableProvider with DataSourceRegister {
 
 private[sources] object XlsxDataSourceV2 {
 
+  /** The active session's Hadoop configuration (fs.defaultFS, s3a
+    * credentials, …) — a bare `new Configuration()` would silently drop
+    * every `spark.hadoop.*` setting, so any filesystem needing config
+    * would fail. Driver-side only; executors receive it serialized via
+    * [[SerializableHadoopConf]]. */
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Path option → concrete .xlsx file list (a file, or a directory's
     * *.xlsx children sorted for deterministic partition order). */
   def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -66,7 +77,7 @@ private[sources] object XlsxDataSourceV2 {
       throw new IllegalArgumentException(
         "graft-xlsx: .load(path) is required (a .xlsx file or a directory)"))
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(sessionConf())
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
       fs.listStatus(p).toSeq
@@ -76,11 +87,28 @@ private[sources] object XlsxDataSourceV2 {
     else Seq(st.getPath.toString)
   }
 
-  def readBytes(path: String): Array[Byte] = {
+  def readBytes(path: String, conf: Configuration): Array[Byte] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try in.readAllBytes() finally in.close()
+  }
+}
+
+/** Hadoop `Configuration` is not `Serializable`; this wrapper ships the
+  * driver's session conf to executor-side readers/writers via Hadoop's
+  * own `write`/`readFields` wire format (the same trick Spark's internal
+  * `SerializableConfiguration` uses — that class is private[spark]). */
+private[sources] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -130,67 +158,81 @@ private[sources] class XlsxWriteBuilder(schema: StructType, path: String)
     schema.fields.foreach(f => require(f.dataType == StringType,
       s"graft-xlsx writes text workbooks: column '${f.name}' is " +
         s"${f.dataType.simpleString}, cast it to string upstream"))
-    new XlsxWrite(schema, path, truncateFirst)
+    // capture the SESSION conf here (driver-side, once) so executors and
+    // the commit phase see the same filesystem settings the user set
+    new XlsxWrite(schema, path, truncateFirst,
+      new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()))
   }
 }
 
 private[sources] class XlsxWrite(schema: StructType, path: String,
-                                 truncateFirst: Boolean) extends Write {
+                                 truncateFirst: Boolean,
+                                 conf: SerializableHadoopConf) extends Write {
   override def toBatch: BatchWrite =
-    new XlsxBatchWrite(schema, path, truncateFirst)
+    new XlsxBatchWrite(schema, path, truncateFirst, conf)
 }
 
 private[sources] case class XlsxCommitMessage(tmp: String, fin: String)
     extends WriterCommitMessage
 
 private[sources] class XlsxBatchWrite(schema: StructType, path: String,
-                                      truncateFirst: Boolean)
+                                      truncateFirst: Boolean,
+                                      conf: SerializableHadoopConf)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new XlsxWriterFactory(schema.fieldNames.toSeq, path)
+    new XlsxWriterFactory(schema.fieldNames.toSeq, path, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     fs.mkdirs(new Path(path))
     val msgs = messages
       .collect { case m: XlsxCommitMessage => m }.filter(_.tmp.nonEmpty)
-    if (truncateFirst) {
-      // staged temps are dot-prefixed, so this sweeps only LIVE workbooks
-      fs.listStatus(new Path(path)).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && n.toLowerCase.endsWith(".xlsx") && !n.startsWith("."))
-          fs.delete(st.getPath, false)
-      }
-    }
+    // Publish the staged workbooks FIRST, then sweep the previous
+    // generation: a concurrent reader in the commit window sees old∪new
+    // (an append-like anomaly) — never an empty/partial table, which is
+    // what sweep-then-publish exposed. Atomic truncate needs a manifest
+    // (TxLog); a directory-of-files table can only order the renames.
+    val published = msgs.map(_.fin.split('/').last).toSet
     msgs.foreach { m =>
       require(fs.rename(new Path(m.tmp), new Path(m.fin)),
         s"graft-xlsx: failed to publish ${m.fin}")
     }
+    if (truncateFirst) {
+      // staged temps are dot-prefixed, so this sweeps only LIVE workbooks
+      fs.listStatus(new Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.toLowerCase.endsWith(".xlsx") &&
+            !n.startsWith(".") && !published.contains(n))
+          fs.delete(st.getPath, false)
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     messages.collect { case m: XlsxCommitMessage if m.tmp.nonEmpty =>
       fs.delete(new Path(m.tmp), false)
     }
   }
 }
 
-private[sources] class XlsxWriterFactory(fieldNames: Seq[String], path: String)
+private[sources] class XlsxWriterFactory(fieldNames: Seq[String], path: String,
+                                         conf: SerializableHadoopConf)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new XlsxDataWriter(fieldNames, path, partitionId, taskId)
+    new XlsxDataWriter(fieldNames, path, partitionId, taskId, conf)
 }
 
 /** Buffers one partition's rows (a workbook is dimension-sized by
   * contract) and emits a single workbook on commit. Empty partitions
   * emit nothing. */
 private[sources] class XlsxDataWriter(fieldNames: Seq[String], path: String,
-                                      partitionId: Int, taskId: Long)
+                                      partitionId: Int, taskId: Long,
+                                      conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
@@ -203,7 +245,7 @@ private[sources] class XlsxDataWriter(fieldNames: Seq[String], path: String,
     if (buf.isEmpty) return XlsxCommitMessage("", "")
     val base = f"part-$partitionId%05d-$taskId.xlsx"
     val tmp = new Path(path, s".tmp-$base")
-    val fs = tmp.getFileSystem(new Configuration())
+    val fs = tmp.getFileSystem(conf.value)
     fs.mkdirs(new Path(path))
     val out = fs.create(tmp, true)
     try out.write(XlsxSource.writeBytes(fieldNames, buf.iterator))
@@ -226,11 +268,13 @@ private[sources] class XlsxScanBuilder(fullSchema: StructType,
     required = requiredSchema
 
   override def build(): Scan = new XlsxScan(required,
-    XlsxDataSourceV2.resolveFiles(options), options.getInt("sheet", 1))
+    XlsxDataSourceV2.resolveFiles(options), options.getInt("sheet", 1),
+    new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()))
 }
 
 private[sources] class XlsxScan(required: StructType, files: Seq[String],
-                                sheet: Int) extends Scan with Batch {
+                                sheet: Int, conf: SerializableHadoopConf)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -244,29 +288,31 @@ private[sources] class XlsxScan(required: StructType, files: Seq[String],
     files.map(f => XlsxInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(required, sheet)
+    new XlsxReaderFactory(required, sheet, conf)
 }
 
 private[sources] case class XlsxInputPartition(path: String)
     extends InputPartition
 
-private[sources] class XlsxReaderFactory(required: StructType, sheet: Int)
+private[sources] class XlsxReaderFactory(required: StructType, sheet: Int,
+                                         conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new XlsxPartitionReader(p.asInstanceOf[XlsxInputPartition].path,
-      required, sheet)
+      required, sheet, conf)
 }
 
 /** One workbook → rows of the REQUIRED columns only, resolved by name
   * against this workbook's own header. */
 private[sources] class XlsxPartitionReader(path: String,
-                                           required: StructType, sheet: Int)
+                                           required: StructType, sheet: Int,
+                                           conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
     val (header, data) =
-      XlsxSource.parseRows(XlsxDataSourceV2.readBytes(path), sheet)
+      XlsxSource.parseRows(XlsxDataSourceV2.readBytes(path, conf.value), sheet)
     val idx = required.fieldNames.map(header.indexOf)
     data.iterator.map { r =>
       InternalRow.fromSeq(idx.toSeq.map { i =>

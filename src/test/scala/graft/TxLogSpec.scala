@@ -75,7 +75,12 @@ class TxLogSpec extends SparkSpec {
     val dest = new java.io.File(s"$root/data/orphan.parquet")
     assert(orphan.renameTo(dest))
     assert(TxLog.read(spark, root).count() === 50) // still the old snapshot
+    // default grace window: a FRESH unreferenced file is indistinguishable
+    // from an in-flight commit's data, so vacuum must leave it alone
     TxLog.vacuum(spark, root, keepVersions = 1)
+    assert(dest.exists())
+    // no concurrent writers (graceMs = 0): the orphan is swept
+    TxLog.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
     assert(!dest.exists()) // orphan swept
     assert(TxLog.read(spark, root).count() === 50)
   }
@@ -104,7 +109,7 @@ class TxLogSpec extends SparkSpec {
     TxLog.overwrite(spark, root, rows(0 until 5, "b"), "id")
     // pre-vacuum: time travel to v1 still works
     assert(TxLog.read(spark, root, Some(1L)).count() === 30)
-    TxLog.vacuum(spark, root, keepVersions = 1)
+    TxLog.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
     assert(TxLog.read(spark, root).count() === 5)
     // v1's files are gone from disk, and so is its manifest
     v1Files.foreach(p => assert(!new java.io.File(s"$root/$p").exists(), p))
