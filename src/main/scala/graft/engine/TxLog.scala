@@ -102,12 +102,43 @@ object TxLog {
       } finally in.close()
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
       require(lines.headOption.contains(Magic), s"bad manifest header in $p")
-      val files = lines.drop(2).map { l =>
+      // '#'-prefixed lines are commit metadata (e.g. #epoch=N), not files
+      val files = lines.drop(2).filterNot(_.startsWith("#")).map { l =>
         val Array(path, rows, mn, mx) = l.split("\t")
         TxFile(path, rows.toLong, mn.toLong, mx.toLong)
       }
       TxSnapshot(v, files)
     }
+  }
+
+  /** The `#epoch=N` tag of version `v`'s manifest, None if untagged. */
+  def commitEpoch(spark: SparkSession, root: String, v: Long): Option[Long] = {
+    val fs = hfs(spark, root)
+    val p = manifestPath(root, v)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8")
+      } finally in.close()
+      text.split("\n").find(_.startsWith("#epoch="))
+        .map(_.stripPrefix("#epoch=").toLong)
+    }
+  }
+
+  /** Latest committed epoch tag: versions are scanned newest-first and
+    * the first tag wins — with a single epoch-tagged writer stream
+    * (the [[mergeEpoch]] contract) epochs are monotone in version, so
+    * this is O(1) manifests read per call, not O(history). */
+  def lastEpoch(spark: SparkSession, root: String): Option[Long] = {
+    val cur = currentVersion(spark, root)
+    (cur to 1L by -1L).iterator
+      .map(v => commitEpoch(spark, root, v))
+      .collectFirst { case Some(e) => e }
   }
 
   /** Snapshot read (optionally time-traveled). The empty table reads as
@@ -169,15 +200,18 @@ object TxLog {
     *  - object stores would need an external CAS/lock service; unsupported
     *    here, as every log-structured format documents. */
   private def tryCommit(fs: FileSystem, root: String, v: Long,
-                        files: Seq[TxFile]): Boolean = {
+                        files: Seq[TxFile],
+                        epoch: Option[Long] = None): Boolean = {
     fs.mkdirs(new Path(s"$root/$LogDir"))
     val dest = manifestPath(root, v)
     if (fs.exists(dest)) return false // fast path; the real CAS is below
     val tmp = new Path(s"$root/$LogDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try {
-      val body = (Seq(Magic, v.toString) ++ files.map(f =>
-        s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}")).mkString("\n")
+      val body = (Seq(Magic, v.toString) ++
+        epoch.map(e => s"#epoch=$e").toSeq ++
+        files.map(f =>
+          s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}")).mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     if (fs.getScheme == "file") {
@@ -230,7 +264,7 @@ object TxLog {
     * Retries from a fresh snapshot on a concurrent-commit conflict, so
     * the merge serializes after the winner. */
   def merge(spark: SparkSession, root: String, incoming: DataFrame,
-            keyCol: String): Long = {
+            keyCol: String, epoch: Option[Long] = None): Long = {
     val fs = hfs(spark, root)
     val bounds = incoming.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).collect()(0)
@@ -245,7 +279,7 @@ object TxLog {
         else spark.read.parquet(touched.map(f => s"$root/${f.path}"): _*)
       val merged = Merge.upsert(existing, incoming, Seq(keyCol))
       val newFiles = writeData(spark, root, merged, keyCol)
-      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles)) {
+      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles, epoch)) {
         snap.version + 1
       } else {
         newFiles.foreach(f => fs.delete(new Path(s"$root/${f.path}"), false))
@@ -254,6 +288,21 @@ object TxLog {
     }
     loop()
   }
+
+  /** EXACTLY-ONCE micro-batch MERGE: the batch's epoch id is stamped
+    * into the manifest at the commit point, so delivery and the record
+    * of delivery are ONE atomic operation. A replay of an
+    * already-committed epoch (streaming restart re-running its last
+    * batch) is detected from the log and skipped — no duplicate work,
+    * no version bump. Contract: ONE writer stream per table with
+    * monotonically increasing epochs (Structured Streaming's batchId /
+    * the Watcher's uploadId). Returns the table version holding the
+    * epoch (current version when skipped). */
+  def mergeEpoch(spark: SparkSession, root: String, incoming: DataFrame,
+                 keyCol: String, epochId: Long): Long =
+    if (lastEpoch(spark, root).exists(_ >= epochId))
+      currentVersion(spark, root) // replayed epoch: already committed
+    else merge(spark, root, incoming, keyCol, Some(epochId))
 
   /** Drop data files referenced by NO manifest among the kept versions
     * (the last `keepVersions`), then drop the older manifests. Bounds

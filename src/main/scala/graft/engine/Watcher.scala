@@ -73,6 +73,16 @@ object Watcher {
     *   the reference's reprocess-all T3 semantics — the natural partner
     *   of the partitioned sink: a one-file change touches one file's
     *   partition.
+    * @param useTxLog when true, the warehouse table is a [[TxLog]]
+    *   transactional table and each poll's batch lands via
+    *   [[TxLog.mergeEpoch]] with the uploadId as the epoch — EXACTLY
+    *   ONCE: the epoch is stamped into the manifest at the atomic
+    *   commit point, so a crash anywhere leaves either no trace of the
+    *   batch (the retrying heartbeat re-runs the same diff) or the
+    *   full committed batch (a replay of the same uploadId is detected
+    *   from the log and skipped). Upload-id recovery reads the LOG,
+    *   not the rows, so it survives batches whose rows were later
+    *   overwritten. Single numeric key (the TxLog contract).
     */
   final class IncrementalLoader(
       spark: SparkSession,
@@ -82,27 +92,40 @@ object Watcher {
       process: (DataFrame, Long) => DataFrame,
       deleteMissing: Boolean = false,
       partitionCol: Option[String] = None,
-      incremental: Boolean = false) {
+      incremental: Boolean = false,
+      useTxLog: Boolean = false) {
 
     // deleteMissing compares the warehouse against the FULL current file
     // set, which both narrowed-batch modes no longer carry
     require(!(deleteMissing && (incremental || partitionCol.nonEmpty)),
       "deleteMissing requires reprocess-all semantics over the whole table")
+    require(!(useTxLog && (deleteMissing || partitionCol.nonEmpty)),
+      "the TxLog sink is its own transactional MERGE: no deleteMissing, " +
+        "no directory partitioning")
+    require(!useTxLog || keys.size == 1,
+      "TxLog tables key on one numeric column")
 
     private var snap: Map[String, Long] = Map.empty
     private var firstPoll = true
-    /** T5: recovered from the table so restarts keep counting up. */
-    private var uploadId: Long = currentTable() match {
-      case Some(t) if t.columns.contains("UPLOAD_ID") =>
-        val m = t.agg(max(col("UPLOAD_ID"))).head()
-        if (m.isNullAt(0)) 0L else m.getLong(0)
-      case _ => 0L
-    }
+    /** T5: recovered on restart — from the transaction log's epoch tags
+      * (authoritative: committed atomically with the data) in TxLog
+      * mode, else from the table's max UPLOAD_ID. */
+    private var uploadId: Long =
+      if (useTxLog) TxLog.lastEpoch(spark, tablePath).getOrElse(0L)
+      else currentTable() match {
+        case Some(t) if t.columns.contains("UPLOAD_ID") =>
+          val m = t.agg(max(col("UPLOAD_ID"))).head()
+          if (m.isNullAt(0)) 0L else m.getLong(0)
+        case _ => 0L
+      }
 
     def lastUploadId: Long = uploadId
 
     def currentTable(): Option[DataFrame] =
-      if (Files.isDirectory(Paths.get(tablePath)))
+      if (useTxLog) {
+        if (TxLog.currentVersion(spark, tablePath) == 0L) None
+        else Some(TxLog.read(spark, tablePath))
+      } else if (Files.isDirectory(Paths.get(tablePath)))
         Some(spark.read.parquet(tablePath))
       else None
 
@@ -150,7 +173,10 @@ object Watcher {
               .option("pathGlobFilter", "*.{pdf,docx}")
               .load(sourceDir)
         val incoming = process(files, nextId)
-        partitionCol match {
+        if (useTxLog) {
+          // exactly-once: epoch (=uploadId) rides in the manifest commit
+          TxLog.mergeEpoch(spark, tablePath, incoming, keys.head, nextId)
+        } else partitionCol match {
           case Some(pc) =>
             // partition-scoped sink: only batch-affected partitions are
             // read, merged and rewritten

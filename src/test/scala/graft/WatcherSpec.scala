@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.Watcher
+import graft.engine.{TxLog, Watcher}
 
 /** T1–T6 incremental-loop semantics (reference `script.py`), driven by
   * direct polls over a temp directory. */
@@ -239,6 +239,64 @@ class WatcherSpec extends SparkSpec {
       val t = loader2.currentTable().get
       assert(t.agg(max(col("UPLOAD_ID"))).head().getLong(0) >= 3L)
     } finally q2.stop()
+  }
+
+  test("TxLog sink: exactly-once micro-batches — the epoch rides the " +
+    "atomic manifest commit, a crashed batch leaves no trace, restart " +
+    "recovers the id from the log, replays are skipped, the version log " +
+    "is linear") {
+    val src = Files.createTempDirectory("graft_src_tx").toString
+    val wh = Files.createTempDirectory("graft_wh_tx").toString + "/docs"
+    def mk() = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("doc_id"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "_(\\d+)\\.", 1).cast("long")
+          .as("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID")),
+      useTxLog = true)
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    val loader = mk()
+    assert(loader.pollOnce() === Some(1L))
+    assert(TxLog.currentVersion(spark, wh) === 1L)
+    assert(TxLog.commitEpoch(spark, wh, 1L) === Some(1L))
+    assert(loader.currentTable().get.count() === 2)
+
+    // kill mid-batch: a writer died after staging data but BEFORE its
+    // manifest commit — the staged rows must be invisible to readers
+    // and absent from the log (TxLogSpec's orphan-file simulation)
+    spark.range(1)
+      .selectExpr("99L as doc_id", "0L as n_bytes", "99L as UPLOAD_ID")
+      .coalesce(1).write.parquet(s"$wh/data/tmp-crashed")
+    assert(loader.currentTable().get.count() === 2)
+
+    // restart: a FRESH loader recovers the upload id from the LOG's
+    // epoch tags (not from rows), resumes at 2, and the survivors of
+    // the next poll merge idempotently — no duplicates
+    val restarted = mk()
+    assert(restarted.lastUploadId === 1L)
+    Thread.sleep(1100) // mtime resolution
+    writeDoc(src, "c_3.pdf", "gamma")
+    assert(restarted.pollOnce() === Some(2L))
+    assert(restarted.currentTable().get.count() === 3)
+    assert(restarted.currentTable().get
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(TxLog.currentVersion(spark, wh) === 2L)
+
+    // replay of an already-committed epoch (streaming restart re-runs
+    // its last batch): detected from the log, skipped — same version,
+    // same rows
+    val replay = restarted.currentTable().get
+    assert(TxLog.mergeEpoch(spark, wh, replay, "doc_id", 2L) === 2L)
+    assert(TxLog.currentVersion(spark, wh) === 2L)
+    assert(restarted.currentTable().get.count() === 3)
+
+    // version log is linear: every version 1..current is readable
+    (1L to TxLog.currentVersion(spark, wh)).foreach { v =>
+      assert(TxLog.snapshot(spark, wh, Some(v)).version === v)
+    }
+    assert(TxLog.lastEpoch(spark, wh) === Some(2L))
   }
 
   test("T2 unit: snapshot diff classifies added/deleted/modified") {
