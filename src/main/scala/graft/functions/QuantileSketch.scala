@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KLL-style mergeable quantile sketch (Karnin–Lang–Liberty, FOCS'16
+  * simplified): fixed-size compactor levels where a level-i item carries
+  * weight 2^i. Insert appends at level 0; an over-full level is SORTED
+  * and its odd-indexed half promoted one level up (each survivor
+  * represents itself and its dropped neighbor — rank error ≤ its weight
+  * per compaction). Merge concatenates levels pairwise and re-compacts.
+  *
+  * Why this is the 100 TB shape for quantiles, vs the exact
+  * `percentile_approx`/sort paths (q38/q107): the state is O(k · log(n/k))
+  * REGARDLESS of group size, partial-aggregates map-side, and merges
+  * associatively — so one pass over a 100 TB table yields per-group
+  * quantile summaries that can themselves be unioned later (day-level
+  * sketches → month-level quantiles without re-reading the data), the
+  * property no exact method has.
+  *
+  * Determinism: compaction keeps alternating parities of the SORTED
+  * buffer — odd indices on one compaction, even on the next, tracked by
+  * a flip counter in the state (no RNG — unlike the randomized-offset
+  * original). A fixed parity would systematically erode one tail (keep-
+  * odd always drops each pair's minimum, so after L levels the true
+  * p≈0 quantile is gone); alternation cancels that bias to first order
+  * while a given insertion order still yields a bit-identical sketch.
+  * The result depends on partition order (like every mergeable sketch
+  * under Spark's nondeterministic partitioning), hence spec-gated rather
+  * than oracle-gated: the spec proves rank-error bounds and
+  * merge-grouping invariance, the honest guarantees.
+  *
+  * Reference analogue: the summary statistics the reference computes
+  * exactly at toy scale (exo_2.py's describe-style profiling) need a
+  * mergeable sketch at warehouse scale.
+  */
+final case class KllState(n: Long, flips: Long, levels: Seq[Seq[Double]])
+
+object KllSketch {
+
+  /** Per-level capacity: FLAT k (total memory k·log₂(n/k)). The
+    * original's geometrically shrinking lower levels only keep the
+    * error bound with RANDOM compaction offsets (signs cancel in
+    * variance); with deterministic alternation the per-level error is
+    * worst-case Σᵢ mᵢ·wᵢ/2 = L·n/2k for mᵢ = n/(k·wᵢ) compactions of
+    * weight wᵢ — small capacities would blow the n/2c term up, so every
+    * level gets the full k. */
+  private def capacity(k: Int, level: Int, numLevels: Int): Int = k
+
+  val empty: KllState = KllState(0L, 0L, Seq(Seq.empty))
+
+  def insert(s: KllState, x: Double, k: Int): KllState =
+    compact(KllState(s.n + 1, s.flips,
+      s.levels.updated(0, s.levels.head :+ x)), k)
+
+  def merge(a: KllState, b: KllState, k: Int): KllState = {
+    val h = math.max(a.levels.size, b.levels.size)
+    val both = (0 until h).map { i =>
+      a.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]) ++
+        b.levels.applyOrElse(i, (_: Int) => Seq.empty[Double])
+    }
+    compact(KllState(a.n + b.n, a.flips + b.flips, both), k)
+  }
+
+  /** Enforce capacities bottom-up: sort an over-full level, promote the
+    * alternating-parity half (weight doubles), keep none of it here. */
+  @annotation.tailrec
+  def compact(s: KllState, k: Int): KllState = {
+    val h = s.levels.size
+    val idx = s.levels.zipWithIndex
+      .indexWhere { case (l, i) => l.size > capacity(k, i, h) }
+    if (idx < 0) s
+    else {
+      val sorted = s.levels(idx).sorted
+      val parity = (s.flips % 2).toInt
+      val promoted = sorted.indices.collect {
+        case i if i % 2 == parity => sorted(i)
+      }
+      val base =
+        if (idx + 1 < h) s.levels
+        else s.levels :+ Seq.empty[Double] // grow a level for the promotion
+      val next = base
+        .updated(idx, Seq.empty[Double])
+        .updated(idx + 1, base(idx + 1) ++ promoted)
+      compact(KllState(s.n, s.flips + 1, next), k)
+    }
+  }
+
+  /** Rank-based quantile estimate: flatten to (value, weight=2^level),
+    * sort by value, return the first value whose cumulative weight
+    * reaches p·W (quantile_disc semantics over the weighted sample). */
+  def quantile(s: KllState, p: Double): Double = {
+    val weighted = s.levels.zipWithIndex.flatMap { case (l, i) =>
+      l.map(v => (v, 1L << i))
+    }.sortBy(_._1)
+    require(weighted.nonEmpty, "quantile of an empty sketch")
+    val total = weighted.map(_._2).sum
+    val target = math.max(1L, math.ceil(p * total).toLong)
+    var acc = 0L
+    weighted.find { case (_, w) => acc += w; acc >= target }.get._1
+  }
+}
+
+/** Typed Aggregator over a Double column → quantile estimates at
+  * `probs`. Map-side partial sketches, associative reduce/merge —
+  * `ds.groupByKey(...).agg(new QuantileSketchAgg(128, probs).toColumn)`
+  * or untyped via `udaf(...)`. */
+class QuantileSketchAgg(k: Int, probs: Seq[Double])
+    extends Aggregator[Double, KllState, Seq[Double]] {
+
+  override def zero: KllState = KllSketch.empty
+
+  override def reduce(b: KllState, x: Double): KllState =
+    KllSketch.insert(b, x, k)
+
+  override def merge(a: KllState, b: KllState): KllState =
+    KllSketch.merge(a, b, k)
+
+  override def finish(s: KllState): Seq[Double] =
+    probs.map(p => KllSketch.quantile(s, p))
+
+  override def bufferEncoder: Encoder[KllState] = Encoders.product[KllState]
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
