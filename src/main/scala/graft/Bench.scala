@@ -75,13 +75,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.filter(_._3).map(_._2).sum
-    // The headline fields sit at the END of the JSON object (key order
-    // is irrelevant to a parser): log capture keeps the TAIL of long
-    // lines, so a truncated capture can eat per-query timings but never
-    // the total/failed/n summary. A human-readable copy goes to stderr
-    // up front for the same reason.
-    System.err.println(f"[bench] total=$total%.3f sec n=${timings.size} " +
-      s"failed=${failed.size} sf=$sfDir")
+    // Truncation-proof both ways: a COMPACT summary goes out FIRST as its
+    // own short line (head capture keeps it), and the full line repeats
+    // the headline fields at its END (tail capture of a long line keeps
+    // them, since key order is irrelevant to a parser). A capture that
+    // loses per-query timings can therefore never lose the total.
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${timings.size},"failed":$fl,"sf":"$sfDir"}"""
+    println(summary)
+    System.err.println(s"[bench] $summary")
     println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","n":${timings.size},"failed":$fl,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

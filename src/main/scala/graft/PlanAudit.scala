@@ -17,9 +17,14 @@ object PlanAudit {
       else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
       try {
-        val plan = SparkEntry.queries(q)(spark, dir)
+        // capture the plans Caches.small materializes too: lineage
+        // truncation otherwise hides the LSH pipelines' expensive
+        // candidate stages from the audit
+        graft.ops.Caches.startCapture()
+        val finalPlan = SparkEntry.queries(q)(spark, dir)
           .queryExecution.executedPlan.toString
-        val lines = plan.linesIterator.toSeq
+        val subPlans = graft.ops.Caches.stopCapture()
+        val lines = (subPlans :+ finalPlan).flatMap(_.linesIterator)
         def n(p: String) = lines.count(_.contains(p))
         val nl = n("BroadcastNestedLoop") + n("CartesianProduct")
         // widest ReadSchema column count across scans (top-level fields
@@ -41,8 +46,10 @@ object PlanAudit {
           l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
         println(s"[plan] $q exch=${n("Exchange")} bhj=${n("BroadcastHashJoin")} " +
           s"smj=${n("SortMergeJoin")} nl=$nl scans=${n("FileScan")} " +
-          s"maxReadCols=${if (widths.isEmpty) 0 else widths.max} pushedScans=$pushed")
+          s"maxReadCols=${if (widths.isEmpty) 0 else widths.max} " +
+          s"pushedScans=$pushed subplans=${subPlans.size + 1}")
       } catch { case e: Throwable =>
+        graft.ops.Caches.stopCapture()
         println(s"[plan] $q ERROR ${e.getMessage}")
       }
     }

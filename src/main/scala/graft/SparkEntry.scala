@@ -370,6 +370,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video decode: deterministic uncompressed-DIB AVIs (one per
+    // doc), container walked chunk-by-chunk, EVERY frame decoded through
+    // the same javax.imageio path as q25's stills (wrapped as BMP). The
+    // oracle predicts the closed-form container size and the header
+    // metadata; n_frames gates that every frame actually decoded (the
+    // count is of successful per-frame decodes, not the header field).
+    // mapPartitions batch stage, no shuffle — the binaryFile→decode→
+    // featurize shape at any scale.
+    "q127_multimodal_video" -> ((s, dir) => {
+      Multimodal.videoPipeline(t(s, dir, "documents"), "doc_id")
+        .select(col("media_id").as("doc_id"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     // Product quantization ANN: deterministic codebooks (subvectors of
     // vec_id<16), per-subspace argmin encode, asymmetric-distance (ADC)
     // top-k — the compressed-index scale path (m bytes per vector at
@@ -2518,6 +2533,18 @@ object SparkEntry {
                   * (1 + doc_id % 48) AS BIGINT) AS n_bytes,
            CAST(1 + doc_id % 64 AS INTEGER) AS width,
            CAST(1 + doc_id % 48 AS INTEGER) AS height
+         FROM documents ORDER BY doc_id""",
+
+    // AVI container size is closed-form: 224 header/list bytes plus one
+    // 8-byte chunk header + padded 24bpp frame per frame (see encodeAvi).
+    "q127_multimodal_video" ->
+      """SELECT doc_id,
+           CAST(224 + (2 + doc_id % 6)
+                  * (8 + ((3*(1 + doc_id % 32) + 3) // 4 * 4)
+                       * (1 + doc_id % 24)) AS BIGINT) AS n_bytes,
+           CAST(1 + doc_id % 32 AS INTEGER) AS width,
+           CAST(1 + doc_id % 24 AS INTEGER) AS height,
+           CAST(2 + doc_id % 6 AS BIGINT) AS n_frames
          FROM documents ORDER BY doc_id""",
 
     "q50_kmv_sketch" ->

@@ -101,7 +101,13 @@ object Merge {
     * copy; there a transactional format — Delta/Iceberg MERGE — is the
     * right sink, behind this same interface.) The aside directory lives
     * OUTSIDE the table root so a crashed swap never leaves a bogus
-    * `part=X.old` directory for partition discovery to misread.
+    * `part=X.old` directory for partition discovery to misread, and the
+    * next run RECOVERS it: an aside partition missing from the live
+    * table is renamed back before anything is read (crash between the
+    * two renames), one also present live is discarded (crash after the
+    * second rename — the new version already won). Either way no
+    * committed row is ever lost to a mid-swap crash (spec-simulated in
+    * DedupMergeSpec).
     *
     * CONTRACT: the partition value must be a pure function of the merge
     * key (a row never moves partitions between batches) — the same
@@ -115,6 +121,22 @@ object Merge {
     val spark = incoming.sparkSession
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new Path(tablePath + ".stage")
+    val asideDir = new Path(tablePath + ".aside")
+    // CRASH RECOVERY from a run that died between its two renames: an
+    // aside entry whose live partition is MISSING holds the only copy of
+    // that partition's previous rows — restore it BEFORE the pruned read
+    // below, or the merge would read nothing there and the batch would
+    // silently drop every pre-existing row of that partition. An aside
+    // entry whose live partition EXISTS is a leftover from a crash after
+    // the second rename (the new version already won): drop it.
+    if (fs.exists(asideDir)) {
+      fs.listStatus(asideDir).filter(_.isDirectory).foreach { st =>
+        val live = new Path(table, st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+      fs.delete(asideDir, true)
+    }
     if (!fs.exists(table)) {
       incoming.write.partitionBy(partCol).mode("overwrite").parquet(tablePath)
     } else {
@@ -135,10 +157,7 @@ object Merge {
       val existing = spark.read.parquet(tablePath)
         .filter(prune) // pruned to affected partitions
       val merged = upsert(existing, incoming, keys)
-      val stage = new Path(tablePath + ".stage")
-      val asideDir = new Path(tablePath + ".aside")
       if (fs.exists(stage)) fs.delete(stage, true)
-      if (fs.exists(asideDir)) fs.delete(asideDir, true)
       merged.write.mode("overwrite").partitionBy(partCol)
         .parquet(stage.toString)
       // swap each staged partition dir into the live table; directory

@@ -7,6 +7,23 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Caches {
 
+  /** Sub-plan capture for PlanAudit/ContractSpec: a localCheckpoint
+    * TRUNCATES lineage, so the final plan of an LSH pipeline shows only
+    * the post-materialization tail — the expensive candidate-generation
+    * stages would escape any plan audit. With capture enabled, every
+    * [[small]] records the physical plan it is about to materialize, so
+    * "no nested loops anywhere" is machine-checked across ALL stages,
+    * not just the visible tail. */
+  private val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+  @volatile private var capturing = false
+
+  def startCapture(): Unit =
+    synchronized { captured.clear(); capturing = true }
+
+  /** Stop capturing and return every sub-plan recorded since start. */
+  def stopCapture(): Seq[String] =
+    synchronized { capturing = false; captured.toList }
+
   /** Eagerly materialize a SMALL frame (candidate-pair lists, model-sized
     * artifacts) via `localCheckpoint`: computation runs now, lineage is
     * truncated so upstream `persist`ed inputs can be released immediately
@@ -20,5 +37,10 @@ private[graft] object Caches {
     * table (localCheckpoint data is lost on executor failure — an
     * acceptable trade for intra-query candidate lists, not for outputs).
     */
-  def small(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  def small(df: DataFrame): DataFrame = {
+    if (capturing) synchronized {
+      captured += df.queryExecution.executedPlan.toString
+    }
+    df.localCheckpoint(eager = true)
+  }
 }

@@ -7,72 +7,38 @@ import org.apache.spark.sql.functions._
   * pipeline as opaque `binary` columns with typed metadata, processed by
   * per-partition batch transforms.
   *
-  * IMAGE decode is REAL: `decodeImage` uses the JDK's `javax.imageio`
-  * readers (BMP/PNG/JPEG/GIF) for genuine width/height plus a mean-channel
-  * feature, and `encodeBmp` builds deterministic real BMPs so the decode
-  * path is exercisable end-to-end without external media files. AUDIO
-  * decode is REAL too: `decodeWav` runs the JDK's
+  * ALL THREE modalities decode for REAL with zero external codec
+  * libraries. IMAGE: `decodeImage` uses the JDK's `javax.imageio`
+  * readers (BMP/PNG/JPEG/GIF) for genuine width/height plus a
+  * mean-channel feature, with `encodeBmp` building deterministic real
+  * BMPs as the test/oracle source. AUDIO: `decodeWav` runs the JDK's
   * `javax.sound.sampled.AudioSystem` reader (WAV/AIFF/AU) for genuine
   * format metadata plus signal RMS, with `encodeWav` as the
-  * deterministic source. VIDEO decoding remains STUBBED (`decodeStub`:
-  * no codec libraries in this environment) with the same plumbing —
-  * binary schema, the partition-batched execution shape
-  * (`mapPartitions`, the Scala analogue of a batched `mapInPandas`),
-  * metadata typing, and the join-back by id.
+  * deterministic source. VIDEO: `decodeAvi` parses the RIFF/AVI
+  * container (header metadata cross-checked against the stream) and
+  * decodes EVERY frame through the same `javax.imageio` path by
+  * wrapping each uncompressed DIB frame as a BMP — genuine per-frame
+  * pixel decode, with `encodeAvi` as the deterministic source (an
+  * MJPEG AVI would ride the identical path: '00dc' JPEG chunks feed
+  * ImageIO directly).
   *
   * Scale notes: payloads stay columnar until the decode stage; the decode
   * is embarrassingly parallel per partition with no shuffle;
   * `spark.sql.files.maxPartitionBytes` bounds per-task memory when the
   * source is `binaryFile`; per-image feature cost is bounded by the
-  * sampling grid regardless of resolution.
+  * sampling grid regardless of resolution, per-video cost by frames ×
+  * that grid.
   */
 object Multimodal {
 
   /** Typed record entering the decode stage. */
   case class MediaRow(media_id: Long, payload: Array[Byte])
-  /** Typed record leaving the decode stage. */
-  case class MediaFeatures(media_id: Long, n_bytes: Long, width: Int,
-                           height: Int, feature: Array[Double])
 
   /** Wrap a text column as an opaque binary payload (stand-in for real
     * media bytes from `spark.read.format("binaryFile")`). */
   def asBinary(df: DataFrame, id: String, payloadCol: String): DataFrame =
     df.select(col(id).as("media_id").cast("long"),
       col(payloadCol).cast("binary").as("payload"))
-
-  /** STUB — a real implementation would decode the image/audio here
-    * (e.g. javax.imageio / ffmpeg bindings). This deterministic fake
-    * derives pseudo-dimensions and a tiny feature vector from the raw
-    * bytes so downstream plumbing is fully exercisable and testable. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
-    val n = bytes.length
-    val width = 1 + (n % 640)
-    val height = 1 + ((n * 7) % 480)
-    val feature = Array.tabulate(4) { i =>
-      if (n == 0) 0.0 else bytes(i % n).toDouble / 128.0
-    }
-    (width, height, feature)
-  }
-
-  /** Partition-batched decode/feature-extract — the Scala analogue of a
-    * batched Pandas UDF: one iterator per partition, constant memory,
-    * no shuffle. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    implicit val enc = Encoders.product[MediaFeatures]
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, f) = decodeStub(r.payload)
-        MediaFeatures(r.media_id, r.payload.length.toLong, w, h, f)
-      }
-    }
-  }
-
-  /** End-to-end: DataFrame with (id, payload-able column) → features
-    * DataFrame, ready to join back on media_id. */
-  def pipeline(df: DataFrame, id: String, payloadCol: String): DataFrame = {
-    implicit val enc = Encoders.product[MediaRow]
-    extractFeatures(asBinary(df, id, payloadCol).as[MediaRow]).toDF()
-  }
 
   // ---- real image path (javax.imageio) --------------------------------
 
@@ -267,5 +233,186 @@ object Multimodal {
         encodeWav(100 + (i % 50).toInt * 2, 8000 + (i % 4).toInt * 4000,
           (500 + i % 1000).toShort))))
     extractAudioFeatures(media).toDF()
+  }
+
+  // ---- real video path (RIFF/AVI container + per-frame imageio) -------
+
+  /** Decoded-video record: container metadata + per-frame decode. width
+    * = -1 flags an undecodable payload; `n_frames` counts frames that
+    * actually DECODED (cross-checked against the header's totalFrames by
+    * the spec); `feature` is the mean R/G/B over all frames' sample
+    * grids — the video-level embedding stand-in. */
+  case class VideoFeatures(media_id: Long, n_bytes: Long, width: Int,
+                           height: Int, n_frames: Long,
+                           feature: Array[Double])
+
+  /** Minimal uncompressed-DIB AVI writer ('vids'/'DIB ' stream, one
+    * '00db' chunk per 24-bit bottom-up BGR frame — the same pixel layout
+    * as [[encodeBmp]], frame f seeded with seed+1000·f so frames
+    * differ). File size is closed-form:
+    * 224 + nFrames·(8 + rowSize·height), rowSize = ⌈3w/4⌉·4 — so a SQL
+    * oracle can predict n_bytes exactly, like encodeBmp/encodeWav. */
+  def encodeAvi(width: Int, height: Int, nFrames: Int,
+                seed: Long): Array[Byte] = {
+    val rowSize = (3 * width + 3) / 4 * 4
+    val frameData = rowSize * height
+    val moviSize = 4 + nFrames * (8 + frameData)
+    val fileSize = 224 + nFrames * (8 + frameData)
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); b.putInt(fileSize - 8); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(192); fourcc("hdrl") // 4 + 64 + 124
+    fourcc("avih"); b.putInt(56)
+    b.putInt(40000)            // microSecPerFrame (25 fps)
+      .putInt(0).putInt(0)     // maxBytesPerSec, padding
+      .putInt(0)               // flags
+      .putInt(nFrames)         // totalFrames
+      .putInt(0).putInt(1)     // initialFrames, streams
+      .putInt(frameData)       // suggestedBufferSize
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); b.putInt(116); fourcc("strl") // 4 + 64 + 48
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    b.putInt(0).putInt(0).putInt(0) // flags, prio+lang, initialFrames
+      .putInt(1).putInt(25)    // scale, rate (25 fps)
+      .putInt(0).putInt(nFrames) // start, length
+      .putInt(frameData).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(frameData)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); b.putInt(frameData)
+      val s = seed + 1000L * f
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = s + 31L * x + 17L * y
+          b.put((v * 7 & 0xFF).toByte)
+          b.put((v * 13 & 0xFF).toByte)
+          b.put((v * 29 & 0xFF).toByte)
+          x += 1
+        }
+        var p = 3 * width
+        while (p < rowSize) { b.put(0.toByte); p += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    b.array()
+  }
+
+  /** REAL video decode: walk the RIFF chunk tree for the 'avih' header
+    * (width/height/totalFrames) and the 'movi' payload, then decode
+    * EVERY '00db' frame through [[decodeImage]] by prepending a 54-byte
+    * BMP header to the raw DIB data — each frame goes through the same
+    * genuine ImageIO reader as still images ('00dc' compressed frames,
+    * e.g. MJPEG's JPEGs, are handed to ImageIO as-is). Returns (width,
+    * height, decodedFrames, mean RGB over frames); None for undecodable
+    * bytes. */
+  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Double])] =
+    try {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      b.getInt // riff size
+      if (fourcc() != "AVI ") return None
+      var width = 0; var height = 0
+      var frames = List.empty[Array[Byte]]
+      // iterative chunk walk over a work list of [start, end) regions
+      var regions = List((b.position(), bytes.length))
+      while (regions.nonEmpty) {
+        val (start, end) = regions.head
+        regions = regions.tail
+        b.position(start)
+        while (b.position() + 8 <= end) {
+          val id = fourcc()
+          val size = b.getInt
+          val body = b.position()
+          id match {
+            case "LIST" =>
+              fourcc() // list type; descend into its children
+              regions = (b.position(), body + size) :: regions
+            case "avih" =>
+              b.getInt; b.getInt; b.getInt; b.getInt; b.getInt
+              b.getInt; b.getInt; b.getInt
+              width = b.getInt; height = b.getInt
+            case "00db" | "00dc" =>
+              val data = new Array[Byte](size)
+              b.position(body); b.get(data)
+              frames = data :: frames
+            case _ => // strh/strf/junk: skip
+          }
+          b.position(body + size + (size & 1)) // chunks are word-aligned
+        }
+      }
+      if (width <= 0 || height <= 0) return None
+      val rowSize = (3 * width + 3) / 4 * 4
+      val decoded = frames.reverse.flatMap { data =>
+        // '00db' raw DIB → prepend a BMP header; '00dc' (JPEG etc.) is
+        // already a self-contained image stream for ImageIO
+        val candidate =
+          if (data.length == rowSize * height) {
+            val h = java.nio.ByteBuffer.allocate(54 + data.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            h.put('B'.toByte).put('M'.toByte).putInt(54 + data.length)
+              .putInt(0).putInt(54)
+              .putInt(40).putInt(width).putInt(height)
+              .putShort(1).putShort(24)
+              .putInt(0).putInt(data.length)
+              .putInt(2835).putInt(2835).putInt(0).putInt(0)
+            h.put(data).array()
+          } else data
+        decodeImage(candidate)
+      }
+      if (decoded.isEmpty) None
+      else {
+        val feat = Array.tabulate(3)(c =>
+          decoded.map(_._3(c)).sum / decoded.size)
+        Some((width, height, decoded.size.toLong, feat))
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-batched REAL video decode stage (same execution shape as
+    * the image/audio paths); undecodable payloads yield
+    * (-1, -1, -1, empty). */
+  def extractVideoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    implicit val enc = Encoders.product[VideoFeatures]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAvi(r.payload) match {
+          case Some((w, h, nf, f)) =>
+            VideoFeatures(r.media_id, r.payload.length.toLong, w, h, nf, f)
+          case None =>
+            VideoFeatures(r.media_id, r.payload.length.toLong, -1, -1, -1L,
+              Array.empty)
+        }
+      }
+    }
+  }
+
+  /** End-to-end REAL video pipeline: synthesize a deterministic AVI per
+    * id (width = 1 + id mod 32, height = 1 + id mod 24, frames = 2 +
+    * id mod 6, seed = id), decode every frame back through ImageIO,
+    * emit features. Encode+decode run inside one mapPartitions batch —
+    * no shuffle, the binaryFile→decode→featurize shape. */
+  def videoPipeline(df: DataFrame, id: String): DataFrame = {
+    implicit val rowEnc = Encoders.product[MediaRow]
+    implicit val longEnc = Encoders.scalaLong
+    val media = df.select(col(id).cast("long")).as[Long]
+      .mapPartitions(_.map(i => MediaRow(i,
+        encodeAvi(1 + (i % 32).toInt, 1 + (i % 24).toInt,
+          2 + (i % 6).toInt, i))))
+    extractVideoFeatures(media).toDF()
   }
 }

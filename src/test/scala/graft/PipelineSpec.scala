@@ -67,16 +67,37 @@ class PipelineSpec extends SparkSpec {
       === Seq("RADIOLOGIE_SOFTWARE", "DOSSIER_PATIENT"))
   }
 
-  test("multimodal stub path (audio/video stand-in): mapPartitions stage " +
-    "matches the deterministic column-level stub semantics") {
-    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
-    val feats = Multimodal.pipeline(df, "doc_id", "text").orderBy("media_id")
-    val rows = feats.select("media_id", "n_bytes", "width", "height")
-      .as[(Long, Long, Int, Int)].collect().toSeq
-    assert(rows === Seq((1L, 5L, 6, 36), (2L, 0L, 1, 1)))
-    val f = feats.filter($"media_id" === 1).select("feature")
-      .as[Array[Double]].head()
-    assert(f.length === 4 && f(0) === 'h'.toDouble / 128.0)
+  test("real video decode: AVI encode -> RIFF walk -> per-frame imageio " +
+    "decode recovers dimensions, frame count and closed-form size; " +
+    "frame pixels match the equivalent stills; garbage is contained") {
+    import graft.ops.Multimodal
+    // widths 1..5 cover every 3w mod 4 row-padding case
+    val media = (1L to 5L).map(i =>
+      Multimodal.MediaRow(i, Multimodal.encodeAvi(
+        i.toInt, i.toInt * 2, 1 + i.toInt, seed = i)))
+      .toDS()
+    val got = Multimodal.extractVideoFeatures(media)
+      .collect().sortBy(_.media_id)
+    for (v <- got) {
+      val i = v.media_id; val w = i.toInt; val h = i.toInt * 2
+      val rowSize = (3 * w + 3) / 4 * 4
+      assert(v.width === w && v.height === h)
+      assert(v.n_frames === 1 + i) // every frame actually decoded
+      assert(v.n_bytes === 224 + (1 + i) * (8 + rowSize * h))
+      assert(v.feature.length === 3)
+      v.feature.foreach(c => assert(c >= 0.0 && c <= 1.0))
+    }
+    // a single-frame video's feature == the same-seed BMP's RGB feature:
+    // the AVI frame went through the SAME imageio decode as a still
+    val oneFrame = Multimodal.decodeAvi(
+      Multimodal.encodeAvi(7, 5, 1, seed = 42L)).get
+    val still = Multimodal.decodeImage(
+      Multimodal.encodeBmp(7, 5, seed = 42L)).get
+    assert(oneFrame._4.toSeq === still._3.take(3).toSeq)
+    // error containment: garbage bytes flag, never throw
+    val bad = Multimodal.extractVideoFeatures(
+      Seq(Multimodal.MediaRow(9L, Array[Byte](1, 2, 3))).toDS()).head()
+    assert(bad.width === -1 && bad.n_frames === -1L)
   }
 
   test("real image decode: BMP encode -> javax.imageio decode round-trips " +

@@ -131,6 +131,45 @@ class WatcherSpec extends SparkSpec {
     assert(t.filter(col("shard") === "p2").count() === 2)
   }
 
+  test("partition-pruned MERGE crash recovery: a run that died between " +
+    "its two renames (live partition moved aside, stage not yet in) " +
+    "loses no committed rows — the next batch restores and merges") {
+    val wh = Files.createTempDirectory("graft_whc").toString + "/t"
+    val base = Seq(
+      (1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")
+    ).toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, base, Seq("id"), "shard")
+
+    // simulate the mid-swap crash: p1 was renamed aside, the staged
+    // replacement never made it in — live table has NO p1 directory,
+    // the only copy of p1's committed rows sits in the aside dir
+    Files.createDirectories(Paths.get(s"$wh.aside"))
+    Files.move(Paths.get(s"$wh/shard=p1"), Paths.get(s"$wh.aside/shard=p1"))
+    assert(spark.read.parquet(wh).filter(col("shard") === "p1").count() === 0)
+
+    // next batch: recovery must restore p1 BEFORE the pruned read, so
+    // the merge sees ids 1 and 2 — id 1 updates, id 2 SURVIVES
+    val batch = Seq((1L, "a2", "p1")).toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, batch, Seq("id"), "shard")
+    val t = spark.read.parquet(wh)
+    assert(t.count() === 3)
+    assert(t.filter(col("id") === 1).select("v").as[String].head() === "a2")
+    assert(t.filter(col("id") === 2).select("v").as[String].head() === "b")
+    assert(!Files.exists(Paths.get(s"$wh.aside")))
+
+    // crash AFTER the second rename (aside copy is stale, live is new):
+    // recovery must DISCARD the aside copy, not resurrect old rows
+    Files.createDirectories(Paths.get(s"$wh.aside/shard=p2"))
+    Files.copy(Paths.get(s"$wh/shard=p2").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath,
+      Paths.get(s"$wh.aside/shard=p2/stale.parquet"))
+    val batch2 = Seq((4L, "d", "p2")).toDF("id", "v", "shard")
+    graft.engine.Merge.upsertPartitioned(wh, batch2, Seq("id"), "shard")
+    val t2 = spark.read.parquet(wh)
+    assert(t2.filter(col("shard") === "p2").count() === 2) // 3 and 4, no dupes
+    assert(!Files.exists(Paths.get(s"$wh.aside")))
+  }
+
   test("partition-pruned MERGE: a batch with a NULL partition value " +
     "merges into the null partition without dropping its existing rows") {
     val wh = Files.createTempDirectory("graft_whn").toString + "/t"
