@@ -38,7 +38,14 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for ISOLATED re-measurement
+    // (drift triage: a query timed alone vs inside the 127-query session
+    // separates plan regressions from session GC/JIT pressure).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val timings = selected.map { case (name, fn) =>
       // Inter-query hygiene, OUTSIDE the timed region: a GC cycle lets
       // the ContextCleaner release the previous queries' localCheckpoint
       // blocks, so a query's measured time reflects its own work, not

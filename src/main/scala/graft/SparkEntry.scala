@@ -1405,10 +1405,12 @@ object SparkEntry {
     // ITERATIVE BPE training (TextAnalysis.bpeTrain): pair counts are
     // RECOMPUTED after each merge, so later ranks can pair merged
     // tokens — true BPE, vs q90's static first-iteration table. The
-    // oracle unrolls the 3 iterations statically (the q78 PageRank
-    // trick), recounting from the replaced vocabulary each step.
+    // oracle unrolls the 8 iterations statically (the q78 PageRank
+    // trick, generated by bpeTrainOracle), recounting from the
+    // replaced vocabulary each step — deep enough that merged tokens
+    // win later ranks and the recount path is exercised repeatedly.
     "q116_bpe_train" -> ((s, dir) => {
-      TA.bpeTrain(t(s, dir, "documents"), "text", numMerges = 3)
+      TA.bpeTrain(t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("rank")
     }),
 
@@ -2109,6 +2111,52 @@ object SparkEntry {
         .orderBy("event_id")
     }),
   )
+
+  /** Generates the q116 oracle: `n` statically-unrolled BPE training
+    * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
+    * rank r: p_r = pair recount over v_{r-1}, m_r = argmax (cnt desc,
+    * pair asc), v_r = literal-replace of the winner). Mirrors
+    * TextAnalysis.bpeTrain exactly, at any unroll depth. */
+  private def bpeTrainOracle(n: Int): String = {
+    def pairs(r: Int) =
+      s"""p$r AS (
+           SELECT pair, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_transform(range(1, len(t)),
+               j -> t[j] || ' ' || t[j+1])) AS pair
+             FROM (SELECT string_split(trim(s, chr(31)),
+               chr(31) || chr(31)) AS t, freq FROM v${r - 1}))
+           GROUP BY 1)"""
+    def best(r: Int) =
+      s"""m$r AS (SELECT pair, string_split(pair, ' ')[1] AS a,
+                  string_split(pair, ' ')[2] AS b
+                FROM p$r ORDER BY cnt DESC, pair LIMIT 1)"""
+    def merged(r: Int) =
+      s"""v$r AS (SELECT replace(v.s, chr(31) || m.a || chr(31) || chr(31)
+                  || m.b || chr(31), chr(31) || m.a || m.b || chr(31)) AS s,
+                  v.freq
+                FROM v${r - 1} v, m$r m)"""
+    val v0 =
+      """v0 AS (
+           SELECT regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')
+               AS s, freq
+           FROM (
+             SELECT w, count(*) AS freq FROM (
+               SELECT unnest(string_split(
+                 lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+               FROM documents)
+             WHERE length(w) >= 2 GROUP BY 1))"""
+    val iters = (1 to n).flatMap { r =>
+      Seq(pairs(r), best(r)) ++ (if (r < n) Seq(merged(r)) else Nil)
+    }
+    val ranks = (1 to n).map {
+      case 1 => "SELECT 1::BIGINT AS rank, pair FROM m1"
+      case r => s"UNION ALL SELECT $r::BIGINT, pair FROM m$r"
+    }.mkString("\n           ")
+    s"""WITH ${(v0 +: iters).mkString(",\n         ")}
+         SELECT * FROM (
+           $ranks)
+         ORDER BY rank"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -3499,60 +3547,11 @@ object SparkEntry {
            CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
          FROM r GROUP BY 1 ORDER BY n_name""",
 
-    // Three statically-unrolled train iterations: count pairs over the
-    // delimited vocab, argmax (cnt desc, pair asc), literal-replace the
-    // winner, recount — merged tokens can win later ranks.
-    "q116_bpe_train" ->
-      """WITH v0 AS (
-           SELECT regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')
-               AS s, freq
-           FROM (
-             SELECT w, count(*) AS freq FROM (
-               SELECT unnest(string_split(
-                 lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
-               FROM documents)
-             WHERE length(w) >= 2 GROUP BY 1)),
-         p1 AS (
-           SELECT pair, sum(freq) AS cnt FROM (
-             SELECT freq, unnest(list_transform(range(1, len(t)),
-               j -> t[j] || ' ' || t[j+1])) AS pair
-             FROM (SELECT string_split(trim(s, chr(31)),
-               chr(31) || chr(31)) AS t, freq FROM v0))
-           GROUP BY 1),
-         m1 AS (SELECT pair, string_split(pair, ' ')[1] AS a,
-                  string_split(pair, ' ')[2] AS b
-                FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-         v1 AS (SELECT replace(v.s, chr(31) || m.a || chr(31) || chr(31)
-                  || m.b || chr(31), chr(31) || m.a || m.b || chr(31)) AS s,
-                  v.freq
-                FROM v0 v, m1 m),
-         p2 AS (
-           SELECT pair, sum(freq) AS cnt FROM (
-             SELECT freq, unnest(list_transform(range(1, len(t)),
-               j -> t[j] || ' ' || t[j+1])) AS pair
-             FROM (SELECT string_split(trim(s, chr(31)),
-               chr(31) || chr(31)) AS t, freq FROM v1))
-           GROUP BY 1),
-         m2 AS (SELECT pair, string_split(pair, ' ')[1] AS a,
-                  string_split(pair, ' ')[2] AS b
-                FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-         v2 AS (SELECT replace(v.s, chr(31) || m.a || chr(31) || chr(31)
-                  || m.b || chr(31), chr(31) || m.a || m.b || chr(31)) AS s,
-                  v.freq
-                FROM v1 v, m2 m),
-         p3 AS (
-           SELECT pair, sum(freq) AS cnt FROM (
-             SELECT freq, unnest(list_transform(range(1, len(t)),
-               j -> t[j] || ' ' || t[j+1])) AS pair
-             FROM (SELECT string_split(trim(s, chr(31)),
-               chr(31) || chr(31)) AS t, freq FROM v2))
-           GROUP BY 1),
-         m3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
-         SELECT * FROM (
-           SELECT 1::BIGINT AS rank, pair FROM m1
-           UNION ALL SELECT 2::BIGINT, pair FROM m2
-           UNION ALL SELECT 3::BIGINT, pair FROM m3)
-         ORDER BY rank""",
+    // Statically-unrolled train iterations (generated by
+    // bpeTrainOracle): count pairs over the delimited vocab, argmax
+    // (cnt desc, pair asc), literal-replace the winner, recount —
+    // merged tokens can win later ranks.
+    "q116_bpe_train" -> bpeTrainOracle(8),
 
     "q117_kmv_jaccard" ->
       """WITH a AS (
