@@ -1846,10 +1846,13 @@ object SparkEntry {
     // Grouped embedding CENTROIDS (Similarity.groupCentroids): per-label
     // mean vector in long (label, pos, centroid) form — one shuffle
     // keyed on (label, dim) after a map-side posexplode; the class-
-    // prototype op every embedding pipeline runs. Sorted-fold means =
-    // bit-exact across engines (q82 discipline).
+    // prototype op every embedding pipeline runs. TWO-LEVEL sorted-fold
+    // means bucketed by vec_id%4096 (q82 discipline): bit-exact across
+    // engines AND no buffer ever holds a whole label's rows — one label
+    // over a 100 TB corpus would OOM a single-level fold.
     "q87_group_centroid" -> ((s, dir) => {
-      Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+      Similarity.groupCentroids(t(s, dir, "embeddings"), "label",
+          "embedding", bucket = Some(col("vec_id")))
         .select(col("label"), col("pos"),
           round(col("centroid"), 6).as("centroid"))
         .orderBy("label", "pos")
@@ -1887,7 +1890,7 @@ object SparkEntry {
     // sums → bit-exact.
     "q93_dim_covariance" -> ((s, dir) => {
       Similarity.dimCovariance(t(s, dir, "embeddings"), "embedding",
-          dims = 8)
+          dims = 8, bucket = Some(col("vec_id")))
         .orderBy("i", "j")
     }),
 
@@ -3886,11 +3889,16 @@ object SparkEntry {
 
     "q87_group_centroid" ->
       """WITH x AS (
-           SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+           SELECT label, vec_id % 4096 AS b, i - 1 AS pos,
+             CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+         l1 AS (
+           SELECT label, pos, b,
+             list_sum(list_sort(list(v))) AS s1, count(v) AS n1
+           FROM x GROUP BY 1, 2, 3)
          SELECT label, pos,
-           round(list_sum(list_sort(list(v))) / count(*), 6) AS centroid
-         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+           round(list_sum(list_sort(list(s1))) / sum(n1), 6) AS centroid
+         FROM l1 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q88_hll" ->
       """WITH h AS (
@@ -3965,18 +3973,26 @@ object SparkEntry {
 
     "q93_dim_covariance" ->
       """WITH p AS (
-           SELECT i, j, CAST(embedding[i + 1] AS DOUBLE) AS xi,
+           SELECT i, j, vec_id % 4096 AS b,
+                  CAST(embedding[i + 1] AS DOUBLE) AS xi,
                   CAST(embedding[j + 1] AS DOUBLE) AS xj
            FROM embeddings, unnest(range(0, 8)) AS t1(i),
                 unnest(range(0, 8)) AS t2(j)
            WHERE j >= i),
+         l1 AS (
+           SELECT i, j, b,
+             list_sum(list_sort(list(xi * xj))) AS sxy1,
+             list_sum(list_sort(list(xi))) AS sx1,
+             list_sum(list_sort(list(xj))) AS sy1,
+             count(*) AS n1
+           FROM p GROUP BY 1, 2, 3),
          st AS (
            SELECT i, j,
-             list_sum(list_sort(list(xi * xj))) AS sxy,
-             list_sum(list_sort(list(xi))) AS sx,
-             list_sum(list_sort(list(xj))) AS sy,
-             CAST(count(*) AS DOUBLE) AS n
-           FROM p GROUP BY 1, 2)
+             list_sum(list_sort(list(sxy1))) AS sxy,
+             list_sum(list_sort(list(sx1))) AS sx,
+             list_sum(list_sort(list(sy1))) AS sy,
+             CAST(sum(n1) AS DOUBLE) AS n
+           FROM l1 GROUP BY 1, 2)
          SELECT i, j, round((sxy - sx * sy / n) / n, 6) AS cov
          FROM st ORDER BY 1, 2""",
 

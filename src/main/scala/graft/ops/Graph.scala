@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * iterations (persisted once). No driver-side graph, no collect.
   *
   * Determinism contract: per-node contribution sums run through a
-  * sorted fold (`array_sort` + `aggregate`), so the IEEE addition order
-  * is identical in any engine — DuckDB replays iterations bit-for-bit
+  * TWO-LEVEL sorted fold (`array_sort` + `aggregate` within 4096
+  * source-hash buckets, then over the sorted subtotals), so the IEEE
+  * addition order is identical in any engine while no aggregation
+  * buffer holds a hub node's whole in-neighborhood — DuckDB replays
+  * iterations bit-for-bit
   * (choose a damping factor exactly representable in binary AND decimal
   * — 0.75, 0.5 — when oracle-gating, so literal folding agrees too).
   */
@@ -39,10 +42,24 @@ object Graph {
         .join(outDeg, "__u"))
     var pr = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to iters) {
-      val sums = e.join(pr, col("__u") === col("node"))
-        .select(col("__v").as("node"), (col("pr") / col("__deg")).as("__c"))
-        .groupBy("node")
+      // Two-level sorted fold: level 1 within 4096 source-hash buckets,
+      // level 2 over the sorted bucket subtotals. A web-scale hub node's
+      // in-degree is power-law-unbounded, so a single-level fold would
+      // collect its whole in-neighborhood into one aggregation buffer;
+      // bucketing caps every buffer at O(deg/4096) or O(4096) while the
+      // summation order stays a pure function of the (source,
+      // contribution) multiset — still bit-identical on any layout.
+      // (For in-degree ≤ 2 the result is bitwise UNCHANGED vs the
+      // single-level fold: IEEE addition of two doubles is commutative.)
+      val l1 = e.join(pr, col("__u") === col("node"))
+        .select(col("__v").as("node"),
+          pmod(xxhash64(col("__u")), lit(4096)).as("__b"),
+          (col("pr") / col("__deg")).as("__c"))
+        .groupBy("node", "__b")
         .agg(aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
+          (a, x) => a + x).as("__sb"))
+      val sums = l1.groupBy("node")
+        .agg(aggregate(array_sort(collect_list(col("__sb"))), lit(0.0),
           (a, x) => a + x).as("__s"))
       pr = Caches.small(
         nodes.join(sums, Seq("node"), "left")

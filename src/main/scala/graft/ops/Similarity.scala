@@ -53,21 +53,37 @@ object Similarity {
     * shape `kmeansCentroids`' update step uses internally.
     *
     * Determinism: the per-cell mean folds its values in SORTED order
-    * (collect_list → array_sort → fold), so the double sum is
-    * bit-reproducible across partition layouts and engines — the
-    * oracle-gateable form of the grouped mean. At 100 TB the
-    * collect_list per cell holds one group's values for ONE dimension
-    * (rows/groups values), not whole vectors; if a single group×dim cell
-    * outgrew memory, swap the fold for the builtin avg and drop the
-    * bit-exactness claim (the documented q82 trade). */
-  def groupCentroids(df: DataFrame, group: String, vec: String): DataFrame =
-    df.select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
-      .groupBy(col(group), col("pos"))
+    * (collect_list → array_sort → fold) through a TWO-LEVEL fold —
+    * level 1 within 4096 buckets of `bucket` (a per-row column such as
+    * the vector id; defaults to a hash of the value itself), level 2
+    * over the sorted bucket subtotals — so the double sum is a pure
+    * function of the (bucket, value) multiset: bit-reproducible across
+    * partition layouts and engines, while no aggregation buffer ever
+    * holds more than O(cell/4096) or O(4096) doubles. A single-level
+    * sorted fold would collect a whole cluster's values into one buffer
+    * (an OOM when one label covers a 100 TB corpus' share of rows). */
+  def groupCentroids(df: DataFrame, group: String, vec: String,
+                     bucket: Option[Column] = None): DataFrame = {
+    val exploded = bucket match {
+      case Some(bc) => df.select(col(group), bc.as("__bsrc"),
+        posexplode(col(vec)).as(Seq("pos", "v")))
+      case None => df
+        .select(col(group), posexplode(col(vec)).as(Seq("pos", "v")))
+        .withColumn("__bsrc", xxhash64(col("v")))
+    }
+    val l1 = exploded
+      .groupBy(col(group), col("pos"),
+        pmod(col("__bsrc"), lit(4096)).as("__b"))
       // denominator = count(v), NOT count(*): collect_list silently drops
       // null elements, so a null vector component must also leave the
       // denominator or it would deflate that dimension's mean
-      .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
-        lit(0.0), (a, x) => a + x) / count(col("v"))).as("centroid"))
+      .agg(aggregate(array_sort(collect_list(col("v").cast("double"))),
+        lit(0.0), (a, x) => a + x).as("__s1"),
+        count(col("v")).as("__n1"))
+    l1.groupBy(col(group), col("pos"))
+      .agg((aggregate(array_sort(collect_list(col("__s1"))), lit(0.0),
+        (a, x) => a + x) / sum(col("__n1"))).as("centroid"))
+  }
 
   /** Lloyd-iteration k-means centroids in pure DataFrame ops, for
     * training the IVF index: deterministic init (the k lowest-id
@@ -295,27 +311,40 @@ object Similarity {
   /** Covariance of embedding dimension pairs (i <= j < dims), long form
     * (i, j, cov) — the Gram/covariance profile that drives whitening,
     * PCA sanity checks, and feature diagnostics. Map-side expansion to
-    * d(d+1)/2 cells per row, ONE (i,j)-keyed aggregation; each cell's
-    * sums fold in sorted order, so the doubles are bit-reproducible
-    * (q82 discipline — at 100 TB swap the folds for the builtin sums /
-    * the one-row-per-partition Gram of [[pcaRotation]] and drop the
-    * bit-exactness claim). */
-  def dimCovariance(df: DataFrame, vec: String, dims: Int): DataFrame = {
-    val cells = df.select(explode(expr(
+    * d(d+1)/2 cells per row; the cell sums run a TWO-LEVEL sorted fold
+    * (level 1 within 4096 buckets of `bucket` — a per-row column such
+    * as the vector id — level 2 over the sorted subtotals), so the
+    * doubles stay a pure function of the (bucket, value) multiset
+    * (bit-reproducible cross-engine, q82 discipline) while no
+    * aggregation buffer holds a whole cell: d(d+1)/2 cells over a
+    * 100 TB corpus would each collect every row in a single-level
+    * fold. With `bucket = None` the single-level fold is kept for
+    * small frames. */
+  def dimCovariance(df: DataFrame, vec: String, dims: Int,
+                    bucket: Option[Column] = None): DataFrame = {
+    val base = bucket match {
+      case Some(bc) => df.select(pmod(bc, lit(4096)).as("__b"), col(vec))
+      case None => df.select(lit(0).as("__b"), col(vec))
+    }
+    val cells = base.select(col("__b"), explode(expr(
       s"""flatten(transform(sequence(0, ${dims - 1}), i ->
             transform(sequence(i, ${dims - 1}), j -> named_struct(
               'i', i, 'j', j,
               'xi', CAST(element_at($vec, i + 1) AS DOUBLE),
               'xj', CAST(element_at($vec, j + 1) AS DOUBLE)))))"""))
       .as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"),
+      .select(col("__b"), col("c.i").as("i"), col("c.j").as("j"),
         col("c.xi").as("xi"), col("c.xj").as("xj"))
     def sfold(c: Column) =
       aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
-    cells.groupBy("i", "j")
-      .agg(sfold(col("xi") * col("xj")).as("sxy"),
-        sfold(col("xi")).as("sx"), sfold(col("xj")).as("sy"),
-        count(lit(1)).cast("double").as("n"))
+    val l1 = cells.groupBy("i", "j", "__b")
+      .agg(sfold(col("xi") * col("xj")).as("sxy1"),
+        sfold(col("xi")).as("sx1"), sfold(col("xj")).as("sy1"),
+        count(lit(1)).as("n1"))
+    l1.groupBy("i", "j")
+      .agg(sfold(col("sxy1")).as("sxy"),
+        sfold(col("sx1")).as("sx"), sfold(col("sy1")).as("sy"),
+        sum(col("n1")).cast("double").as("n"))
       .select(col("i"), col("j"),
         round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
           .as("cov"))
