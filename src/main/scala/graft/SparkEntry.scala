@@ -60,15 +60,20 @@ object SparkEntry {
   /** Normalized document text (F1) used by the text/dedup family. */
   private def normText: Column = TF.normalizeText(col("text"))
 
-  /** `events` with `ts` as a proper timestamp — the parquet stores
-    * TIMESTAMP(NANOS), which the session reads as a ns-since-epoch long
-    * (`spark.sql.legacy.parquet.nanosAsLong`); convert to micros here. */
+  /** `events` with `ts` normalized to a session-TZ TIMESTAMP, whatever
+    * the parquet encodes — generations of the testdata have shipped
+    * TIMESTAMP(NANOS) (read as a ns-since-epoch long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP_NTZ
+    * (timestamp[us] with no zone). The session runs UTC, so the
+    * NTZ→LTZ cast is wall-clock identity, and every query (incl. the
+    * `unix_micros` frame arithmetic in q45/q124) sees one type. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     e.schema("ts").dataType.typeName match {
       // integer DIV, not `/`: ns-since-epoch exceeds 2^53, so double
       // division is off by up to a microsecond
       case "long" => e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => e.withColumn("ts", col("ts").cast("timestamp"))
       case _ => e
     }
   }
@@ -2112,6 +2117,215 @@ object SparkEntry {
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("asof_ts"))
         .orderBy("event_id")
+    }),
+
+    // TRIANGLE COUNTING (Graph.triangleCount): per-node triangle
+    // participation over a three-family doc link graph — the
+    // clustering-coefficient numerator. Degree-ordered edge orientation
+    // caps wedge fan-out at O(√E) per node (Suri & Vassilvitskii), so
+    // no "last reducer" even on celebrity nodes; three key-equality
+    // shuffle joins, each triangle found exactly once.
+    "q128_triangle_count" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val tgt = ids.select(col("doc_id").as("dst"))
+      def fam(off: Int, keep: Column): DataFrame =
+        ids.filter(keep)
+          .select(col("doc_id").as("src"), (col("doc_id") + off).as("dst"))
+          .join(tgt, Seq("dst"))
+      val edges = fam(1, col("doc_id") % 10 =!= 9)
+        .unionByName(fam(2, col("doc_id") % 10 < 8))
+        .unionByName(fam(3, col("doc_id") % 10 < 7))
+      graft.ops.Graph.triangleCount(edges)
+        .select(col("node").as("doc_id"), col("triangles"))
+        .orderBy("doc_id")
+    }),
+
+    // SCD TYPE 2 dimension build (Merge.scd2): collapse each customer's
+    // order-priority history into effective-dated version rows — ONE
+    // shuffle on the key, both windows share its partitioning. The
+    // (orderdate, orderkey) order is total per customer, so version
+    // boundaries are a pure function of the data.
+    "q129_scd2" -> ((s, dir) => {
+      val hist = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      Merge.scd2(hist, keys = Seq("o_custkey"),
+          orderBy = Seq("o_orderdate", "o_orderkey"),
+          tracked = Seq("o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("eff_from"),
+          date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss")
+            .as("eff_to"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy("o_custkey", "eff_from", "o_orderpriority")
+    }),
+
+    // MARKET-BASKET association rules (Associations.rules): brand
+    // co-occurrence across orders — support/confidence/lift per directed
+    // pair. Candidate generation is a basket-keyed self-join with
+    // per-basket-quadratic (order-sized, bounded) fan-out; marginals are
+    // vocabulary-sized key-equality joins. No driver-side lattice.
+    "q130_association_rules" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey"))
+        .join(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"),
+            col("p_brand").as("item")), Seq("l_partkey"))
+        .select("basket", "item")
+      graft.ops.Associations.rules(baskets, "basket", "item",
+          minPairCount = 5L)
+        .select(col("item_a"), col("item_b"), col("pair_n"),
+          col("a_n"), col("b_n"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("item_a", "item_b")
+    }),
+
+    // TF-IDF top-k keywords per document (TextAnalysis.tfidfTopK):
+    // sparse-retrieval term weighting; rank window partitioned by doc so
+    // WindowGroupLimit prunes below the shuffle. Ranked on the raw
+    // double (identical ln/× sequence both engines), term tiebreak.
+    "q131_tfidf_keywords" -> ((s, dir) => {
+      TA.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+          col("df"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // PMI collocations (TextAnalysis.pmiCollocations): adjacent-bigram
+    // pointwise mutual information over the corpus — phrase mining ahead
+    // of tokenizer training. Count models are Zipf-small; minCount cuts
+    // the hapax tail before the marginal joins.
+    "q132_pmi_collocations" -> ((s, dir) => {
+      TA.pmiCollocations(t(s, dir, "documents"), "text", minCount = 3L)
+        .select(col("w1"), col("w2"), col("nab"), col("na"), col("nb"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
+    // RFM SEGMENTATION: recency/frequency/monetary per customer, each
+    // quintile-scored the scale-safe way (q107's pattern — exact
+    // percentile boundaries from one agg, broadcast back, map-side
+    // assignment; no global ntile sort). Money in integer cents so the
+    // per-customer sums are exact and engine-identical.
+    "q133_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ref = o.agg(max(to_date(col("o_orderdate"))).as("__ref"))
+      val base = o.groupBy("o_custkey").agg(
+        max(to_date(col("o_orderdate"))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("monetary_cents"))
+      val rfm = base.crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          datediff(col("__ref"), col("__last")).as("recency"),
+          col("frequency"), col("monetary_cents"))
+      val bounds = rfm.agg(
+        expr("percentile(recency, array(0.2,0.4,0.6,0.8))").as("rb"),
+        expr("percentile(frequency, array(0.2,0.4,0.6,0.8))").as("fb"),
+        expr("percentile(monetary_cents, array(0.2,0.4,0.6,0.8))")
+          .as("mb"))
+      rfm.crossJoin(broadcast(bounds))
+        .select(col("o_custkey"), col("recency"), col("frequency"),
+          col("monetary_cents"),
+          (lit(1) + size(filter(col("rb"), b => col("recency") > b)))
+            .as("r_bin"),
+          (lit(1) + size(filter(col("fb"), b => col("frequency") > b)))
+            .as("f_bin"),
+          (lit(1) + size(filter(col("mb"),
+            b => col("monetary_cents") > b))).as("m_bin"))
+        .withColumn("segment",
+          concat(col("r_bin").cast("string"), col("f_bin").cast("string"),
+            col("m_bin").cast("string")))
+        .orderBy("o_custkey")
+    }),
+
+    // MULTI-SOURCE BFS (Graph.bfsHops): minimum hop distance from a
+    // sparse seed set over the q128 link graph — one key-equality join +
+    // one integer-min groupBy per round, lineage truncated; integer min
+    // is order-independent, so deterministic on any partitioning.
+    "q134_bfs_hops" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val tgt = ids.select(col("doc_id").as("dst"))
+      def fam(off: Int, keep: Column): DataFrame =
+        ids.filter(keep)
+          .select(col("doc_id").as("src"), (col("doc_id") + off).as("dst"))
+          .join(tgt, Seq("dst"))
+      val edges = fam(1, col("doc_id") % 10 =!= 9)
+        .unionByName(fam(2, col("doc_id") % 10 < 8))
+        .unionByName(fam(3, col("doc_id") % 10 < 7))
+      val sources = ids.filter(col("doc_id") % 97 === 0)
+      graft.ops.Graph.bfsHops(edges, sources, maxHops = 5)
+        .select(col("node").as("doc_id"), col("hops").cast("long")
+          .as("hops"))
+        .orderBy("doc_id")
+    }),
+
+    // LINEAR INTERPOLATION gap fill — the interpolating sibling of
+    // q80's LOCF: per-user daily series, missing days filled by
+    // time-weighted linear blend of the bracketing observations. Two
+    // windows over ONE user-keyed shuffle (forward scan + backward
+    // scan), map-side arithmetic; exact integer day weights.
+    "q135_linear_interp" -> ((s, dir) => {
+      val e = events(s, dir)
+      val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("v"))
+      val scaffold = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+      val grid = scaffold.join(daily, Seq("user_id", "day"), "left")
+      val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      grid
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(fwd))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd")
+            .as("day"),
+          round(when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double"))), 4)
+            .as("v"))
+        .orderBy("user_id", "day")
+    }),
+
+    // INVERTED INDEX build, SHARDED: term → sorted doc:position posting
+    // list per doc-range shard — the index-construction shape of a
+    // sparse retrieval stack. Sharding by doc range bounds every
+    // collect_list group at O(shard × tf) regardless of term frequency
+    // (the unbounded-group hazard q82's rewrite documents — a corpus
+    // stopword would otherwise collect its whole posting list into one
+    // buffer); the full list is the shard-ordered concatenation, which
+    // is exactly how segment-per-range index files are laid out anyway.
+    "q136_inverted_index" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+        .filter(col("w") =!= "")
+      val df = words.groupBy("w")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+      words.join(df, Seq("w"))
+        .withColumn("shard", (col("doc_id") / 100).cast("long"))
+        .groupBy("w", "df", "shard")
+        .agg(array_join(sort_array(collect_list(
+          concat(col("doc_id"), lit(":"), col("p")))), ",")
+          .as("postings"))
+        .select(col("w").as("term"), col("shard"), col("df"),
+          col("postings"))
+        .orderBy("term", "shard")
     }),
   )
 
@@ -4294,5 +4508,259 @@ object SparkEntry {
            tok_before, tok_before // 512 AS seq_id,
            tok_before % 512 AS seq_offset
          FROM c ORDER BY doc_id""",
+
+    // Orientation-free enumeration: the triangle SET is independent of
+    // the degree ordering the engine uses, so the oracle counts over
+    // canonical (a<b) edges directly.
+    "q128_triangle_count" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+         raw AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 <> 9
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 10 < 8
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3
+           WHERE a.doc_id % 10 < 7),
+         e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+               FROM raw WHERE u <> v),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         n AS (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         SELECT node AS doc_id, count(*) AS triangles
+         FROM n GROUP BY 1 ORDER BY 1""",
+
+    "q129_scd2" ->
+      """WITH h AS (
+           SELECT o_custkey, o_orderdate, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         s AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate AS eff_ts, rn
+           FROM h WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+         v AS (
+           SELECT o_custkey, o_orderpriority, eff_ts,
+             lead(eff_ts) OVER (PARTITION BY o_custkey ORDER BY rn)
+               AS eff_to_ts
+           FROM s)
+         SELECT o_custkey, o_orderpriority,
+           strftime(eff_ts, '%Y-%m-%d %H:%M:%S') AS eff_from,
+           strftime(eff_to_ts, '%Y-%m-%d %H:%M:%S') AS eff_to,
+           CAST(eff_to_ts IS NULL AS BIGINT) AS is_current
+         FROM v ORDER BY o_custkey, eff_from, o_orderpriority""",
+
+    "q130_association_rules" ->
+      """WITH m AS (
+           SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(DISTINCT basket) AS n FROM m),
+         ic AS (SELECT item, count(*) AS c FROM m GROUP BY 1),
+         pr AS (
+           SELECT a.item AS item_a, b.item AS item_b,
+             count(*)::BIGINT AS pair_n
+           FROM m a JOIN m b
+             ON a.basket = b.basket AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         d AS (SELECT item_a, item_b, pair_n FROM pr
+               UNION ALL SELECT item_b, item_a, pair_n FROM pr)
+         SELECT d.item_a, d.item_b, d.pair_n,
+           ia.c AS a_n, ib.c AS b_n,
+           round(CAST(d.pair_n AS DOUBLE) / n.n, 6) AS support,
+           round(CAST(d.pair_n AS DOUBLE) / ia.c, 6) AS confidence,
+           round(CAST(d.pair_n AS DOUBLE) * n.n / (ia.c * ib.c), 6)
+             AS lift
+         FROM d JOIN ic ia ON ia.item = d.item_a
+                JOIN ic ib ON ib.item = d.item_b
+                CROSS JOIN n
+         ORDER BY item_a, item_b""",
+
+    // Ranked on the RAW double (same tf·ln(N/df) sequence both
+    // engines), term tiebreak; rounding applies only to the output.
+    "q131_tfidf_keywords" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         w2 AS (SELECT * FROM w WHERE w <> ''),
+         tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+                FROM w2 GROUP BY 1, 2),
+         df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (
+           SELECT doc_id, w, tf, df,
+             tf * ln(CAST(n AS DOUBLE) / df) AS score
+           FROM tf JOIN df USING (w) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, w, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, w) AS rk
+           FROM sc)
+         SELECT doc_id, rk, w AS term, tf, df, round(score, 6) AS score
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q132_pmi_collocations" ->
+      """WITH w AS (
+           SELECT string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || chr(31) || ws[i+1])) AS bg
+           FROM w WHERE len(ws) >= 2),
+         bc AS (
+           SELECT string_split(bg, chr(31))[1] AS w1,
+                  string_split(bg, chr(31))[2] AS w2,
+                  count(*)::BIGINT AS nab
+           FROM b GROUP BY 1, 2 HAVING count(*) >= 3),
+         uc AS (SELECT unnest(ws) AS w FROM w),
+         ucg AS (SELECT w, count(*)::BIGINT AS nw FROM uc GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(len(ws)) AS DOUBLE) AS tu,
+                  CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS tb
+           FROM w)
+         SELECT bc.w1, bc.w2, bc.nab, a.nw AS na, b2.nw AS nb,
+           round(ln((bc.nab / tot.tb) /
+             ((a.nw / tot.tu) * (b2.nw / tot.tu))), 6) AS pmi
+         FROM bc JOIN ucg a ON a.w = bc.w1
+                 JOIN ucg b2 ON b2.w = bc.w2
+                 CROSS JOIN tot
+         ORDER BY w1, w2""",
+
+    "q133_rfm" ->
+      """WITH ref AS (
+           SELECT max(CAST(o_orderdate AS DATE)) AS refd FROM orders),
+         base AS (
+           SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS lastd,
+             count(*) AS frequency,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+               AS monetary_cents
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT o_custkey,
+             date_diff('day', lastd, refd) AS recency,
+             frequency, monetary_cents
+           FROM base CROSS JOIN ref),
+         b AS (
+           SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                  quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                  quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8])
+                    AS mb
+           FROM r),
+         sc AS (
+           SELECT o_custkey, recency, frequency, monetary_cents,
+             1 + len(list_filter(rb, x -> recency > x)) AS r_bin,
+             1 + len(list_filter(fb, x -> frequency > x)) AS f_bin,
+             1 + len(list_filter(mb, x -> monetary_cents > x)) AS m_bin
+           FROM r CROSS JOIN b)
+         SELECT o_custkey, recency, frequency, monetary_cents,
+           r_bin, f_bin, m_bin,
+           CAST(r_bin AS VARCHAR) || CAST(f_bin AS VARCHAR) ||
+             CAST(m_bin AS VARCHAR) AS segment
+         FROM sc ORDER BY o_custkey""",
+
+    // UNION (not UNION ALL) in the recursive arm keeps the state
+    // bounded at |V|·maxHops distinct (node, hops) rows.
+    "q134_bfs_hops" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+         raw AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 <> 9
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 10 < 8
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3
+           WHERE a.doc_id % 10 < 7),
+         und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                 FROM raw WHERE u <> v),
+         e AS (SELECT a AS u, b AS v FROM und
+               UNION ALL SELECT b, a FROM und),
+         walk(node, hops) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+           UNION
+           SELECT e.v, walk.hops + 1
+           FROM walk JOIN e ON e.u = walk.node
+           WHERE walk.hops < 5)
+         SELECT node AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+         FROM walk GROUP BY 1 ORDER BY 1""",
+
+    "q135_linear_interp" ->
+      """WITH daily AS (
+           SELECT user_id, day, v FROM (
+             SELECT user_id, CAST(ts AS DATE) AS day, value AS v,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         span AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+             max(CAST(ts AS DATE)) AS d1
+           FROM events GROUP BY 1),
+         scaffold AS (
+           SELECT user_id, unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day
+           FROM span),
+         grid AS (
+           SELECT s.user_id, s.day, d.v
+           FROM scaffold s LEFT JOIN daily d
+             ON d.user_id = s.user_id AND d.day = s.day),
+         f AS (
+           SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY day ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM grid)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) *
+               (CAST(date_diff('day', pd, day) AS DOUBLE) /
+                CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 4) AS v
+         FROM f ORDER BY user_id, day""",
+
+    "q136_inverted_index" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         pos AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) + 1),
+               i -> struct_pack(p := i, w := ws[i]))) AS e
+           FROM w),
+         tok AS (
+           SELECT doc_id, e.p AS p, e.w AS w FROM pos WHERE e.w <> ''),
+         df AS (
+           SELECT w, count(DISTINCT doc_id)::BIGINT AS df
+           FROM tok GROUP BY 1
+           HAVING count(DISTINCT doc_id) >= 2)
+         SELECT tok.w AS term, doc_id // 100 AS shard, df.df,
+           array_to_string(list_sort(
+             list(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))),
+             ',') AS postings
+         FROM tok JOIN df USING (w)
+         GROUP BY 1, 2, 3 ORDER BY term, shard""",
   )
 }

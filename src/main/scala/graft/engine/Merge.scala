@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed upsert (MERGE) semantics — the reference's update-then-insert
@@ -74,6 +75,48 @@ object Merge {
       .filter(col("change_type") =!= "unchanged")
       .select(keys.map(col) ++ Seq(col("change_type")) ++
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** SCD TYPE 2 dimension build: collapse a keyed change history into
+    * effective-dated version rows — one row per (key, run of identical
+    * tracked values), with `effective_from` = the run's first event,
+    * `effective_to` = the next run's first event (null while current),
+    * and an `is_current` flag. The warehouse-dimension companion to
+    * [[snapshotDiff]]: diff feeds the history, this collapses it.
+    *
+    * Scale (100 TB of history): ONE hash shuffle on the key — both
+    * windows (change detection via `lag`, horizon via `lead`) share the
+    * same partitioning, so Catalyst plans a single Exchange and two
+    * in-partition sorts. No global sort, no driver state. Per-key
+    * history fits a task trivially (versions per entity are
+    * catalog-sized, not fact-sized).
+    *
+    * Determinism contract: `orderBy` must be a total order within each
+    * key (pass a unique tiebreaker, e.g. the event/order id) — same
+    * requirement as keep-first dedup (J1). Tracked-value comparison is
+    * null-safe: a null→value or value→null transition IS a change;
+    * null→null is not. */
+  def scd2(history: DataFrame, keys: Seq[String], orderBy: Seq[String],
+           tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "scd2 needs at least one tracked column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(col): _*)
+    val isChange = tracked
+      .map(c => not(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val starts = history
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__chg", col("__rn") === 1 || isChange)
+      .filter(col("__chg"))
+      .withColumn("effective_from", col(orderBy.head))
+    val wv = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__rn"))
+    starts
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wv))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((keys ++ tracked).map(col) ++
+        Seq(col("effective_from"), col("effective_to"),
+          col("is_current")): _*)
   }
 
   /** Partition-scoped MERGE into a parquet table partitioned by

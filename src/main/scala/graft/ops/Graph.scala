@@ -153,4 +153,88 @@ object Graph {
       .withColumn("component", col("node"))
     members.unionByName(roots)
   }
+
+  /** Per-node TRIANGLE COUNTS by degree-ordered node iteration (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11) — clustering-coefficient / community-density
+    * signal over a link graph.
+    *
+    * Scale (100 TB of edges): the naive wedge join keys wedges on their
+    * CENTER, so a celebrity node with in-degree d produces d² wedge
+    * candidates in one task — the "last reducer" pathology. Orienting
+    * every undirected edge from its lower-(degree, id) endpoint to the
+    * higher one bounds every oriented out-degree by O(√|E|), which caps
+    * the per-node wedge fan-out at O(|E|) total regardless of skew.
+    * Three key-equality shuffle joins, no broadcast of anything
+    * data-sized, each triangle materialized exactly once.
+    *
+    * Input: any edge list; self-loops dropped, direction and duplicates
+    * ignored. Returns `(node, triangles)` for nodes in ≥1 triangle. */
+  def triangleCount(edges: DataFrame, src: String = "src",
+                    dst: String = "dst"): DataFrame = {
+    // materialize once: the canonical edge set feeds the degree agg and
+    // both sides of the orientation join, and the oriented set feeds
+    // three plan branches (two wedge arms + the closing probe) — without
+    // the checkpoint Spark would recompute the whole upstream edge
+    // subtree for every consumer
+    val und = Caches.small(
+      canon(edges.select(col(src).as("u"), col(dst).as("v"))))
+    // total order (degree, id): ties broken by id, so orientation is a
+    // pure function of the edge set
+    val deg = symm(und).groupBy(col("u").as("n"))
+      .agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aFirst = struct(col("da").as("d"), col("a").as("n")) <
+      struct(col("db").as("d"), col("b").as("n"))
+    val oriented = Caches.small(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("x"),
+      when(aFirst, col("b")).otherwise(col("a")).as("y"),
+      // carry the head's (deg, id) rank so wedge arms order without
+      // re-joining degrees
+      when(aFirst, struct(col("db").as("d"), col("b").as("n")))
+        .otherwise(struct(col("da").as("d"), col("a").as("n"))).as("yr")))
+    // wedges centered at x: two out-edges (x→y1), (x→y2) with y1 ≺ y2
+    // in (deg,id) order — the closing edge, if present, is oriented
+    // y1→y2 under the same total order
+    val lhs = oriented.select(col("x"), col("y").as("y1"),
+      col("yr").as("r1"))
+    val rhs = oriented.select(col("x"), col("y").as("y2"),
+      col("yr").as("r2"))
+    val wedges = lhs.join(rhs, Seq("x")).filter(col("r1") < col("r2"))
+      .select(col("x"), col("y1"), col("y2"))
+    val closing = oriented.select(col("x").as("y1"), col("y").as("y2"))
+    val tris = wedges.join(closing, Seq("y1", "y2"))
+    tris.select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Multi-source BFS: minimum hop count from any source node, bounded
+    * at `maxHops` — reachability/radius analysis (e.g. citation distance
+    * from a trusted seed set for crawl-frontier prioritization).
+    *
+    * Scale: frontier-relational Bellman-Ford on hop counts — per round
+    * ONE key-equality join of the current distance table against the
+    * symmetric edge list and ONE min-groupBy; state is (node, hops)
+    * integers, monotonically tightening, lineage truncated per round.
+    * Integer min is order-independent, so the result is deterministic
+    * on any partitioning. Unreached nodes are absent (no sentinel). */
+  def bfsHops(edges: DataFrame, sources: DataFrame,
+              src: String = "src", dst: String = "dst",
+              maxHops: Int = 6): DataFrame = {
+    val e = Caches.small(symm(canon(
+      edges.select(col(src).as("u"), col(dst).as("v")))))
+    var dist = Caches.small(
+      sources.select(col(sources.columns.head).as("node"))
+        .distinct().withColumn("hops", lit(0)))
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, col("u") === col("node"))
+        .select(col("v").as("node"), (col("hops") + 1).as("hops"))
+      dist = Caches.small(
+        dist.unionByName(next)
+          .groupBy("node").agg(min(col("hops")).as("hops")))
+    }
+    dist
+  }
 }

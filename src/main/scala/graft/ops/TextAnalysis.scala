@@ -390,4 +390,79 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_bigrams"))
       .select(col("__id").as(id), col("mean_bigram_nll"), col("n_bigrams"))
   }
+
+  /** Per-document TOP-K KEYWORDS by tf·idf — the classic extractive
+    * keyword/indexing operator (and the term-weighting half of a sparse
+    * retrieval index; [[bm25]] is its query-time sibling).
+    *
+    * `idf = ln(N / df)` (plain Robertson form; every term present in the
+    * corpus has df ≥ 1, so no smoothing constant is needed), `score =
+    * tf · idf`, ranked per document with the term string as total
+    * tiebreak.
+    *
+    * Scale (100 TB): term frequencies are one shuffle on (doc, term);
+    * document frequencies one shuffle on term over the DISTINCT
+    * (doc, term) frame (Zipf-small); the df join is key-equality (AQE
+    * broadcasts the vocab side when it fits). The per-doc rank window
+    * partitions by doc — WindowGroupLimit prunes to k rows below the
+    * shuffle, no global sort. */
+  def tfidfTopK(docs: DataFrame, id: String, text: String,
+                k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(id).as("__id"), explode(tokens(col(text))).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("__id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val byScore = Window.partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(df, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("__id"), col("w"), col("tf"), col("df"),
+        (col("tf") * log(col("__n").cast("double") / col("df")))
+          .as("score"))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= k)
+      .select(col("__id").as(id), col("rk"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** COLLOCATION detection: pointwise mutual information of adjacent
+    * token bigrams — `pmi = ln( p(ab) / (p(a)·p(b)) )` with p(ab) over
+    * the bigram total and p(·) over the unigram total. High-PMI pairs
+    * are multi-word expressions ("new york"); the phrase-mining step a
+    * tokenizer-training pipeline runs before vocabulary induction.
+    *
+    * Scale (100 TB): bigram and unigram count models are two shuffles
+    * over Zipf-small key spaces; the final score join is key-equality
+    * against the unigram frame twice. `minCount` prunes the hapax tail
+    * BEFORE the marginal joins, so the rule table stays model-sized.
+    * Everything else is map-side array ops on the token stream. */
+  def pmiCollocations(docs: DataFrame, text: String,
+                      minCount: Long = 2L): DataFrame = {
+    val words = docs.select(tokens(col(text)).as("__ws"))
+    val bigrams = words
+      .select(explode_outer(when(size(col("__ws")) >= 2,
+          sequence(lit(1), size(col("__ws")) - 1))
+        .otherwise(array().cast("array<int>"))).as("__i"), col("__ws"))
+      .filter(col("__i").isNotNull)
+      .select(element_at(col("__ws"), col("__i")).as("w1"),
+        element_at(col("__ws"), col("__i") + 1).as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minCount)
+    val uc = words.select(explode(col("__ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val totals = words.agg(
+      sum(size(col("__ws"))).cast("double").as("__tu"),
+      sum(greatest(size(col("__ws")) - 1, lit(0))).cast("double")
+        .as("__tb"))
+    bc.join(uc.select(col("w").as("w1"), col("nw").as("na")), "w1")
+      .join(uc.select(col("w").as("w2"), col("nw").as("nb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("nab"), col("na"), col("nb"),
+        log((col("nab") / col("__tb")) /
+          ((col("na") / col("__tu")) * (col("nb") / col("__tu"))))
+          .as("pmi"))
+  }
 }

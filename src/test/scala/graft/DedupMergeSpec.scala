@@ -117,4 +117,47 @@ class DedupMergeSpec extends SparkSpec {
     assert(twice.orderBy("ord").collect().toSeq
       === once.orderBy("ord").collect().toSeq)
   }
+
+  test("scd2: runs collapse to versions, null<->value transitions are " +
+    "changes, single current row per key") {
+    val hist = Seq(
+      (1L, 1L, Some("gold")), (1L, 2L, Some("gold")),
+      (1L, 3L, Some("silver")), (1L, 4L, Some("silver")),
+      (1L, 5L, Some("gold")),
+      (2L, 1L, None: Option[String]), (2L, 2L, Some("bronze")),
+      (2L, 3L, None: Option[String]),
+      (3L, 7L, Some("gold")))
+      .toDF("k", "seq", "tier")
+    val got = Merge.scd2(hist, Seq("k"), Seq("seq"), Seq("tier"))
+      .orderBy("k", "effective_from")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, Some("gold"), 1L, Some(3L), false),
+      (1L, Some("silver"), 3L, Some(5L), false),
+      (1L, Some("gold"), 5L, None, true),
+      (2L, None, 1L, Some(2L), false),
+      (2L, Some("bronze"), 2L, Some(3L), false),
+      (2L, None, 3L, None, true),
+      (3L, Some("gold"), 7L, None, true)))
+  }
+
+  test("scd2 reconstruction property: joining the history back on " +
+    "[from, to) intervals recovers every row's tracked value") {
+    val rng = new scala.util.Random(11)
+    val hist = (1 to 300).map { i =>
+      (rng.nextInt(8).toLong, i.toLong, s"v${rng.nextInt(3)}")
+    }.toDF("k", "seq", "tv")
+    val dim = Merge.scd2(hist, Seq("k"), Seq("seq"), Seq("tv"))
+    val joined = hist.as("h").join(dim.as("d"),
+      col("h.k") === col("d.k") &&
+        col("h.seq") >= col("d.effective_from") &&
+        (col("d.effective_to").isNull ||
+          col("h.seq") < col("d.effective_to")))
+    assert(joined.count() === 300) // every history row covered once
+    assert(joined.filter(col("h.tv") =!= col("d.tv")).count() === 0)
+    // exactly one current version per key
+    val cur = dim.filter(col("is_current")).groupBy("k").count()
+    assert(cur.filter(col("count") =!= 1).count() === 0)
+  }
 }

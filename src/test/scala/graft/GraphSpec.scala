@@ -55,4 +55,46 @@ class GraphSpec extends SparkSpec {
     assert(star.map(_._2).distinct.toSeq === Seq(1000L))
     assert(star.length === 400)
   }
+
+  test("triangleCount matches brute-force enumeration on random graphs " +
+    "and ignores direction/duplicates/self-loops") {
+    val rng = new scala.util.Random(7)
+    val n = 40
+    val raw = (0 until 220)
+      .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    // brute force over the canonical simple graph
+    val und = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if und((x, y)) && und((y, z)) && und((x, z))
+      v <- Seq(x, y, z)
+    } expect(v) = expect.getOrElse(v, 0L) + 1L
+    // feed the RAW edges (directed, duplicated, self-looped)
+    val got = Graph.triangleCount(raw.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect.toMap)
+    // partition invariance
+    val got11 = Graph.triangleCount(raw.toDF("src", "dst").repartition(11))
+      .as[(Long, Long)].collect().toMap
+    assert(got11 === expect.toMap)
+  }
+
+  test("bfsHops: hand-checked hop distances, multi-source min, and the " +
+    "maxHops horizon") {
+    // path 1-2-3-4-5-6-7-8 plus a shortcut 1-5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (1L, 5L)).toDF("src", "dst")
+    val one = Graph.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // via the shortcut: 5 is 1 hop, 6 is 2, 7 is 3; 8 beyond horizon
+    assert(one === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1,
+      6L -> 2, 7L -> 3))
+    // multi-source: min over seeds 1 and 8
+    val multi = Graph.bfsHops(edges, Seq(1L, 8L).toDF("node"),
+        maxHops = 2).as[(Long, Int)].collect().toMap
+    assert(multi(7L) === 1 && multi(6L) === 2 && multi(5L) === 1)
+  }
 }

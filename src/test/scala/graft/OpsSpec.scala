@@ -684,4 +684,38 @@ class OpsSpec extends SparkSpec {
     // vocab: aab(freq 2) → "a a"×2, "a b"×2 ; ab(freq 1) → "a b"×1
     assert(got === Seq(("a b", 3L), ("a a", 2L)))
   }
+
+  test("Associations.rules: hand-computed support/confidence/lift, " +
+    "duplicate items in a basket count once") {
+    // baskets: {x,y} {x,y} {x} {y,z} — x:3, y:3, z:1, xy:2, yz:1, N=4
+    val b = Seq((1L, "x"), (1L, "y"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (4L, "y"), (4L, "z")).toDF("basket", "item")
+    val got = graft.ops.Associations.rules(b, "basket", "item")
+      .select("item_a", "item_b", "pair_n", "a_n", "b_n", "support",
+        "confidence", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 4) // x→y, y→x, y→z, z→y
+    val xy = got(("x", "y"))
+    assert(xy._3 === 2L && xy._4 === 3L && xy._5 === 3L)
+    assert(xy._6 === 0.5) // 2/4
+    assert(math.abs(xy._7 - 2.0 / 3) < 1e-15) // 2/3
+    assert(math.abs(xy._8 - 8.0 / 9) < 1e-15) // (2/4)/((3/4)(3/4))
+    val zy = got(("z", "y"))
+    assert(zy._7 === 1.0 && math.abs(zy._8 - 4.0 / 3) < 1e-15)
+  }
+
+  test("tfidfTopK: corpus-wide term gets idf 0 and never outranks a " +
+    "distinctive term; k bounds per-doc rows") {
+    val docs = Seq((1L, "the cat the"), (2L, "the dog"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+    val top = got.filter(col("rk") === 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'the' is in all 3 docs → idf ln(1)=0; distinctive terms win
+    assert(top(1L) === "cat" && top(2L) === "dog")
+    assert(top(3L) === "the") // only term, score 0, still ranked
+    assert(got.groupBy("doc_id").count()
+      .filter(col("count") > 2).count() === 0)
+  }
 }
