@@ -2327,6 +2327,92 @@ object SparkEntry {
           col("postings"))
         .orderBy("term", "shard")
     }),
+
+    // MERKLE TABLE DIFF (Integrity.merkleDiff): anti-entropy between
+    // two order snapshots at key-range-bucket granularity — one
+    // checksum row per 1000-key range crosses the wire instead of the
+    // tables; only `differ` buckets would proceed to the row-level
+    // snapshotDiff (q104). Checksums are order-independent bit_xor
+    // folds of 48-bit row hashes, bit-reproducible in any engine.
+    "q137_merkle_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // simulated replica drift: keys %97 deleted, priorities %13 rewritten
+      val vNew = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 13 === 0, lit("9-CHANGED"))
+            .otherwise(col("o_orderpriority")))
+      val rowRepr = concat_ws("|", col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100, 0)
+          .cast("long"))
+      graft.ops.Integrity.merkleDiff(o, vNew, col("o_orderkey"),
+          rowRepr, bucketWidth = 1000L)
+        .orderBy("bucket")
+    }),
+
+    // DEGREE DISTRIBUTION of the q128 link graph: the 30-second skew
+    // diagnostic every graph job should run before choosing its join
+    // strategy (celebrity nodes ⇒ orientation/salting). Two shuffles:
+    // per-node degree, then degree histogram.
+    "q138_degree_stats" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val tgt = ids.select(col("doc_id").as("dst"))
+      def fam(off: Int, keep: Column): DataFrame =
+        ids.filter(keep)
+          .select(col("doc_id").as("src"), (col("doc_id") + off).as("dst"))
+          .join(tgt, Seq("dst"))
+      val raw = fam(1, col("doc_id") % 10 =!= 9)
+        .unionByName(fam(2, col("doc_id") % 10 < 8))
+        .unionByName(fam(3, col("doc_id") % 10 < 7))
+      val und = raw.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("example"))
+        .orderBy("degree")
+    }),
+
+    // WEIGHTED SHORTEST PATHS (Graph.sssp): 4 Bellman-Ford rounds over
+    // the link graph with edge weight = id offset (1/2/3) — after round
+    // k the cost is the exact minimum over ≤k-edge paths, which is what
+    // the bounded recursive-CTE oracle replays. Integer min state.
+    "q139_weighted_sssp" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val tgt = ids.select(col("doc_id").as("dst"))
+      def fam(off: Int, keep: Column): DataFrame =
+        ids.filter(keep)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") + off).as("dst"), lit(off.toLong).as("w"))
+          .join(tgt, Seq("dst"))
+      val edges = fam(1, col("doc_id") % 10 =!= 9)
+        .unionByName(fam(2, col("doc_id") % 10 < 8))
+        .unionByName(fam(3, col("doc_id") % 10 < 7))
+      val sources = ids.filter(col("doc_id") % 97 === 0)
+      graft.ops.Graph.sssp(edges, sources, maxIter = 4)
+        .select(col("node").as("doc_id"), col("cost"))
+        .orderBy("doc_id")
+    }),
+
+    // CUMULATIVE DISTINCT USERS per day (new vs returning): first-seen
+    // day per user (one shuffle over users), new-user counts per day,
+    // then a running sum over DAY-GRAIN rows only — the global window
+    // is bounded by calendar cardinality, never by the event stream.
+    "q140_cumulative_users" -> ((s, dir) => {
+      val firstSeen = events(s, dir).groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("day"))
+      val perDay = firstSeen.groupBy("day")
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perDay
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy("day")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -4762,5 +4848,103 @@ object SparkEntry {
              ',') AS postings
          FROM tok JOIN df USING (w)
          GROUP BY 1, 2, 3 ORDER BY term, shard""",
+
+    // Same 48-bit md5 idiom as q17's fp48; bit_xor is order-independent
+    // so the checksum is partitioning-proof on both engines.
+    "q137_merkle_diff" ->
+      """WITH vold AS (
+           SELECT o_orderkey, o_orderpriority,
+             round(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         vnew AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN '9-CHANGED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             round(o_totalprice * 100)::BIGINT AS cents
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         ho AS (
+           SELECT o_orderkey // 1000 AS bucket,
+             count(*) AS old_cnt,
+             bit_xor(('0x' || substring(md5('0:' ||
+               (o_orderkey || '|' || o_orderpriority || '|' || cents)),
+               1, 12))::BIGINT) AS old_sum
+           FROM vold GROUP BY 1),
+         hn AS (
+           SELECT o_orderkey // 1000 AS bucket,
+             count(*) AS new_cnt,
+             bit_xor(('0x' || substring(md5('0:' ||
+               (o_orderkey || '|' || o_orderpriority || '|' || cents)),
+               1, 12))::BIGINT) AS new_sum
+           FROM vnew GROUP BY 1)
+         SELECT bucket, old_cnt, new_cnt,
+           CASE WHEN old_cnt IS NULL THEN 'new_only'
+                WHEN new_cnt IS NULL THEN 'old_only'
+                WHEN old_sum = new_sum AND old_cnt = new_cnt THEN 'match'
+                ELSE 'differ' END AS status
+         FROM ho FULL OUTER JOIN hn USING (bucket)
+         ORDER BY bucket""",
+
+    "q138_degree_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+         raw AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 <> 9
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 10 < 8
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3
+           WHERE a.doc_id % 10 < 7),
+         und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                 FROM raw WHERE u <> v),
+         deg AS (
+           SELECT node, count(*) AS degree FROM (
+             SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+           GROUP BY 1)
+         SELECT degree, count(*) AS n_nodes, min(node) AS example
+         FROM deg GROUP BY 1 ORDER BY 1""",
+
+    "q139_weighted_sssp" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+         raw AS (
+           SELECT a.doc_id AS u, b.doc_id AS v, 1 AS w
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 <> 9
+           UNION ALL
+           SELECT a.doc_id, b.doc_id, 2
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 10 < 8
+           UNION ALL
+           SELECT a.doc_id, b.doc_id, 3
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3
+           WHERE a.doc_id % 10 < 7),
+         und AS (
+           SELECT least(u, v) AS a, greatest(u, v) AS b,
+             min(w)::BIGINT AS w
+           FROM raw WHERE u <> v GROUP BY 1, 2),
+         e AS (SELECT a AS u, b AS v, w FROM und
+               UNION ALL SELECT b, a, w FROM und),
+         walk(node, cost, hops) AS (
+           SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents
+           WHERE doc_id % 97 = 0
+           UNION
+           SELECT e.v, walk.cost + e.w, walk.hops + 1
+           FROM walk JOIN e ON e.u = walk.node
+           WHERE walk.hops < 4)
+         SELECT node AS doc_id, min(cost) AS cost
+         FROM walk GROUP BY 1 ORDER BY 1""",
+
+    "q140_cumulative_users" ->
+      """WITH fs AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS day
+           FROM events GROUP BY 1),
+         pd AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           sum(new_users) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+         FROM pd ORDER BY day""",
   )
 }

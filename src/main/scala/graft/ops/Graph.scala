@@ -237,4 +237,38 @@ object Graph {
     }
     dist
   }
+
+  /** Single/multi-source SHORTEST PATHS with integer edge weights:
+    * `maxIter` Bellman-Ford relaxation rounds over an UNDIRECTED
+    * weighted edge list — after round k, `cost` is the exact minimum
+    * over paths of ≤ k edges (the textbook invariant, so a bounded
+    * oracle can replay it). Same relational frontier as [[bfsHops]]
+    * (one join + one min-groupBy per round, (node, cost) state, integer
+    * min ⇒ order-independent), with the weight riding the edge row.
+    * Duplicate edges keep their MINIMUM weight (canonical form). */
+  def sssp(edges: DataFrame, sources: DataFrame,
+           src: String = "src", dst: String = "dst", weight: String = "w",
+           maxIter: Int = 4): DataFrame = {
+    val und = edges
+      .filter(col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"),
+        col(weight).cast("long").as("w"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+    val e = Caches.small(
+      und.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionByName(
+          und.select(col("b").as("u"), col("a").as("v"), col("w"))))
+    var dist = Caches.small(
+      sources.select(col(sources.columns.head).as("node"))
+        .distinct().withColumn("cost", lit(0L)))
+    for (_ <- 1 to maxIter) {
+      val next = e.join(dist, col("u") === col("node"))
+        .select(col("v").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = Caches.small(
+        dist.unionByName(next)
+          .groupBy("node").agg(min(col("cost")).as("cost")))
+    }
+    dist
+  }
 }

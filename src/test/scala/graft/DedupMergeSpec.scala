@@ -118,6 +118,27 @@ class DedupMergeSpec extends SparkSpec {
       === once.orderBy("ord").collect().toSeq)
   }
 
+  test("merkleDiff: pinpoints the bucket of a single changed row, " +
+    "checksums are partitioning-invariant") {
+    import graft.ops.Integrity
+    val vOld = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "s")
+    // one update in bucket 1, one delete in bucket 3, bucket 0/2 intact
+    val vNew = (1L to 400L).filterNot(_ == 350L)
+      .map(k => (k, if (k == 150L) "CHANGED" else s"v$k")).toDF("k", "s")
+    val rowRepr = concat_ws("|", col("k"), col("s"))
+    val got = Integrity.merkleDiff(vOld, vNew, col("k"), rowRepr, 100L)
+      .orderBy("bucket")
+      .select("bucket", "status").as[(Long, String)].collect().toSeq
+    assert(got === Seq((0L, "match"), (1L, "differ"), (2L, "match"),
+      (3L, "differ"), (4L, "match")))
+    // checksum invariance under repartitioning
+    val a = Integrity.bucketChecksums(vOld.repartition(7), col("k"),
+      rowRepr, 100L).orderBy("bucket").collect().toSeq
+    val b = Integrity.bucketChecksums(vOld.repartition(2), col("k"),
+      rowRepr, 100L).orderBy("bucket").collect().toSeq
+    assert(a === b)
+  }
+
   test("scd2: runs collapse to versions, null<->value transitions are " +
     "changes, single current row per key") {
     val hist = Seq(

@@ -82,6 +82,21 @@ class GraphSpec extends SparkSpec {
     assert(got11 === expect.toMap)
   }
 
+  test("sssp: weighted distances prefer the cheap long way round, " +
+    "duplicate edges keep min weight, k-round horizon holds") {
+    // triangle 1-2-3 with an expensive direct edge 1-3: cost(3) should
+    // be 2 via 1-2-3, not 10 direct; duplicate (1,3) edges keep min
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 1L, 12L), (3L, 4L, 5L)).toDF("src", "dst", "w")
+    val got = Graph.sssp(edges, Seq(1L).toDF("node"), maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 7L))
+    // with ONE round, only direct edges are relaxed: 3 costs 10
+    val one = Graph.sssp(edges, Seq(1L).toDF("node"), maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(3L) === 10L && one(2L) === 1L)
+  }
+
   test("bfsHops: hand-checked hop distances, multi-source min, and the " +
     "maxHops horizon") {
     // path 1-2-3-4-5-6-7-8 plus a shortcut 1-5
