@@ -304,6 +304,44 @@ object TxLog {
       currentVersion(spark, root) // replayed epoch: already committed
     else merge(spark, root, incoming, keyCol, Some(epochId))
 
+  /** Small-file COMPACTION (the OPTIMIZE of this format): bin-pack
+    * every file under `smallRows` into ~`targetRows`-sized files,
+    * range-partitioned on the key so each output file covers a TIGHT
+    * key range — which is what keeps [[merge]]'s min/max pruning
+    * effective after many micro-batch commits (a thousand tiny
+    * overlapping files would otherwise make every merge touch
+    * everything). Content-preserving by construction: the new version
+    * lists the repacked files plus every untouched large file; a
+    * concurrent writer that commits first wins and compaction retries
+    * against the fresh snapshot (its conflict loses nothing but work).
+    * Old versions still time-travel until [[vacuum]]. */
+  def compact(spark: SparkSession, root: String, keyCol: String,
+              smallRows: Long = 100000L,
+              targetRows: Long = 1000000L): Long = {
+    val fs = hfs(spark, root)
+    @tailrec def loop(): Long = {
+      val snap = snapshot(spark, root)
+      val (small, big) = snap.files.partition(_.rows < smallRows)
+      if (small.size <= 1) snap.version // nothing to gain
+      else {
+        val totalRows = small.map(_.rows).sum
+        val nParts = math.max(1L, (totalRows + targetRows - 1) / targetRows)
+        val repacked = spark.read
+          .parquet(small.map(f => s"$root/${f.path}"): _*)
+          .repartitionByRange(nParts.toInt, col(keyCol))
+        val newFiles = writeData(spark, root, repacked, keyCol)
+        if (tryCommit(fs, root, snap.version + 1, big ++ newFiles)) {
+          snap.version + 1
+        } else {
+          newFiles.foreach(f =>
+            fs.delete(new Path(s"$root/${f.path}"), false))
+          loop()
+        }
+      }
+    }
+    loop()
+  }
+
   /** Drop data files referenced by NO manifest among the kept versions
     * (the last `keepVersions`), then drop the older manifests. Bounds
     * storage while preserving time travel over the kept window.

@@ -164,4 +164,37 @@ class TxLogSpec extends SparkSpec {
       s"${rewritten.size}/${before.files.size} files rewritten")
     assert(TxLog.read(spark, root).count() === 1000)
   }
+
+  test("compact bin-packs small files into tight key ranges, preserves " +
+    "content and time travel, and restores merge pruning") {
+    val root = freshRoot()
+    // 10 micro-batches of 50 rows, 2 files each → 20 small files
+    (0 until 10).foreach(i =>
+      TxLog.append(spark, root,
+        rows(i * 50 until (i + 1) * 50, s"t$i").repartition(2), "id"))
+    val before = TxLog.snapshot(spark, root)
+    assert(before.files.size >= 20)
+    val wantRows = TxLog.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    val v = TxLog.compact(spark, root, "id",
+      smallRows = 1000L, targetRows = 250L)
+    val after = TxLog.snapshot(spark, root)
+    assert(v === before.version + 1)
+    assert(after.files.size < before.files.size / 4,
+      s"${after.files.size} files after compaction")
+    // content identical, old version still readable
+    assert(TxLog.read(spark, root).as[(Long, String)].collect().toSet
+      === wantRows)
+    assert(TxLog.read(spark, root, Some(before.version)).count() === 500)
+    // range partitioning ⇒ file key ranges are (near-)disjoint, so a
+    // narrow merge touches few files again
+    val b4 = TxLog.snapshot(spark, root)
+    TxLog.merge(spark, root, rows(10 until 20, "upd"), "id")
+    val rewritten = b4.files.map(_.path).toSet --
+      TxLog.snapshot(spark, root).files.map(_.path).toSet
+    assert(rewritten.size <= 1, s"${rewritten.size} files rewritten")
+    // compacting an already-compact table is a no-op (no version bump)
+    assert(TxLog.compact(spark, root, "id", smallRows = 1L) ===
+      TxLog.currentVersion(spark, root))
+  }
 }
