@@ -2413,6 +2413,122 @@ object SparkEntry {
           col("new_users"), col("cum_users"))
         .orderBy("day")
     }),
+
+    // SEQUENCE MINING: top-10 event-type TRIGRAMS across per-user
+    // ordered streams (q106's Markov pairs, one order deeper) — two
+    // leads over one user-keyed window, then an (event-type)³-bounded
+    // count table; top-k via TakeOrdered with a total tiebreak.
+    "q141_trigram_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(byUser).as("e2"),
+          lead(col("event_type"), 2).over(byUser).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
+    }),
+
+    // TIME-OF-WEEK ACTIVITY PROFILE: (day-of-week, hour) heatmap of
+    // event counts + exact cent sums. Day-of-week via day-diff from a
+    // fixed Monday epoch (engine-agnostic arithmetic — both engines'
+    // native dayofweek() disagree on numbering); 168 cells, map-side.
+    "q142_time_profile" -> ((s, dir) => {
+      events(s, dir)
+        .select(
+          (datediff(to_date(col("ts")), lit("1970-01-05").cast("date"))
+            % 7).as("dow"),
+          hour(col("ts")).as("hr"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy("dow", "hr")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("dow", "hr")
+    }),
+
+    // DATA PROFILING (Deequ-style summarize, the survey companion of
+    // q111's rule audit): per-column null count / distinct count /
+    // min / max as ONE aggregation pass over the table, unpivoted to
+    // (column, metric…) report rows — never N passes for N columns.
+    "q143_column_profile" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      def prof(cc: String) = struct(
+        sum(when(col(cc).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(cc)).as("n_distinct"),
+        min(col(cc)).cast("string").as("min_s"),
+        max(col(cc)).cast("string").as("max_s"))
+      // doubles go through a 2dp DECIMAL so the string form is
+      // engine-independent (raw double→string formatting is not)
+      def profNum(cc: String) = struct(
+        sum(when(col(cc).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(cc)).as("n_distinct"),
+        round(min(col(cc)), 2).cast("decimal(18,2)").cast("string")
+          .as("min_s"),
+        round(max(col(cc)), 2).cast("decimal(18,2)").cast("string")
+          .as("max_s"))
+      c.agg(prof("c_name").as("p1"), prof("c_mktsegment").as("p2"),
+          profNum("c_acctbal").as("p3"), prof("c_nationkey").as("p4"))
+        .select(explode(array(
+          struct(lit("c_name").as("column"), col("p1.*")),
+          struct(lit("c_mktsegment").as("column"), col("p2.*")),
+          struct(lit("c_acctbal").as("column"), col("p3.*")),
+          struct(lit("c_nationkey").as("column"), col("p4.*"))))
+          .as("r"))
+        .select(col("r.*"))
+        .orderBy("column")
+    }),
+
+    // SESSION PATH ANALYSIS: the first 5 event types of each 30-minute
+    // session, as a '>'-joined journey string, counted across sessions.
+    // The per-session collect is BOUNDED BEFORE aggregation (rn ≤ 5
+    // filter), so no buffer scales with session length — the q82 rule
+    // applied to journey mining.
+    "q144_session_paths" -> ((s, dir) => {
+      val e = events(s, dir)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapped = e.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          // exact timestamp arithmetic (micros), same shape as q52's
+          // oracle — no epoch-second truncation at the gap boundary
+          when(col("ts") > lag(col("ts"), 1).over(byUser) +
+              expr("INTERVAL 30 MINUTES")
+              || lag(col("ts"), 1).over(byUser).isNull, 1L)
+            .otherwise(0L).as("new_s"))
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val bySession = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts"), col("event_id"))
+      val firstN = gapped
+        .withColumn("rn", row_number().over(bySession))
+        .filter(col("rn") <= 5)
+      firstN.groupBy("user_id", "sid")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("path")
+    }),
+
+    // BITEMPORAL READ over the q129 SCD2 dimension: segment mix AS OF a
+    // past date — version rows whose [from, to) interval covers the
+    // as-of instant, one filter + one count. The query every
+    // effective-dated warehouse dimension exists to answer.
+    "q145_asof_dimension" -> ((s, dir) => {
+      val hist = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      val dim = Merge.scd2(hist, keys = Seq("o_custkey"),
+        orderBy = Seq("o_orderdate", "o_orderkey"),
+        tracked = Seq("o_orderpriority"))
+      val asOf = lit("1998-07-01").cast("timestamp")
+      dim.filter(col("effective_from") <= asOf &&
+          (col("effective_to").isNull || col("effective_to") > asOf))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -4946,5 +5062,104 @@ object SparkEntry {
            sum(new_users) OVER (ORDER BY day
              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
          FROM pd ORDER BY day""",
+
+    "q141_trigram_paths" ->
+      """WITH t AS (
+           SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e3
+           FROM events)
+         SELECT e1, e2, e3, count(*) AS n
+         FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, e1, e2, e3 LIMIT 10""",
+
+    // dow from a fixed Monday epoch, not dayofweek(): Spark (1=Sun) and
+    // DuckDB (0=Sun) number weekdays differently, day-diff mod 7 is
+    // engine-neutral.
+    "q142_time_profile" ->
+      """SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+             AS dow,
+           hour(ts) AS hr, count(*) AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q143_column_profile" ->
+      """SELECT 'c_acctbal' AS "column",
+           sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null,
+           count(DISTINCT c_acctbal)::BIGINT AS n_distinct,
+           round(min(c_acctbal), 2)::DECIMAL(18,2)::VARCHAR AS min_s,
+           round(max(c_acctbal), 2)::DECIMAL(18,2)::VARCHAR AS max_s
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment',
+           sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_mktsegment)::BIGINT,
+           min(c_mktsegment), max(c_mktsegment)
+         FROM customer
+         UNION ALL
+         SELECT 'c_name',
+           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_name)::BIGINT,
+           min(c_name), max(c_name)
+         FROM customer
+         UNION ALL
+         SELECT 'c_nationkey',
+           sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_nationkey)::BIGINT,
+           CAST(min(c_nationkey) AS VARCHAR),
+           CAST(max(c_nationkey) AS VARCHAR)
+         FROM customer
+         ORDER BY "column"""",
+
+    "q144_session_paths" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         r AS (
+           SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+               ORDER BY ts, event_id) AS rn
+           FROM s),
+         p AS (
+           SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions
+         FROM p GROUP BY 1 ORDER BY path""",
+
+    "q145_asof_dimension" ->
+      """WITH h AS (
+           SELECT o_custkey, o_orderdate, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         s AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate AS eff_ts, rn
+           FROM h WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+         v AS (
+           SELECT o_custkey, o_orderpriority, eff_ts,
+             lead(eff_ts) OVER (PARTITION BY o_custkey ORDER BY rn)
+               AS eff_to_ts
+           FROM s)
+         SELECT o_orderpriority, count(*) AS n_customers
+         FROM v
+         WHERE eff_ts <= TIMESTAMP '1998-07-01'
+           AND (eff_to_ts IS NULL OR eff_to_ts > TIMESTAMP '1998-07-01')
+         GROUP BY 1 ORDER BY 1""",
   )
 }
