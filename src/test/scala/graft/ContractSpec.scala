@@ -29,7 +29,8 @@ class ContractSpec extends SparkSpec {
     val segmented = Seq("q19_dedup_ngram_jaccard", "q20_dedup_minhash_lsh",
       "q23_embedding_neardup", "q70_connected_components",
       "q75_fuzzy_dedup_e2e", "q91_knn_join",
-      "q96_cc_star", "q116_bpe_train")
+      "q96_cc_star", "q116_bpe_train",
+      "q128_triangle_count", "q134_bfs_hops", "q139_weighted_sssp")
     val dir = "/root/testdata/sf0.001"
     for (q <- segmented) {
       graft.ops.Caches.startCapture()
