@@ -2529,6 +2529,79 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("o_orderpriority")
     }),
+
+    // CDC LOG COMPACTION (Kafka-compaction semantics): a keyed change
+    // log collapses to latest-change-wins state, delete tombstones
+    // dropping their key. ONE max-of-struct aggregation per key — the
+    // (date, orderkey) sequence is total, so "latest" is a pure
+    // function of the log; no windows, no sorts, map-side partials.
+    "q146_cdc_compaction" -> ((s, dir) => {
+      val log = t(s, dir, "orders").select(
+        col("o_custkey"),
+        col("o_orderdate"), col("o_orderkey"),
+        when(col("o_orderkey") % 19 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      log.groupBy("o_custkey")
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("op"),
+          col("cents"))).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("o_custkey"),
+          date_format(col("last.o_orderdate"), "yyyy-MM-dd").as("last_day"),
+          col("last.cents").as("cents"))
+        .orderBy("o_custkey")
+    }),
+
+    // HIERARCHICAL percent-of-parent rollup (region → nation): revenue
+    // tree with each level's share of its parent. Fact aggregates to
+    // nation grain FIRST (one shuffle); the parent-share windows range
+    // over the 25-row nation table, never the fact stream. Dimension
+    // chain broadcast. Integer-cent revenue, shares rounded at output.
+    "q147_hierarchy_rollup" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+          Seq("o_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+            col("n_regionkey"))), Seq("c_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+          Seq("n_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("nation_cents"))
+      val byRegion = Window.partitionBy(col("r_name"))
+      val all = Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"), col("nation_cents"),
+          sum(col("nation_cents")).over(byRegion).as("region_cents"),
+          round(col("nation_cents").cast("double") /
+            sum(col("nation_cents")).over(byRegion), 6).as("pct_of_region"),
+          round(sum(col("nation_cents")).over(byRegion).cast("double") /
+            sum(col("nation_cents")).over(all), 6).as("region_pct_of_total"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ROLLING DISTINCT USERS (DAU/WAU): daily actives + 7-day rolling
+    // distinct actives. A distinct-over-sliding-window is computed by
+    // EXPLODING each (user, active-day) into the 7 window-end days it
+    // supports, then one countDistinct per day — a 7× fan-out of the
+    // (user, day)-distinct frame (calendar-bounded), never a window
+    // over the raw stream.
+    "q148_rolling_wau" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(countDistinct(col("user_id"))
+        .as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"),
+          date_add(col("day"), 6), expr("INTERVAL 1 DAY"))).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+        .orderBy("day")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -5161,5 +5234,56 @@ object SparkEntry {
          WHERE eff_ts <= TIMESTAMP '1998-07-01'
            AND (eff_to_ts IS NULL OR eff_to_ts > TIMESTAMP '1998-07-01')
          GROUP BY 1 ORDER BY 1""",
+
+    "q146_cdc_compaction" ->
+      """WITH log AS (
+           SELECT o_custkey, o_orderdate, o_orderkey,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+             round(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM log)
+         SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS last_day,
+           cents
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_custkey""",
+
+    "q147_hierarchy_rollup" ->
+      """WITH rev AS (
+           SELECT r_name, n_name,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+               AS nation_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name, nation_cents,
+           sum(nation_cents) OVER (PARTITION BY r_name)::BIGINT
+             AS region_cents,
+           round(CAST(nation_cents AS DOUBLE) /
+             sum(nation_cents) OVER (PARTITION BY r_name), 6)
+             AS pct_of_region,
+           round(CAST(sum(nation_cents) OVER (PARTITION BY r_name)
+               AS DOUBLE) / sum(nation_cents) OVER (), 6)
+             AS region_pct_of_total
+         FROM rev ORDER BY r_name, n_name""",
+
+    "q148_rolling_wau" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         dau AS (
+           SELECT day, count(DISTINCT user_id)::BIGINT AS dau
+           FROM ud GROUP BY 1),
+         w AS (
+           SELECT user_id, unnest(generate_series(day, day + 6,
+             INTERVAL 1 DAY))::DATE AS day
+           FROM ud),
+         wau AS (
+           SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+           FROM w GROUP BY 1)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w2.wau
+         FROM dau d JOIN wau w2 USING (day) ORDER BY day""",
   )
 }
