@@ -338,6 +338,53 @@ class WatcherSpec extends SparkSpec {
     assert(TxLog.lastEpoch(spark, wh) === Some(2L))
   }
 
+  test("TxLog sink + compaction interleave: maintenance between " +
+    "micro-batches preserves rows, epoch recovery, and exactly-once " +
+    "replay detection") {
+    val src = Files.createTempDirectory("graft_src_txc").toString
+    val wh = Files.createTempDirectory("graft_wh_txc").toString + "/docs"
+    def mk() = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("doc_id"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "_(\\d+)\\.", 1).cast("long")
+          .as("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID")),
+      useTxLog = true)
+    val loader = mk()
+    (1 to 4).foreach { i =>
+      writeDoc(src, s"f_$i.pdf", "x" * i)
+      Thread.sleep(1100) // mtime resolution between polls
+      assert(loader.pollOnce() === Some(i.toLong))
+    }
+    val filesBefore = TxLog.snapshot(spark, wh).files.size
+    val rowsBefore = loader.currentTable().get
+      .as[(Long, Long, Long)].collect().toSet
+    // maintenance job between micro-batches
+    val v = TxLog.compact(spark, wh, "doc_id",
+      smallRows = 1000L, targetRows = 1000L)
+    assert(v === 5L)
+    assert(TxLog.snapshot(spark, wh).files.size < filesBefore)
+    // rows byte-identical through the compaction
+    assert(loader.currentTable().get
+      .as[(Long, Long, Long)].collect().toSet === rowsBefore)
+    // the compaction commit carries no epoch tag, and a restarted
+    // loader still recovers upload id 4 from the newest TAGGED manifest
+    assert(TxLog.commitEpoch(spark, wh, 5L) === None)
+    val restarted = mk()
+    assert(restarted.lastUploadId === 4L)
+    // replay of epoch 4 after compaction: still detected, still skipped
+    assert(TxLog.mergeEpoch(spark, wh,
+      restarted.currentTable().get, "doc_id", 4L) === 5L)
+    assert(TxLog.currentVersion(spark, wh) === 5L)
+    // and the next real batch lands as version 6 / epoch 5
+    Thread.sleep(1100)
+    writeDoc(src, "f_9.pdf", "niner")
+    assert(restarted.pollOnce() === Some(5L))
+    assert(TxLog.commitEpoch(spark, wh, 6L) === Some(5L))
+    assert(restarted.currentTable().get.count() === 5)
+  }
+
   test("T2 unit: snapshot diff classifies added/deleted/modified") {
     val prev = Map("a.pdf" -> 1L, "b.pdf" -> 2L, "c.docx" -> 3L)
     val curr = Map("b.pdf" -> 2L, "c.docx" -> 9L, "d.pdf" -> 4L)
