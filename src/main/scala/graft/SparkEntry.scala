@@ -2602,6 +2602,48 @@ object SparkEntry {
           col("dau"), col("wau"))
         .orderBy("day")
     }),
+
+    // FUNCTIONAL-DEPENDENCY DISCOVERY (schema profiling, the q143
+    // family one level up): does det → dep hold? One countDistinct
+    // aggregation per candidate pair — each a single shuffle on the
+    // determinant, violation counts summarized to one report row; the
+    // pair list is metadata-sized, the scans are column-pruned.
+    "q149_fd_discovery" -> ((s, dir) => {
+      def fd(df: DataFrame, det: String, dep: String): DataFrame =
+        df.groupBy(col(det))
+          .agg(countDistinct(col(dep)).as("nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+            col("n_groups"), col("n_violating"),
+            (col("n_violating") === 0).cast("long").as("holds"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      fd(c, "c_custkey", "c_mktsegment")
+        .unionByName(fd(c, "c_nationkey", "c_mktsegment"))
+        .unionByName(fd(o, "o_orderkey", "o_orderpriority"))
+        .unionByName(fd(o, "o_custkey", "o_orderstatus"))
+        .orderBy("determinant", "dependent")
+    }),
+
+    // FEATURE-STORE BUILD: the per-user wide feature vector a training
+    // pipeline materializes — event-type counts (conditional sums, no
+    // pivot shuffle), exact cent totals, activity span — ONE groupBy
+    // over the stream, map-side partials for every column.
+    "q150_user_features" -> ((s, dir) => {
+      val e = events(s, dir)
+      def n(tpe: String) =
+        sum(when(col("event_type") === tpe, 1L).otherwise(0L))
+          .as(s"n_$tpe")
+      e.groupBy("user_id")
+        .agg(n("click"), n("view"), n("purchase"), n("signup"),
+          n("error"),
+          sum(round(col("value") * 100, 0).cast("long")).as("total_cents"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("ts")), "yyyy-MM-dd").as("last_day"))
+        .orderBy("user_id")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -5285,5 +5327,52 @@ object SparkEntry {
            FROM w GROUP BY 1)
          SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w2.wau
          FROM dau d JOIN wau w2 USING (day) ORDER BY day""",
+
+    "q149_fd_discovery" ->
+      """WITH f1 AS (
+           SELECT 'c_custkey' AS determinant, 'c_mktsegment' AS dependent,
+             count(*)::BIGINT AS n_groups,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_violating
+           FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS nd
+                 FROM customer GROUP BY 1)),
+         f2 AS (
+           SELECT 'c_nationkey', 'c_mktsegment', count(*)::BIGINT,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+           FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+                 FROM customer GROUP BY 1)),
+         f3 AS (
+           SELECT 'o_orderkey', 'o_orderpriority', count(*)::BIGINT,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+           FROM (SELECT o_orderkey, count(DISTINCT o_orderpriority) AS nd
+                 FROM orders GROUP BY 1)),
+         f4 AS (
+           SELECT 'o_custkey', 'o_orderstatus', count(*)::BIGINT,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+           FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS nd
+                 FROM orders GROUP BY 1)),
+         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+               UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+         SELECT determinant, dependent, n_groups, n_violating,
+           CAST(n_violating = 0 AS BIGINT) AS holds
+         FROM u ORDER BY determinant, dependent""",
+
+    "q150_user_features" ->
+      """SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+             AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+             AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+             AS n_signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS n_error,
+           sum(round(value * 100)::BIGINT)::BIGINT AS total_cents,
+           count(DISTINCT CAST(ts AS DATE))::BIGINT AS active_days,
+           strftime(min(ts), '%Y-%m-%d') AS first_day,
+           strftime(max(ts), '%Y-%m-%d') AS last_day
+         FROM events GROUP BY 1 ORDER BY user_id""",
   )
 }
