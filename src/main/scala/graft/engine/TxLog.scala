@@ -142,7 +142,16 @@ object TxLog {
   }
 
   /** Snapshot read (optionally time-traveled). The empty table reads as
-    * an empty frame with `schemaFrom`'s schema if provided. */
+    * an empty frame with `schemaFrom`'s schema if provided.
+    *
+    * SCHEMA EVOLUTION (additive): files written before a column existed
+    * coexist with files written after — `mergeSchema` unions the
+    * per-file parquet schemas and old files read the new column as
+    * null, the Delta/Iceberg add-column semantic. The footer-merge cost
+    * is per-FILE metadata, bounded by the manifest's file count (which
+    * [[compact]] keeps small), not by data volume. Renames/drops/type
+    * changes are NOT supported (they need column-id mapping — the
+    * simplification this format documents). */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None,
            schemaFrom: Option[DataFrame] = None): DataFrame = {
@@ -151,7 +160,8 @@ object TxLog {
       require(schemaFrom.isDefined,
         s"table $root is empty at v${s.version} and no schemaFrom given")
       schemaFrom.get.limit(0)
-    } else spark.read.parquet(s.files.map(f => s"$root/${f.path}"): _*)
+    } else spark.read.option("mergeSchema", "true")
+      .parquet(s.files.map(f => s"$root/${f.path}"): _*)
   }
 
   /** Write `df` as immutable data files under `data/` (NOT visible until
@@ -258,11 +268,22 @@ object TxLog {
     commitLoop(spark, root, _ => newFiles)
   }
 
+  /** Pad `df` with null columns for every field `other` has and it
+    * lacks — the additive-schema-evolution alignment both MERGE sides
+    * need when a batch adds (or a pruned read predates) a column. */
+  private def align(df: DataFrame, other: DataFrame): DataFrame = {
+    val mine = df.columns.toSet
+    other.schema.fields.filterNot(f => mine.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** Transactional MERGE (incoming wins on key match): reads and
     * rewrites ONLY the files whose [min,max] key range overlaps the
     * batch; every other file is carried into the new version untouched.
     * Retries from a fresh snapshot on a concurrent-commit conflict, so
-    * the merge serializes after the winner. */
+    * the merge serializes after the winner. A batch may ADD columns
+    * (see [[read]]'s schema-evolution contract): rewritten files carry
+    * the union schema, untouched old files keep reading with nulls. */
   def merge(spark: SparkSession, root: String, incoming: DataFrame,
             keyCol: String, epoch: Option[Long] = None): Long = {
     val fs = hfs(spark, root)
@@ -276,8 +297,10 @@ object TxLog {
         snap.files.partition(f => f.maxKey >= incMin && f.minKey <= incMax)
       val existing =
         if (touched.isEmpty) incoming.limit(0)
-        else spark.read.parquet(touched.map(f => s"$root/${f.path}"): _*)
-      val merged = Merge.upsert(existing, incoming, Seq(keyCol))
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$root/${f.path}"): _*)
+      val merged = Merge.upsert(align(existing, incoming),
+        align(incoming, existing), Seq(keyCol))
       val newFiles = writeData(spark, root, merged, keyCol)
       if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles, epoch)) {
         snap.version + 1

@@ -197,4 +197,38 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.compact(spark, root, "id", smallRows = 1L) ===
       TxLog.currentVersion(spark, root))
   }
+
+  test("additive schema evolution: a merge batch adds a column, old " +
+    "files read it as null, updates land, time travel keeps the old " +
+    "schema") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 100, "a"), "id")
+    // v2: a batch carrying a NEW column — updates 40-49, inserts 100-109
+    val evolved = (40 until 110).map(i =>
+      (i.toLong, s"new$i", i * 1.5)).toDF("id", "v", "score")
+    TxLog.merge(spark, root, evolved, "id")
+    val cur = TxLog.read(spark, root)
+    assert(cur.columns.toSeq.sorted === Seq("id", "score", "v"))
+    assert(cur.count() === 110)
+    // untouched old rows read score as null; merged rows carry it
+    assert(cur.filter(col("score").isNull).count() > 0)
+    assert(cur.filter(col("id") === 45L)
+      .select("v", "score").as[(String, Option[Double])].head()
+      === (("new45", Some(67.5))))
+    assert(cur.filter(col("id") === 105L).count() === 1)
+    // a pre-evolution row that was NOT rewritten
+    val untouchedOld = cur.filter(col("id") === 0L)
+      .select("v", "score").as[(String, Option[Double])].head()
+    assert(untouchedOld === (("a", None)))
+    // time travel: v1 predates the column entirely
+    assert(TxLog.read(spark, root, Some(1L)).columns.toSeq.sorted
+      === Seq("id", "v"))
+    // a LEGACY-schema batch into the evolved table still merges (its
+    // rows read the new column as null)
+    TxLog.merge(spark, root, rows(200 until 205, "late"), "id")
+    val after = TxLog.read(spark, root)
+    assert(after.count() === 115)
+    assert(after.filter(col("id") === 200L)
+      .select("score").as[Option[Double]].head() === None)
+  }
 }
