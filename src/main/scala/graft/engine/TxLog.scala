@@ -327,6 +327,50 @@ object TxLog {
       currentVersion(spark, root) // replayed epoch: already committed
     else merge(spark, root, incoming, keyCol, Some(epochId))
 
+  /** Transactional predicate DELETE, completing the DML triad
+    * (append / merge / delete): one pass locates the files that
+    * CONTAIN matching rows (a distinct over `input_file_name`, so the
+    * hit list is metadata-sized), only those files are rewritten
+    * without their matching rows, and every untouched file carries
+    * into the new version as-is — `DELETE WHERE` on a 100 TB table
+    * costs the matching files, not the table. Files left empty by the
+    * delete simply drop out of the manifest. Conflict-retrying like
+    * [[merge]]; old versions still read the deleted rows (time travel)
+    * until vacuum. Returns the new version (current if nothing
+    * matched). */
+  def delete(spark: SparkSession, root: String, keyCol: String,
+             predicate: org.apache.spark.sql.Column): Long = {
+    val fs = hfs(spark, root)
+    @tailrec def loop(): Long = {
+      val snap = snapshot(spark, root)
+      if (snap.files.isEmpty) return snap.version
+      val withFile = spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+        .withColumn("__f", input_file_name())
+      // absolute URI → the manifest's root-relative path
+      val hitUris = withFile.filter(predicate)
+        .select(col("__f")).distinct().collect().map(_.getString(0))
+      val hitNames = hitUris
+        .map(u => new Path(new java.net.URI(u)).getName).toSet
+      val (touched, untouched) =
+        snap.files.partition(f => hitNames.contains(new Path(f.path).getName))
+      if (touched.isEmpty) return snap.version
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(f => s"$root/${f.path}"): _*)
+        .filter(!predicate)
+      val newFiles =
+        if (survivors.isEmpty) Seq.empty
+        else writeData(spark, root, survivors, keyCol)
+      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles)) {
+        snap.version + 1
+      } else {
+        newFiles.foreach(f => fs.delete(new Path(s"$root/${f.path}"), false))
+        loop()
+      }
+    }
+    loop()
+  }
+
   /** Small-file COMPACTION (the OPTIMIZE of this format): bin-pack
     * every file under `smallRows` into ~`targetRows`-sized files,
     * range-partitioned on the key so each output file covers a TIGHT

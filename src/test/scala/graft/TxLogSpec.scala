@@ -198,6 +198,37 @@ class TxLogSpec extends SparkSpec {
       TxLog.currentVersion(spark, root))
   }
 
+  test("predicate delete rewrites only files containing matches, " +
+    "empty files drop out, no-match is a no-op, time travel keeps " +
+    "deleted rows") {
+    val root = freshRoot()
+    // two appends with disjoint key ranges → file sets per range
+    TxLog.append(spark, root, rows(0 until 100, "lo").repartition(2), "id")
+    TxLog.append(spark, root, rows(100 until 200, "hi").repartition(2), "id")
+    val before = TxLog.snapshot(spark, root)
+    // delete a slice that lives only in the 'hi' files
+    val v = TxLog.delete(spark, root, "id",
+      col("id") >= 150L && col("id") < 160L)
+    assert(v === 3L)
+    val after = TxLog.snapshot(spark, root)
+    assert(TxLog.read(spark, root).count() === 190)
+    assert(TxLog.read(spark, root)
+      .filter(col("id") === 155L).count() === 0)
+    // the 'lo' files were not rewritten (identity preserved)
+    val loBefore = before.files.filter(_.maxKey < 100).map(_.path).toSet
+    assert(loBefore.nonEmpty &&
+      loBefore.subsetOf(after.files.map(_.path).toSet))
+    // time travel still sees the deleted rows
+    assert(TxLog.read(spark, root, Some(2L)).count() === 200)
+    // no-match delete: version unchanged
+    assert(TxLog.delete(spark, root, "id", col("id") === 9999L) === 3L)
+    // delete EVERYTHING: table empties, files drop out of the manifest
+    assert(TxLog.delete(spark, root, "id", lit(true)) === 4L)
+    assert(TxLog.snapshot(spark, root).files.isEmpty)
+    assert(TxLog.read(spark, root,
+      schemaFrom = Some(rows(0 until 1, "s"))).count() === 0)
+  }
+
   test("additive schema evolution: a merge batch adds a column, old " +
     "files read it as null, updates land, time travel keeps the old " +
     "schema") {
