@@ -355,9 +355,14 @@ object TxLog {
       val (touched, untouched) =
         snap.files.partition(f => hitNames.contains(new Path(f.path).getName))
       if (touched.isEmpty) return snap.version
+      // SQL DELETE semantics: remove rows where the predicate is TRUE,
+      // KEEP rows where it is FALSE **or NULL**. `filter(!predicate)`
+      // would drop NULL-evaluating rows too — and schema evolution makes
+      // NULLs routine (a delete on a later-added column must not destroy
+      // co-located legacy rows whose column is NULL).
       val survivors = spark.read.option("mergeSchema", "true")
         .parquet(touched.map(f => s"$root/${f.path}"): _*)
-        .filter(!predicate)
+        .filter(!coalesce(predicate, lit(false)))
       val newFiles =
         if (survivors.isEmpty) Seq.empty
         else writeData(spark, root, survivors, keyCol)
@@ -393,7 +398,12 @@ object TxLog {
       else {
         val totalRows = small.map(_.rows).sum
         val nParts = math.max(1L, (totalRows + targetRows - 1) / targetRows)
-        val repacked = spark.read
+        // mergeSchema like read/merge/delete: the small-file set may span
+        // a schema-evolution boundary, and without union-schema reading
+        // Spark would pick one file's schema and the rewrite would drop
+        // the other files' later-added columns — data loss in an
+        // operation documented as content-preserving.
+        val repacked = spark.read.option("mergeSchema", "true")
           .parquet(small.map(f => s"$root/${f.path}"): _*)
           .repartitionByRange(nParts.toInt, col(keyCol))
         val newFiles = writeData(spark, root, repacked, keyCol)

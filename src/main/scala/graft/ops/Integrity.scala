@@ -26,11 +26,18 @@ object Integrity {
 
   /** One checksum row per key-range bucket: `(bucket, cnt, checksum)`.
     * `row` must be a deterministic canonical encoding of the columns
-    * under comparison (e.g. `concat_ws('|', key, cols…)`). */
+    * under comparison (e.g. `concat_ws('|', key, cols…)`).
+    *
+    * The bucket id is INTEGER division (`div`), not `floor(key/width)`:
+    * double division silently loses precision for keys above 2^53
+    * (ns-epoch longs live there), and `div`'s truncation-toward-zero
+    * matches the oracle engines' integer `//` on negative keys where
+    * floor-of-double would disagree. */
   def bucketChecksums(df: DataFrame, key: Column, row: Column,
                       bucketWidth: Long): DataFrame =
-    df.select(floor(key / bucketWidth).as("bucket"),
+    df.select(key.cast("long").as("__gk"),
         TextFunctions.md5Hash48(row).as("__h"))
+      .select(expr(s"__gk div ${bucketWidth}L").as("bucket"), col("__h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"), bit_xor(col("__h")).as("checksum"))
 

@@ -262,4 +262,51 @@ class TxLogSpec extends SparkSpec {
     assert(after.filter(col("id") === 200L)
       .select("score").as[Option[Double]].head() === None)
   }
+
+  test("delete on an evolved nullable column keeps NULL-evaluating " +
+    "legacy rows (SQL DELETE removes only predicate-TRUE rows)") {
+    val root = freshRoot()
+    // v1: legacy schema (no score column) — these rows will read score
+    // as NULL once the schema evolves
+    TxLog.append(spark, root, rows(0 until 50, "legacy"), "id")
+    // v2: evolved batch ADDS score, overlapping the legacy key range so
+    // legacy rows are co-located in rewritten files with scored rows
+    val evolved = (25 until 75).map(i =>
+      (i.toLong, s"new$i", i.toDouble)).toDF("id", "v", "score")
+    TxLog.merge(spark, root, evolved, "id")
+    assert(TxLog.read(spark, root).count() === 75)
+    // delete WHERE score < 40: matches scored rows 25-39 ONLY. Legacy
+    // rows 0-24 evaluate the predicate to NULL — they must SURVIVE even
+    // though they share files with matching rows.
+    TxLog.delete(spark, root, "id", col("score") < 40.0)
+    val cur = TxLog.read(spark, root)
+    assert(cur.count() === 60, s"got ${cur.count()}") // 75 - 15 deleted
+    assert(cur.filter(col("id") < 25).count() === 25) // NULL rows intact
+    assert(cur.filter(col("score") < 40.0).count() === 0)
+    assert(cur.filter(col("id") === 10L)
+      .select("v").as[String].head() === "legacy")
+  }
+
+  test("compaction across a schema-evolution boundary preserves " +
+    "later-added column values (mergeSchema read)") {
+    val root = freshRoot()
+    // small files on BOTH sides of the evolution boundary
+    TxLog.append(spark, root, rows(0 until 20, "old"), "id")
+    val evolved = (100 until 120).map(i =>
+      (i.toLong, s"new$i", i * 2.0)).toDF("id", "v", "score")
+    TxLog.append(spark, root, evolved, "id")
+    val want = TxLog.read(spark, root)
+      .select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    val v = TxLog.compact(spark, root, "id",
+      smallRows = 1000L, targetRows = 40L)
+    assert(v === 3L)
+    val got = TxLog.read(spark, root)
+    assert(got.columns.toSeq.sorted === Seq("id", "score", "v"))
+    assert(got.select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSet === want)
+    // the evolved values specifically survived the rewrite
+    assert(got.filter(col("id") === 110L)
+      .select("score").as[Option[Double]].head() === Some(220.0))
+  }
 }
