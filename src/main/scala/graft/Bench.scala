@@ -82,17 +82,41 @@ object Bench {
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.filter(_._3).map(_._2).sum
-    // Truncation-proof both ways: a COMPACT summary goes out FIRST as its
-    // own short line (head capture keeps it), and the full line repeats
-    // the headline fields at its END (tail capture of a long line keeps
-    // them, since key order is irrelevant to a parser). A capture that
-    // loses per-query timings can therefore never lose the total.
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${timings.size},"failed":$fl,"sf":"$sfDir"}"""
-    println(summary)
-    System.err.println(s"[bench] $summary")
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","n":${timings.size},"failed":$fl,"sf":"$sfDir"}""")
+    // Regression guardrail: BENCH_BASELINE.json (committed, flat
+    // {name: seconds} from a known-good full run) — any query >2x its
+    // recorded time AND >1s absolute is flagged. The 1s floor keeps
+    // sub-second queries (where scheduler jitter alone is 2x) out of
+    // the flag list; the mechanism replaces the manual "re-measure in
+    // isolation" ritual with a mechanical diff.
+    val baselinePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+    val baseline: Map[String, Double] =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+        // minimal flat-object parse: "name":number pairs
+        """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val flagged = timings.collect {
+      case (k, v, true) if baseline.get(k).exists(b => b > 0 && v > 2 * b && v > 1.0) =>
+        f"$k (${v}%.2fs vs baseline ${baseline(k)}%.2fs)"
+    }
+    // FULL per-query map goes to a sidecar FILE (driver tail-truncation
+    // loses half of 150 stdout timings); the compact one-line summary is
+    // the FINAL stdout line so tail capture always keeps it.
+    val sidecar = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json"))
+    val sidecarJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${timings.size},"failed":$fl,"sf":"$sfDir","flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs}"""
+    java.nio.file.Files.write(sidecar, sidecarJson.getBytes("UTF-8"))
+    println(s"""{"queries":$qs}""")
+    if (flagged.nonEmpty)
+      System.err.println(s"[bench] ${flagged.size} queries >2x baseline: ${flagged.mkString("; ")}")
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${timings.size},"failed":$fl,"flaggedCount":${flagged.size},"perQueryFile":"${sidecar.toAbsolutePath}","sf":"$sfDir"}"""
+    System.err.println(s"[bench] $summary")
+    println(summary)
     spark.stop()
   }
 }

@@ -1990,8 +1990,11 @@ object SparkEntry {
 
     // Token ENTROPY + type-token ratio per document — the
     // vocabulary-diversity quality signals (low entropy = repetitive/
-    // templated text). One explode + two keyed aggregations; the p·ln p
-    // fold is sorted for cross-engine determinism.
+    // templated text). One explode + three keyed aggregations; the
+    // p·ln p reduction is a TWO-LEVEL sorted fold (4096 word-hash
+    // buckets, then the sorted bucket subtotals) so no aggregation
+    // buffer holds a whole document's vocabulary while the IEEE
+    // addition order stays a pure function of the word multiset.
     "q83_token_entropy" -> ((s, dir) => {
       val words = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -2001,13 +2004,18 @@ object SparkEntry {
       val n = words.groupBy("doc_id")
         .agg(count(lit(1)).cast("double").as("n"))
       counts.join(n, "doc_id")
+        .select(col("doc_id"), col("n"),
+          pmod(TF.md5Hash48(col("w")), lit(4096L)).as("__b"),
+          (-(col("c") / col("n")) * log(col("c") / col("n"))).as("__e"))
+        .groupBy("doc_id", "__b")
+        .agg(count(lit(1)).as("__n1"), first(col("n")).as("n"),
+          aggregate(array_sort(collect_list(col("__e"))), lit(0.0),
+            (a, x) => a + x).as("__sb"))
         .groupBy("doc_id")
         .agg(
-          round(aggregate(
-            array_sort(collect_list(-(col("c") / col("n"))
-              * log(col("c") / col("n")))),
+          round(aggregate(array_sort(collect_list(col("__sb"))),
             lit(0.0), (a, x) => a + x), 4).as("entropy"),
-          round(count(lit(1)) / first(col("n")), 4).as("ttr"),
+          round(sum(col("__n1")) / first(col("n")), 4).as("ttr"),
           first(col("n")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
@@ -2643,6 +2651,49 @@ object SparkEntry {
           date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"),
           date_format(max(col("ts")), "yyyy-MM-dd").as("last_day"))
         .orderBy("user_id")
+    }),
+
+    // KLL quantile sketch (functions.QuantileSketchAgg) under its
+    // rank-error CONTRACT: the sketch estimate's true rank must lie
+    // within eps*n of the target rank ceil(p*n). The estimate itself is
+    // partition-order-dependent (like every mergeable sketch), so the
+    // oracle row carries only deterministic columns: the probe, the
+    // EXACT discrete quantile (percentile_disc, bit-matched against
+    // DuckDB quantile_disc — both return the value at rank ceil(p*n)),
+    // and the boolean bound check. If the sketch ever violates its
+    // eps=0.05 contract (worst-case analytic bound at k=512 is ~1% of n
+    // here), within_eps flips false and the row hash-mismatches — a
+    // driver-visible gate on the approximation, not just on plumbing.
+    "q151_kll_quantile_bound" -> ((s, dir) => {
+      val probes = Seq(1, 5, 25, 50, 75, 90, 99)
+      val eps = 0.05
+      val sk = udaf(
+        new graft.functions.QuantileSketchAgg(512, probes.map(_ / 100.0)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val exacts = probes.map(p =>
+        s"percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY v)")
+      val est = vals.agg(
+        sk(col("v")).as("ests"),
+        expr(s"array(${exacts.mkString(",")})").as("exacts"),
+        count(lit(1)).as("n"))
+      val probed = est.select(col("ests"), col("exacts"), col("n"),
+          posexplode(lit(probes.toArray)))
+        .select(col("col").as("probe_pct"),
+          element_at(col("ests"), col("pos") + 1).as("est"),
+          element_at(col("exacts"), col("pos") + 1).as("exact_q"),
+          col("n"))
+      // true rank of the estimate: one conditional count per probe over
+      // a 7-row broadcast of the estimates (scan ×7 of one column)
+      vals.crossJoin(broadcast(probed))
+        .groupBy("probe_pct", "exact_q", "n")
+        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rk"))
+        .select(col("probe_pct"),
+          round(col("exact_q"), 2).as("exact_q"),
+          (abs(col("rk") - ceil(col("probe_pct") / lit(100.0) * col("n")))
+            <= lit(eps) * col("n")).as("within_eps"))
+        .orderBy("probe_pct")
     }),
   )
 
@@ -3707,7 +3758,7 @@ object SparkEntry {
              lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
            FROM documents),
          bg AS (
-           SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           SELECT doc_id, i, ws[i] AS w1, ws[i+1] AS w2
            FROM ws, unnest(range(1, len(ws))) AS t(i)),
          uni AS (
            SELECT w1, count(*) AS uc
@@ -3715,15 +3766,19 @@ object SparkEntry {
          bc AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
          v AS (SELECT count(*) AS v FROM uni),
          nll AS (
-           SELECT doc_id,
+           SELECT doc_id, i % 4096 AS b,
              -ln((bc::DOUBLE + 0.5::DOUBLE) /
                  (uc::DOUBLE + 0.5::DOUBLE * v::DOUBLE)) AS nll
-           FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+           FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+         l1 AS (
+           SELECT doc_id, b, count(*) AS n1,
+             list_sum(list_sort(list(nll))) AS sb
+           FROM nll GROUP BY 1, 2)
          SELECT doc_id,
-           round(list_sum(list_sort(list(nll))) / count(*), 4)
+           round(list_sum(list_sort(list(sb))) / sum(n1), 4)
              AS mean_bigram_nll,
-           count(*) AS n_bigrams
-         FROM nll GROUP BY doc_id ORDER BY doc_id""",
+           sum(n1)::BIGINT AS n_bigrams
+         FROM l1 GROUP BY doc_id ORDER BY doc_id""",
 
     // Epoch-aligned 5-minute grid replayed with integer second
     // arithmetic (floor BEFORE the bigint cast — a .999999 fraction
@@ -3848,16 +3903,24 @@ object SparkEntry {
          ORDER BY o_orderkey""",
 
     "q105_quality_classifier" ->
-      """WITH w AS (
+      """WITH tok AS (
            SELECT doc_id,
-             ((('0x' || substring(md5('0:' || unnest(string_split(
+             ('0x' || substring(md5('0:' || unnest(string_split(
                  lower(trim(regexp_replace(text,'\s+',' ','g'))),' '))),
-                 1, 12))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0) AS w
+               1, 12))::BIGINT AS h
            FROM documents),
+         w AS (
+           SELECT doc_id, ((h % 2001 - 1000)::DOUBLE / 1000.0) AS w,
+             h % 4096 AS b
+           FROM tok),
+         l1 AS (
+           SELECT doc_id, b, count(*) AS n1,
+             list_sum(list_sort(list(w))) AS sb
+           FROM w GROUP BY 1, 2),
          l AS (
-           SELECT doc_id, count(*) AS n_tokens,
-             list_sum(list_sort(list(w))) / count(*) AS logit
-           FROM w GROUP BY doc_id)
+           SELECT doc_id, sum(n1)::BIGINT AS n_tokens,
+             list_sum(list_sort(list(sb))) / sum(n1) AS logit
+           FROM l1 GROUP BY doc_id)
          SELECT doc_id, n_tokens,
            round(1.0::DOUBLE / (1.0::DOUBLE + exp(-logit)), 4) AS score,
            CASE WHEN logit > 0.0 THEN 'keep' ELSE 'drop' END AS label
@@ -4653,14 +4716,19 @@ object SparkEntry {
          c AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
                FROM w GROUP BY 1, 2),
          n AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n
-               FROM w GROUP BY 1)
+               FROM w GROUP BY 1),
+         l1 AS (
+           SELECT doc_id,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096 AS b,
+             count(*) AS n1, any_value(n) AS n,
+             list_sum(list_sort(list(-(c / n) * ln(c / n)))) AS sb
+           FROM c JOIN n USING (doc_id)
+           GROUP BY 1, 2)
          SELECT doc_id,
-           round(list_sum(list_sort(list(-(c / n) * ln(c / n)))), 4)
-             AS entropy,
-           round(count(*) / any_value(n), 4) AS ttr,
+           round(list_sum(list_sort(list(sb))), 4) AS entropy,
+           round(sum(n1) / any_value(n), 4) AS ttr,
            CAST(any_value(n) AS BIGINT) AS n_tokens
-         FROM c JOIN n USING (doc_id)
-         GROUP BY doc_id ORDER BY doc_id""",
+         FROM l1 GROUP BY doc_id ORDER BY doc_id""",
 
     "q79_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value
@@ -5374,5 +5442,24 @@ object SparkEntry {
            strftime(min(ts), '%Y-%m-%d') AS first_day,
            strftime(max(ts), '%Y-%m-%d') AS last_day
          FROM events GROUP BY 1 ORDER BY user_id""",
+
+    "q151_kll_quantile_bound" ->
+      """WITH q AS (SELECT
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.01), 2) AS q1,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.05), 2) AS q5,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS q25,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.50), 2) AS q50,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.75), 2) AS q75,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.90), 2) AS q90,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.99), 2) AS q99
+         FROM lineitem)
+         SELECT 1 AS probe_pct, q1 AS exact_q, true AS within_eps FROM q
+         UNION ALL SELECT 5, q5, true FROM q
+         UNION ALL SELECT 25, q25, true FROM q
+         UNION ALL SELECT 50, q50, true FROM q
+         UNION ALL SELECT 75, q75, true FROM q
+         UNION ALL SELECT 90, q90, true FROM q
+         UNION ALL SELECT 99, q99, true FROM q
+         ORDER BY probe_pct""",
   )
 }

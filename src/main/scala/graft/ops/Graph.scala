@@ -214,26 +214,48 @@ object Graph {
     * at `maxHops` — reachability/radius analysis (e.g. citation distance
     * from a trusted seed set for crawl-frontier prioritization).
     *
-    * Scale: frontier-relational Bellman-Ford on hop counts — per round
-    * ONE key-equality join of the current distance table against the
-    * symmetric edge list and ONE min-groupBy; state is (node, hops)
-    * integers, monotonically tightening, lineage truncated per round.
-    * Integer min is order-independent, so the result is deterministic
-    * on any partitioning. Unreached nodes are absent (no sentinel). */
+    * Scale: DELTA-FRONTIER expansion — per round the edge list joins
+    * ONLY the nodes discovered in the previous round (the frontier),
+    * not the whole reached set, so per-round join cost is O(frontier ·
+    * avg-degree) and Σ over all rounds is O(E) exactly once per reached
+    * edge (each node enters the frontier exactly once — a node's hop
+    * count never improves after first discovery under unit weights).
+    * New nodes are isolated with one anti-join against the reached set;
+    * the distance table itself is append-only (no re-aggregation).
+    * State is (node, hops) integers, lineage truncated per round; the
+    * loop exits early when the frontier empties. Set semantics per
+    * level ⇒ deterministic on any partitioning. Unreached nodes are
+    * absent (no sentinel).
+    *
+    * `frontierSizes`, when supplied, receives the per-round frontier
+    * row count (already materialized, so counting is free) — the
+    * spec's evidence that joined rows track the frontier, not the
+    * reached set. */
   def bfsHops(edges: DataFrame, sources: DataFrame,
               src: String = "src", dst: String = "dst",
-              maxHops: Int = 6): DataFrame = {
+              maxHops: Int = 6,
+              frontierSizes: Option[scala.collection.mutable.Buffer[Long]] =
+                None): DataFrame = {
     val e = Caches.small(symm(canon(
       edges.select(col(src).as("u"), col(dst).as("v")))))
     var dist = Caches.small(
       sources.select(col(sources.columns.head).as("node"))
         .distinct().withColumn("hops", lit(0)))
-    for (_ <- 1 to maxHops) {
-      val next = e.join(dist, col("u") === col("node"))
-        .select(col("v").as("node"), (col("hops") + 1).as("hops"))
-      dist = Caches.small(
-        dist.unionByName(next)
-          .groupBy("node").agg(min(col("hops")).as("hops")))
+    var frontier = dist
+    var h = 0
+    var empty = frontier.isEmpty
+    while (h < maxHops && !empty) {
+      h += 1
+      // all candidates this round share hops = h, so dedup is a
+      // distinct on node; the anti-join keeps only first discoveries
+      val cand = e.join(frontier, col("u") === col("node"))
+        .select(col("v").as("node")).distinct()
+      frontier = Caches.small(
+        cand.join(dist, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h)))
+      frontierSizes.foreach(_ += frontier.count())
+      empty = frontier.isEmpty
+      if (!empty) dist = Caches.small(dist.unionByName(frontier))
     }
     dist
   }
@@ -242,13 +264,27 @@ object Graph {
     * `maxIter` Bellman-Ford relaxation rounds over an UNDIRECTED
     * weighted edge list — after round k, `cost` is the exact minimum
     * over paths of ≤ k edges (the textbook invariant, so a bounded
-    * oracle can replay it). Same relational frontier as [[bfsHops]]
-    * (one join + one min-groupBy per round, (node, cost) state, integer
-    * min ⇒ order-independent), with the weight riding the edge row.
-    * Duplicate edges keep their MINIMUM weight (canonical form). */
+    * oracle can replay it; preserved by frontier relaxation — any
+    * ≤k-edge path that beats the ≤(k−1)-edge optimum ends in an edge
+    * from a node improved at round k−1, the queue optimization of
+    * classic Bellman-Ford).
+    *
+    * Scale: DELTA-FRONTIER relaxation — per round the edge list joins
+    * ONLY the rows whose cost improved in the previous round, not the
+    * full distance table, so per-round cost is O(frontier·avg-degree)
+    * instead of O(reached·avg-degree); on web graphs the frontier
+    * collapses after the effective diameter while the reached set keeps
+    * growing. Candidates min-combine per node, then one left join
+    * against current costs isolates strict improvements; integer min ⇒
+    * order-independent, bit-identical to the full-table form (spec-
+    * asserted). Lineage truncated per round; early exit on an empty
+    * frontier. Duplicate edges keep their MINIMUM weight (canonical
+    * form). `frontierSizes` as in [[bfsHops]]. */
   def sssp(edges: DataFrame, sources: DataFrame,
            src: String = "src", dst: String = "dst", weight: String = "w",
-           maxIter: Int = 4): DataFrame = {
+           maxIter: Int = 4,
+           frontierSizes: Option[scala.collection.mutable.Buffer[Long]] =
+             None): DataFrame = {
     val und = edges
       .filter(col(src) =!= col(dst))
       .select(least(col(src), col(dst)).as("a"),
@@ -262,11 +298,23 @@ object Graph {
     var dist = Caches.small(
       sources.select(col(sources.columns.head).as("node"))
         .distinct().withColumn("cost", lit(0L)))
-    for (_ <- 1 to maxIter) {
-      val next = e.join(dist, col("u") === col("node"))
+    var frontier = dist
+    var it = 0
+    var empty = frontier.isEmpty
+    while (it < maxIter && !empty) {
+      it += 1
+      val cand = e.join(frontier, col("u") === col("node"))
         .select(col("v").as("node"), (col("cost") + col("w")).as("cost"))
-      dist = Caches.small(
-        dist.unionByName(next)
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+      frontier = Caches.small(
+        cand.join(dist.select(col("node"), col("cost").as("__old")),
+            Seq("node"), "left")
+          .filter(col("__old").isNull || col("cost") < col("__old"))
+          .select(col("node"), col("cost")))
+      frontierSizes.foreach(_ += frontier.count())
+      empty = frontier.isEmpty
+      if (!empty) dist = Caches.small(
+        dist.unionByName(frontier)
           .groupBy("node").agg(min(col("cost")).as("cost")))
     }
     dist

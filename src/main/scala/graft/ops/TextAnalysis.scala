@@ -155,7 +155,10 @@ object TextAnalysis {
     *
     * Determinism contract (oracle hash-match): the per-term
     * contributions are summed in sorted order (doubles, identical IEEE
-    * sequence in any engine) and the final score is rounded to 4dp. */
+    * sequence in any engine) and the final score is rounded to 4dp.
+    * The fold buffer is bounded by |terms| (the model-sized query term
+    * set — contributions are per (doc, term) AFTER the tf groupBy), not
+    * by document length, so no bucketing is needed here. */
   def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val words = docs.select(col(id),
@@ -318,22 +321,32 @@ object TextAnalysis {
     * Returns (id, n_tokens, score rounded 4 dp, label keep/drop).
     *
     * Deterministic cross-engine: the md5 weight derivation is exact
-    * integer arithmetic, the mean is an ordered fold over the sorted
-    * weight multiset, and exp parity matches the ln parity the
-    * surprisal queries already pin. Pure map + one per-doc groupBy —
-    * at 100 TB this is scan-speed scoring with no model server. */
+    * integer arithmetic, the mean is a TWO-LEVEL sorted fold — level 1
+    * within 4096 token-hash buckets, level 2 over the sorted bucket
+    * subtotals — so no aggregation buffer holds a whole document's
+    * token weights (buffers are O(len/4096) and O(4096); a single-level
+    * fold would buffer a pathological 100 MB document in one row) while
+    * the IEEE addition order stays a pure function of the token
+    * multiset. exp parity matches the ln parity the surprisal queries
+    * already pin. Pure map + two keyed aggregations — at 100 TB this is
+    * scan-speed scoring with no model server. */
   def hashedLinearScore(docs: DataFrame, id: String,
                         text: String): DataFrame = {
-    val w = (TextFunctions.md5Hash48(col("w")) % 2001L - 1000L)
-      .cast("double") / 1000.0
+    val h = TextFunctions.md5Hash48(col("w"))
     docs
       .select(col(id).as("__id"), explode_outer(tokens(col(text))).as("w"))
       .filter(col("w").isNotNull)
-      .select(col("__id"), w.as("__w"))
+      .select(col("__id"),
+        ((h % 2001L - 1000L).cast("double") / 1000.0).as("__w"),
+        pmod(h, lit(4096L)).as("__b"))
+      .groupBy("__id", "__b")
+      .agg(count(lit(1)).cast("long").as("__n1"),
+        aggregate(array_sort(collect_list(col("__w"))), lit(0.0),
+          (a, x) => a + x).as("__sb"))
       .groupBy("__id")
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        (aggregate(array_sort(collect_list(col("__w"))), lit(0.0),
-          (a, x) => a + x) / count(lit(1))).as("__logit"))
+      .agg(sum(col("__n1")).as("n_tokens"),
+        (aggregate(array_sort(collect_list(col("__sb"))), lit(0.0),
+          (a, x) => a + x) / sum(col("__n1"))).as("__logit"))
       .select(col("__id").as(id), col("n_tokens"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__logit"))), 4).as("score"),
         when(col("__logit") > 0.0, "keep").otherwise("drop").as("label"))
@@ -346,10 +359,12 @@ object TextAnalysis {
     * −ln P over the doc's bigrams (docs with <2 tokens drop out).
     * Returns (id, mean_bigram_nll rounded to 4 dp, n_bigrams).
     *
-    * Deterministic cross-engine: the per-doc reduction is an ordered
-    * fold over the SORTED nll multiset (not an unordered float sum),
-    * and k is chosen binary-exact (0.5 default) so both engines run
-    * the identical IEEE sequence.
+    * Deterministic cross-engine: the per-doc reduction is a TWO-LEVEL
+    * sorted fold — level 1 within 4096 bigram-POSITION buckets, level 2
+    * over the sorted bucket subtotals — not an unordered float sum, so
+    * the IEEE sequence is identical in any engine while no aggregation
+    * buffer holds a whole document's bigrams (buffers are O(len/4096)
+    * and O(4096)); k is chosen binary-exact (0.5 default).
     *
     * Scale (100 TB): two key-equality shuffles build the count model
     * (bigram counts ≈ corpus bigram vocab, unigram counts ≈ vocab);
@@ -366,7 +381,7 @@ object TextAnalysis {
             sequence(lit(1), size(col("__ws")) - 1))
           .otherwise(array().cast("array<int>"))).as("__i"))
       .filter(col("__i").isNotNull)
-      .select(col("__id"),
+      .select(col("__id"), col("__i"),
         element_at(col("__ws"), col("__i")).as("w1"),
         element_at(col("__ws"), col("__i") + 1).as("w2"))
     val unigrams = docs
@@ -379,15 +394,19 @@ object TextAnalysis {
       .join(bigramCounts, Seq("w1", "w2"))
       .join(unigrams, Seq("w1"))
       .crossJoin(broadcast(vocabSize))
-      .select(col("__id"),
+      .select(col("__id"), pmod(col("__i"), lit(4096)).as("__b"),
         (-log((col("__bc").cast("double") + lit(k)) /
           (col("__uc").cast("double") + lit(k) * col("__v").cast("double"))))
           .as("__nll"))
+      .groupBy("__id", "__b")
+      .agg(count(lit(1)).cast("long").as("__n1"),
+        aggregate(array_sort(collect_list(col("__nll"))), lit(0.0),
+          (a, x) => a + x).as("__sb"))
       .groupBy("__id")
       .agg(round(
-          aggregate(array_sort(collect_list(col("__nll"))), lit(0.0),
-            (a, x) => a + x) / count(lit(1)), 4).as("mean_bigram_nll"),
-        count(lit(1)).cast("long").as("n_bigrams"))
+          aggregate(array_sort(collect_list(col("__sb"))), lit(0.0),
+            (a, x) => a + x) / sum(col("__n1")), 4).as("mean_bigram_nll"),
+        sum(col("__n1")).as("n_bigrams"))
       .select(col("__id").as(id), col("mean_bigram_nll"), col("n_bigrams"))
   }
 

