@@ -7,8 +7,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One data file tracked by the transaction log, with its row count and
-  * min/max stats on the table's key column (the pruning index). */
-final case class TxFile(path: String, rows: Long, minKey: Long, maxKey: Long)
+  * min/max stats on the table's key column (the pruning index). `part`
+  * is the file's partition value when the table is partitioned (every
+  * row in a data file shares it — the Hive-layout invariant kept in the
+  * manifest instead of the directory tree); None for unpartitioned
+  * tables. Contract: partition values must not contain tab or newline
+  * (the manifest's field/record separators). */
+final case class TxFile(path: String, rows: Long, minKey: Long,
+                        maxKey: Long, part: Option[String] = None)
 
 /** An immutable view of the table at one committed version. */
 final case class TxSnapshot(version: Long, files: Seq[TxFile])
@@ -45,14 +51,13 @@ final case class TxSnapshot(version: Long, files: Seq[TxFile])
   *    warehouse case — that is a tiny fraction; hash-like keys overlap
   *    everything and degrade gracefully to the full upsert).
   *
-  * The commit point's CAS is filesystem-specific (see [[tryCommit]]):
-  * HDFS rename refuses an existing destination (atomic metadata op, the
-  * same contract Delta relies on); on local fs POSIX rename silently
-  * overwrites, so the commit uses a hard-link create-exclusive instead
-  * (EEXIST in the kernel — exactly one racer wins). Object stores would
-  * need a CAS/lock service, as every log-structured format documents.
-  * Key-column contract: numeric (castable to long) — the same
-  * restriction Iceberg's lower/upper bounds relax with typed
+  * The commit point's CAS is filesystem-specific and lives behind the
+  * [[LogStore]] seam (hard-link create-exclusive on local fs, atomic
+  * refusing rename on HDFS, selected per-filesystem by
+  * [[logStoreProvider]] — an object-store deployment plugs a
+  * conditional-PUT/lock-service impl there instead of rewriting the
+  * commit path). Key-column contract: numeric (castable to long) — the
+  * same restriction Iceberg's lower/upper bounds relax with typed
   * serialization, kept simple here.
   *
   * Reference behavior covered: the S7/S8 append + update-in-place sinks
@@ -63,6 +68,14 @@ object TxLog {
 
   private val LogDir = "_txlog"
   private val Magic = "graft-txlog v1"
+
+  /** The commit-CAS seam (see [[LogStore]]): maps a table's filesystem
+    * to the primitive that makes manifest publication atomic and
+    * exclusive there. Default: hard-link CAS on local fs, refusing
+    * rename elsewhere (HDFS semantics). Replace to support filesystems
+    * with neither primitive (object stores → conditional PUT / lock
+    * service); process-global, set before any table activity. */
+  @volatile var logStoreProvider: FileSystem => LogStore = LogStore.forFs
 
   private def hfs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -103,9 +116,17 @@ object TxLog {
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
       require(lines.headOption.contains(Magic), s"bad manifest header in $p")
       // '#'-prefixed lines are commit metadata (e.g. #epoch=N), not files
+      // 4 fields = unpartitioned (pre-partition manifests stay readable),
+      // 5th field = the file's partition value
       val files = lines.drop(2).filterNot(_.startsWith("#")).map { l =>
-        val Array(path, rows, mn, mx) = l.split("\t")
-        TxFile(path, rows.toLong, mn.toLong, mx.toLong)
+        l.split("\t", -1) match {
+          case Array(path, rows, mn, mx) =>
+            TxFile(path, rows.toLong, mn.toLong, mx.toLong)
+          case Array(path, rows, mn, mx, part) =>
+            TxFile(path, rows.toLong, mn.toLong, mx.toLong, Some(part))
+          case other => sys.error(
+            s"bad manifest line (${other.length} fields) in $p")
+        }
       }
       TxSnapshot(v, files)
     }
@@ -194,21 +215,10 @@ object TxLog {
   }
 
   /** Atomic commit attempt: manifest for version `v` listing `files`.
-    * False iff another writer already committed `v`.
-    *
-    * The commit primitive is filesystem-specific, because the CAS each
-    * one actually provides differs:
-    *  - local fs: `rename` delegates to POSIX rename, which SILENTLY
-    *    OVERWRITES an existing destination — exists()+rename would be
-    *    check-then-act, and two racing writers could both "commit" v+1
-    *    with one set of files silently lost. `Files.createLink` (hard
-    *    link) is a true create-exclusive: it fails with EEXIST atomically
-    *    in the kernel, so exactly one racer wins.
-    *  - HDFS: rename is an atomic namespace op that REFUSES an existing
-    *    destination — the standard manifest-commit primitive (what
-    *    Delta's HDFS LogStore relies on).
-    *  - object stores would need an external CAS/lock service; unsupported
-    *    here, as every log-structured format documents. */
+    * False iff another writer already committed `v`. Writes the full
+    * manifest to a hidden temp name, then hands publication to the
+    * filesystem's [[LogStore]] — the create-exclusive CAS that makes
+    * exactly one racer win (see [[logStoreProvider]]). */
   private def tryCommit(fs: FileSystem, root: String, v: Long,
                         files: Seq[TxFile],
                         epoch: Option[Long] = None): Boolean = {
@@ -221,26 +231,11 @@ object TxLog {
       val body = (Seq(Magic, v.toString) ++
         epoch.map(e => s"#epoch=$e").toSeq ++
         files.map(f =>
-          s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}")).mkString("\n")
+          s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}" +
+            f.part.map("\t" + _).getOrElse(""))).mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
-    if (fs.getScheme == "file") {
-      val linked =
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      fs.delete(tmp, false) // dest (if linked) shares the inode; tmp name goes
-      linked
-    } else {
-      val ok = fs.rename(tmp, dest)
-      if (!ok) fs.delete(tmp, false)
-      ok
-    }
+    logStoreProvider(fs).commitExclusive(fs, tmp, dest)
   }
 
   @tailrec
@@ -326,6 +321,102 @@ object TxLog {
     if (lastEpoch(spark, root).exists(_ >= epochId))
       currentVersion(spark, root) // replayed epoch: already committed
     else merge(spark, root, incoming, keyCol, Some(epochId))
+
+  /** PARTITION-AWARE transactional MERGE for tables whose rows carry a
+    * partition column: row identity is (partition, key) — a row never
+    * moves partitions — and candidate files are pruned by PARTITION
+    * VALUE first, then by key-range overlap against the batch's
+    * PER-PARTITION key bounds. A micro-batch that touches 2 of 10 000
+    * partitions therefore reads and rewrites only those 2 partitions'
+    * key-overlapping files; everything else carries into the new
+    * version untouched — while the commit stays ONE atomic manifest
+    * publication across all touched partitions (per-partition tables
+    * would need a cross-table transaction for the same guarantee).
+    * Every data file holds exactly one partition value (the Hive-layout
+    * invariant, recorded in the manifest rather than the directory
+    * tree), so partitioned and unpartitioned files never mix in one
+    * table. */
+  def mergePartitioned(spark: SparkSession, root: String,
+                       incoming: DataFrame, keyCol: String, partCol: String,
+                       epoch: Option[Long] = None): Long = {
+    val fs = hfs(spark, root)
+    // per-partition key bounds of the batch: the two-level pruning index
+    val boundRows = incoming
+      .groupBy(col(partCol).cast("string").as("__p"))
+      .agg(min(col(keyCol).cast("long")).as("__mn"),
+        max(col(keyCol).cast("long")).as("__mx"))
+      .collect()
+    if (boundRows.isEmpty) return currentVersion(spark, root)
+    require(boundRows.forall(r => !r.isNullAt(0)),
+      s"null $partCol in batch — partition values must be non-null")
+    val bounds = boundRows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(bounds.keysIterator.forall(p =>
+        !p.contains("\t") && !p.contains("\n")),
+      "partition values must not contain tab or newline")
+    @tailrec def loop(): Long = {
+      val snap = snapshot(spark, root)
+      require(snap.files.forall(_.part.isDefined),
+        s"$root holds unpartitioned files — not a partitioned table")
+      val (touched, untouched) = snap.files.partition(f =>
+        f.part.exists(p => bounds.get(p).exists { case (mn, mx) =>
+          f.maxKey >= mn && f.minKey <= mx }))
+      val existing =
+        if (touched.isEmpty) incoming.limit(0)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$root/${f.path}"): _*)
+      val merged = Merge.upsert(align(existing, incoming),
+        align(incoming, existing), Seq(partCol, keyCol))
+        .persist()
+      // one write per touched partition so each data file carries a
+      // single partition value — batches touch few partitions (the
+      // point of partitioning), so this loop is micro-batch-sized
+      val newFiles =
+        try bounds.keys.toSeq.sorted.flatMap { p =>
+          writeData(spark, root,
+              merged.filter(col(partCol).cast("string") === p), keyCol)
+            .map(_.copy(part = Some(p)))
+        } finally merged.unpersist()
+      if (tryCommit(fs, root, snap.version + 1,
+          untouched ++ newFiles, epoch)) {
+        snap.version + 1
+      } else {
+        newFiles.foreach(f =>
+          fs.delete(new Path(s"$root/${f.path}"), false))
+        loop()
+      }
+    }
+    loop()
+  }
+
+  /** EXACTLY-ONCE partitioned micro-batch MERGE — [[mergeEpoch]]'s
+    * guarantee over a partitioned table: the epoch tag and ALL touched
+    * partitions' rewrites publish in one atomic manifest commit, and a
+    * replayed epoch is skipped from the log. */
+  def mergeEpochPartitioned(spark: SparkSession, root: String,
+                            incoming: DataFrame, keyCol: String,
+                            partCol: String, epochId: Long): Long =
+    if (lastEpoch(spark, root).exists(_ >= epochId))
+      currentVersion(spark, root) // replayed epoch: already committed
+    else mergePartitioned(spark, root, incoming, keyCol, partCol,
+      Some(epochId))
+
+  /** Manifest-pruned read of selected partitions: only files whose
+    * recorded partition value is in `parts` are scanned — partition
+    * pruning served from the log, no directory listing, composing with
+    * time travel. */
+  def readPartitions(spark: SparkSession, root: String, parts: Set[String],
+                     version: Option[Long] = None,
+                     schemaFrom: Option[DataFrame] = None): DataFrame = {
+    val s = snapshot(spark, root, version)
+    val hit = s.files.filter(_.part.exists(parts.contains))
+    if (hit.isEmpty) {
+      require(schemaFrom.isDefined,
+        s"no files for partitions $parts at v${s.version} and no schemaFrom")
+      schemaFrom.get.limit(0)
+    } else spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(f => s"$root/${f.path}"): _*)
+  }
 
   /** Transactional predicate DELETE, completing the DML triad
     * (append / merge / delete): one pass locates the files that

@@ -82,7 +82,10 @@ object Watcher {
     *   full committed batch (a replay of the same uploadId is detected
     *   from the log and skipped). Upload-id recovery reads the LOG,
     *   not the rows, so it survives batches whose rows were later
-    *   overwritten. Single numeric key (the TxLog contract).
+    *   overwritten. Single numeric key (the TxLog contract). Combines
+    *   with `partitionCol`: the merge then prunes files by (partition,
+    *   key-range) via [[TxLog.mergeEpochPartitioned]] and all touched
+    *   partitions commit in the same atomic manifest.
     */
   final class IncrementalLoader(
       spark: SparkSession,
@@ -99,9 +102,8 @@ object Watcher {
     // set, which both narrowed-batch modes no longer carry
     require(!(deleteMissing && (incremental || partitionCol.nonEmpty)),
       "deleteMissing requires reprocess-all semantics over the whole table")
-    require(!(useTxLog && (deleteMissing || partitionCol.nonEmpty)),
-      "the TxLog sink is its own transactional MERGE: no deleteMissing, " +
-        "no directory partitioning")
+    require(!(useTxLog && deleteMissing),
+      "the TxLog sink is its own transactional MERGE: no deleteMissing")
     require(!useTxLog || keys.size == 1,
       "TxLog tables key on one numeric column")
 
@@ -174,8 +176,15 @@ object Watcher {
               .load(sourceDir)
         val incoming = process(files, nextId)
         if (useTxLog) {
-          // exactly-once: epoch (=uploadId) rides in the manifest commit
-          TxLog.mergeEpoch(spark, tablePath, incoming, keys.head, nextId)
+          // exactly-once: epoch (=uploadId) rides in the manifest commit;
+          // with a partition column the merge prunes by (partition,
+          // key-range) and all touched partitions commit atomically
+          partitionCol match {
+            case Some(pc) => TxLog.mergeEpochPartitioned(
+              spark, tablePath, incoming, keys.head, pc, nextId)
+            case None =>
+              TxLog.mergeEpoch(spark, tablePath, incoming, keys.head, nextId)
+          }
         } else partitionCol match {
           case Some(pc) =>
             // partition-scoped sink: only batch-affected partitions are

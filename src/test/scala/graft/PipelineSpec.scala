@@ -100,6 +100,65 @@ class PipelineSpec extends SparkSpec {
     assert(bad.width === -1 && bad.n_frames === -1L)
   }
 
+  test("MJPEG AVI ('00dc' compressed frames): ImageIO-written JPEG " +
+    "chunks in a hand-built RIFF container decode frame-by-frame — " +
+    "count exact, solid-color means near-exact despite JPEG loss") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.ops.Multimodal
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h)
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+    val (w, h) = (20, 12)
+    // avih body: 14 little-endian ints, width/height at indices 8/9
+    val avih = {
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 8).foreach(_ => bb.putInt(0))
+      bb.putInt(w).putInt(h); (0 until 4).foreach(_ => bb.putInt(0))
+      bb.array()
+    }
+    val colors = Seq(0x808080, 0xC04020, 0x2040C0)
+    val movi = colors.map(c => chunk("00dc", jpeg(w, h, c)))
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    val payload = list("hdrl", chunk("avih", avih)) ++ list("movi", movi)
+    val avi = {
+      val bb = ByteBuffer.allocate(12 + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put("AVI ".getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val (gw, gh, nFrames, feat) = Multimodal.decodeAvi(avi).get
+    assert(gw === w && gh === h && nFrames === colors.size.toLong)
+    // mean over frames per channel vs the encoded solid colors; JPEG is
+    // lossy but solid blocks round-trip within a hair
+    val expect = Array(
+      colors.map(c => (c >> 16 & 0xFF) / 255.0).sum / colors.size,
+      colors.map(c => (c >> 8 & 0xFF) / 255.0).sum / colors.size,
+      colors.map(c => (c & 0xFF) / 255.0).sum / colors.size)
+    feat.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 0.03, s"got $g want $e") }
+    // the same frames through the batch stage (the '00dc' branch is the
+    // one the pipeline hits for real MJPEG captures)
+    val viaStage = Multimodal.extractVideoFeatures(
+      Seq(Multimodal.MediaRow(1L, avi)).toDS()).head()
+    assert(viaStage.n_frames === 3L && viaStage.width === w)
+  }
+
   test("real image decode: BMP encode -> javax.imageio decode round-trips " +
     "exact dimensions across row-padding widths; features are sane") {
     import graft.ops.Multimodal

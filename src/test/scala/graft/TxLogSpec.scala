@@ -309,4 +309,85 @@ class TxLogSpec extends SparkSpec {
     assert(got.filter(col("id") === 110L)
       .select("score").as[Option[Double]].head() === Some(220.0))
   }
+
+  test("partitioned merge: files prune by (partition, key-range), all " +
+    "touched partitions commit in ONE manifest, (partition, key) is the " +
+    "row identity, epochs replay-skip, readPartitions prunes from the " +
+    "manifest") {
+    val root = freshRoot()
+    def part(ids: Range, p: String, tag: String) =
+      ids.map(i => (i.toLong, p, tag)).toDF("id", "pc", "v")
+    val v1 = TxLog.mergePartitioned(spark, root,
+      part(0 until 50, "a", "t0")
+        .union(part(0 until 50, "b", "t0"))
+        .union(part(0 until 50, "c", "t0")), "id", "pc")
+    assert(v1 === 1L)
+    val before = TxLog.snapshot(spark, root)
+    assert(before.files.forall(_.part.isDefined))
+    val cFiles = before.files.filter(_.part.contains("c")).map(_.path).toSet
+    val bFiles = before.files.filter(_.part.contains("b")).map(_.path).toSet
+    assert(cFiles.nonEmpty && bFiles.nonEmpty)
+    // the batch updates keys 10-19 in partition a and appends keys
+    // 100-109 to partition b (no key overlap with b's existing files)
+    val batch = part(10 until 20, "a", "t1")
+      .union(part(100 until 110, "b", "t1"))
+    val v2 = TxLog.mergeEpochPartitioned(spark, root, batch, "id", "pc", 7L)
+    val after = TxLog.snapshot(spark, root)
+    // partition c: not in the batch — every file carried by path
+    assert(cFiles.subsetOf(after.files.map(_.path).toSet))
+    // partition b: in the batch but key-disjoint — old files also carried
+    assert(bFiles.subsetOf(after.files.map(_.path).toSet))
+    val df = TxLog.read(spark, root)
+    assert(df.count() === 160)
+    assert(df.filter(col("pc") === "a" && col("v") === "t1").count() === 10)
+    // (partition, key) identity: no dup within a partition; the same id
+    // in different partitions is three distinct rows
+    assert(df.groupBy("pc", "id").count()
+      .filter(col("count") > 1).count() === 0)
+    assert(df.filter(col("id") === 10L).count() === 3)
+    // epoch replay: detected from the log, no version bump
+    assert(TxLog.mergeEpochPartitioned(spark, root, batch, "id", "pc", 7L)
+      === v2)
+    assert(TxLog.currentVersion(spark, root) === v2)
+    assert(TxLog.lastEpoch(spark, root) === Some(7L))
+    // manifest-served partition pruning
+    val pb = TxLog.readPartitions(spark, root, Set("b"))
+    assert(pb.count() === 60)
+    assert(pb.select("pc").distinct().as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("LogStore seam: the DML cycle runs identically under LocalLink " +
+    "and AtomicRename, the provider is pluggable, and LocalLink's CAS " +
+    "refuses an existing destination") {
+    import graft.engine.LogStore
+    val prev = TxLog.logStoreProvider
+    try {
+      for (ls <- Seq(LogStore.LocalLink, LogStore.AtomicRename)) {
+        TxLog.logStoreProvider = _ => ls
+        val root = freshRoot()
+        assert(TxLog.append(spark, root, rows(0 until 50, "a"), "id") === 1L)
+        assert(TxLog.merge(spark, root, rows(25 until 75, "b"), "id") === 2L)
+        assert(TxLog.delete(spark, root, "id", col("id") < 10) === 3L)
+        val df = TxLog.read(spark, root)
+        assert(df.count() === 65, s"under $ls")
+        assert(df.filter(col("id") >= 25).select("v").distinct()
+          .as[String].collect().toSeq === Seq("b"), s"under $ls")
+      }
+    } finally TxLog.logStoreProvider = prev
+    // interface-level exclusivity: with dest already present, LocalLink
+    // loses the CAS and consumes its temp file. (AtomicRename's refusal
+    // is an HDFS-namespace guarantee — POSIX renameTo overwrites, which
+    // is exactly why LocalLink exists — so it is not asserted on local.)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    val dir = new org.apache.hadoop.fs.Path(freshRoot())
+    fs.mkdirs(dir)
+    val dest = new org.apache.hadoop.fs.Path(dir, "m.manifest")
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp-x")
+    for (p <- Seq(dest, tmp)) {
+      val o = fs.create(p, false); o.write(42); o.close()
+    }
+    assert(!LogStore.LocalLink.commitExclusive(fs, tmp, dest))
+    assert(!fs.exists(tmp) && fs.exists(dest))
+  }
 }

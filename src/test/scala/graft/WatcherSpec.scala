@@ -338,6 +338,59 @@ class WatcherSpec extends SparkSpec {
     assert(TxLog.lastEpoch(spark, wh) === Some(2L))
   }
 
+  test("TxLog sink + partitionCol: partitioned exactly-once — the epoch " +
+    "and all touched partitions ride ONE atomic manifest, a batch " +
+    "touching one partition carries the other's files by path, restart " +
+    "recovers the id from the log, replays skip") {
+    val src = Files.createTempDirectory("graft_src_txp").toString
+    val wh = Files.createTempDirectory("graft_wh_txp").toString + "/docs"
+    def mk() = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("doc_id"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "_(\\d+)\\.", 1).cast("long")
+          .as("doc_id"),
+        regexp_extract(col("path"), "\\.(\\w+)$", 1).as("ext"),
+        length(col("content")).cast("long").as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID")),
+      partitionCol = Some("ext"), incremental = true, useTxLog = true)
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    val loader = mk()
+    assert(loader.pollOnce() === Some(1L))
+    assert(TxLog.commitEpoch(spark, wh, 1L) === Some(1L))
+    val docxFiles = TxLog.snapshot(spark, wh).files
+      .filter(_.part.contains("docx")).map(_.path).toSet
+    assert(docxFiles.nonEmpty)
+    // incremental batch touches ONLY the pdf partition: the docx
+    // partition's files must carry into the new version by path
+    Thread.sleep(1100) // mtime resolution
+    writeDoc(src, "c_3.pdf", "gamma")
+    assert(loader.pollOnce() === Some(2L))
+    assert(docxFiles.subsetOf(
+      TxLog.snapshot(spark, wh).files.map(_.path).toSet))
+    assert(loader.currentTable().get.count() === 3)
+    // restart: epoch recovered from the log; the fresh loader's first
+    // poll reprocesses all files and merges idempotently — no dups
+    val restarted = mk()
+    assert(restarted.lastUploadId === 2L)
+    Thread.sleep(1100)
+    writeDoc(src, "d_4.docx", "delta")
+    assert(restarted.pollOnce() === Some(3L))
+    val t = restarted.currentTable().get
+    assert(t.count() === 4)
+    assert(t.select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 4L))
+    assert(t.groupBy("ext", "doc_id").count()
+      .filter(col("count") > 1).count() === 0)
+    // replay of the committed epoch: skipped, no version bump
+    val vNow = TxLog.currentVersion(spark, wh)
+    assert(TxLog.mergeEpochPartitioned(spark, wh, t, "doc_id", "ext", 3L)
+      === vNow)
+    // manifest-pruned partition read
+    assert(TxLog.readPartitions(spark, wh, Set("pdf")).count() === 2)
+    assert(TxLog.lastEpoch(spark, wh) === Some(3L))
+  }
+
   test("TxLog sink + compaction interleave: maintenance between " +
     "micro-batches preserves rows, epoch recovery, and exactly-once " +
     "replay detection") {
