@@ -2695,6 +2695,255 @@ object SparkEntry {
             <= lit(eps) * col("n")).as("within_eps"))
         .orderBy("probe_pct")
     }),
+
+    // TOKENIZER VOCAB COVERAGE / OOV RATE: the pre-training diagnostic
+    // that decides whether a tokenizer's vocabulary fits a corpus —
+    // top-256 tokens by corpus frequency (total order: count desc,
+    // token asc) become the vocab; per-doc out-of-vocabulary fraction
+    // against it. The vocab is model-sized and BROADCAST; the token
+    // stream joins it map-side, so the only shuffles are the vocab
+    // count and the per-doc groupBy.
+    "q152_vocab_oov" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode_outer(split(normText, " ")).as("w"))
+        .filter(col("w").isNotNull)
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("wc"))
+        .orderBy(col("wc").desc, col("w")).limit(256)
+        .select(col("w"), lit(1).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6)
+            .as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // K-ANONYMITY AUDIT (privacy QA before a dataset release): group by
+    // the quasi-identifier tuple (nation, segment, coarse balance
+    // bucket) and report every group smaller than k=10 — the rows a
+    // release would have to suppress or generalize. Bucket arithmetic
+    // is INTEGER on offset cents (no float floor, no negative-division
+    // ambiguity: both engines truncate toward zero on non-negatives).
+    // One aggregation on the QI tuple; scans pruned to 3 columns.
+    "q153_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(cast(round(c_acctbal * 100, 0) as bigint) + 100000)" +
+            " div 100000").as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("group_n"))
+        .filter(col("group_n") < 10)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    }),
+
+    // BENFORD FIRST-DIGIT ANALYSIS (fraud/data-quality screening):
+    // observed first-significant-digit counts of order totals vs the
+    // Benford expectation log10(1+1/d), with the chi-square
+    // contribution per digit. The digit comes from the INTEGER cents
+    // string (no float log10 on data); the nine expected probabilities
+    // are fixed 12-dp literals, so both engines run identical double
+    // arithmetic. One 9-group aggregation; column-pruned scan.
+    "q154_benford" -> ((s, dir) => {
+      val expP = Map(1 -> 0.301029995664, 2 -> 0.176091259056,
+        3 -> 0.124938736608, 4 -> 0.096910013008, 5 -> 0.079181246048,
+        6 -> 0.066946789631, 7 -> 0.057991946978, 8 -> 0.051152522447,
+        9 -> 0.045757490561)
+      val counts = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(round(col("o_totalprice") * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val tot = counts.agg(sum(col("obs")).as("n"))
+      val p = expP.foldLeft(lit(0.0)) { case (acc, (d, v)) =>
+        when(col("digit") === d, lit(v)).otherwise(acc) }
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("obs"), round(p, 6).as("expected_p"),
+          round((col("obs").cast("double") - col("n").cast("double") * p) *
+            (col("obs").cast("double") - col("n").cast("double") * p) /
+            (col("n").cast("double") * p), 4).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
+    // HHI MARKET CONCENTRATION per segment: Herfindahl–Hirschman index
+    // of customer revenue shares. The share-square sum is computed as
+    // Σc² / (Σc)² over EXACT integer cents (per-customer squares summed
+    // in decimal(38,0) ≡ DuckDB's HUGEINT — order-independent, no
+    // float-addition drift), converted to double only for the final
+    // division. Two aggregations: per-customer cents, then per-segment.
+    "q155_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      rev.join(seg, Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("seg_cents"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+            .as("sumsq"))
+        .select(col("c_mktsegment"), col("n_customers"), col("seg_cents"),
+          round(col("sumsq").cast("double") /
+            (col("seg_cents").cast("double") *
+              col("seg_cents").cast("double")) * 10000, 4).as("hhi_x10k"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // GAPS-AND-ISLANDS activity streaks: per user, maximal runs of
+    // consecutive active days via the classic day − row_number()
+    // grouping constant — ONE window shuffle on user, two integer
+    // aggregations; no self-join, no calendar explosion. Reports streak
+    // count, longest streak, and the (earliest) start of a longest
+    // streak — ties broken by min date so the row is deterministic.
+    "q156_activity_streaks" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val isl = ud
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      isl.withColumn("mx", max(col("len")).over(
+          Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest"),
+          date_format(min(when(col("len") === col("mx"), col("start"))),
+            "yyyy-MM-dd").as("longest_start"))
+        .orderBy("user_id")
+    }),
+
+    // GROUPED LINEAR REGRESSION, closed form on exact sums: slope /
+    // intercept / R² of price-cents on quantity per return flag. The
+    // five moment sums (Σx, Σy, Σxy, Σx², Σy²) are EXACT integers
+    // (cents; Σy² in decimal(38,0) ≡ HUGEINT), aggregated with map-side
+    // partials in ONE pass — the determinism-safe alternative to
+    // builtin regr_slope's order-dependent double accumulation. The
+    // normal-equation arithmetic then runs on doubles cast from the
+    // same exact integers in the same order on both engines.
+    "q157_grouped_regression" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val sums = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity"), 0).cast("long").as("x"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      sums
+        .withColumn("num", d(col("n")) * d(col("sxy")) -
+          d(col("sx")) * d(col("sy")))
+        .withColumn("den", d(col("n")) * d(col("sxx")) -
+          d(col("sx")) * d(col("sx")))
+        .withColumn("deny", d(col("n")) * d(col("syy")) -
+          d(col("sy")) * d(col("sy")))
+        .withColumn("slope", col("num") / col("den"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope"), 6).as("slope_cents"),
+          round((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n")),
+            2).as("intercept_cents"),
+          round(col("num") * col("num") / (col("den") * col("deny")), 6)
+            .as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ROBUST OUTLIER DETECTION via MAD (median absolute deviation):
+    // per event type, med = percentile_disc(0.5), MAD = median of
+    // |v − med|, outliers = |v − med| > 3·MAD. percentile_disc RETURNS
+    // AN ELEMENT (deterministic, unlike interpolating estimators), so
+    // the whole chain is exact; the two medians broadcast back as
+    // model-sized frames — three aggregations, no window over the raw
+    // stream, no sort of the full data.
+    "q158_mad_outliers" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+          .as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"),
+          sum((col("adev") > lit(3.0) * col("mad")).cast("long"))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // BITMAP-WORD DISTINCT AGGREGATION (roaring-bitmap idea in pure
+    // SQL): distinct users per event type via 63-bit words — bit_or of
+    // (1 << id mod 63) grouped by (type, id div 63), then Σ bit_count.
+    // The bitmap form's shuffle rows are CAPPED at |id-space|/63 per
+    // group regardless of event volume (countDistinct shuffles every
+    // distinct id), and words merge associatively — the same reason
+    // warehouse engines keep bitmap indexes. 63-bit words sidestep
+    // signed-shift overflow on bit 63. Gated against exact
+    // countDistinct in the same row.
+    "q159_bitmap_distinct" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val words = ev.select(col("event_type"),
+          expr("user_id div 63").as("word"),
+          expr("shiftleft(1L, cast(user_id % 63 as int))").as("bitv"))
+        .groupBy("event_type", "word")
+        .agg(expr("bit_or(bitv)").as("bits"))
+      val viaBitmap = words.groupBy("event_type")
+        .agg(expr("sum(bit_count(bits))").as("n_bitmap"),
+          count(lit(1)).as("n_words"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      viaBitmap.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_bitmap"),
+          col("n_words"), (col("n_exact") === col("n_bitmap")).as("agree"))
+        .orderBy("event_type")
+    }),
+
+    // ADAMIC–ADAR LINK PREDICTION over the synthetic doc graph (q128's
+    // edge family): common-neighbor scores with hub downweighting —
+    // the graph-ML feature for "which docs should be linked". Degree
+    // cap 64 bounds wedge fan-out (documented recall trade, the
+    // MinHash-maxBucket contract); scores fold in sorted order so the
+    // oracle replays them bit-for-bit.
+    "q160_adamic_adar" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val tgt = ids.select(col("doc_id").as("dst"))
+      def fam(off: Int, keep: Column): DataFrame =
+        ids.filter(keep)
+          .select(col("doc_id").as("src"), (col("doc_id") + off).as("dst"))
+          .join(tgt, Seq("dst"))
+      val edges = fam(1, col("doc_id") % 10 =!= 9)
+        .unionByName(fam(2, col("doc_id") % 10 < 8))
+        .unionByName(fam(3, col("doc_id") % 10 < 7))
+      graft.ops.Graph.adamicAdar(edges, maxDeg = 64)
+        .orderBy("u", "w")
+    }),
+
+    // K-CORE PEEL (3 rounds, k=3) over the same doc graph: iteratively
+    // drop nodes with degree < k in the surviving subgraph — the
+    // standard dense-subgraph / spam-farm filter. A FIXED round count
+    // makes the operator a pure function of the edge set (the q78/q116
+    // static-unroll gate idiom); convergence to the true k-core is
+    // property-tested in GraphSpec.
+    "q161_kcore" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val tgt = ids.select(col("doc_id").as("dst"))
+      def fam(off: Int, keep: Column): DataFrame =
+        ids.filter(keep)
+          .select(col("doc_id").as("src"), (col("doc_id") + off).as("dst"))
+          .join(tgt, Seq("dst"))
+      val edges = fam(1, col("doc_id") % 10 =!= 9)
+        .unionByName(fam(2, col("doc_id") % 10 < 8))
+        .unionByName(fam(3, col("doc_id") % 10 < 7))
+      graft.ops.Graph.kCorePeel(edges, k = 3, rounds = 3)
+        .orderBy("node")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -5461,5 +5710,203 @@ object SparkEntry {
          UNION ALL SELECT 90, q90, true FROM q
          UNION ALL SELECT 99, q99, true FROM q
          ORDER BY probe_pct""",
+
+    "q152_vocab_oov" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         v AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+         top AS (SELECT w FROM v ORDER BY wc DESC, w LIMIT 256)
+         SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate
+         FROM w x LEFT JOIN top t ON x.w = t.w
+         GROUP BY 1 ORDER BY 1""",
+
+    "q153_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment,
+             (round(c_acctbal * 100)::BIGINT + 100000) // 100000
+               AS bal_bucket
+           FROM customer),
+         a AS (
+           SELECT c_nationkey, c_mktsegment, bal_bucket,
+             count(*)::BIGINT AS group_n
+           FROM g GROUP BY 1, 2, 3)
+         SELECT * FROM a WHERE group_n < 10 ORDER BY 1, 2, 3""",
+
+    "q154_benford" ->
+      """WITH d AS (
+           SELECT CAST(substring(CAST(round(o_totalprice * 100)::BIGINT
+             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         c AS (SELECT digit, count(*)::BIGINT AS obs FROM d GROUP BY 1),
+         t AS (SELECT sum(obs)::BIGINT AS n FROM c),
+         p AS (SELECT c.digit, c.obs, t.n,
+           (CASE c.digit WHEN 1 THEN 0.301029995664 WHEN 2 THEN
+             0.176091259056 WHEN 3 THEN 0.124938736608 WHEN 4 THEN
+             0.096910013008 WHEN 5 THEN 0.079181246048 WHEN 6 THEN
+             0.066946789631 WHEN 7 THEN 0.057991946978 WHEN 8 THEN
+             0.051152522447 ELSE 0.045757490561 END)::DOUBLE AS p
+           FROM c CROSS JOIN t)
+         SELECT digit, obs, round(p, 6) AS expected_p,
+           round((obs::DOUBLE - n::DOUBLE * p) *
+             (obs::DOUBLE - n::DOUBLE * p) / (n::DOUBLE * p), 4)
+             AS chi2_term
+         FROM p ORDER BY digit""",
+
+    "q155_hhi" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT c.c_mktsegment, r.cents
+           FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey)
+         SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS seg_cents,
+           round(sum(cents * cents)::DOUBLE /
+             (sum(cents)::DOUBLE * sum(cents)::DOUBLE) * 10000, 4)
+             AS hhi_x10k
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q156_activity_streaks" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         i AS (
+           SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY day) AS INTEGER) AS grp
+           FROM ud),
+         isl AS (
+           SELECT user_id, grp, count(*)::BIGINT AS len, min(day) AS start
+           FROM i GROUP BY 1, 2),
+         mx AS (SELECT user_id, max(len) AS mx FROM isl GROUP BY 1)
+         SELECT isl.user_id, count(*)::BIGINT AS n_streaks,
+           max(len)::BIGINT AS longest,
+           strftime(min(CASE WHEN len = mx THEN start END), '%Y-%m-%d')
+             AS longest_start
+         FROM isl JOIN mx ON isl.user_id = mx.user_id
+         GROUP BY 1 ORDER BY 1""",
+
+    "q157_grouped_regression" ->
+      """WITH b AS (
+           SELECT l_returnflag, round(l_quantity)::BIGINT AS x,
+             round(l_extendedprice * 100)::BIGINT AS y
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             sum(y * y) AS syy
+           FROM b GROUP BY 1),
+         m AS (
+           SELECT l_returnflag, n, sx, sy,
+             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den,
+             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS deny
+           FROM s),
+         m2 AS (SELECT *, num / den AS slope FROM m)
+         SELECT l_returnflag, n, round(slope, 6) AS slope_cents,
+           round((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE, 2)
+             AS intercept_cents,
+           round(num * num / (den * deny), 6) AS r2
+         FROM m2 ORDER BY l_returnflag""",
+
+    "q158_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_disc(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_disc(adev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.event_type, count(*)::BIGINT AS n,
+           round(max(d.med), 4) AS med, round(max(m.mad), 4) AS mad,
+           sum((d.adev > 3.0::DOUBLE * m.mad)::BIGINT)::BIGINT
+             AS n_outliers
+         FROM dev d JOIN mad m USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q159_bitmap_distinct" ->
+      """WITH w AS (
+           SELECT event_type, user_id // 63 AS word,
+             bit_or(1::BIGINT << (user_id % 63)::INT) AS bits
+           FROM events GROUP BY 1, 2),
+         b AS (
+           SELECT event_type, sum(bit_count(bits))::BIGINT AS n_bitmap,
+             count(*)::BIGINT AS n_words
+           FROM w GROUP BY 1),
+         x AS (
+           SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+           FROM events GROUP BY 1)
+         SELECT b.event_type, x.n_exact, b.n_bitmap, b.n_words,
+           (x.n_exact = b.n_bitmap) AS agree
+         FROM b JOIN x USING (event_type) ORDER BY event_type""",
+
+    "q160_adamic_adar" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+         raw AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 <> 9
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 10 < 8
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3
+           WHERE a.doc_id % 10 < 7),
+         e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+               FROM raw WHERE u <> v),
+         adj AS (SELECT a AS z, b AS x FROM e
+                 UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT z, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+         c AS (
+           SELECT adj.z, adj.x, deg.deg
+           FROM adj JOIN deg USING (z)
+           WHERE deg.deg BETWEEN 2 AND 64),
+         wg AS (
+           SELECT l.x AS u, r.x AS w, l.deg AS deg
+           FROM c l JOIN c r ON l.z = r.z AND l.x < r.x)
+         SELECT u, w, count(*)::BIGINT AS n_common,
+           round(list_sum(list_sort(list(1.0 / ln(deg)))), 6) AS aa_score
+         FROM wg GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q161_kcore" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+         raw AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 <> 9
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+           WHERE a.doc_id % 10 < 8
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3
+           WHERE a.doc_id % 10 < 7),
+         e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+               FROM raw WHERE u <> v),
+         adj AS (SELECT a AS u, b AS v FROM e
+                 UNION ALL SELECT b, a FROM e),
+         d0 AS (SELECT u, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+         s0 AS (SELECT u FROM d0 WHERE deg >= 3),
+         a1 AS (
+           SELECT adj.u, adj.v FROM adj
+           JOIN s0 ON adj.u = s0.u JOIN s0 t ON adj.v = t.u),
+         d1 AS (SELECT u, count(*)::BIGINT AS deg FROM a1 GROUP BY 1),
+         s1 AS (SELECT u FROM d1 WHERE deg >= 3),
+         a2 AS (
+           SELECT adj.u, adj.v FROM adj
+           JOIN s1 ON adj.u = s1.u JOIN s1 t ON adj.v = t.u),
+         d2 AS (SELECT u, count(*)::BIGINT AS deg FROM a2 GROUP BY 1)
+         SELECT u AS node, deg FROM d2 WHERE deg >= 3 ORDER BY node""",
   )
 }

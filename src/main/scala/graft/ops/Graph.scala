@@ -319,4 +319,81 @@ object Graph {
     }
     dist
   }
+
+  /** Adamic–Adar link prediction: for every non-adjacent-or-adjacent
+    * pair (u, w) sharing at least one neighbor, score = Σ_z 1/ln(deg z)
+    * over common neighbors z — the classic common-neighbor index that
+    * downweights hub-mediated similarity (Adamic & Adar, "Friends and
+    * neighbors on the Web", Social Networks 25, 2003).
+    *
+    * Scale (web graphs): wedge fan-out through a center z is
+    * deg(z)², power-law-unbounded — the same last-reducer hazard as
+    * naive triangle counting. `maxDeg` caps it: hub centers above the
+    * cap are EXCLUDED from wedge generation (documented recall trade,
+    * same contract as MinHash's maxBucket) so per-center work is
+    * ≤ maxDeg² and the candidate volume is Σ min(deg, maxDeg)² — linear
+    * in |E| for a fixed cap. Everything is key-equality joins +
+    * one groupBy; nothing data-sized is broadcast or collected.
+    *
+    * Determinism: the per-pair score folds 1/ln(deg) contributions in
+    * `array_sort` order (buffer bounded by min(deg, maxDeg) — the
+    * common-neighbor count), so IEEE addition order is a pure function
+    * of the multiset and a SQL oracle replays it bit-for-bit.
+    *
+    * Returns (u, w, n_common, aa_score) with u < w. */
+  def adamicAdar(edges: DataFrame, src: String = "src",
+                 dst: String = "dst", maxDeg: Int = 64): DataFrame = {
+    val und = Caches.small(
+      canon(edges.select(col(src).as("u"), col(dst).as("v"))))
+    val adj = symm(und.select(col("a"), col("b")))
+      .select(col("u").as("z"), col("v").as("x"))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    val centers = Caches.small(
+      adj.join(deg.filter(col("deg").between(2, maxDeg)), Seq("z")))
+    val wedges = centers.select(col("z"), col("x").as("u"), col("deg"))
+      .join(centers.select(col("z"), col("x").as("w")), Seq("z"))
+      .filter(col("u") < col("w"))
+    wedges.groupBy("u", "w")
+      .agg(count(lit(1)).as("n_common"),
+        round(aggregate(
+          array_sort(collect_list(lit(1.0) / log(col("deg")))),
+          lit(0.0), (a, x) => a + x), 6).as("aa_score"))
+  }
+
+  /** Fixed-round k-core peel: `rounds` iterations of "drop every node
+    * whose degree within the surviving subgraph is < k". With enough
+    * rounds this converges to the classic k-core (the maximal subgraph
+    * of minimum degree ≥ k — Seidman, "Network structure and minimum
+    * degree", 1983); a FIXED round count keeps the operator a pure
+    * function of (edge set, k, rounds) so a SQL oracle can replay it
+    * by static unrolling, exactly like the q78/q116 iteration gates.
+    *
+    * Scale: each round is one self-semi-join of the edge list against
+    * the survivor set (key equality on both endpoints) plus one
+    * count groupBy — O(|E|) per round, survivor set shrinks
+    * monotonically, lineage truncated per round via localCheckpoint.
+    * No per-node state beyond (node, degree) integers.
+    *
+    * Returns (node, deg): survivors after `rounds` peels with their
+    * degree in the LAST evaluated subgraph. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+                src: String = "src", dst: String = "dst"): DataFrame = {
+    val und = Caches.small(
+      canon(edges.select(col(src).as("u"), col(dst).as("v"))))
+    var surv: Option[DataFrame] = None
+    var last: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val e = surv match {
+        case None => und
+        case Some(sv) =>
+          und.join(sv.select(col("node").as("a")), Seq("a"))
+            .join(sv.select(col("node").as("b")), Seq("b"))
+      }
+      val deg = symm(e).groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      last = Caches.small(deg.filter(col("deg") >= k))
+      surv = Some(last)
+    }
+    last
+  }
 }

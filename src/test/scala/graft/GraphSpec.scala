@@ -159,4 +159,69 @@ class GraphSpec extends SparkSpec {
       if (k == 4) assert(sfs.last <= sfs.max)
     }
   }
+
+  test("adamicAdar matches a brute-force reference and respects the " +
+    "degree cap") {
+    // path 1-2-3-4-5 plus a hub 9 linked to 1..5
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (9L, 5L))
+    val df = raw.toDF("src", "dst")
+    def ref(maxDeg: Int): Map[(Long, Long), (Long, Double)] = {
+      val adj = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      val centers = adj.keys.filter(z => deg(z) >= 2 && deg(z) <= maxDeg)
+      centers.toSeq.flatMap { z =>
+        val ns = adj(z).toSeq.sorted
+        for (u <- ns; w <- ns if u < w) yield ((u, w), deg(z))
+      }.groupMap(_._1)(_._2).map { case (k, ds) =>
+        k -> (ds.size.toLong,
+          BigDecimal(ds.map(d => 1.0 / math.log(d.toDouble)).sorted.sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    for (cap <- Seq(64, 4)) { // cap=4 excludes the degree-5 hub
+      val got = Graph.adamicAdar(df, maxDeg = cap)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+      assert(got === ref(cap), s"maxDeg=$cap")
+    }
+    // the hub contributes to pair scores only under the larger cap
+    assert(ref(64)((1L, 3L))._1 == 2L && ref(4)((1L, 3L))._1 == 1L)
+  }
+
+  test("kCorePeel: hand-checked peel and convergence to the true " +
+    "k-core on a clique with pendant chains") {
+    // 4-clique {1,2,3,4} + chain 4-5-6-7 + triangle {7,8,9}
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L),
+      (7L, 9L))
+    val df = raw.toDF("src", "dst")
+    // k=3: round 1 drops 5,6,8,9?? no — 8,9 have degree 2, 5,6 degree 2,
+    // 7 degree 3. Round 1 survivors: {1,2,3,4,7}; round 2: 7's neighbors
+    // are gone → 7 drops, 4 drops to degree 3 → stays; fixpoint {1,2,3,4}.
+    val r1 = Graph.kCorePeel(df, k = 3, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.keySet === Set(1L, 2L, 3L, 4L, 7L))
+    val r2 = Graph.kCorePeel(df, k = 3, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r2.values.toSet === Set(3L)) // the clique's internal degrees
+    // convergence: further rounds are a fixpoint (true 3-core)
+    val r5 = Graph.kCorePeel(df, k = 3, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r5 === r2)
+    // k=2: minimum degree of the whole graph is 2 (the chain interior
+    // sits between two anchored endpoints), so nothing peels — the
+    // 2-core is the full node set
+    val k2 = Graph.kCorePeel(df, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(k2.keySet === (1L to 9L).toSet)
+    // pendant vertex 10 off node 1 DOES peel at k=2, and its removal
+    // doesn't cascade (1 keeps degree ≥ 2)
+    val k2p = Graph.kCorePeel(df.unionByName(Seq((1L, 10L))
+        .toDF("src", "dst")), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(k2p.keySet === (1L to 9L).toSet)
+  }
 }
