@@ -16,8 +16,28 @@ import org.apache.spark.sql.functions._
 final case class TxFile(path: String, rows: Long, minKey: Long,
                         maxKey: Long, part: Option[String] = None)
 
-/** An immutable view of the table at one committed version. */
-final case class TxSnapshot(version: Long, files: Seq[TxFile])
+/** An immutable view of the table at one committed version.
+  *
+  * `renames` is the COLUMN MAPPING (Delta/Iceberg column-mapping idea,
+  * name-based): `(physical, logical)` pairs where `physical` is the
+  * name stored inside parquet files (fixed at the column's first
+  * write) and `logical` is the name readers see and writers use.
+  * Columns never renamed are absent (identity). `dropped` lists
+  * physical names dropped from the table — still present in old data
+  * files, projected away on read, physically purged as files get
+  * rewritten by merge/delete/compact. Both are metadata-only state:
+  * rename/drop never rewrite data. */
+final case class TxSnapshot(version: Long, files: Seq[TxFile],
+                            renames: Seq[(String, String)] = Seq.empty,
+                            dropped: Seq[String] = Seq.empty,
+                            retired: Seq[String] = Seq.empty)
+
+/** A writer raced a concurrent RENAME/DROP it could not have seen: its
+  * batch names a column that no longer exists under that name. Raised
+  * instead of silently re-adding the old name as a "new" column (which
+  * would resurrect renamed-away or dropped data on old files). */
+final class TxSchemaConflictException(msg: String)
+    extends RuntimeException(msg)
 
 /** A minimal TRANSACTIONAL table format on plain parquet — the missing
   * piece the round-1 verdict called out (a MERGE sink that does not
@@ -128,8 +148,75 @@ object TxLog {
             s"bad manifest line (${other.length} fields) in $p")
         }
       }
-      TxSnapshot(v, files)
+      val renames = lines.filter(_.startsWith("#rename=")).map { l =>
+        val Array(phys, logical) =
+          l.stripPrefix("#rename=").split(":", 2)
+        (phys, logical)
+      }
+      val dropped = lines.filter(_.startsWith("#drop="))
+        .map(_.stripPrefix("#drop="))
+      val retired = lines.filter(_.startsWith("#retired="))
+        .map(_.stripPrefix("#retired="))
+      TxSnapshot(v, files, renames, dropped, retired)
     }
+  }
+
+  // ---- column mapping ---------------------------------------------------
+
+  /** The stored (parquet) name of logical column `name`. */
+  private def physName(name: String, snap: TxSnapshot): String =
+    snap.renames.find(_._2 == name).map(_._1).getOrElse(name)
+
+  /** Physical frame (as read from data files) → logical view: dropped
+    * columns projected away, renamed columns exposed under their
+    * logical names. Identity when the table never renamed/dropped. */
+  private def toLogical(df: DataFrame, snap: TxSnapshot): DataFrame = {
+    val present = df.columns.toSet
+    val base = snap.dropped.filter(present.contains)
+      .foldLeft(df)((d, c) => d.drop(c))
+    snap.renames.filter(r => present.contains(r._1))
+      .foldLeft(base)((d, r) => d.withColumnRenamed(r._1, r._2))
+  }
+
+  /** Logical frame (writer-supplied) → physical names for storage. */
+  private def toPhysical(df: DataFrame, snap: TxSnapshot): DataFrame = {
+    val present = df.columns.toSet
+    snap.renames.filter(r => present.contains(r._2))
+      .foldLeft(df)((d, r) => d.withColumnRenamed(r._2, r._1))
+  }
+
+  /** Drop DROPPED physical columns from a physically-named frame — the
+    * lazy purge merge/delete/compact apply when rewriting files. */
+  private def dropRetired(df: DataFrame, snap: TxSnapshot): DataFrame = {
+    val present = df.columns.toSet
+    snap.dropped.filter(present.contains)
+      .foldLeft(df)((d, c) => d.drop(c))
+  }
+
+  /** Every name that is NOT a valid logical column name at `snap`:
+    * physical names renamed away, dropped physical names, and retired
+    * former-logical names (each minus any name a later rename made
+    * valid again — enforced impossible by [[renameColumn]]'s target
+    * validation, kept defensive here). */
+  private def staleNames(snap: TxSnapshot): Set[String] = {
+    val live = snap.renames.map(_._2).toSet
+    val renamedAway = snap.renames.collect {
+      case (phys, logical) if phys != logical => phys }
+    (renamedAway ++ snap.dropped ++ snap.retired).toSet -- live
+  }
+
+  /** Optimistic schema-conflict detection: reject a batch naming a
+    * column that a (possibly concurrent) RENAME moved away from or a
+    * DROP removed — the batch was built against a schema that no
+    * longer exists, and treating the stale name as a brand-new column
+    * would silently resurrect the old data on unrewritten files. */
+  private def assertNoSchemaConflict(cols: Seq[String],
+                                     snap: TxSnapshot): Unit = {
+    val bad = cols.filter(staleNames(snap).contains)
+    if (bad.nonEmpty) throw new TxSchemaConflictException(
+      s"batch references column(s) ${bad.mkString(", ")} renamed or " +
+        s"dropped at table version ${snap.version} — rebuild the batch " +
+        "against the current schema")
   }
 
   /** The `#epoch=N` tag of version `v`'s manifest, None if untagged. */
@@ -170,9 +257,11 @@ object TxLog {
     * per-file parquet schemas and old files read the new column as
     * null, the Delta/Iceberg add-column semantic. The footer-merge cost
     * is per-FILE metadata, bounded by the manifest's file count (which
-    * [[compact]] keeps small), not by data volume. Renames/drops/type
-    * changes are NOT supported (they need column-id mapping — the
-    * simplification this format documents). */
+    * [[compact]] keeps small), not by data volume. RENAME and DROP are
+    * metadata-only via name-based column mapping ([[renameColumn]] /
+    * [[dropColumn]]): the snapshot's mapping projects stored physical
+    * names to the logical view here, so no data rewrite ever happens
+    * for a schema change. Type changes remain unsupported. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None,
            schemaFrom: Option[DataFrame] = None): DataFrame = {
@@ -181,8 +270,8 @@ object TxLog {
       require(schemaFrom.isDefined,
         s"table $root is empty at v${s.version} and no schemaFrom given")
       schemaFrom.get.limit(0)
-    } else spark.read.option("mergeSchema", "true")
-      .parquet(s.files.map(f => s"$root/${f.path}"): _*)
+    } else toLogical(spark.read.option("mergeSchema", "true")
+      .parquet(s.files.map(f => s"$root/${f.path}"): _*), s)
   }
 
   /** Write `df` as immutable data files under `data/` (NOT visible until
@@ -219,9 +308,16 @@ object TxLog {
     * manifest to a hidden temp name, then hands publication to the
     * filesystem's [[LogStore]] — the create-exclusive CAS that makes
     * exactly one racer win (see [[logStoreProvider]]). */
+  /** Atomic commit attempt for version `v`: `files` plus the column
+    * mapping carried in `meta` (whose version/files fields are
+    * ignored). False iff another writer already committed `v`. */
   private def tryCommit(fs: FileSystem, root: String, v: Long,
-                        files: Seq[TxFile],
-                        epoch: Option[Long] = None): Boolean = {
+                        files: Seq[TxFile], epoch: Option[Long],
+                        meta: TxSnapshot): Boolean = {
+    require((meta.renames.flatMap(r => Seq(r._1, r._2)) ++ meta.dropped ++
+        meta.retired).forall(n =>
+        !n.contains(":") && !n.contains("\t") && !n.contains("\n")),
+      "column names must not contain ':', tab, or newline")
     fs.mkdirs(new Path(s"$root/$LogDir"))
     val dest = manifestPath(root, v)
     if (fs.exists(dest)) return false // fast path; the real CAS is below
@@ -230,6 +326,9 @@ object TxLog {
     try {
       val body = (Seq(Magic, v.toString) ++
         epoch.map(e => s"#epoch=$e").toSeq ++
+        meta.renames.map { case (p, l) => s"#rename=$p:$l" } ++
+        meta.dropped.map(d => s"#drop=$d") ++
+        meta.retired.map(r => s"#retired=$r") ++
         files.map(f =>
           s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}" +
             f.part.map("\t" + _).getOrElse(""))).mkString("\n")
@@ -244,23 +343,42 @@ object TxLog {
     val fs = hfs(spark, root)
     val snap = snapshot(spark, root)
     val v = snap.version + 1
-    if (tryCommit(fs, root, v, filesAt(snap))) v
+    if (tryCommit(fs, root, v, filesAt(snap), None, snap)) v
     else commitLoop(spark, root, filesAt)
   }
 
-  /** Transactional append: new files + everything already committed. */
+  /** Transactional append: new files + everything already committed.
+    * `df` uses LOGICAL column names (translated to storage names via
+    * the column mapping); a stale batch naming a renamed-away or
+    * dropped column is rejected ([[TxSchemaConflictException]]) —
+    * re-checked against EVERY retry snapshot, so a rename committed
+    * while this append raced is detected, not silently resurrected
+    * (physical storage names never change, so the already-written data
+    * files stay valid across retries). */
   def append(spark: SparkSession, root: String, df: DataFrame,
              keyCol: String): Long = {
-    val newFiles = writeData(spark, root, df, keyCol)
-    commitLoop(spark, root, snap => snap.files ++ newFiles)
+    val snap0 = snapshot(spark, root)
+    assertNoSchemaConflict(df.columns.toSeq, snap0)
+    val newFiles = writeData(spark, root, toPhysical(df, snap0),
+      physName(keyCol, snap0))
+    commitLoop(spark, root, { snap =>
+      assertNoSchemaConflict(df.columns.toSeq, snap)
+      snap.files ++ newFiles
+    })
   }
 
   /** Transactional full overwrite (the new version lists ONLY the new
     * files; old versions stay readable until vacuum). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 keyCol: String): Long = {
-    val newFiles = writeData(spark, root, df, keyCol)
-    commitLoop(spark, root, _ => newFiles)
+    val snap0 = snapshot(spark, root)
+    assertNoSchemaConflict(df.columns.toSeq, snap0)
+    val newFiles = writeData(spark, root, toPhysical(df, snap0),
+      physName(keyCol, snap0))
+    commitLoop(spark, root, { snap =>
+      assertNoSchemaConflict(df.columns.toSeq, snap)
+      newFiles
+    })
   }
 
   /** Pad `df` with null columns for every field `other` has and it
@@ -288,16 +406,23 @@ object TxLog {
     val (incMin, incMax) = (bounds.getLong(0), bounds.getLong(1))
     @tailrec def loop(): Long = {
       val snap = snapshot(spark, root)
+      // schema-conflict check runs per ATTEMPT: a rename/drop committed
+      // while this merge raced fails the retry instead of resurrecting
+      // the stale name as a "new" column
+      assertNoSchemaConflict(incoming.columns.toSeq, snap)
+      val physKey = physName(keyCol, snap)
+      val inc = toPhysical(incoming, snap)
       val (touched, untouched) =
         snap.files.partition(f => f.maxKey >= incMin && f.minKey <= incMax)
       val existing =
-        if (touched.isEmpty) incoming.limit(0)
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => s"$root/${f.path}"): _*)
-      val merged = Merge.upsert(align(existing, incoming),
-        align(incoming, existing), Seq(keyCol))
-      val newFiles = writeData(spark, root, merged, keyCol)
-      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles, epoch)) {
+        if (touched.isEmpty) inc.limit(0)
+        else dropRetired(spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$root/${f.path}"): _*), snap)
+      val merged = Merge.upsert(align(existing, inc),
+        align(inc, existing), Seq(physKey))
+      val newFiles = writeData(spark, root, merged, physKey)
+      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles,
+          epoch, snap)) {
         snap.version + 1
       } else {
         newFiles.foreach(f => fs.delete(new Path(s"$root/${f.path}"), false))
@@ -358,15 +483,19 @@ object TxLog {
       val snap = snapshot(spark, root)
       require(snap.files.forall(_.part.isDefined),
         s"$root holds unpartitioned files — not a partitioned table")
+      assertNoSchemaConflict(incoming.columns.toSeq, snap)
+      val physKey = physName(keyCol, snap)
+      val physPart = physName(partCol, snap)
+      val inc = toPhysical(incoming, snap)
       val (touched, untouched) = snap.files.partition(f =>
         f.part.exists(p => bounds.get(p).exists { case (mn, mx) =>
           f.maxKey >= mn && f.minKey <= mx }))
       val existing =
-        if (touched.isEmpty) incoming.limit(0)
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => s"$root/${f.path}"): _*)
-      val merged = Merge.upsert(align(existing, incoming),
-        align(incoming, existing), Seq(partCol, keyCol))
+        if (touched.isEmpty) inc.limit(0)
+        else dropRetired(spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$root/${f.path}"): _*), snap)
+      val merged = Merge.upsert(align(existing, inc),
+        align(inc, existing), Seq(physPart, physKey))
         .persist()
       // one write per touched partition so each data file carries a
       // single partition value — batches touch few partitions (the
@@ -374,11 +503,11 @@ object TxLog {
       val newFiles =
         try bounds.keys.toSeq.sorted.flatMap { p =>
           writeData(spark, root,
-              merged.filter(col(partCol).cast("string") === p), keyCol)
+              merged.filter(col(physPart).cast("string") === p), physKey)
             .map(_.copy(part = Some(p)))
         } finally merged.unpersist()
       if (tryCommit(fs, root, snap.version + 1,
-          untouched ++ newFiles, epoch)) {
+          untouched ++ newFiles, epoch, snap)) {
         snap.version + 1
       } else {
         newFiles.foreach(f =>
@@ -414,8 +543,8 @@ object TxLog {
       require(schemaFrom.isDefined,
         s"no files for partitions $parts at v${s.version} and no schemaFrom")
       schemaFrom.get.limit(0)
-    } else spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => s"$root/${f.path}"): _*)
+    } else toLogical(spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(f => s"$root/${f.path}"): _*), s)
   }
 
   /** Transactional predicate DELETE, completing the DML triad
@@ -435,8 +564,9 @@ object TxLog {
     @tailrec def loop(): Long = {
       val snap = snapshot(spark, root)
       if (snap.files.isEmpty) return snap.version
-      val withFile = spark.read.option("mergeSchema", "true")
-        .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+      // predicate references LOGICAL names → evaluate on the logical view
+      val withFile = toLogical(spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$root/${f.path}"): _*), snap)
         .withColumn("__f", input_file_name())
       // absolute URI → the manifest's root-relative path
       val hitUris = withFile.filter(predicate)
@@ -451,13 +581,18 @@ object TxLog {
       // would drop NULL-evaluating rows too — and schema evolution makes
       // NULLs routine (a delete on a later-added column must not destroy
       // co-located legacy rows whose column is NULL).
-      val survivors = spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(f => s"$root/${f.path}"): _*)
-        .filter(!coalesce(predicate, lit(false)))
+      // Survivors round-trip logical (filter) → physical (storage);
+      // dropped columns fall away in toLogical, so the rewrite purges
+      // them from the touched files.
+      val survivors = toPhysical(
+        toLogical(spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$root/${f.path}"): _*), snap)
+          .filter(!coalesce(predicate, lit(false))), snap)
       val newFiles =
         if (survivors.isEmpty) Seq.empty
-        else writeData(spark, root, survivors, keyCol)
-      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles)) {
+        else writeData(spark, root, survivors, physName(keyCol, snap))
+      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles,
+          None, snap)) {
         snap.version + 1
       } else {
         newFiles.foreach(f => fs.delete(new Path(s"$root/${f.path}"), false))
@@ -494,11 +629,14 @@ object TxLog {
         // Spark would pick one file's schema and the rewrite would drop
         // the other files' later-added columns — data loss in an
         // operation documented as content-preserving.
-        val repacked = spark.read.option("mergeSchema", "true")
-          .parquet(small.map(f => s"$root/${f.path}"): _*)
-          .repartitionByRange(nParts.toInt, col(keyCol))
-        val newFiles = writeData(spark, root, repacked, keyCol)
-        if (tryCommit(fs, root, snap.version + 1, big ++ newFiles)) {
+        val physKey = physName(keyCol, snap)
+        val repacked = dropRetired(
+          spark.read.option("mergeSchema", "true")
+            .parquet(small.map(f => s"$root/${f.path}"): _*), snap)
+          .repartitionByRange(nParts.toInt, col(physKey))
+        val newFiles = writeData(spark, root, repacked, physKey)
+        if (tryCommit(fs, root, snap.version + 1, big ++ newFiles,
+            None, snap)) {
           snap.version + 1
         } else {
           newFiles.foreach(f =>
@@ -506,6 +644,80 @@ object TxLog {
           loop()
         }
       }
+    }
+    loop()
+  }
+
+  /** METADATA-ONLY column rename via name-based column mapping (the
+    * Delta column-mapping / Iceberg name-evolution idea): no data file
+    * is touched — the new manifest maps the column's STORED (physical)
+    * name to its new logical name, [[read]] applies the mapping, and
+    * writers translate back on the way in. The old name joins the
+    * RETIRED list, so a concurrent or later batch still using it fails
+    * with [[TxSchemaConflictException]] instead of silently writing a
+    * "new" column that would resurrect old data. Time travel to
+    * pre-rename versions shows the old name (each manifest carries its
+    * own mapping). Rename targets must be FRESH names — not a live
+    * column, not a retired/dropped name (one exception: renaming a
+    * column back to its own original stored name, which just clears
+    * its mapping entry). */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Long = {
+    require(from != to, s"rename target equals source '$from'")
+    val fs = hfs(spark, root)
+    @tailrec def loop(): Long = {
+      val snap = snapshot(spark, root)
+      val logicalCols: Set[String] =
+        if (snap.files.isEmpty) Set.empty
+        else read(spark, root, Some(snap.version)).columns.toSet
+      require(snap.files.isEmpty || logicalCols.contains(from),
+        s"no column '$from' at $root v${snap.version}")
+      val entry = snap.renames.find(_._2 == from)
+      val phys = entry.map(_._1).getOrElse(from)
+      val backToOriginal = phys == to
+      require(backToOriginal ||
+        (!logicalCols.contains(to) && !staleNames(snap).contains(to)),
+        s"rename target '$to' collides with a live, renamed-away, or " +
+          "dropped column")
+      val newRenames =
+        if (backToOriginal) snap.renames.filterNot(_._2 == from)
+        else if (entry.isDefined) snap.renames.map { case (p, l) =>
+          if (l == from) (p, to) else (p, l) }
+        else snap.renames :+ ((from, to))
+      val newRetired =
+        (snap.retired.filterNot(_ == to) :+ from).distinct
+      if (tryCommit(fs, root, snap.version + 1, snap.files, None,
+          snap.copy(renames = newRenames, retired = newRetired)))
+        snap.version + 1
+      else loop()
+    }
+    loop()
+  }
+
+  /** METADATA-ONLY column drop: the column's stored name joins the
+    * DROPPED list — reads project it away immediately, and the data is
+    * physically purged lazily as merge/delete/compact rewrite files
+    * (Delta's drop-column semantic). The logical name is retired: a
+    * batch still carrying it fails the schema-conflict check rather
+    * than re-creating the column over un-purged files. Old versions
+    * still read the column via time travel until vacuum. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val fs = hfs(spark, root)
+    @tailrec def loop(): Long = {
+      val snap = snapshot(spark, root)
+      if (snap.files.nonEmpty)
+        require(read(spark, root, Some(snap.version)).columns.contains(name),
+          s"no column '$name' at $root v${snap.version}")
+      val phys = snap.renames.find(_._2 == name).map(_._1).getOrElse(name)
+      val meta = snap.copy(
+        renames = snap.renames.filterNot(_._2 == name),
+        dropped = (snap.dropped :+ phys).distinct,
+        retired =
+          if (phys != name) (snap.retired :+ name).distinct
+          else snap.retired)
+      if (tryCommit(fs, root, snap.version + 1, snap.files, None, meta))
+        snap.version + 1
+      else loop()
     }
     loop()
   }

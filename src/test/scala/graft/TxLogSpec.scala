@@ -390,4 +390,120 @@ class TxLogSpec extends SparkSpec {
     assert(!LogStore.LocalLink.commitExclusive(fs, tmp, dest))
     assert(!fs.exists(tmp) && fs.exists(dest))
   }
+
+  test("renameColumn is metadata-only: same data files, new logical " +
+    "name, time travel shows the old name, stale batches rejected") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 100, "a"), "id")
+    val filesBefore = TxLog.snapshot(spark, root).files.map(_.path).toSet
+    assert(TxLog.renameColumn(spark, root, "v", "tag") === 2L)
+    // no data file was touched
+    assert(TxLog.snapshot(spark, root).files.map(_.path).toSet
+      === filesBefore)
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("id", "tag"))
+    assert(TxLog.read(spark, root).filter(col("tag") === "a").count()
+      === 100)
+    // time travel: the pre-rename version still reads the old name
+    assert(TxLog.read(spark, root, Some(1L)).columns.toSeq
+      === Seq("id", "v"))
+    // a batch still writing the OLD name is a schema conflict, not a
+    // silently re-added column
+    intercept[graft.engine.TxSchemaConflictException] {
+      TxLog.merge(spark, root, rows(50 until 60, "x"), "id")
+    }
+    intercept[graft.engine.TxSchemaConflictException] {
+      TxLog.append(spark, root, rows(200 until 210, "x"), "id")
+    }
+    // a batch using the new name merges fine; rewritten files still
+    // STORE the original physical name (mapping applies on read)
+    TxLog.merge(spark, root,
+      Seq((50L, "new")).toDF("id", "tag"), "id")
+    val df = TxLog.read(spark, root)
+    assert(df.filter(col("id") === 50L).select("tag")
+      .as[String].head() === "new")
+    assert(df.count() === 100)
+    val newFile = TxLog.snapshot(spark, root).files
+      .map(_.path).toSet.diff(filesBefore).head
+    assert(spark.read.parquet(s"$root/$newFile").columns.toSeq
+      === Seq("id", "v")) // physical name unchanged on disk
+    // rename back to the original clears the mapping; the interim name
+    // is retired
+    TxLog.renameColumn(spark, root, "tag", "v")
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("id", "v"))
+    assert(TxLog.snapshot(spark, root).renames.isEmpty)
+    intercept[graft.engine.TxSchemaConflictException] {
+      TxLog.merge(spark, root, Seq((1L, "y")).toDF("id", "tag"), "id")
+    }
+    // fresh-target validation: renaming onto a live column fails
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, root, "v", "id")
+    }
+  }
+
+  test("dropColumn projects immediately, purges lazily on rewrite, and " +
+    "retires the name") {
+    val root = freshRoot()
+    val wide = (0 until 100).map(i => (i.toLong, s"v$i", i * 2))
+      .toDF("id", "v", "extra")
+    TxLog.append(spark, root, wide, "id")
+    TxLog.dropColumn(spark, root, "extra")
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("id", "v"))
+    // time travel still sees the column
+    assert(TxLog.read(spark, root, Some(1L)).columns.toSeq
+      === Seq("id", "v", "extra"))
+    // re-introducing the dropped name is a conflict (old files still
+    // hold its data — a "new" column would resurrect it)
+    intercept[graft.engine.TxSchemaConflictException] {
+      TxLog.append(spark, root,
+        Seq((200L, "x", 9)).toDF("id", "v", "extra"), "id")
+    }
+    // a merge rewrite physically purges the dropped column
+    val before = TxLog.snapshot(spark, root).files.map(_.path).toSet
+    TxLog.merge(spark, root, Seq((5L, "nv")).toDF("id", "v"), "id")
+    val rewritten = TxLog.snapshot(spark, root).files
+      .map(_.path).toSet.diff(before)
+    assert(rewritten.nonEmpty)
+    rewritten.foreach { p =>
+      assert(!spark.read.parquet(s"$root/$p").columns.contains("extra"))
+    }
+    assert(TxLog.read(spark, root).filter(col("id") === 5L)
+      .select("v").as[String].head() === "nv")
+  }
+
+  test("rename composes with drop, delete, and compact; mapping " +
+    "survives unrelated commits") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 50, "a"), "id")
+    TxLog.renameColumn(spark, root, "v", "tag")
+    // an unrelated append carries the mapping forward
+    TxLog.append(spark, root, Seq((100L, "b")).toDF("id", "tag"), "id")
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("id", "tag"))
+    assert(TxLog.read(spark, root).count() === 51)
+    // the appended file stored the physical name
+    assert(TxLog.snapshot(spark, root).renames === Seq(("v", "tag")))
+    // DELETE with a predicate on the LOGICAL name
+    TxLog.delete(spark, root, "id", col("tag") === "b")
+    assert(TxLog.read(spark, root).count() === 50)
+    assert(TxLog.read(spark, root).filter(col("tag") === "b").count()
+      === 0)
+    // compact across the mapping: content-preserving in the logical view
+    val beforeCompact = TxLog.read(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    TxLog.compact(spark, root, "id", smallRows = 1000L,
+      targetRows = 1000L)
+    assert(TxLog.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq === beforeCompact)
+    // drop by the NEW name retires both names
+    TxLog.dropColumn(spark, root, "tag")
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("id"))
+    intercept[graft.engine.TxSchemaConflictException] {
+      TxLog.append(spark, root, Seq((7L, "z")).toDF("id", "v"), "id")
+    }
+    intercept[graft.engine.TxSchemaConflictException] {
+      TxLog.append(spark, root, Seq((7L, "z")).toDF("id", "tag"), "id")
+    }
+    // key-only appends still work
+    TxLog.append(spark, root, Seq(Tuple1(500L)).toDF("id"), "id")
+    assert(TxLog.read(spark, root).count() === 51)
+  }
 }
