@@ -2658,8 +2658,8 @@ object SparkEntry {
     // within eps*n of the target rank ceil(p*n). The estimate itself is
     // partition-order-dependent (like every mergeable sketch), so the
     // oracle row carries only deterministic columns: the probe, the
-    // EXACT discrete quantile (percentile_disc, bit-matched against
-    // DuckDB quantile_disc — both return the value at rank ceil(p*n)),
+    // EXACT quantile (percentile(array(...)) ≡ DuckDB quantile_cont,
+    // the parity q38/q107 already gate — ONE buffer for all probes),
     // and the boolean bound check. If the sketch ever violates its
     // eps=0.05 contract (worst-case analytic bound at k=512 is ~1% of n
     // here), within_eps flips false and the row hash-mismatches — a
@@ -2672,11 +2672,14 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.scalaDouble)
       val vals = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast("double").as("v"))
-      val exacts = probes.map(p =>
-        s"percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY v)")
+      // exact quantiles from ONE percentile(array(...)) buffer (q38's
+      // gated quantile_cont parity) — 7 separate percentile_disc
+      // instances each hauled their own 600k-entry partial buffer
+      // through the shuffle, 7× the state for the same answer
       val est = vals.agg(
         sk(col("v")).as("ests"),
-        expr(s"array(${exacts.mkString(",")})").as("exacts"),
+        expr(s"percentile(v, array(${probes.map(_ / 100.0).mkString(",")}))")
+          .as("exacts"),
         count(lit(1)).as("n"))
       val probed = est.select(col("ests"), col("exacts"), col("n"),
           posexplode(lit(probes.toArray)))
@@ -2943,6 +2946,102 @@ object SparkEntry {
         .unionByName(fam(3, col("doc_id") % 10 < 7))
       graft.ops.Graph.kCorePeel(edges, k = 3, rounds = 3)
         .orderBy("node")
+    }),
+
+    // WINDOWED DEDUPLICATION (the batch analog of Structured
+    // Streaming's dropDuplicatesWithinWatermark): keep the FIRST event
+    // per (user, type) within each 10-minute tumbling window — the
+    // at-least-once-to-effectively-once compaction every event
+    // pipeline runs. Window id is exact integer microsecond division
+    // (`unix_micros div`); keep-first is one row_number window over
+    // the (user, type, win) shuffle; the report aggregates kept vs
+    // dropped per type.
+    "q162_windowed_dedup" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("win", expr("unix_micros(ts) div 600000000"))
+      val w = Window.partitionBy("user_id", "event_type", "win")
+        .orderBy(col("ts"), col("event_id"))
+      val kept = e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val tot = e.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+      kept.groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("user_id")).as("n_users"))
+        .join(tot, Seq("event_type"))
+        .select(col("event_type"), col("n_total"), col("n_kept"),
+          (col("n_total") - col("n_kept")).as("n_dropped"),
+          col("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // GROUPED KLL quantile contract (q151 per group): one mergeable
+    // sketch per event type in a single pass — the shape a 100 TB
+    // profiling job actually runs (per-partition/day sketches that
+    // merge upward). Same rank-error gate, exact quantiles from one
+    // percentile(array(...)) buffer per group.
+    "q163_kll_grouped" -> ((s, dir) => {
+      val probes = Seq(25, 50, 75, 90)
+      val eps = 0.05
+      val sk = udaf(
+        new graft.functions.QuantileSketchAgg(512, probes.map(_ / 100.0)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val vals = events(s, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val est = vals.groupBy("event_type").agg(
+        sk(col("v")).as("ests"),
+        expr(s"percentile(v, array(${probes.map(_ / 100.0).mkString(",")}))")
+          .as("exacts"),
+        count(lit(1)).as("n"))
+      val probed = est.select(col("event_type"), col("ests"),
+          col("exacts"), col("n"), posexplode(lit(probes.toArray)))
+        .select(col("event_type"), col("col").as("probe_pct"),
+          element_at(col("ests"), col("pos") + 1).as("est"),
+          element_at(col("exacts"), col("pos") + 1).as("exact_q"),
+          col("n"))
+      vals.join(broadcast(probed), Seq("event_type"))
+        .groupBy("event_type", "probe_pct", "exact_q", "n")
+        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rk"))
+        .select(col("event_type"), col("probe_pct"),
+          round(col("exact_q"), 4).as("exact_q"),
+          (abs(col("rk") - ceil(col("probe_pct") / lit(100.0) * col("n")))
+            <= lit(eps) * col("n")).as("within_eps"))
+        .orderBy("event_type", "probe_pct")
+    }),
+
+    // A/B EXPERIMENT READOUT: two-proportion z-test on per-user
+    // conversion (any purchase), cohorts split by user-id parity — the
+    // experiment-analysis primitive. Conversion flags and cohort
+    // counts are EXACT integers from one user-grain aggregation; the
+    // z statistic is a fixed sequence of double ops over those
+    // integers (sqrt is IEEE-exact), so both engines produce the same
+    // bits. No per-event state survives the first groupBy.
+    "q164_ab_test" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      // conversion = heavy purchaser (> 13 purchases, the corpus
+      // median) — a per-user flag with genuine variance in both
+      // cohorts; any-purchase converts at 100% here and degenerates
+      // the pooled variance to zero
+      val perUser = events(s, dir).groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) > 13L).cast("long").as("conv"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val r = perUser.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(sum(when(col("grp") === 0, col("n"))).as("n_a"),
+          sum(when(col("grp") === 0, col("c"))).as("c_a"),
+          sum(when(col("grp") === 1, col("n"))).as("n_b"),
+          sum(when(col("grp") === 1, col("c"))).as("c_b"))
+      r.withColumn("p_a", d(col("c_a")) / d(col("n_a")))
+        .withColumn("p_b", d(col("c_b")) / d(col("n_b")))
+        .withColumn("p_pool",
+          (d(col("c_a")) + d(col("c_b"))) / (d(col("n_a")) + d(col("n_b"))))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          round(col("p_a"), 6).as("p_a"),
+          round(col("p_b"), 6).as("p_b"),
+          round((col("p_a") - col("p_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))), 4)
+            .as("z"))
     }),
   )
 
@@ -5694,13 +5793,13 @@ object SparkEntry {
 
     "q151_kll_quantile_bound" ->
       """WITH q AS (SELECT
-           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.01), 2) AS q1,
-           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.05), 2) AS q5,
-           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS q25,
-           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.50), 2) AS q50,
-           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.75), 2) AS q75,
-           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.90), 2) AS q90,
-           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.99), 2) AS q99
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01), 2) AS q1,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05), 2) AS q5,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS q25,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 2) AS q50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 2) AS q75,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.90), 2) AS q90,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 2) AS q99
          FROM lineitem)
          SELECT 1 AS probe_pct, q1 AS exact_q, true AS within_eps FROM q
          UNION ALL SELECT 5, q5, true FROM q
@@ -5908,5 +6007,74 @@ object SparkEntry {
            JOIN s1 ON adj.u = s1.u JOIN s1 t ON adj.v = t.u),
          d2 AS (SELECT u, count(*)::BIGINT AS deg FROM a2 GROUP BY 1)
          SELECT u AS node, deg FROM d2 WHERE deg >= 3 ORDER BY node""",
+
+    "q162_windowed_dedup" ->
+      """WITH e AS (
+           SELECT *, epoch_us(ts) // 600000000 AS win FROM events),
+         k AS (
+           SELECT event_type FROM (
+             SELECT event_type, row_number() OVER (
+               PARTITION BY user_id, event_type, win
+               ORDER BY ts, event_id) AS rn
+             FROM e) WHERE rn = 1),
+         kc AS (
+           SELECT event_type, count(*)::BIGINT AS n_kept FROM k
+           GROUP BY 1),
+         ku AS (
+           SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+           FROM (
+             SELECT event_type, user_id, row_number() OVER (
+               PARTITION BY user_id, event_type, win
+               ORDER BY ts, event_id) AS rn
+             FROM e) WHERE rn = 1 GROUP BY 1),
+         t AS (
+           SELECT event_type, count(*)::BIGINT AS n_total FROM e
+           GROUP BY 1)
+         SELECT t.event_type, t.n_total, kc.n_kept,
+           (t.n_total - kc.n_kept)::BIGINT AS n_dropped, ku.n_users
+         FROM t JOIN kc USING (event_type) JOIN ku USING (event_type)
+         ORDER BY event_type""",
+
+    "q163_kll_grouped" ->
+      """WITH q AS (
+           SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.75, 0.9])
+               AS qs
+           FROM events GROUP BY 1)
+         SELECT event_type, 25 AS probe_pct, round(qs[1], 4) AS exact_q,
+           true AS within_eps FROM q
+         UNION ALL SELECT event_type, 50, round(qs[2], 4), true FROM q
+         UNION ALL SELECT event_type, 75, round(qs[3], 4), true FROM q
+         UNION ALL SELECT event_type, 90, round(qs[4], 4), true FROM q
+         ORDER BY event_type, probe_pct""",
+
+    "q164_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+             (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               > 13)::BIGINT AS conv, user_id % 2 AS grp
+           FROM events GROUP BY 1),
+         g AS (
+           SELECT grp, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+           FROM u GROUP BY 1),
+         s AS (
+           SELECT
+             sum(CASE WHEN grp = 0 THEN n END)::BIGINT AS n_a,
+             sum(CASE WHEN grp = 0 THEN c END)::BIGINT AS c_a,
+             sum(CASE WHEN grp = 1 THEN n END)::BIGINT AS n_b,
+             sum(CASE WHEN grp = 1 THEN c END)::BIGINT AS c_b
+           FROM g),
+         m AS (
+           SELECT *, c_a::DOUBLE / n_a::DOUBLE AS p_a,
+             c_b::DOUBLE / n_b::DOUBLE AS p_b,
+             (c_a::DOUBLE + c_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)
+               AS p_pool
+           FROM s)
+         SELECT n_a, c_a, n_b, c_b, round(p_a, 6) AS p_a,
+           round(p_b, 6) AS p_b,
+           round((p_a - p_b) / sqrt(p_pool * (1.0::DOUBLE - p_pool) *
+             (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE)), 4)
+             AS z
+         FROM m""",
   )
 }

@@ -47,18 +47,37 @@ object KllSketch {
     * level gets the full k. */
   private def capacity(k: Int, level: Int, numLevels: Int): Int = k
 
-  val empty: KllState = KllState(0L, 0L, Seq(Seq.empty))
+  val empty: KllState = KllState(0L, 0L, Vector(Vector.empty))
 
-  def insert(s: KllState, x: Double, k: Int): KllState =
-    compact(KllState(s.n + 1, s.flips,
-      s.levels.updated(0, s.levels.head :+ x)), k)
+  /** Force Vector-backed levels: after an encoder round trip (shuffle
+    * boundary) the Seqs deserialize as array-backed wrappers whose `:+`
+    * copies the whole buffer — O(k) per INSERT on the hot path. The
+    * one-time O(size) normalization here keeps every subsequent append
+    * effectively O(1). Values are unchanged, so the sketch stays
+    * bit-identical for a given insertion order. */
+  private def vec(ls: Seq[Seq[Double]]): Vector[Vector[Double]] =
+    ls match {
+      case v: Vector[_] if ls.forall(_.isInstanceOf[Vector[_]]) =>
+        v.asInstanceOf[Vector[Vector[Double]]]
+      case _ => ls.iterator.map(_.toVector).toVector
+    }
+
+  def insert(s: KllState, x: Double, k: Int): KllState = {
+    val lv = vec(s.levels)
+    val l0 = lv.head :+ x
+    val st = KllState(s.n + 1, s.flips, lv.updated(0, l0))
+    // fast path: level 0 under capacity — no level can have grown, so
+    // skip the full compaction scan (the per-row hot path)
+    if (l0.size <= k) st else compact(st, k)
+  }
 
   def merge(a: KllState, b: KllState, k: Int): KllState = {
-    val h = math.max(a.levels.size, b.levels.size)
+    val (av, bv) = (vec(a.levels), vec(b.levels))
+    val h = math.max(av.size, bv.size)
     val both = (0 until h).map { i =>
-      a.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]) ++
-        b.levels.applyOrElse(i, (_: Int) => Seq.empty[Double])
-    }
+      av.applyOrElse(i, (_: Int) => Vector.empty[Double]) ++
+        bv.applyOrElse(i, (_: Int) => Vector.empty[Double])
+    }.toVector
     compact(KllState(a.n + b.n, a.flips + b.flips, both), k)
   }
 
@@ -75,13 +94,13 @@ object KllSketch {
       val parity = (s.flips % 2).toInt
       val promoted = sorted.indices.collect {
         case i if i % 2 == parity => sorted(i)
-      }
+      }.toVector
       val base =
         if (idx + 1 < h) s.levels
-        else s.levels :+ Seq.empty[Double] // grow a level for the promotion
+        else s.levels :+ Vector.empty[Double] // grow a level for promotion
       val next = base
-        .updated(idx, Seq.empty[Double])
-        .updated(idx + 1, base(idx + 1) ++ promoted)
+        .updated(idx, Vector.empty[Double])
+        .updated(idx + 1, (base(idx + 1) ++ promoted).toVector)
       compact(KllState(s.n, s.flips + 1, next), k)
     }
   }
