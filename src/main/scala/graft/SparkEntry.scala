@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dedup, Merge, Partitioning, Patients, TextFunctions => TF}
+import graft.functions.SortedSumD.{sortedSum => ssum}
 import graft.ops.{AsOf, Behavior, DedupOps, JoinOps, Multimodal, Sampling, Similarity, Sketches, TextAnalysis => TA}
 
 /** Driver contract — one named query per implemented operator from
@@ -694,8 +695,7 @@ object SparkEntry {
           (-log(col("wc").cast("double") / col("tot"))).as("nll"))
       scored.groupBy("doc_id")
         .agg(round(
-          aggregate(array_sort(collect_list(col("nll"))), lit(0.0),
-            (a, x) => a + x)
+          ssum(collect_list(col("nll")))
             / count(lit(1)), 4).as("mean_surprisal"),
           count(lit(1)).cast("long").as("n_words"))
         .orderBy("doc_id")
@@ -1360,8 +1360,7 @@ object SparkEntry {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-        .agg(round(aggregate(array_sort(collect_list(col("rev"))),
-          lit(0.0), (a, x) => a + x), 2).as("revenue"))
+        .agg(round(ssum(collect_list(col("rev"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -1462,8 +1461,7 @@ object SparkEntry {
     // the value multiset (bit-identical on any engine / partitioning).
     "q119_anomaly_zscore" -> ((s, dir) => {
       val ev = events(s, dir)
-      val sortedSum = (c: Column) =>
-        aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+      val sortedSum = (c: Column) => ssum(collect_list(c))
       val l1 = ev.groupBy(col("event_type"),
           pmod(col("event_id"), lit(4096)).as("b"))
         .agg(count(lit(1)).as("n1"),
@@ -1496,8 +1494,7 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"),
           when(col("event_id") % 7 === 0, lit(null).cast("double"))
             .otherwise(col("value")).as("v"))
-      val sfold = (c: Column) =>
-        aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+      val sfold = (c: Column) => ssum(collect_list(c))
       val means = ev.filter(col("v").isNotNull)
         .groupBy(col("event_type"), pmod(col("event_id"), lit(4096)).as("b"))
         .agg(sfold(col("v")).as("s1"), count(lit(1)).as("n1"))
@@ -1590,8 +1587,7 @@ object SparkEntry {
         .groupBy("user_id", "day")
         .agg(count(lit(1)).as("n_intervals"),
           sum(col("dt")).cast("long").as("total_us"),
-          round(aggregate(array_sort(collect_list(col("value") * col("dt"))),
-            lit(0.0), (a, x) => a + x) /
+          round(ssum(collect_list(col("value") * col("dt"))) /
             sum(col("dt")).cast("double"), 4).as("twap"))
         .orderBy("user_id", "day")
     }),
@@ -1965,8 +1961,7 @@ object SparkEntry {
     // a pure function of the multiset of values: bit-identical on any
     // engine, any partitioning, any scale.
     "q82_corr" -> ((s, dir) => {
-      def sfold(c: Column) =
-        aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+      def sfold(c: Column) = ssum(collect_list(c))
       val x = col("l_quantity"); val y = col("l_extendedprice")
       val l1 = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(4096)).as("b"))
@@ -2009,12 +2004,10 @@ object SparkEntry {
           (-(col("c") / col("n")) * log(col("c") / col("n"))).as("__e"))
         .groupBy("doc_id", "__b")
         .agg(count(lit(1)).as("__n1"), first(col("n")).as("n"),
-          aggregate(array_sort(collect_list(col("__e"))), lit(0.0),
-            (a, x) => a + x).as("__sb"))
+          ssum(collect_list(col("__e"))).as("__sb"))
         .groupBy("doc_id")
         .agg(
-          round(aggregate(array_sort(collect_list(col("__sb"))),
-            lit(0.0), (a, x) => a + x), 4).as("entropy"),
+          round(ssum(collect_list(col("__sb"))), 4).as("entropy"),
           round(sum(col("__n1")) / first(col("n")), 4).as("ttr"),
           first(col("n")).cast("long").as("n_tokens"))
         .orderBy("doc_id")

@@ -86,8 +86,19 @@ object GraftExtensions {
       JaroWinkler(children(0), children(1))
     })
 
+  val sortedSumD: FnDef = (
+    FunctionIdentifier("sorted_sum_d"),
+    new ExpressionInfo(classOf[SortedSumD].getName, "sorted_sum_d"),
+    (children: Seq[Expression]) => {
+      if (children.size != 1)
+        throw new IllegalArgumentException(
+          s"Function sorted_sum_d requires 1 argument, got ${children.size}")
+      SortedSumD(children(0))
+    })
+
   val all: Seq[FnDef] = Seq(
     dotProductD,
+    sortedSumD,
     hilbertIndex2,
     jaroWinkler,
     columnFn("graft_normalize_text", 1)(cs => TF.normalizeText(cs(0))),

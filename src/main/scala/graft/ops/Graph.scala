@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.SortedSumD.{sortedSum => ssum}
 
 /** Iterative graph algorithms in pure DataFrame ops — the PageRank
   * companion to [[DedupOps.connectedComponents]]: corpus link-analysis
@@ -56,11 +57,9 @@ object Graph {
           pmod(xxhash64(col("__u")), lit(4096)).as("__b"),
           (col("pr") / col("__deg")).as("__c"))
         .groupBy("node", "__b")
-        .agg(aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
-          (a, x) => a + x).as("__sb"))
+        .agg(ssum(collect_list(col("__c"))).as("__sb"))
       val sums = l1.groupBy("node")
-        .agg(aggregate(array_sort(collect_list(col("__sb"))), lit(0.0),
-          (a, x) => a + x).as("__s"))
+        .agg(ssum(collect_list(col("__sb"))).as("__s"))
       pr = Caches.small(
         nodes.join(sums, Seq("node"), "left")
           .select(col("node"),
@@ -355,9 +354,8 @@ object Graph {
       .filter(col("u") < col("w"))
     wedges.groupBy("u", "w")
       .agg(count(lit(1)).as("n_common"),
-        round(aggregate(
-          array_sort(collect_list(lit(1.0) / log(col("deg")))),
-          lit(0.0), (a, x) => a + x), 6).as("aa_score"))
+        round(ssum(collect_list(lit(1.0) / log(col("deg")))), 6)
+          .as("aa_score"))
   }
 
   /** Fixed-round k-core peel: `rounds` iterations of "drop every node

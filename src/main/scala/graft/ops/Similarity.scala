@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SortedSumD.{sortedSum => ssum}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -77,12 +78,11 @@ object Similarity {
       // denominator = count(v), NOT count(*): collect_list silently drops
       // null elements, so a null vector component must also leave the
       // denominator or it would deflate that dimension's mean
-      .agg(aggregate(array_sort(collect_list(col("v").cast("double"))),
-        lit(0.0), (a, x) => a + x).as("__s1"),
+      .agg(ssum(collect_list(col("v").cast("double"))).as("__s1"),
         count(col("v")).as("__n1"))
     l1.groupBy(col(group), col("pos"))
-      .agg((aggregate(array_sort(collect_list(col("__s1"))), lit(0.0),
-        (a, x) => a + x) / sum(col("__n1"))).as("centroid"))
+      .agg((ssum(collect_list(col("__s1")))
+        / sum(col("__n1"))).as("centroid"))
   }
 
   /** Lloyd-iteration k-means centroids in pure DataFrame ops, for
@@ -335,8 +335,7 @@ object Similarity {
       .as("c"))
       .select(col("__b"), col("c.i").as("i"), col("c.j").as("j"),
         col("c.xi").as("xi"), col("c.xj").as("xj"))
-    def sfold(c: Column) =
-      aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+    def sfold(c: Column) = ssum(collect_list(c))
     val l1 = cells.groupBy("i", "j", "__b")
       .agg(sfold(col("xi") * col("xj")).as("sxy1"),
         sfold(col("xi")).as("sx1"), sfold(col("xj")).as("sy1"),

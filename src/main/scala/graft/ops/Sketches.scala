@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.SortedSumD.{sortedSum => ssum}
 
 import graft.engine.TextFunctions
 
@@ -210,9 +211,8 @@ object Sketches {
       else lit(0.697)
     registers
       .agg(count(lit(1)).as("nz"),
-        aggregate(array_sort(collect_list(
-            pow(lit(2.0), -col("mx").cast("double")))),
-          lit(0.0), (a, x) => a + x).as("s"))
+        ssum(collect_list(
+          pow(lit(2.0), -col("mx").cast("double")))).as("s"))
       .select(col("nz"),
         (col("s") + (lit(m.toDouble) - col("nz"))).as("st"),
         (lit(m.toLong) - col("nz")).as("v"))
@@ -305,9 +305,8 @@ object Sketches {
     regs
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("nz"),
-        aggregate(array_sort(collect_list(
-            pow(lit(2.0), -col("mx").cast("double")))),
-          lit(0.0), (a, x) => a + x).as("s"))
+        ssum(collect_list(
+          pow(lit(2.0), -col("mx").cast("double")))).as("s"))
       .select(keys.map(col) ++ Seq(col("nz"),
         (col("s") + (lit(m.toDouble) - col("nz"))).as("st"),
         (lit(m.toLong) - col("nz")).as("v")): _*)

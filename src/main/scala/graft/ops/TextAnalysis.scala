@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.SortedSumD.{sortedSum => ssum}
 
 import graft.engine.TextFunctions
 
@@ -186,8 +187,7 @@ object TextAnalysis {
              + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl")))))
     contrib.groupBy(id)
       .agg(
-        round(aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
-          (a, x) => a + x), 4).as("score"),
+        round(ssum(collect_list(col("__c"))), 4).as("score"),
         count(lit(1)).cast("long").as("n_terms"))
   }
 
@@ -341,12 +341,11 @@ object TextAnalysis {
         pmod(h, lit(4096L)).as("__b"))
       .groupBy("__id", "__b")
       .agg(count(lit(1)).cast("long").as("__n1"),
-        aggregate(array_sort(collect_list(col("__w"))), lit(0.0),
-          (a, x) => a + x).as("__sb"))
+        ssum(collect_list(col("__w"))).as("__sb"))
       .groupBy("__id")
       .agg(sum(col("__n1")).as("n_tokens"),
-        (aggregate(array_sort(collect_list(col("__sb"))), lit(0.0),
-          (a, x) => a + x) / sum(col("__n1"))).as("__logit"))
+        (ssum(collect_list(col("__sb")))
+          / sum(col("__n1"))).as("__logit"))
       .select(col("__id").as(id), col("n_tokens"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__logit"))), 4).as("score"),
         when(col("__logit") > 0.0, "keep").otherwise("drop").as("label"))
@@ -400,12 +399,11 @@ object TextAnalysis {
           .as("__nll"))
       .groupBy("__id", "__b")
       .agg(count(lit(1)).cast("long").as("__n1"),
-        aggregate(array_sort(collect_list(col("__nll"))), lit(0.0),
-          (a, x) => a + x).as("__sb"))
+        ssum(collect_list(col("__nll"))).as("__sb"))
       .groupBy("__id")
       .agg(round(
-          aggregate(array_sort(collect_list(col("__sb"))), lit(0.0),
-            (a, x) => a + x) / sum(col("__n1")), 4).as("mean_bigram_nll"),
+          ssum(collect_list(col("__sb")))
+            / sum(col("__n1")), 4).as("mean_bigram_nll"),
         sum(col("__n1")).as("n_bigrams"))
       .select(col("__id").as(id), col("mean_bigram_nll"), col("n_bigrams"))
   }

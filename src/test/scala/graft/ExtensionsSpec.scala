@@ -145,4 +145,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(optimized.toString ===
       joined.queryExecution.analyzed.toString) // untouched
   }
+
+  test("sorted_sum_d is bit-identical to the aggregate(array_sort) " +
+    "fold, null-poisons, and sums empty to 0.0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExtensions.register(spark)
+    // adversarial magnitudes: catastrophic-cancellation-prone values
+    // where ADDITION ORDER changes the result — equality below proves
+    // the native kernel folds in exactly the sorted order
+    val rows = Seq(
+      (1L, Seq(1e16, 1.0, -1e16, 3.14, 2.71, -0.5)),
+      (2L, Seq(0.1, 0.2, 0.3)),
+      (3L, Seq.empty[Double]),
+      (4L, (1 to 999).map(i => math.sin(i.toDouble) * math.pow(10.0, i % 20))))
+    val df = rows.toDF("id", "xs")
+    val both = df.select(col("id"),
+        aggregate(array_sort(col("xs")), lit(0.0), (a, x) => a + x)
+          .as("fold"),
+        graft.functions.SortedSumD.sortedSum(col("xs")).as("native"),
+        expr("sorted_sum_d(xs)").as("sql"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), s"row $r")
+    }
+    assert(both.find(_.getLong(0) == 3L).get.getDouble(2) === 0.0)
+    // a null ELEMENT poisons to null, matching the fold's acc + null
+    val withNull = spark.sql(
+      "SELECT sorted_sum_d(array(1.0, cast(null as double), 2.0)) n")
+    assert(withNull.collect()(0).isNullAt(0))
+  }
 }
