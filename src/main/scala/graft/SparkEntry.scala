@@ -3036,6 +3036,85 @@ object SparkEntry {
               (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))), 4)
             .as("z"))
     }),
+
+    // WINSORIZATION (robust feature preprocessing): clip each event
+    // value at its type's exact [p1, p99], report clip counts and the
+    // clipped total. Bounds come from ONE percentile(array(...)) agg
+    // per type (model-sized, broadcast back — the q107 idiom); the
+    // clipped totals are EXACT integer cents of identical doubles, so
+    // no float-sum drift. Two aggregations + a map-side clamp.
+    "q165_winsorize" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(v, array(0.01, 0.99))").as("bs"))
+        .select(col("event_type"), element_at(col("bs"), 1).as("lo"),
+          element_at(col("bs"), 2).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("cv", least(greatest(col("v"), col("lo")), col("hi")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("v") < col("lo")).cast("long")).as("n_clipped_lo"),
+          sum((col("v") > col("hi")).cast("long")).as("n_clipped_hi"),
+          round(max(col("lo")), 4).as("p01"),
+          round(max(col("hi")), 4).as("p99"),
+          sum(round(col("cv") * 100, 0).cast("long")).as("clipped_cents"))
+        .orderBy("event_type")
+    }),
+
+    // JOIN-FANOUT ESTIMATOR (the pre-flight skew diagnostic a 100 TB
+    // join needs BEFORE running): per-key multiplicities on both sides
+    // of orders ⋈ lineitem, estimated output = Σ cnt_l·cnt_r computed
+    // from the two count tables (metadata-sized vs the join itself),
+    // plus the top-10 blowup keys. Two count aggs + one key-equality
+    // join of count tables + a rank window — never the data join.
+    "q166_join_fanout" -> ((s, dir) => {
+      val lo = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("cl"))
+      val rl = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("cr"))
+      val prod = lo.join(rl, Seq("k"))
+        .select(col("k"), col("cl"), col("cr"),
+          (col("cl") * col("cr")).as("pairs"))
+      val tot = prod.agg(sum(col("pairs")).as("total_pairs"),
+        count(lit(1)).as("n_keys"))
+      prod.crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("pairs").desc, col("k"))))
+        .filter(col("rn") <= 10)
+        .select(col("rn"), col("k"), col("cl"), col("cr"), col("pairs"),
+          col("total_pairs"),
+          round(col("pairs").cast("double") * col("n_keys") /
+            col("total_pairs"), 4).as("x_avg"))
+        .orderBy("rn")
+    }),
+
+    // DATA-CONTRACT QUARANTINE ROUTING (row-level DQ, q111's audit one
+    // level down): each row is checked against the policy rules, failing
+    // rows are routed to quarantine with a deterministic reason string,
+    // and the report counts each distinct failure combination. One scan,
+    // map-side rule evaluation (the reasons array is a filter over a
+    // literal array), one count aggregation on the reason string.
+    "q167_dq_quarantine" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val checks = Seq(
+        ("min_value", col("o_totalprice") >= 5000.0),
+        ("known_priority", col("o_orderpriority")
+          .isin("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+            "5-LOW")),
+        ("stale_open", !(col("o_orderstatus") === "O" &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))))
+      val reasons = array(checks.map { case (name, ok) =>
+        when(!ok, lit(name)).otherwise(lit(null).cast("string"))
+      }: _*)
+      o.withColumn("reasons",
+          concat_ws(",", filter(reasons, r => r.isNotNull)))
+        .filter(col("reasons") =!= "")
+        .groupBy("reasons")
+        .agg(count(lit(1)).as("n_quarantined"),
+          min(col("o_orderkey")).as("first_key"))
+        .orderBy("reasons")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -6069,5 +6148,61 @@ object SparkEntry {
              (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE)), 4)
              AS z
          FROM m""",
+
+    "q165_winsorize" ->
+      """WITH b AS (
+           SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), [0.01, 0.99]) AS bs
+           FROM events GROUP BY 1),
+         j AS (
+           SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
+             bs[1] AS lo, bs[2] AS hi,
+             least(greatest(CAST(e.value AS DOUBLE), bs[1]), bs[2]) AS cv
+           FROM events e JOIN b USING (event_type))
+         SELECT event_type, count(*)::BIGINT AS n,
+           sum((v < lo)::BIGINT)::BIGINT AS n_clipped_lo,
+           sum((v > hi)::BIGINT)::BIGINT AS n_clipped_hi,
+           round(max(lo), 4) AS p01, round(max(hi), 4) AS p99,
+           sum(round(cv * 100)::BIGINT)::BIGINT AS clipped_cents
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q166_join_fanout" ->
+      """WITH lo AS (
+           SELECT o_orderkey AS k, count(*)::BIGINT AS cl
+           FROM orders GROUP BY 1),
+         rl AS (
+           SELECT l_orderkey AS k, count(*)::BIGINT AS cr
+           FROM lineitem GROUP BY 1),
+         p AS (
+           SELECT lo.k, lo.cl, rl.cr, (lo.cl * rl.cr)::BIGINT AS pairs
+           FROM lo JOIN rl USING (k)),
+         t AS (
+           SELECT sum(pairs)::BIGINT AS total_pairs,
+             count(*)::BIGINT AS n_keys
+           FROM p),
+         r AS (
+           SELECT p.*, t.total_pairs, t.n_keys,
+             row_number() OVER (ORDER BY pairs DESC, k) AS rn
+           FROM p CROSS JOIN t)
+         SELECT rn::BIGINT AS rn, k, cl, cr, pairs, total_pairs,
+           round(pairs::DOUBLE * n_keys / total_pairs, 4) AS x_avg
+         FROM r WHERE rn <= 10 ORDER BY rn""",
+
+    "q167_dq_quarantine" ->
+      """WITH f AS (
+           SELECT o_orderkey,
+             concat_ws(',',
+               CASE WHEN NOT (o_totalprice >= 5000.0)
+                 THEN 'min_value' END,
+               CASE WHEN NOT (o_orderpriority IN ('1-URGENT', '2-HIGH',
+                 '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+                 THEN 'known_priority' END,
+               CASE WHEN (o_orderstatus = 'O' AND
+                 o_orderdate < TIMESTAMP '1997-01-01')
+                 THEN 'stale_open' END) AS reasons
+           FROM orders)
+         SELECT reasons, count(*)::BIGINT AS n_quarantined,
+           min(o_orderkey)::BIGINT AS first_key
+         FROM f WHERE reasons <> '' GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -30,7 +30,8 @@ class ContractSpec extends SparkSpec {
       "q23_embedding_neardup", "q70_connected_components",
       "q75_fuzzy_dedup_e2e", "q91_knn_join",
       "q96_cc_star", "q116_bpe_train",
-      "q128_triangle_count", "q134_bfs_hops", "q139_weighted_sssp")
+      "q128_triangle_count", "q134_bfs_hops", "q139_weighted_sssp",
+      "q160_adamic_adar", "q161_kcore")
     val dir = "/root/testdata/sf0.001"
     for (q <- segmented) {
       graft.ops.Caches.startCapture()
