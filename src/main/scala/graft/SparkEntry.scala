@@ -3115,6 +3115,44 @@ object SparkEntry {
           min(col("o_orderkey")).as("first_key"))
         .orderBy("reasons")
     }),
+
+    // POPULATION STABILITY INDEX (feature-drift monitoring between the
+    // first and second half of the time span): expected bins = period-A
+    // deciles (exact percentile boundaries, broadcast — the q107
+    // idiom); PSI = Σ (p_B − p_A)·ln(p_B/p_A) with +0.5 count smoothing
+    // so empty bins stay finite. The time split is exact integer
+    // microseconds; bin counts are exact integers; doubles enter only
+    // in the final fixed op sequence (ln parity is gated since q53).
+    // One bounds agg + one (type, half, bin) count — two shuffles.
+    "q168_psi_drift" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val ev = events(s, dir).select(col("event_type"),
+        col("value").cast("double").as("v"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val halved = ev.crossJoin(broadcast(span))
+        .withColumn("is_a", col("us") < col("mid"))
+      val binsA = halved.filter(col("is_a")).groupBy("event_type")
+        .agg(expr("percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("bs"))
+      val binned = halved.join(broadcast(binsA), Seq("event_type"))
+        .select(col("event_type"), col("is_a"),
+          (lit(1) + size(filter(col("bs"), b => col("v") > b))).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val tot = binned.groupBy("event_type")
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      binned.join(broadcast(tot), Seq("event_type"))
+        .withColumn("pa", (d(col("ca")) + lit(0.5)) / (d(col("na")) + lit(5.0)))
+        .withColumn("pb", (d(col("cb")) + lit(0.5)) / (d(col("nb")) + lit(5.0)))
+        .withColumn("term", (col("pb") - col("pa")) * log(col("pb") / col("pa")))
+        .groupBy("event_type")
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          round(ssum(collect_list(col("term"))), 6).as("psi"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -6204,5 +6242,36 @@ object SparkEntry {
          SELECT reasons, count(*)::BIGINT AS n_quarantined,
            min(o_orderkey)::BIGINT AS first_key
          FROM f WHERE reasons <> '' GROUP BY 1 ORDER BY 1""",
+
+    "q168_psi_drift" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(value AS DOUBLE) AS v,
+             epoch_us(ts) AS us
+           FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         h AS (SELECT ev.*, (us < mid) AS is_a FROM ev CROSS JOIN span),
+         ba AS (
+           SELECT event_type, quantile_cont(v,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM h WHERE is_a GROUP BY 1),
+         binned AS (
+           SELECT h.event_type,
+             1 + len(list_filter(bs, x -> h.v > x)) AS bin,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS cb
+           FROM h JOIN ba USING (event_type) GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+           FROM binned GROUP BY 1),
+         terms AS (
+           SELECT b.event_type, t.na, t.nb,
+             ((cb::DOUBLE + 0.5) / (nb::DOUBLE + 5.0)
+               - (ca::DOUBLE + 0.5) / (na::DOUBLE + 5.0)) *
+             ln(((cb::DOUBLE + 0.5) / (nb::DOUBLE + 5.0))
+               / ((ca::DOUBLE + 0.5) / (na::DOUBLE + 5.0))) AS term
+           FROM binned b JOIN tot t USING (event_type))
+         SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+           round(list_sum(list_sort(list(term))), 6) AS psi
+         FROM terms GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -143,6 +143,102 @@ object Multimodal {
     extractImageFeatures(media).toDF()
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) of an image: average-pool the
+    * decoded pixels to a 9×8 luminance grid, set bit (row·8+col) iff
+    * the right neighbor is strictly brighter. The classic perceptual
+    * fingerprint for image near-dup detection — stable under resize
+    * and uniform brightness shifts (it encodes gradient SIGNS, not
+    * values). Integer arithmetic throughout (ITU-R 601 luma in
+    * thousandths), so the hash is a pure function of the pixel grid.
+    * None for undecodable bytes (T8 error containment). */
+  def dHash64(bytes: Array[Byte]): Option[Long] = try {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val grid = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+          val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+          var s = 0L; var n = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val p = img.getRGB(x, y)
+              s += 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                114L * (p & 0xFF)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          // degenerate tiny images: clamp the sample point into range
+          if (n == 0) {
+            val p = img.getRGB(math.min(x0, w - 1), math.min(y0, h - 1))
+            s = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+              114L * (p & 0xFF)
+            n = 1
+          }
+          grid(gy)(gx) = s / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        val r = i / 8; val c = i % 8
+        if (grid(r)(c + 1) > grid(r)(c)) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+    }
+  } catch { case _: Exception => None }
+
+  /** Image NEAR-DUP detection by banded dHash: hash every payload
+    * (mapPartitions decode stage, no shuffle), block candidates on
+    * 16-bit hash bands, verify with exact Hamming distance.
+    *
+    * Recall contract (pigeonhole): two images at Hamming distance
+    * d < 4 ALWAYS share one of the 4 bands — exact recall for
+    * `maxHamming` ≤ 3; larger thresholds trade recall like MinHash
+    * banding. Scale: candidates come from key-equality joins on
+    * (band, value) with E[bucket] set by the hash distribution — the
+    * same blocking-join shape as the text dedup family; no pairwise
+    * scan, nothing data-sized broadcast. Returns (id_a, id_b, hamming)
+    * with id_a < id_b. */
+  def imageNearDup(media: Dataset[MediaRow],
+                   maxHamming: Int = 3): DataFrame = {
+    implicit val enc = Encoders.product[ImageHash]
+    val hashes = media.mapPartitions(_.flatMap(r =>
+      dHash64(r.payload).map(h => ImageHash(r.media_id, h)))).toDF()
+    val bands = hashes.select(col("media_id"), col("hash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("hash"), 16 * b)
+              .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bv"))
+      .select(col("media_id"), col("hash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val cand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"),
+        col("l.hash").as("ha"), col("r.hash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
+  }
+
+  /** (id, dHash) row for the near-dup blocking stage. */
+  case class ImageHash(media_id: Long, hash: Long)
+
   // ---- real audio path (javax.sound.sampled) --------------------------
 
   /** Decoded-audio record: format metadata from the decoder + signal

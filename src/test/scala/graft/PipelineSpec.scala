@@ -424,4 +424,45 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("dsess").orderBy("user_id", "start").collect().toSeq
       === batch.collect().toSeq)
   }
+
+  test("image dHash: brightness- and resize-invariant fingerprints; " +
+    "banded near-dup finds true pairs and skips unrelated images") {
+    import graft.ops.Multimodal
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def grey(v: Int): Int = { val c = math.max(0, math.min(255, v));
+      (c << 16) | (c << 8) | c }
+    val base = png(64, 64)((x, _) => grey(x * 4))          // left→right ramp
+    val bright = png(64, 64)((x, _) => grey(x * 4 + 8))    // +8 brightness
+    val small = png(32, 32)((x, _) => grey(x * 8))         // same ramp, half res
+    val inverted = png(64, 64)((x, _) => grey(252 - x * 4))// reversed gradient
+    val Some(hBase) = Multimodal.dHash64(base)
+    // deterministic: same bytes, same hash
+    assert(Multimodal.dHash64(base).get === hBase)
+    // gradient SIGNS are what's hashed: brightness shift and downscale
+    // preserve them exactly
+    assert(Multimodal.dHash64(bright).get === hBase)
+    assert(Multimodal.dHash64(small).get === hBase)
+    // the reversed ramp flips (nearly) every comparison
+    val hInv = Multimodal.dHash64(inverted).get
+    assert(java.lang.Long.bitCount(hBase ^ hInv) > 32)
+    // undecodable bytes: None, never a throw
+    assert(Multimodal.dHash64(Array[Byte](9, 9, 9)).isEmpty)
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, base), Multimodal.MediaRow(2L, bright),
+      Multimodal.MediaRow(3L, small), Multimodal.MediaRow(4L, inverted),
+      Multimodal.MediaRow(5L, Array[Byte](9, 9, 9))).toDS()
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // the three ramp variants pair up; the inverted image pairs with
+    // nothing; undecodable id 5 drops out silently
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
 }
