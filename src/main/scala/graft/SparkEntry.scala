@@ -3153,6 +3153,79 @@ object SparkEntry {
           round(ssum(collect_list(col("term"))), 6).as("psi"))
         .orderBy("event_type")
     }),
+
+    // CONSISTENT-HASH SHARD ASSIGNMENT + REBALANCE DIFF (the
+    // partitioning-design primitive behind every distributed KV /
+    // shuffle service): a 16-vnode md5 ring per shard, keys map to
+    // their ring successor. The gate PROVES the minimal-movement
+    // property in data: growing 8→9 shards, every moved key lands on
+    // the NEW shard (n_moved_elsewhere = 0 in every row) and ~1/9 of
+    // keys move. Rings are 128/144-entry broadcast arrays; assignment
+    // is one map-side array probe per key — no shuffle beyond the
+    // report aggregation.
+    "q169_consistent_hash" -> ((s, dir) => {
+      def ring(n: Int): DataFrame = {
+        val vn = (0 until n).flatMap(sh => (0 until 16).map(r => (sh, r)))
+        val s0 = s
+        import s0.implicits._
+        vn.toDF("sh", "r")
+          .select((TF.md5Hash48(concat(col("sh").cast("string"), lit("/"),
+            col("r").cast("string"))) * 64 + col("sh")).as("c"))
+          .agg(sort_array(collect_list(col("c"))).as("ring"))
+      }
+      def succ(ringCol: Column, k: Column): Column =
+        pmod(coalesce(array_min(filter(ringCol, x => x > k)),
+          array_min(ringCol)), lit(64))
+      val keys = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          (TF.md5Hash48(col("c_custkey").cast("string")) * 64 + 63)
+            .as("k64"))
+      keys
+        .crossJoin(broadcast(ring(8).withColumnRenamed("ring", "r8")))
+        .crossJoin(broadcast(ring(9).withColumnRenamed("ring", "r9")))
+        .select(col("key"), succ(col("r8"), col("k64")).as("s8"),
+          succ(col("r9"), col("k64")).as("s9"))
+        .groupBy(col("s8").as("shard"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum((col("s9") =!= col("s8")).cast("long")).as("n_moved"),
+          sum((col("s9") =!= col("s8") && col("s9") =!= 8)
+            .cast("long")).as("n_moved_elsewhere"))
+        .withColumn("frac_moved",
+          round(col("n_moved").cast("double") / col("n_keys"), 4))
+        .orderBy("shard")
+    }),
+
+    // DAY-OF-WEEK SEASONALITY INDEX + residual spike counts (the
+    // decomposition-lite drift/seasonality profile): per (type, dow)
+    // mean vs overall mean from EXACT integer cents, residual spikes
+    // detected with pure integer cross-multiplication
+    // (cents·n_dow > 2·cents_dow ⇔ value > 2·dow-mean — no division,
+    // no float compare). Engine-neutral dow via days-since-a-known-
+    // Monday mod 7 (the q142 gotcha). Two aggregations + one broadcast
+    // join back.
+    "q170_seasonality" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val ev = events(s, dir).select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("(datediff(to_date(ts), date'1970-01-05') % 7 + 7) % 7")
+          .as("dow"))
+      val byDow = ev.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cd"))
+      val tot = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("nt"), sum(col("cents")).as("ct"))
+      val spikes = ev.join(broadcast(byDow), Seq("event_type", "dow"))
+        .filter(col("cents") * col("n") > lit(2) * col("cd"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_spikes"))
+      byDow.join(broadcast(tot), Seq("event_type"))
+        .join(spikes, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"), col("n"),
+          round(d(col("cd")) / d(col("n")) / 100.0, 4).as("mean_val"),
+          round((d(col("cd")) / d(col("n"))) /
+            (d(col("ct")) / d(col("nt"))), 4).as("seasonal_index"),
+          coalesce(col("n_spikes"), lit(0L)).as("n_spikes"))
+        .orderBy("event_type", "dow")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -6273,5 +6346,65 @@ object SparkEntry {
          SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
            round(list_sum(list_sort(list(term))), 6) AS psi
          FROM terms GROUP BY 1 ORDER BY 1""",
+
+    "q169_consistent_hash" ->
+      """WITH v8 AS (SELECT t.range AS s, u.range AS r
+                     FROM range(8) t, range(16) u),
+         v9 AS (SELECT t.range AS s, u.range AS r
+                FROM range(9) t, range(16) u),
+         r8 AS (SELECT list_sort(list(
+             ('0x' || substring(md5('0:' || s || '/' || r), 1, 12))::BIGINT
+               * 64 + s)) AS ring FROM v8),
+         r9 AS (SELECT list_sort(list(
+             ('0x' || substring(md5('0:' || s || '/' || r), 1, 12))::BIGINT
+               * 64 + s)) AS ring FROM v9),
+         k AS (
+           SELECT c_custkey AS key,
+             ('0x' || substring(md5('0:' || c_custkey), 1, 12))::BIGINT
+               * 64 + 63 AS k64
+           FROM customer),
+         a AS (
+           SELECT key,
+             coalesce(list_min(list_filter(r8.ring, x -> x > k64)),
+               list_min(r8.ring)) % 64 AS s8,
+             coalesce(list_min(list_filter(r9.ring, x -> x > k64)),
+               list_min(r9.ring)) % 64 AS s9
+           FROM k, r8, r9)
+         SELECT s8 AS shard, count(*)::BIGINT AS n_keys,
+           sum((s9 <> s8)::BIGINT)::BIGINT AS n_moved,
+           sum((s9 <> s8 AND s9 <> 8)::BIGINT)::BIGINT
+             AS n_moved_elsewhere,
+           round(sum((s9 <> s8)::BIGINT)::DOUBLE / count(*), 4)
+             AS frac_moved
+         FROM a GROUP BY 1 ORDER BY 1""",
+
+    "q170_seasonality" ->
+      """WITH ev AS (
+           SELECT event_type, round(value * 100)::BIGINT AS cents,
+             ((CAST(ts AS DATE) - DATE '1970-01-05') % 7 + 7) % 7 AS dow
+           FROM events),
+         bd AS (
+           SELECT event_type, dow, count(*)::BIGINT AS n,
+             sum(cents)::BIGINT AS cd
+           FROM ev GROUP BY 1, 2),
+         tt AS (
+           SELECT event_type, count(*)::BIGINT AS nt,
+             sum(cents)::BIGINT AS ct
+           FROM ev GROUP BY 1),
+         sp AS (
+           SELECT ev.event_type, ev.dow, count(*)::BIGINT AS n_spikes
+           FROM ev JOIN bd ON ev.event_type = bd.event_type
+             AND ev.dow = bd.dow
+           WHERE ev.cents * bd.n > 2 * bd.cd
+           GROUP BY 1, 2)
+         SELECT bd.event_type, bd.dow::BIGINT AS dow, bd.n,
+           round(cd::DOUBLE / n::DOUBLE / 100.0, 4) AS mean_val,
+           round((cd::DOUBLE / n::DOUBLE) / (ct::DOUBLE / nt::DOUBLE), 4)
+             AS seasonal_index,
+           coalesce(sp.n_spikes, 0)::BIGINT AS n_spikes
+         FROM bd JOIN tt USING (event_type)
+         LEFT JOIN sp ON bd.event_type = sp.event_type
+           AND bd.dow = sp.dow
+         ORDER BY bd.event_type, dow""",
   )
 }
