@@ -3226,6 +3226,344 @@ object SparkEntry {
           coalesce(col("n_spikes"), lit(0L)).as("n_spikes"))
         .orderBy("event_type", "dow")
     }),
+
+    // GINI CONCENTRATION INDEX per market segment (inequality profiling
+    // — the "is this key space skewed?" diagnostic at portfolio level):
+    // G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) over ascending-ranked exact
+    // cents. One per-segment rank window (distributed sort, bounded by
+    // segment size) + one aggregation; every sum is DECIMAL(38,0) so
+    // Σ r·x cannot overflow at any scale — doubles enter only in the
+    // single final division (same exact integer→double rounding in both
+    // engines).
+    "q171_gini" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100, 0).cast("decimal(19,0)").as("cents"),
+          col("c_custkey"))
+      val ranked = c.withColumn("rk", row_number().over(
+        Window.partitionBy("seg").orderBy(col("cents"), col("c_custkey")))
+        .cast("decimal(19,0)"))
+      ranked.groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("tot"),
+          sum(col("rk") * col("cents")).as("rx"))
+        .select(col("seg"), col("n"),
+          round(col("tot").cast("double") / 100.0, 2).as("total_bal"),
+          round((lit(2) * col("rx") - (col("n") + lit(1)) * col("tot"))
+            .cast("double") /
+            (col("n") * col("tot")).cast("double"), 6).as("gini"))
+        .orderBy("seg")
+    }),
+
+    // PARETO-FRONTIER (skyline) of parts — minimize retail price,
+    // maximize size — computed scale-first: phase 1 prunes map-side
+    // against a broadcast per-price-decile running-max-size table (a
+    // row below an earlier bucket's max is strictly dominated; survivors
+    // ≈ frontier + bucket-local noise), phase 2 runs the exact
+    // keep-first skyline window on the pruned sliver only, so the
+    // global ORDER BY window never sees the full table.
+    "q172_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val bounds = p.agg(expr(
+        "percentile(p_retailprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      val bucketed = p.crossJoin(broadcast(bounds))
+        .withColumn("bk",
+          lit(1) + size(filter(col("bs"), b => col("p_retailprice") > b)))
+        .drop("bs")
+      val bmax = bucketed.groupBy("bk")
+        .agg(max(col("p_size")).as("bmx"))
+        .withColumn("prevmx", max(col("bmx")).over(
+          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)))
+        .select("bk", "prevmx")
+      val pruned = bucketed.join(broadcast(bmax), Seq("bk"))
+        .filter(col("prevmx").isNull || col("p_size") >= col("prevmx"))
+      val w = Window.orderBy(col("p_retailprice"), col("p_size").desc,
+        col("p_partkey")).rowsBetween(Window.unboundedPreceding, -1)
+      pruned.withColumn("mx", max(col("p_size")).over(w))
+        .filter(col("mx").isNull || col("p_size") > col("mx"))
+        .select(col("p_partkey"), round(col("p_retailprice"), 2)
+          .as("price"), col("p_size"))
+        .orderBy("p_partkey")
+    }),
+
+    // GAPS-AND-ISLANDS interval merge (coverage analysis over shipment
+    // windows): per supplier, each lineitem covers
+    // [shipdate, shipdate + (qty%7+1) days]; overlapping/touching
+    // intervals merge into islands (new island ⟺ start > running max
+    // end over the per-supplier date order). One window shuffle
+    // partitioned by supplier + one aggregation — no self-join, no
+    // interval cross product.
+    "q173_islands" -> ((s, dir) => {
+      val iv = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"),
+          to_date(col("l_shipdate")).as("st"),
+          date_add(to_date(col("l_shipdate")),
+            pmod(col("l_quantity").cast("int"), lit(7)) + lit(1)).as("en"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ord = Window.partitionBy("supp")
+        .orderBy(col("st"), col("en"), col("l_orderkey"), col("l_linenumber"))
+      val flagged = iv
+        .withColumn("pmax", max(col("en")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+      val islands = flagged.groupBy(col("supp"), col("isl"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+          count(lit(1)).as("nv"))
+      val gapped = islands.withColumn("pend", lag(col("ien"), 1).over(
+        Window.partitionBy("supp").orderBy("isl")))
+      gapped.groupBy("supp")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(datediff(col("ien"), col("ist"))).as("covered_days"),
+          max(datediff(col("ien"), col("ist"))).cast("long")
+            .as("longest_island"),
+          coalesce(max(datediff(col("ist"), col("pend"))), lit(0))
+            .cast("long").as("max_gap"),
+          max(col("nv")).as("busiest_island"))
+        .orderBy("supp")
+    }),
+
+    // LARGEST-REMAINDER PRORATION (exact integer allocation — the
+    // budget/quota split every billing warehouse needs): a fixed
+    // 10,000,000-cent budget per nation is distributed across its
+    // positive-balance customers proportional to balance, floor-divided,
+    // then the leftover cents go to the largest remainders (tie → lowest
+    // custkey). The gate PROVES Σ alloc == budget in every nation row.
+    // All arithmetic is integer (div/mod); one agg + one broadcast join
+    // + one per-nation rank window.
+    "q174_proration" -> ((s, dir) => {
+      val budget = 10000000L
+      val w = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_nationkey").as("nat"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("wt"))
+      val tot = w.groupBy("nat").agg(sum(col("wt")).as("wtot"))
+      val based = w.join(broadcast(tot), Seq("nat"))
+        .withColumn("base", expr(s"($budget * wt) div wtot"))
+        .withColumn("rem", expr(s"($budget * wt) % wtot"))
+      val extra = based.groupBy("nat")
+        .agg(sum(col("base")).as("bsum"))
+        .select(col("nat"), (lit(budget) - col("bsum")).as("n_extra"))
+      based.join(broadcast(extra), Seq("nat"))
+        .withColumn("rk", row_number().over(Window.partitionBy("nat")
+          .orderBy(col("rem").desc, col("c_custkey"))))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
+        .groupBy("nat")
+        .agg(count(lit(1)).as("n_recipients"),
+          sum(col("alloc")).as("total_alloc"),
+          max(col("n_extra")).as("n_bumped"),
+          max(col("alloc")).as("max_alloc"),
+          min(col("alloc")).as("min_alloc"))
+        .orderBy("nat")
+    }),
+
+    // AUTOCORRELATION FUNCTION of the daily-revenue series at lags 1–7
+    // (the seasonality/persistence diagnostic behind forecast features):
+    // the full-size table collapses to one row per calendar day FIRST
+    // (bounded by the date span, not the data), so the lag windows and
+    // Pearson terms run on a metadata-sized series. Moment sums are
+    // DECIMAL(38,0)-exact; doubles appear only in the final fixed
+    // formula.
+    "q175_acf" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val wd = Window.orderBy("day")
+      val lagged = daily.select(
+        Seq(col("day"), col("cents")) ++
+          (1 to 7).map(l => lag(col("cents"), l).over(wd).as(s"x$l")): _*)
+      val pairs = lagged.selectExpr("cents",
+        "stack(7, 1L,x1, 2L,x2, 3L,x3, 4L,x4, 5L,x5, 6L,x6, 7L,x7)" +
+          " as (lg, x)")
+        .filter(col("x").isNotNull)
+        .select(col("lg"), col("cents").cast("decimal(19,0)").as("y"),
+          col("x").cast("decimal(19,0)").as("x"))
+      pairs.groupBy("lg")
+        .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lg"), col("n").cast("long").as("n_pairs"),
+          (round((d(col("n") * col("sxy") - col("sx") * col("sy"))) /
+            sqrt(d(col("n") * col("sxx") - col("sx") * col("sx")) *
+              d(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            + 0.0).as("acf"))
+        .orderBy("lg")
+    }),
+
+    // KMV θ-SKETCH SET ALGEBRA (pairwise audience overlap without a
+    // pairwise distinct-count): per event-type the K=64 smallest
+    // distinct user-hashes form the sketch; for each type pair the
+    // union sketch's θ estimates |A∪B| and the common-hash fraction
+    // scales it to |A∩B| (Beyer et al., SIGMOD'07). The gate carries
+    // BOTH the estimate and the exact intersection — the estimate is
+    // deterministic (md5 48-bit), so it hash-matches, and `ok` PROVES
+    // the error bound holds in-data. Sketch build is one rank window
+    // over distinct hashes; pair stage touches K-sized sketches only.
+    "q176_kmv_intersection" -> ((s, dir) => {
+      val K = 64
+      val dh = events(s, dir)
+        .select(col("event_type").as("ty"),
+          TF.md5Hash48(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val types = dh.select("ty").distinct()
+      val tagged = types.as("a").join(types.as("b"),
+          col("a.ty") < col("b.ty"))
+        .select(col("a.ty").as("ta"), col("b.ty").as("tb"))
+      val memb = dh.join(broadcast(tagged),
+          col("ty") === col("ta") || col("ty") === col("tb"))
+        .groupBy("ta", "tb", "h")
+        .agg(max(when(col("ty") === col("ta"), 1).otherwise(0)).as("ina"),
+          max(when(col("ty") === col("tb"), 1).otherwise(0)).as("inb"))
+      val unionTop = memb.withColumn("rn", row_number().over(
+          Window.partitionBy("ta", "tb").orderBy("h")))
+        .filter(col("rn") <= K)
+      val sk = unionTop.groupBy("ta", "tb")
+        .agg(max(col("h")).as("theta"), count(lit(1)).as("k"),
+          sum(col("ina") * col("inb")).as("common"))
+        .withColumn("est_union",
+          when(col("k") < K, col("k").cast("double"))
+            .otherwise(lit((K - 1).toDouble) * lit(math.pow(2, 48)) /
+              col("theta").cast("double")))
+        .withColumn("est_inter", col("common").cast("double") / col("k")
+          * col("est_union"))
+      val exact = memb.filter(col("ina") === 1 && col("inb") === 1)
+        .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+      sk.join(exact, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          col("common"), round(col("est_inter"), 1).as("est_inter"),
+          (abs(col("est_inter") -
+            coalesce(col("exact_inter"), lit(0L)).cast("double")) <=
+            lit(0.25) * coalesce(col("exact_inter"), lit(0L)) + lit(50.0))
+            .as("ok"))
+        .orderBy("ta", "tb")
+    }),
+
+    // TRUNCATED EWMA SMOOTHING of the per-type daily series (the
+    // forecast-feature primitive): the event stream collapses to one
+    // row per (type, day) FIRST — the series is bounded by the
+    // calendar, not the data — then a 30-step exponential window
+    // (α=0.25) runs as an index-range self-join on the tiny series.
+    // Weights are fixed powers; both engines fold the weighted terms in
+    // ascending sorted order (sorted_sum_d ≡ list_sum∘list_sort), so
+    // the double summation is order-deterministic.
+    "q177_ewma" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("ty"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .withColumn("t", row_number().over(
+          Window.partitionBy("ty").orderBy("day")).cast("long"))
+      val a = daily.select(col("ty"), col("day"), col("t"))
+      val b = daily.select(col("ty").as("ty2"), col("t").as("j"),
+        col("cents"))
+      a.join(b, col("ty") === col("ty2") &&
+          col("j").between(col("t") - 29, col("t")))
+        .withColumn("w", pow(lit(0.75), (col("t") - col("j")).cast("double")))
+        .groupBy(col("ty"), col("day"))
+        .agg(count(lit(1)).as("n_window"),
+          (round(ssum(collect_list(col("cents").cast("double") * col("w")))
+            / ssum(collect_list(col("w"))) / 100.0, 4) + 0.0).as("ewma"))
+        .select(col("ty"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_window"), col("ewma"))
+        .orderBy("ty", "day")
+    }),
+
+    // MAXIMUM DRAWDOWN per user over a signed running P&L (risk
+    // analytics on event streams): deltas are exact cents signed by
+    // event-id parity; running sum, running peak, and drawdown are
+    // three frames over ONE per-user window sort; the report row is
+    // the argmax-drawdown row picked by a deterministic rank — one
+    // shuffle total, no self-join, all arithmetic integer until the
+    // final /100 display division.
+    "q178_drawdown" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"),
+        (when(col("event_id") % 2 === 0, 1L).otherwise(-1L) *
+          round(col("value") * 100, 0).cast("long")).as("delta"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val full = Window.partitionBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.withColumn("cum", sum(col("delta")).over(run))
+        .withColumn("peak", max(col("cum")).over(run))
+        .withColumn("dd", col("peak") - col("cum"))
+        .withColumn("final_cents", sum(col("delta")).over(full))
+        .withColumn("n_events", count(lit(1)).over(full))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("dd").desc, col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("final_cents").cast("double") / 100.0, 2).as("final_pnl"),
+          round(col("dd").cast("double") / 100.0, 2).as("max_drawdown"),
+          date_format(col("ts"), "yyyy-MM-dd").as("trough_day"))
+        .orderBy("user_id")
+    }),
+
+    // MODE PER GROUP with deterministic tie-break (the categorical
+    // imputation/profiling primitive): value-level count, then a
+    // keep-first rank (count desc, value asc) — two key-equality
+    // shuffles, the second over group×distinct-value cardinality only.
+    "q179_mode" -> ((s, dir) => {
+      val vc = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      vc.withColumn("n_distinct_vals", count(lit(1)).over(
+          Window.partitionBy("lang", "source")
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang", "source")
+            .orderBy(col("cnt").desc, col("n_chars"))))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("source"), col("n_chars").as("mode_chars"),
+          col("cnt").as("mode_cnt"), col("n_distinct_vals"))
+        .orderBy("lang", "source")
+    }),
+
+    // CHI-SQUARE TEST OF INDEPENDENCE (event-type × day-of-week — the
+    // categorical drift test beside q164's z-test and q168's PSI): the
+    // full contingency grid is materialized (margin × margin cross of
+    // two metadata-sized frames, zero-filled), expected counts come
+    // from exact integer margins, and the global statistic is a
+    // sorted-order fold so the double sum is engine-deterministic.
+    "q180_chisq" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val ev = events(s, dir).select(col("event_type").as("ty"),
+        expr("(datediff(to_date(ts), date'1970-01-05') % 7 + 7) % 7")
+          .as("dow"))
+      val obs = ev.groupBy("ty", "dow").agg(count(lit(1)).as("o"))
+      val rowt = obs.groupBy("ty").agg(sum(col("o")).as("rt"))
+      val colt = obs.groupBy("dow").agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"), count(lit(1)).as("ncells"),
+        countDistinct(col("ty")).as("nr"), countDistinct(col("dow")).as("nc"))
+      val grid = rowt.crossJoin(colt).join(obs, Seq("ty", "dow"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", d(col("rt")) * d(col("ct")) / d(col("n")))
+        .withColumn("contrib",
+          (d(col("o")) - col("e")) * (d(col("o")) - col("e")) / col("e"))
+      val chi2 = grid.agg(
+        ssum(collect_list(col("contrib"))).as("stat"),
+        max((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+      grid.crossJoin(broadcast(chi2))
+        .select(col("ty"), col("dow"), col("o"),
+          round(col("e"), 4).as("expected"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("stat"), 6).as("chi2_total"), col("dof"))
+        .orderBy("ty", "dow")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -6406,5 +6744,259 @@ object SparkEntry {
          LEFT JOIN sp ON bd.event_type = sp.event_type
            AND bd.dow = sp.dow
          ORDER BY bd.event_type, dow""",
+
+    "q171_gini" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg,
+             round(c_acctbal * 100)::BIGINT AS cents, c_custkey
+           FROM customer WHERE c_acctbal > 0),
+         r AS (
+           SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg
+               ORDER BY cents, c_custkey) AS rk
+           FROM c),
+         a AS (
+           SELECT seg, count(*)::BIGINT AS n, sum(cents) AS tot,
+             sum(rk * cents) AS rx
+           FROM r GROUP BY 1)
+         SELECT seg, n, round(tot::DOUBLE / 100.0, 2) AS total_bal,
+           round((2 * rx - (n + 1) * tot)::DOUBLE
+             / (n * tot)::DOUBLE, 6) AS gini
+         FROM a ORDER BY seg""",
+
+    "q172_skyline" ->
+      """WITH s AS (
+           SELECT p_partkey, p_retailprice, p_size,
+             max(p_size) OVER (ORDER BY p_retailprice, p_size DESC,
+               p_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING) AS mx
+           FROM part)
+         SELECT p_partkey, round(p_retailprice, 2) AS price, p_size
+         FROM s WHERE mx IS NULL OR p_size > mx
+         ORDER BY p_partkey""",
+
+    "q173_islands" ->
+      """WITH iv AS (
+           SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS st,
+             CAST(l_shipdate AS DATE)
+               + to_days((CAST(l_quantity AS INT) % 7 + 1)) AS en,
+             l_orderkey, l_linenumber
+           FROM lineitem),
+         f AS (
+           SELECT *, max(en) OVER (PARTITION BY supp
+               ORDER BY st, en, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         g AS (
+           SELECT *, CASE WHEN pmax IS NULL OR st > pmax
+               THEN 1 ELSE 0 END AS brk
+           FROM f),
+         h AS (
+           SELECT *, sum(brk) OVER (PARTITION BY supp
+               ORDER BY st, en, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM g),
+         isld AS (
+           SELECT supp, isl, min(st) AS ist, max(en) AS ien,
+             count(*)::BIGINT AS nv
+           FROM h GROUP BY 1, 2),
+         gp AS (
+           SELECT *, lag(ien) OVER (PARTITION BY supp ORDER BY isl)
+             AS pend
+           FROM isld)
+         SELECT supp, count(*)::BIGINT AS n_islands,
+           sum(date_diff('day', ist, ien))::BIGINT AS covered_days,
+           max(date_diff('day', ist, ien))::BIGINT AS longest_island,
+           coalesce(max(date_diff('day', pend, ist)), 0)::BIGINT
+             AS max_gap,
+           max(nv)::BIGINT AS busiest_island
+         FROM gp GROUP BY 1 ORDER BY 1""",
+
+    "q174_proration" ->
+      """WITH w AS (
+           SELECT c_nationkey AS nat, c_custkey,
+             round(c_acctbal * 100)::BIGINT AS wt
+           FROM customer WHERE c_acctbal > 0),
+         t AS (SELECT nat, sum(wt)::BIGINT AS wtot FROM w GROUP BY 1),
+         b AS (
+           SELECT w.nat, w.c_custkey,
+             (10000000 * wt) // wtot AS base,
+             (10000000 * wt) % wtot AS rem
+           FROM w JOIN t USING (nat)),
+         e AS (
+           SELECT nat, (10000000 - sum(base))::BIGINT AS n_extra
+           FROM b GROUP BY 1),
+         al AS (
+           SELECT b.nat, base
+             + CASE WHEN row_number() OVER (PARTITION BY b.nat
+                 ORDER BY rem DESC, c_custkey) <= n_extra
+               THEN 1 ELSE 0 END AS alloc,
+             n_extra
+           FROM b JOIN e USING (nat))
+         SELECT nat, count(*)::BIGINT AS n_recipients,
+           sum(alloc)::BIGINT AS total_alloc,
+           max(n_extra)::BIGINT AS n_bumped,
+           max(alloc)::BIGINT AS max_alloc,
+           min(alloc)::BIGINT AS min_alloc
+         FROM al GROUP BY 1 ORDER BY 1""",
+
+    "q175_acf" ->
+      """WITH daily AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+           FROM lineitem GROUP BY 1),
+         idx AS (
+           SELECT cents, row_number() OVER (ORDER BY day) AS rn
+           FROM daily),
+         lagged AS (
+           SELECT l.lg, a.cents AS x, b.cents AS y
+           FROM (SELECT unnest(range(1, 8)) AS lg) l
+           JOIN idx b ON true
+           JOIN idx a ON a.rn = b.rn - l.lg),
+         m AS (
+           SELECT lg, count(*)::BIGINT AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM lagged GROUP BY 1)
+         SELECT lg, n AS n_pairs,
+           round((n * sxy - sx * sy)::DOUBLE /
+             sqrt((n * sxx - sx * sx)::DOUBLE *
+                  (n * syy - sy * sy)::DOUBLE), 4) + 0.0 AS acf
+         FROM m ORDER BY lg""",
+
+    "q176_kmv_intersection" ->
+      """WITH dh AS (
+           SELECT DISTINCT event_type AS ty,
+             ('0x' || substring(md5('0:' || user_id), 1, 12))::BIGINT AS h
+           FROM events),
+         ty AS (SELECT DISTINCT ty FROM dh),
+         pairs AS (
+           SELECT a.ty AS ta, b.ty AS tb
+           FROM ty a JOIN ty b ON a.ty < b.ty),
+         memb AS (
+           SELECT ta, tb, h,
+             max(CASE WHEN dh.ty = ta THEN 1 ELSE 0 END) AS ina,
+             max(CASE WHEN dh.ty = tb THEN 1 ELSE 0 END) AS inb
+           FROM dh JOIN pairs ON dh.ty = ta OR dh.ty = tb
+           GROUP BY 1, 2, 3),
+         ut AS (
+           SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h)
+             AS rn
+           FROM memb),
+         sk AS (
+           SELECT ta, tb, max(h) AS theta, count(*)::BIGINT AS k,
+             sum(ina * inb)::BIGINT AS common
+           FROM ut WHERE rn <= 64 GROUP BY 1, 2),
+         est AS (
+           SELECT ta, tb, k, common,
+             CASE WHEN k < 64 THEN k::DOUBLE
+               ELSE 63::DOUBLE * 281474976710656::DOUBLE
+                 / theta::DOUBLE END AS est_union
+           FROM sk),
+         ex AS (
+           SELECT ta, tb, count(*)::BIGINT AS exact_inter
+           FROM memb WHERE ina = 1 AND inb = 1 GROUP BY 1, 2)
+         SELECT e.ta, e.tb,
+           coalesce(x.exact_inter, 0)::BIGINT AS exact_inter, e.common,
+           round(e.common::DOUBLE / e.k * e.est_union, 1) AS est_inter,
+           (abs(e.common::DOUBLE / e.k * e.est_union
+              - coalesce(x.exact_inter, 0)::DOUBLE)
+            <= 0.25 * coalesce(x.exact_inter, 0) + 50.0) AS ok
+         FROM est e LEFT JOIN ex x ON e.ta = x.ta AND e.tb = x.tb
+         ORDER BY e.ta, e.tb""",
+
+    "q177_ewma" ->
+      """WITH daily AS (
+           SELECT event_type AS ty, CAST(ts AS DATE) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(ts AS DATE)) AS t
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT a.ty, a.day, b.cents,
+             power(0.75, (a.t - b.t)::DOUBLE) AS w
+           FROM daily a JOIN daily b ON a.ty = b.ty
+             AND b.t BETWEEN a.t - 29 AND a.t)
+         SELECT ty, day::VARCHAR AS day, count(*)::BIGINT AS n_window,
+           round(list_sum(list_sort(list(cents::DOUBLE * w)))
+             / list_sum(list_sort(list(w))) / 100.0, 4) + 0.0 AS ewma
+         FROM j GROUP BY ty, day ORDER BY ty, day""",
+
+    "q178_drawdown" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+             (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END)
+               * round(value * 100)::BIGINT AS delta
+           FROM events),
+         r AS (
+           SELECT *,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM ev),
+         p AS (
+           SELECT *,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+             sum(delta) OVER (PARTITION BY user_id) AS final_cents,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+           FROM r),
+         dd AS (
+           SELECT *, (peak - cum) AS dd,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY (peak - cum) DESC, ts, event_id) AS rn
+           FROM p)
+         SELECT user_id, n_events::BIGINT AS n_events,
+           round(final_cents::DOUBLE / 100.0, 2) AS final_pnl,
+           round(dd::DOUBLE / 100.0, 2) AS max_drawdown,
+           strftime(ts, '%Y-%m-%d') AS trough_day
+         FROM dd WHERE rn = 1 ORDER BY user_id""",
+
+    "q179_mode" ->
+      """WITH vc AS (
+           SELECT lang, source, n_chars, count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1, 2, 3),
+         rk AS (
+           SELECT *,
+             count(*) OVER (PARTITION BY lang, source)
+               AS n_distinct_vals,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY cnt DESC, n_chars) AS rn
+           FROM vc)
+         SELECT lang, source, n_chars AS mode_chars, cnt AS mode_cnt,
+           n_distinct_vals::BIGINT AS n_distinct_vals
+         FROM rk WHERE rn = 1 ORDER BY lang, source""",
+
+    "q180_chisq" ->
+      """WITH ev AS (
+           SELECT event_type AS ty,
+             ((CAST(ts AS DATE) - DATE '1970-01-05') % 7 + 7) % 7 AS dow
+           FROM events),
+         obs AS (
+           SELECT ty, dow, count(*)::BIGINT AS o FROM ev GROUP BY 1, 2),
+         rowt AS (SELECT ty, sum(o)::BIGINT AS rt FROM obs GROUP BY 1),
+         colt AS (SELECT dow, sum(o)::BIGINT AS ct FROM obs GROUP BY 1),
+         tot AS (
+           SELECT sum(o)::BIGINT AS n,
+             count(DISTINCT ty)::BIGINT AS nr,
+             count(DISTINCT dow)::BIGINT AS nc
+           FROM obs),
+         grid AS (
+           SELECT rowt.ty, colt.dow, coalesce(obs.o, 0)::BIGINT AS o,
+             rt, ct, n, nr, nc,
+             rt::DOUBLE * ct::DOUBLE / n::DOUBLE AS e
+           FROM rowt CROSS JOIN colt
+           LEFT JOIN obs ON obs.ty = rowt.ty AND obs.dow = colt.dow
+           CROSS JOIN tot),
+         c AS (
+           SELECT *, (o::DOUBLE - e) * (o::DOUBLE - e) / e AS contrib
+           FROM grid),
+         s AS (
+           SELECT list_sum(list_sort(list(contrib))) AS stat,
+             max((nr - 1) * (nc - 1)) AS dof
+           FROM c)
+         SELECT ty, dow, o, round(e, 4) AS expected,
+           round(contrib, 6) AS contrib,
+           round(stat, 6) AS chi2_total, dof::BIGINT AS dof
+         FROM c CROSS JOIN s ORDER BY ty, dow""",
   )
 }
