@@ -3417,9 +3417,12 @@ object SparkEntry {
           TF.md5Hash48(col("user_id").cast("string")).as("h"))
         .distinct()
       val types = dh.select("ty").distinct()
-      val tagged = types.as("a").join(types.as("b"),
-          col("a.ty") < col("b.ty"))
-        .select(col("a.ty").as("ta"), col("b.ty").as("tb"))
+      // broadcast the pair build: a plain non-equi self-join would plan
+      // as a CartesianProduct (both sides shuffled) — ContractSpec gate
+      val tagged = types.join(
+          broadcast(types.select(col("ty").as("ty2"))),
+          col("ty") < col("ty2"))
+        .select(col("ty").as("ta"), col("ty2").as("tb"))
       val memb = dh.join(broadcast(tagged),
           col("ty") === col("ta") || col("ty") === col("tb"))
         .groupBy("ta", "tb", "h")
@@ -3548,7 +3551,8 @@ object SparkEntry {
       val colt = obs.groupBy("dow").agg(sum(col("o")).as("ct"))
       val tot = obs.agg(sum(col("o")).as("n"), count(lit(1)).as("ncells"),
         countDistinct(col("ty")).as("nr"), countDistinct(col("dow")).as("nc"))
-      val grid = rowt.crossJoin(colt).join(obs, Seq("ty", "dow"), "left")
+      val grid = rowt.crossJoin(broadcast(colt))
+        .join(obs, Seq("ty", "dow"), "left")
         .withColumn("o", coalesce(col("o"), lit(0L)))
         .crossJoin(broadcast(tot))
         .withColumn("e", d(col("rt")) * d(col("ct")) / d(col("n")))
@@ -3563,6 +3567,1136 @@ object SparkEntry {
           round(col("contrib"), 6).as("contrib"),
           round(col("stat"), 6).as("chi2_total"), col("dof"))
         .orderBy("ty", "dow")
+    }),
+
+    // LEAVE-ONE-OUT TARGET ENCODING (the leakage-safe categorical
+    // encoder for ML feature prep): encode mktsegment by the mean
+    // balance of the OTHER members — (Σseg − xᵢ)/(nseg − 1) from exact
+    // integer cents, group sums broadcast back, all per-row math
+    // map-side. Singleton groups fall back to the global LOO mean.
+    "q181_target_encoding" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      val segs = c.groupBy("seg")
+        .agg(sum(col("cents")).as("ssum"), count(lit(1)).as("sn"))
+      val glob = c.agg(sum(col("cents")).as("gsum"),
+        count(lit(1)).as("gn"))
+      c.join(broadcast(segs), Seq("seg")).crossJoin(broadcast(glob))
+        .select(col("c_custkey"), col("seg"),
+          round(when(col("sn") > 1,
+            (col("ssum") - col("cents")).cast("double") /
+              (col("sn") - 1).cast("double"))
+            .otherwise((col("gsum") - col("cents")).cast("double") /
+              (col("gn") - 1).cast("double")) / 100.0, 4).as("loo_mean"))
+        .orderBy("c_custkey")
+    }),
+
+    // LORENZ CURVE DECILES (the curve under q171's Gini): per-segment
+    // ascending rank → exact integer decile id ⌈10·rk/n⌉ → decile
+    // balance shares and the cumulative share curve. One distributed
+    // per-segment sort, one decile aggregation, one 10-row window.
+    "q182_lorenz" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+          col("c_custkey"))
+      val ranked = c
+        .withColumn("rk", row_number().over(Window.partitionBy("seg")
+          .orderBy(col("cents"), col("c_custkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("dec", expr("(10 * rk + n - 1) div n"))
+      val byDec = ranked.groupBy("seg", "dec")
+        .agg(count(lit(1)).as("n_members"), sum(col("cents")).as("dc"))
+      val tot = byDec.groupBy("seg").agg(sum(col("dc")).as("tc"))
+      byDec.join(broadcast(tot), Seq("seg"))
+        .withColumn("cum", sum(col("dc")).over(Window.partitionBy("seg")
+          .orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("seg"), col("dec"), col("n_members"),
+          round(col("dc").cast("double") / col("tc").cast("double"), 6)
+            .as("share"),
+          round(col("cum").cast("double") / col("tc").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("seg", "dec")
+    }),
+
+    // GOOD–TURING FREQUENCY SMOOTHING + Chao1 vocabulary estimate (the
+    // "how much vocabulary haven't we seen?" diagnostic for corpus
+    // coverage): exact token frequencies → frequency-of-frequencies →
+    // c* = (c+1)·N_{c+1}/N_c for c ≤ 10 via one lead window over the
+    // ≤10-row fof table; the Chao1 richness estimate D + N₁²/(2N₂) and
+    // the unseen-mass estimate N₁/N ride on every row. Two exact-count
+    // aggregations; doubles only in the final display divisions.
+    "q183_good_turing" -> ((s, dir) => {
+      // Trigram shingles WITH multiplicity (no array_distinct — GT
+      // smooths occurrence counts); unigrams are useless here (the
+      // synthetic vocabulary has no hapaxes) but 3-grams are Zipfian.
+      val toks = t(s, dir, "documents")
+        .select(split(TF.normalizeText(col("text")), " ").as("ts"))
+      val words = toks.select(explode(transform(
+        when(size(col("ts")) >= 3, sequence(lit(1), size(col("ts")) - 2))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+        .as("w"))
+      val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+      val fof = freq.groupBy("c").agg(count(lit(1)).as("nc"))
+      val stats = fof.agg(sum(col("nc")).as("d_obs"),
+        sum(col("c") * col("nc")).as("n_tokens"),
+        max(when(col("c") === 1, col("nc"))).as("n1"),
+        max(when(col("c") === 2, col("nc"))).as("n2"))
+      fof.withColumn("nc1", lead(col("nc"), 1).over(Window.orderBy("c")))
+        .withColumn("rn", row_number().over(Window.orderBy("c")))
+        .filter(col("rn") <= 10)
+        .crossJoin(broadcast(stats))
+        .select(col("c"), col("nc"),
+          round((col("c") + 1).cast("double") * col("nc1") / col("nc"), 4)
+            .as("c_star"),
+          col("d_obs"), col("n_tokens"),
+          round(col("n1").cast("double") / col("n_tokens"), 6)
+            .as("p_unseen"),
+          round(col("d_obs") + col("n1").cast("double") *
+            col("n1") / (lit(2.0) * col("n2")), 2).as("chao1"))
+        .orderBy("c")
+    }),
+
+    // HASH-BASED POISSON BOOTSTRAP (the single-pass confidence-interval
+    // technique for datasets too big to resample): replicate r weights
+    // each order by md5(key:r) mod 3 ∈ {0,1,2} (E=1, deterministic —
+    // no RNG), so all 64 replicate means come out of ONE scan with
+    // map-side partial aggregation to 64 groups. Integer-cent sums;
+    // the rank column reads the CI straight off the sorted replicates.
+    "q184_bootstrap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val reps = o.select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(63))).as("rep"))
+        .withColumn("w", pmod(TF.md5Hash48(
+          concat(col("o_orderkey").cast("string"), lit(":"),
+            col("rep").cast("string"))), lit(3L)))
+      reps.groupBy("rep")
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("wsum"))
+        .withColumn("mean_price", round(col("wsum").cast("double") /
+          col("n_eff").cast("double") / 100.0, 4))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mean_price"), col("rep"))))
+        .select(col("rk"), col("rep"), col("n_eff"), col("mean_price"))
+        .orderBy("rk")
+    }),
+
+    // NEAREST-HUB GEO ASSIGNMENT + haversine distance (the geospatial
+    // partitioning primitive): deterministic synthetic coordinates
+    // (exact modular decimals — identical doubles in both engines),
+    // nearest of 25 broadcast hubs chosen by EXACT squared-degree
+    // arithmetic (argmin never depends on libm), haversine computed
+    // once per row for the chosen hub only, rounded for display. One
+    // broadcast join, map-side math, one aggregation for the report.
+    "q185_geo_hubs" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 37547 % 17000) / 100.0 - 85.0).as("lat"),
+        ((col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).as("lon"))
+      val hubs = t(s, dir, "nation").select(col("n_nationkey").as("hub"),
+        ((col("n_nationkey") * 6151 % 17000) / 100.0 - 85.0).as("hlat"),
+        ((col("n_nationkey") * 2741 % 36000) / 100.0 - 180.0).as("hlon"))
+      val rad = (c: Column) => c * math.Pi / 180.0
+      val assigned = cust.crossJoin(broadcast(hubs))
+        .withColumn("d2",
+          (col("lat") - col("hlat")) * (col("lat") - col("hlat")) +
+            (col("lon") - col("hlon")) * (col("lon") - col("hlon")))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("c_custkey").orderBy(col("d2"), col("hub"))))
+        .filter(col("rn") === 1)
+      val hv = assigned.withColumn("km",
+        lit(2 * 6371.0) * asin(sqrt(
+          pow(sin(rad(col("hlat") - col("lat")) / 2), 2) +
+            cos(rad(col("lat"))) * cos(rad(col("hlat"))) *
+              pow(sin(rad(col("hlon") - col("lon")) / 2), 2))))
+      hv.groupBy("hub")
+        .agg(count(lit(1)).as("n_assigned"),
+          round(min(col("km")), 2).as("min_km"),
+          round(max(col("km")), 2).as("max_km"),
+          round(ssum(collect_list(col("km"))) / count(lit(1)), 2)
+            .as("mean_km"))
+        .orderBy("hub")
+    }),
+
+    // INTERVAL CONCURRENCY SWEEP (max overlap depth — the
+    // resource-contention / room-booking primitive): each q173-style
+    // shipment interval emits +1 at start and −1 past its end; netting
+    // deltas PER DAY first makes the running depth independent of
+    // same-day event order, so the sweep is one per-supplier window
+    // over a day-grain frame. The peak day is picked by deterministic
+    // rank. No pairwise overlap join — O(n) events, not O(n²) pairs.
+    "q186_overlap_depth" -> ((s, dir) => {
+      val iv = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"),
+          to_date(col("l_shipdate")).as("st"),
+          date_add(to_date(col("l_shipdate")),
+            pmod(col("l_quantity").cast("int"), lit(7)) + lit(2)).as("en"))
+      val deltas = iv.select(col("supp"), col("st").as("day"),
+          lit(1L).as("d"))
+        .unionAll(iv.select(col("supp"), col("en").as("day"),
+          lit(-1L).as("d")))
+      val byDay = deltas.groupBy("supp", "day")
+        .agg(sum(col("d")).as("net"), sum(when(col("d") > 0, 1L)
+          .otherwise(0L)).as("n_starts"))
+      val depth = byDay.withColumn("depth", sum(col("net")).over(
+        Window.partitionBy("supp").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      depth
+        .withColumn("n_intervals", sum(col("n_starts")).over(
+          Window.partitionBy("supp").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(Window.partitionBy("supp")
+          .orderBy(col("depth").desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("supp"), col("n_intervals"),
+          col("depth").as("max_concurrent"),
+          date_format(col("day"), "yyyy-MM-dd").as("peak_day"))
+        .orderBy("supp")
+    }),
+
+    // NDCG@10 RANKING QUALITY (the search/recsys eval metric): per
+    // customer, the "model" ranking (totalprice desc) is scored against
+    // priority-derived relevance grades; DCG and ideal-DCG are
+    // sorted-fold double sums over the top-10 window rows only
+    // (WindowGroupLimit prunes below the shuffle), so the metric runs
+    // at grouped-agg cost — no per-query reranking loop.
+    "q187_ndcg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"),
+          (lit(6) - substring(col("o_orderpriority"), 1, 1).cast("int"))
+            .cast("double").as("rel"))
+      val byPred = o.withColumn("pos", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("pos") <= 10)
+        // ln-form of rel/log2(pos+1): pins both engines to plain ln —
+        // a native log2 could differ from ln(x)/ln(2) in the last ulp
+        .withColumn("g", col("rel") * log(lit(2.0)) / log(col("pos") + 1))
+      val byIdeal = o.withColumn("ipos", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("rel").desc, col("o_orderkey"))))
+        .filter(col("ipos") <= 10)
+        .withColumn("ig",
+          col("rel") * log(lit(2.0)) / log(col("ipos") + 1))
+      val dcg = byPred.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_ranked"),
+          ssum(collect_list(col("g"))).as("dcg"))
+      val idcg = byIdeal.groupBy("o_custkey")
+        .agg(ssum(collect_list(col("ig"))).as("idcg"))
+      dcg.join(idcg, Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_ranked"),
+          round(col("dcg"), 6).as("dcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy("o_custkey")
+    }),
+
+    // DATE-SPINE DENSIFICATION (zero-filled weekly series — the gap
+    // every BI tool trips on): integer ISO-ish week ids (days since a
+    // known Monday div 7 — engine-neutral), a generated flag × week
+    // spine (metadata-sized cross of two tiny frames), left join +
+    // zero-fill, and week-over-week deltas that are CORRECT across
+    // gaps because the spine has no holes.
+    "q188_date_spine" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("datediff(to_date(l_shipdate), date'1970-01-05') div 7")
+            .as("wk"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val weekly = li.groupBy("flag", "wk")
+        .agg(sum(col("cents")).as("cents"))
+      val span = weekly.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+      val spine = weekly.select("flag").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("flag"), explode(sequence(col("w0"), col("w1")))
+          .as("wk"))
+      spine.join(weekly, Seq("flag", "wk"), "left")
+        .withColumn("cents", coalesce(col("cents"), lit(0L)))
+        .withColumn("prev", lag(col("cents"), 1).over(
+          Window.partitionBy("flag").orderBy("wk")))
+        .select(col("flag"), col("wk"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          (col("cents") === 0).as("is_gap"),
+          round((col("cents") - coalesce(col("prev"), lit(0L)))
+            .cast("double") / 100.0, 2).as("wow_delta"))
+        .orderBy("flag", "wk")
+    }),
+
+    // ZIPF LAW FIT over the trigram vocabulary (the corpus-health
+    // diagnostic next to q183): log-log OLS of frequency vs rank on
+    // the top-50k head (fixed cap — the fit window is bounded however
+    // large the corpus; the tail is Good–Turing's job). Rank is one
+    // distributed sort of the vocab (corpus-sublinear); the four
+    // moment sums are sorted folds, so the slope is bit-deterministic.
+    "q189_zipf_fit" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(split(TF.normalizeText(col("text")), " ").as("ts"))
+      val words = toks.select(explode(transform(
+        when(size(col("ts")) >= 3, sequence(lit(1), size(col("ts")) - 2))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+        .as("w"))
+      val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+      val ranked = freq.withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .filter(col("r") <= 50000)
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      ranked.agg(count(lit(1)).as("n"),
+          ssum(collect_list(col("x"))).as("sx"),
+          ssum(collect_list(col("y"))).as("sy"),
+          ssum(collect_list(col("x") * col("y"))).as("sxy"),
+          ssum(collect_list(col("x") * col("x"))).as("sxx"))
+        .select(col("n").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") *
+            col("sy")) / (col("n") * col("sxx") - col("sx") * col("sx"))
+            * col("sx")) / col("n"), 4).as("intercept"))
+    }),
+
+    // DEGREE DISTRIBUTION with log2 binning (graph profiling beside
+    // q128/q160 — the first thing to check before any graph algorithm
+    // at 100 TB): exact distinct-edge degrees, bins via binary-string
+    // length (⌊log2⌋+1 — pure integer, no float log), per-bin counts
+    // and degree range. Two key-equality aggregations.
+    "q190_degree_histogram" -> ((s, dir) => {
+      val deg = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy("l_partkey").agg(count(lit(1)).as("deg"))
+      deg.withColumn("bin", length(bin(col("deg"))).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"), sum(col("deg")).as("n_edges"))
+        .orderBy("bin")
+    }),
+
+    // WEIGHTED PERCENTILES (quantity-weighted price quartiles — the
+    // inventory-weighted stat a plain percentile gets wrong): one
+    // per-group sort with a cumulative-weight frame; the pN is the
+    // smallest value whose cumulative weight clears N% of total,
+    // selected by integer cross-multiplication (4·cumw ≥ N·W — no
+    // division, no float compare). One window shuffle + one agg.
+    "q191_weighted_percentile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ord = Window.partitionBy("flag")
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val full = Window.partitionBy("flag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      li.withColumn("cumw", sum(col("w")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tw", sum(col("w")).over(full))
+        .groupBy("flag")
+        .agg(max(col("tw")).as("total_weight"),
+          round(min(when(col("cumw") * 4 >= col("tw"), col("cents")))
+            .cast("double") / 100.0, 2).as("w_p25"),
+          round(min(when(col("cumw") * 2 >= col("tw"), col("cents")))
+            .cast("double") / 100.0, 2).as("w_median"),
+          round(min(when(col("cumw") * 4 >= col("tw") * 3, col("cents")))
+            .cast("double") / 100.0, 2).as("w_p75"))
+        .orderBy("flag")
+    }),
+
+    // LINEAR-INTERPOLATION GAP FILL (time-series imputation): a
+    // simulated sensor dropout (every 5th day nulled) is repaired with
+    // LOCF / NOCB carries and distance-weighted linear interpolation —
+    // four IGNORE-NULLS window carries over ONE per-type day-grain
+    // sort; edge gaps fall back to the nearest observation. The
+    // interpolated value is exact rational arithmetic over integer
+    // cents and day indices (divisions happen once, at display).
+    "q192_interpolate" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("ty"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("c0"))
+        .withColumn("t",
+          expr("datediff(day, date'1970-01-05')").cast("long"))
+        .withColumn("v", when(col("t") % 5 === 0,
+          lit(null).cast("long")).otherwise(col("c0")))
+      val ord = Window.partitionBy("ty").orderBy("t")
+      val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+      daily
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pt", last(when(col("v").isNotNull, col("t")),
+          ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nt", first(when(col("v").isNotNull, col("t")),
+          ignoreNulls = true).over(fwd))
+        .withColumn("fill",
+          when(col("v").isNotNull, col("v").cast("double"))
+            .when(col("pv").isNull, col("nv").cast("double"))
+            .when(col("nv").isNull, col("pv").cast("double"))
+            .otherwise(col("pv") + (col("nv") - col("pv")).cast("double")
+              * (col("t") - col("pt")) / (col("nt") - col("pt"))))
+        .select(col("ty"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v").isNull.as("was_gap"),
+          round(col("fill") / 100.0, 4).as("value"))
+        .orderBy("ty", "day")
+    }),
+
+    // HEAVY-HITTER RANK SHIFT (top-k churn between time halves — the
+    // trending/leaderboard-drift monitor): per half, top-20 parts by
+    // exact line count (rank windows with WindowGroupLimit); a full
+    // outer join classifies new / dropped / up / down / flat with rank
+    // deltas. Count tables only — the fact table is scanned once.
+    "q193_rank_shift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("us"))
+      val span = li.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val cnt = li.crossJoin(broadcast(span))
+        .groupBy(col("l_partkey"),
+          (col("us") < col("mid")).as("is_a"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = cnt.withColumn("rk", row_number().over(
+        Window.partitionBy("is_a")
+          .orderBy(col("n").desc, col("l_partkey"))))
+        .filter(col("rk") <= 20)
+      val a = ranked.filter(col("is_a"))
+        .select(col("l_partkey"), col("n").as("cnt_a"), col("rk").as("rank_a"))
+      val b = ranked.filter(!col("is_a"))
+        .select(col("l_partkey"), col("n").as("cnt_b"), col("rk").as("rank_b"))
+      a.join(b, Seq("l_partkey"), "full_outer")
+        .withColumn("status",
+          when(col("rank_a").isNull, lit("new"))
+            .when(col("rank_b").isNull, lit("dropped"))
+            .when(col("rank_b") < col("rank_a"), lit("up"))
+            .when(col("rank_b") > col("rank_a"), lit("down"))
+            .otherwise(lit("flat")))
+        .select(col("l_partkey"), col("rank_a"), col("rank_b"),
+          col("cnt_a"), col("cnt_b"), col("status"))
+        .orderBy(coalesce(col("rank_b"), lit(999)),
+          coalesce(col("rank_a"), lit(999)), col("l_partkey"))
+        .select(col("l_partkey"), col("rank_a"), col("rank_b"),
+          col("cnt_a"), col("cnt_b"), col("status"))
+    }),
+
+    // PERSONALIZED PAGERANK in EXACT INTEGER MASS (topic-sensitive
+    // ranking, Haveliwala WWW'02, floor-division arithmetic): masses
+    // are 10¹² micro-units, spread = (m·85)÷100÷deg with deterministic
+    // truncation, so every round is a plain integer sum — no float
+    // fold, no ordering sensitivity, and the oracle replays it
+    // bit-exactly with `//`. 3 unrolled rounds over the symmetric
+    // supplier↔part graph (suppliers even ids, parts odd); one
+    // edge-join + one sum-groupBy per round — the q78 plan shape.
+    "q194_ppr" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") * 2).as("node"))
+      val restart = seeds.select(col("node"),
+        lit(150000000000L).as("r"))
+      var mass = seeds.select(col("node"), lit(1000000000000L).as("m"))
+      for (_ <- 1 to 3) {
+        val spread = mass.join(edges, col("node") === col("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("node"),
+            expr("(m * 85) div 100 div deg").as("c"))
+        mass = spread.unionByName(restart.select(col("node"),
+            col("r").as("c")))
+          .groupBy("node").agg(sum(col("c")).as("m"))
+      }
+      mass.withColumn("rk", row_number().over(
+          Window.orderBy(col("m").desc, col("node"))))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("node"), col("m").as("mass_micro"))
+        .orderBy("rk")
+    }),
+
+    // KOLMOGOROV–SMIRNOV TWO-SAMPLE TEST (exact, between time halves —
+    // the distribution-shift test beside PSI/chi²): per type, value-
+    // level counts for each half, cumulative counts over ONE sorted
+    // window, and the KS statistic found by integer cross-
+    // multiplication max |cumA·nB − cumB·nA| — float enters once, in
+    // the final display division. Cost: one (type,value) agg + one
+    // per-type sort over distinct values only.
+    "q195_ks_test" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type").as("ty"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val g = ev.crossJoin(broadcast(span))
+        .groupBy("ty", "cents")
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("cb"))
+      val ord = Window.partitionBy("ty").orderBy("cents")
+      val full = Window.partitionBy("ty")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cuma", sum(col("ca")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cumb", sum(col("cb")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("na", sum(col("ca")).over(full))
+        .withColumn("nb", sum(col("cb")).over(full))
+        .withColumn("diff", abs(col("cuma") * col("nb") -
+          col("cumb") * col("na")))
+        .withColumn("rn", row_number().over(Window.partitionBy("ty")
+          .orderBy(col("diff").desc, col("cents"))))
+        .filter(col("rn") === 1)
+        .select(col("ty"), col("na"), col("nb"),
+          round(col("diff").cast("double") /
+            (col("na") * col("nb")).cast("double"), 6).as("ks_stat"),
+          round(col("cents").cast("double") / 100.0, 2).as("at_value"))
+        .orderBy("ty")
+    }),
+
+    // THE MEAN ZOO (arithmetic / geometric / harmonic / quadratic —
+    // rates, ratios and RMS each need a different one): log-space and
+    // reciprocal sums are TWO-LEVEL bucketed sorted folds (4096
+    // l_orderkey buckets, then bucket subtotals — the q82 rule: no
+    // fold buffer scales with group size); arithmetic and quadratic
+    // ride on exact integer/decimal sums.
+    "q196_mean_zoo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          pmod(col("l_orderkey"), lit(4096)).as("bk"))
+        .withColumn("x", col("cents").cast("double") / 100.0)
+      val lvl1 = li.groupBy("flag", "bk")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          sum(col("cents").cast("decimal(19,0)") * col("cents"))
+            .as("sq"),
+          ssum(collect_list(log(col("x")))).as("sln"),
+          ssum(collect_list(lit(1.0) / col("x"))).as("srec"))
+      lvl1.groupBy("flag")
+        .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"),
+          sum(col("sq")).as("sq"),
+          ssum(collect_list(col("sln"))).as("sln"),
+          ssum(collect_list(col("srec"))).as("srec"))
+        .select(col("flag"), col("n"),
+          round(col("sc").cast("double") / col("n") / 100.0, 4)
+            .as("mean_arith"),
+          round(exp(col("sln") / col("n")), 4).as("mean_geom"),
+          round(col("n") / col("srec"), 4).as("mean_harm"),
+          round(sqrt(col("sq").cast("double") / col("n")) / 100.0, 4)
+            .as("mean_quad"))
+        .orderBy("flag")
+    }),
+
+    // COHEN'S KAPPA inter-rater agreement (the annotation-QA metric
+    // every labeling pipeline needs): two deterministic document
+    // "raters" (length rule vs letter-density rule), per-source
+    // confusion cells as conditional sums in ONE aggregation, kappa
+    // from exact integer cells — (p_o − p_e)/(1 − p_e) with integer
+    // cross-multiplied numerators, one division at display.
+    "q197_cohens_kappa" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          (col("n_chars") >= 500).as("r1"),
+          ((length(col("text")) - length(regexp_replace(col("text"),
+            "e", ""))) * 8 >= length(col("text"))).as("r2"))
+      // p_e's numerator reused in kappa: integer marginal products,
+      // cast once
+      val peNum = d((col("yy") + col("yn")) * (col("yy") + col("ny"))) +
+        d((col("ny") + col("nn")) * (col("yn") + col("nn")))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("yy"),
+          sum(when(col("r1") && !col("r2"), 1L).otherwise(0L)).as("yn"),
+          sum(when(!col("r1") && col("r2"), 1L).otherwise(0L)).as("ny"),
+          sum(when(!col("r1") && !col("r2"), 1L).otherwise(0L)).as("nn"))
+        .select(col("source"), col("n"), col("yy"), col("yn"),
+          col("ny"), col("nn"),
+          round(d(col("yy") + col("nn")) / col("n"), 6).as("p_o"),
+          round(peNum / d(col("n") * col("n")), 6).as("p_e"),
+          // degenerate raters (p_e = 1) ⇒ kappa defined as 0
+          round(when(d(col("n") * col("n")) === peNum, lit(0.0))
+            .otherwise((d(col("n") * (col("yy") + col("nn"))) - peNum) /
+              (d(col("n") * col("n")) - peNum)), 6).as("kappa"))
+        .orderBy("source")
+    }),
+
+    // CALIBRATION CURVE + ECE (reliability of a score against
+    // outcomes — the model-monitoring metric beside q187's NDCG):
+    // integer fixed-width score bins (no float binning boundaries), a
+    // logistic "model score" whose mean per bin is a sorted fold, exact
+    // outcome rates, and expected calibration error assembled from the
+    // 10-row bin table. One aggregation over the fact table.
+    "q198_calibration" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val o = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+          .as("cents"),
+          (col("o_orderpriority").isin("1-URGENT", "2-HIGH")).as("y"))
+        .withColumn("bin", least(lit(9L), expr("cents div 5000000")))
+        .withColumn("score", lit(1.0) /
+          (lit(1.0) + exp(-(d(col("cents")) / 100.0 - 25000.0) / 10000.0)))
+      val bins = o.groupBy("bin")
+        .agg(count(lit(1)).as("n_bin"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+          ssum(collect_list(col("score"))).as("ssc"))
+        .withColumn("conf", col("ssc") / col("n_bin"))
+        .withColumn("acc", d(col("n_pos")) / col("n_bin"))
+      val tot = bins.agg(sum(col("n_bin")).as("nn"))
+      val ece = bins.crossJoin(broadcast(tot))
+        .select((d(col("n_bin")) / col("nn") *
+          abs(col("acc") - col("conf"))).as("term"))
+        .agg(ssum(collect_list(col("term"))).as("ece"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_bin"), col("n_pos"),
+          round(col("conf"), 6).as("mean_score"),
+          round(col("acc"), 6).as("pos_rate"),
+          round(col("ece"), 6).as("ece"))
+        .orderBy("bin")
+    }),
+
+    // EXACT ROC-AUC via the Mann–Whitney rank statistic with tie
+    // correction (no threshold sweep, no sampling): value-level
+    // positive/negative counts, one sort over DISTINCT scores, and
+    // U×2 = Σ np_v·(2·cumneg_below + nn_v) keeps everything integer
+    // until the final division. The statistically-exact companion to
+    // threshold-based eval.
+    "q199_auc" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+          .as("cents"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("y"))
+      val g = o.groupBy("cents")
+        .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+      val ord = Window.orderBy("cents")
+      val u = g.withColumn("cumnn",
+          coalesce(sum(col("nn")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np").cast("decimal(19,0)") *
+            (lit(2) * col("cumnn") + col("nn"))).as("u2"))
+      u.select(col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    }),
+
+    // OUT-OF-FOLD TARGET ENCODING (q181's leakage-safe encoder, CV
+    // form): md5-hash folds (deterministic, no RNG), each (fold,
+    // segment) cell encoded from the OTHER folds' exact sums —
+    // (Σseg − Σfold,seg)/(nseg − nfold,seg). Two metadata-sized aggs
+    // + a broadcast join; the fact table is scanned once.
+    "q200_oof_encoding" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+          pmod(TF.md5Hash48(col("c_custkey").cast("string")), lit(5L))
+            .as("fold"))
+      val cell = c.groupBy("fold", "seg")
+        .agg(count(lit(1)).as("nf"), sum(col("cents")).as("sf"))
+      val segt = cell.groupBy("seg")
+        .agg(sum(col("nf")).as("ns"), sum(col("sf")).as("ss"))
+      cell.join(broadcast(segt), Seq("seg"))
+        .select(col("fold"), col("seg"), col("nf").as("n_rows"),
+          round((col("ss") - col("sf")).cast("double") /
+            (col("ns") - col("nf")).cast("double") / 100.0, 4)
+            .as("oof_mean"))
+        .orderBy("fold", "seg")
+    }),
+
+    // NUCLEUS (top-p) SELECTION MASK (the LLM-serving sampling
+    // primitive, Holtzman ICLR'20, as a set-at-a-time query): per-user
+    // event-type frequencies → temperature-0.5 softmax → smallest
+    // prefix of the (prob desc, type asc) order covering p≥0.9. The
+    // candidate set is the 5-type vocabulary, so every window frame is
+    // model-sized; exp parity is the q105 contract. The keep/cut
+    // decision replays identically in the oracle.
+    "q201_nucleus_topp" -> ((s, dir) => {
+      val cnt = events(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("user_id")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("e",
+          exp(col("c").cast("double") / col("n") / lit(0.5)))
+      val sm = cnt.withColumn("z", ssum(collect_list(col("e")).over(
+          Window.partitionBy("user_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))))
+        .withColumn("p", col("e") / col("z"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("p").desc, col("event_type"))
+      sm.withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum(col("p")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prevcum", coalesce(sum(col("p")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+        .filter(col("prevcum") < 0.9)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("k_nucleus"),
+          max(when(col("rk") === 1, col("event_type"))).as("top_type"),
+          round(max(col("cum")), 6).as("nucleus_mass"))
+        .orderBy("user_id")
+    }),
+
+    // CROSS-SOURCE CONTAMINATION MATRIX (directional shingle
+    // containment |A∩B|/|A| — "how much of source A also appears in
+    // B"): distinct (shingle, source) pairs, then a self-join keyed on
+    // the shingle whose fan-out is bounded by source count (≤20), never
+    // by corpus size — the corpus-level complement of q68's doc-level
+    // decontamination. Exact integer counts throughout.
+    "q202_contamination" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("source"), explode(DedupOps.shingles(col("text"), 3))
+          .as("g"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("na"))
+      val pairs = sh.as("a").join(sh.as("b"), Seq("g"))
+        .filter(col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs.join(broadcast(sizes.withColumnRenamed("source", "src_a")),
+          Seq("src_a"))
+        .filter(col("n_common") * 20 >= col("na"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("na"),
+          round(col("n_common").cast("double") / col("na"), 4)
+            .as("containment"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // SCHEMA-DRIFT UNION (unionByName with missing-column
+    // reconciliation — the ingestion primitive when v1 and v2 exports
+    // coexist): an old extract (no priority column) and a new extract
+    // (extra column) union by NAME, absent columns null-filled —
+    // position-based UNION would silently mis-align. Aggregated per
+    // status × presence so the null-fill behavior is the gate.
+    "q203_schema_drift_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val v1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderpriority"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"),
+          col("o_orderpriority").isNull.as("from_v1"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          min(col("o_orderkey")).as("first_key"))
+        .orderBy("o_orderstatus", "from_v1")
+    }),
+
+    // MULTISET SET OPERATIONS (INTERSECT ALL / EXCEPT ALL — bag
+    // semantics the DISTINCT forms get wrong): the multiset of
+    // customers' open-order keys vs filled-order keys; intersectAll
+    // keeps min(multiplicity), exceptAll subtracts it. Spark plans
+    // both as a single aggregate+generate (no pairwise join); gated by
+    // replaying the same bag algebra in the oracle.
+    "q204_multiset_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val inter = a.intersectAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_inter"))
+      val diff = a.exceptAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_except"))
+      inter.join(diff, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("o_custkey")
+    }),
+
+    // KAPLAN–MEIER SURVIVAL CURVE (time-to-event with right
+    // censoring — retention/churn's statistically-correct form): per
+    // customer, entry = first order, event = first 300k+ order,
+    // censored at the observation horizon; S(t) = Π(1 − dᵢ/nᵢ) as
+    // exp of a cumulative ln-sum over the day-grain event grid (a
+    // frame bounded by the calendar). Risk sets are exact integer
+    // cumulative counts from ONE sort of the per-customer time table.
+    "q205_kaplan_meier" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          (col("o_totalprice") >= 300000.0).as("big"))
+      val per = o.groupBy("o_custkey")
+        .agg(min(col("d")).as("entry"),
+          min(when(col("big"), col("d"))).as("eventd"))
+      val horizon = o.agg(max(col("d")).as("hz"))
+      val times = per.crossJoin(broadcast(horizon))
+        .select(col("o_custkey"),
+          when(col("eventd").isNotNull,
+            datediff(col("eventd"), col("entry")))
+            .otherwise(datediff(col("hz"), col("entry"))).as("t"),
+          col("eventd").isNotNull.as("ev"))
+      val tot = times.agg(count(lit(1)).as("nn"))
+      val byT = times.groupBy("t")
+        .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d_t"),
+          count(lit(1)).as("leave"))
+      val ord = Window.orderBy("t")
+      val km = byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("nn") -
+          coalesce(sum(col("leave")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("d_t") > 0)
+        .withColumn("lnterm", log(lit(1.0) -
+          col("d_t").cast("double") / col("n_risk").cast("double")))
+        // sorted-fold the ln prefix (not a running float sum) so the
+        // cumulative product is association-identical in both engines
+        .withColumn("s", exp(ssum(collect_list(col("lnterm")).over(
+          Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, 0)))))
+      km.select(col("t").cast("long").as("t"), col("n_risk"),
+          col("d_t"), round(col("s"), 6).as("survival"))
+        .orderBy("t")
+    }),
+
+    // ROLLING EXACT MEDIAN (centered 31-day window — the robust
+    // smoother a rolling mean can't be): the stream collapses to the
+    // calendar-bounded day grain FIRST, then each frame's values are
+    // collected IN FRAME ORDER, sorted, and indexed — exact integer
+    // cents, no sketch, frame size capped at 31. One window shuffle
+    // over the day-grain series.
+    "q206_rolling_median" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("ty"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val frame = Window.partitionBy("ty").orderBy("day")
+        .rowsBetween(-15, 15)
+      daily.withColumn("arr", array_sort(collect_list(col("cents"))
+          .over(frame)))
+        .select(col("ty"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          size(col("arr")).cast("long").as("n_window"),
+          round(element_at(col("arr"),
+            ((size(col("arr")) + lit(1)) / lit(2)).cast("int"))
+            .cast("double") / 100.0, 2).as("rolling_median"))
+        .orderBy("ty", "day")
+    }),
+
+    // HAAR MULTI-RESOLUTION PYRAMID (approximation + detail at 2/4/8/
+    // 16-day scales — the downsampling layer of a time-series store):
+    // absolute-day buckets t÷2ᴸ, approximation = bucket mean, detail =
+    // half-means difference via conditional integer sums — the whole
+    // pyramid is one 4× explode of the day-grain series + one
+    // aggregation; every coefficient is exact until display division.
+    "q207_haar_pyramid" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(expr("datediff(to_date(l_shipdate), date'1970-01-05')")
+          .cast("long").as("t"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val lv = daily.select(col("t"), col("cents"),
+        explode(sequence(lit(1), lit(4))).as("lvl"))
+        .withColumn("bucket", expr("t div shiftleft(1, lvl)"))
+        .withColumn("half", expr("(t div shiftleft(1, lvl - 1)) % 2"))
+      lv.groupBy("lvl", "bucket")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("cents")).as("sc"),
+          sum(when(col("half") === 0, col("cents"))).as("s0"),
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1, col("cents"))).as("s1"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+        // integer-cent outputs via floor(x+0.5): bucket sizes are
+        // powers of two, so the means land EXACTLY on .xx5 constantly
+        // and round()'s tie-breaking differs between engines; floor of
+        // an identically-computed double is bit-deterministic
+        .select(col("lvl"), col("bucket"), col("n_days"),
+          floor(col("sc").cast("double") / col("n_days") + 0.5)
+            .cast("long").as("approx_cents"),
+          floor(when(col("n0") > 0,
+            col("s0").cast("double") / col("n0")).otherwise(lit(0.0))
+            - when(col("n1") > 0,
+              col("s1").cast("double") / col("n1")).otherwise(lit(0.0))
+            + 0.5).cast("long").as("detail_cents"))
+        .orderBy("lvl", "bucket")
+    }),
+
+    // TIME-TO-CONVERT PERCENTILES (signup → first purchase — the
+    // product-funnel latency metric): per-user firsts from one
+    // min-aggregation, exact integer-microsecond gaps, and p50/p90
+    // picked by the q191 cumulative-count cross-multiplication — no
+    // percentile sketch, no full collect. Two aggs + one sort over the
+    // converted-user table.
+    "q208_time_to_convert" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      val su = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("us")))
+          .as("su"))
+        .filter(col("su").isNotNull)
+      // first purchase AT/after signup via filter-then-min (no per-user
+      // buffer — the purchase list never materializes)
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("us") >= col("su"))
+        .groupBy("user_id").agg(min(col("us")).as("pu"))
+      val conv = su.join(pu, Seq("user_id"))
+        .withColumn("gap", col("pu") - col("su"))
+      val n = conv.agg(count(lit(1)).as("n"))
+      conv.withColumn("rk", row_number().over(
+          Window.orderBy(col("gap"), col("user_id"))))
+        .crossJoin(broadcast(n))
+        .groupBy()
+        .agg(max(col("n")).as("n_converted"),
+          round(min(when(col("rk") * 2 >= col("n"), col("gap")))
+            .cast("double") / 86400e6, 4).as("p50_days"),
+          round(min(when(col("rk") * 10 >= col("n") * 9, col("gap")))
+            .cast("double") / 86400e6, 4).as("p90_days"))
+    }),
+
+    // LANGUAGE-ID CONFUSION MATRIX → per-class precision/recall/F1
+    // (the eval loop for q16's classifier against the gold labels):
+    // one (gold, pred) count aggregation, margins joined back, all
+    // three metrics from exact integer cells with zero-denominator
+    // guards. The eval costs two metadata-sized aggs on top of the
+    // classifier scan.
+    "q209_langid_prf" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val scored = t(s, dir, "documents")
+        .select(col("lang").as("gold"), TA.langId(col("text")).as("pred"))
+      val cells = scored.groupBy("gold", "pred")
+        .agg(count(lit(1)).as("n"))
+      val tp = cells.filter(col("gold") === col("pred"))
+        .select(col("gold").as("l"), col("n").as("tp"))
+      val goldTot = cells.groupBy(col("gold").as("l"))
+        .agg(sum(col("n")).as("ng"))
+      val predTot = cells.groupBy(col("pred").as("l"))
+        .agg(sum(col("n")).as("np"))
+      goldTot.join(predTot, Seq("l"), "full_outer")
+        .join(tp, Seq("l"), "left")
+        .select(col("l").as("lang"),
+          coalesce(col("ng"), lit(0L)).as("n_gold"),
+          coalesce(col("np"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("prec", when(col("n_pred") === 0, lit(0.0))
+          .otherwise(round(d(col("tp")) / col("n_pred"), 6)))
+        .withColumn("rec", when(col("n_gold") === 0, lit(0.0))
+          .otherwise(round(d(col("tp")) / col("n_gold"), 6)))
+        .withColumn("f1",
+          when(col("n_pred") + col("n_gold") === 0 ||
+            col("tp") === 0, lit(0.0))
+            .otherwise(round(lit(2.0) * d(col("tp")) /
+              (col("n_pred") + col("n_gold")), 6)))
+        .orderBy("lang")
+    }),
+
+    // FIFO COST ALLOCATION (cumulative-range matching — the inventory
+    // accounting op): per part, "buys" (odd linenumbers) and "sells"
+    // (even) each get exact cumulative-quantity ranges from one
+    // window; FIFO matches are the RANGE OVERLAPS of the two
+    // cumulative axes — an equi-join on part with a range filter whose
+    // fan-out is bounded by per-part line counts, never the table.
+    // Matched quantity is pure integer interval arithmetic.
+    "q210_fifo_allocation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_shipdate"))
+      def ranged(side: DataFrame) = {
+        val w = Window.partitionBy("pk")
+          .orderBy(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))
+        side.withColumn("hi", sum(col("q")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("lo", col("hi") - col("q"))
+      }
+      val buys = ranged(li.filter(col("l_linenumber") % 2 === 1))
+        .select(col("pk"), col("lo").as("blo"), col("hi").as("bhi"),
+          col("q").as("bq"), col("cents").as("bcents"))
+      val sells = ranged(li.filter(col("l_linenumber") % 2 === 0))
+        .select(col("pk"), col("lo").as("slo"), col("hi").as("shi"))
+      buys.join(sells, Seq("pk"))
+        .filter(col("blo") < col("shi") && col("slo") < col("bhi"))
+        .withColumn("matched", least(col("bhi"), col("shi")) -
+          greatest(col("blo"), col("slo")))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("matched")).as("matched_qty"),
+          floor(ssum(collect_list(col("matched").cast("double") *
+            col("bcents") / col("bq"))) + 0.5).cast("long")
+            .as("fifo_cost_cents"))
+        .orderBy("pk")
+    }),
+
+    // THEIL–SEN ROBUST SLOPE (median of pairwise slopes — the trend
+    // estimator outliers can't drag): the table collapses to the
+    // calendar-bounded daily series FIRST, so the pairwise stage is
+    // a BROADCAST day×day pair build (day grain is metadata-sized at
+    // any SF — never the fact table). The median slope is picked by
+    // deterministic rank; the OLS slope from exact moments rides along
+    // for contrast.
+    "q211_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(expr("datediff(to_date(l_shipdate), date'1970-01-05')")
+          .cast("long").as("tt"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val pairs = daily.join(broadcast(daily
+          .select(col("tt").as("t2"), col("cents").as("c2"))),
+          col("t2") > col("tt"))
+        .withColumn("slope", (col("c2") - col("cents")).cast("double") /
+          (col("t2") - col("tt")).cast("double"))
+      val ranked = pairs.withColumn("rk", row_number().over(
+        Window.orderBy(col("slope"), col("tt"), col("t2"))))
+      val n = pairs.agg(count(lit(1)).as("np"))
+      val ols = daily.agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+          sum(col("tt").cast("decimal(19,0)")).as("sx"),
+          sum(col("cents").cast("decimal(19,0)")).as("sy"),
+          sum(col("tt").cast("decimal(19,0)") * col("cents")).as("sxy"),
+          sum(col("tt").cast("decimal(19,0)") * col("tt")).as("sxx"))
+        .select(round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("ols_slope"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("rk") === expr("(np + 1) div 2"))
+        .crossJoin(broadcast(ols))
+        .select(col("np").as("n_pairs"),
+          round(col("slope"), 6).as("theil_sen_slope"),
+          col("ols_slope"))
+    }),
+
+    // RANK-BIASED OVERLAP (Webber et al. TOIS'10 — comparing two
+    // top-k rankings when NDCG's relevance grades don't exist): parts
+    // ranked by revenue vs by quantity, truncated RBO at depth 50 with
+    // p=0.9. Each common part contributes the closed-form tail sum
+    // T(max(ra,rb)) — a 50-row generated weight table joined on the
+    // worse rank; the final fold is over ≤50 doubles. Rankings are
+    // top-k windows with WindowGroupLimit.
+    "q212_rbo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val byRev = li.groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("v"))
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("v").desc, col("l_partkey"))))
+        .filter(col("ra") <= 50).select("l_partkey", "ra")
+      val byQty = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("q").desc, col("l_partkey"))))
+        .filter(col("rb") <= 50).select("l_partkey", "rb")
+      val s0 = s
+      import s0.implicits._
+      val tails = (1 to 50).map { m =>
+        (m.toLong, (m to 50).map(dd => math.pow(0.9, dd - 1) / dd).sorted.sum)
+      }.toDF("m", "tail")
+      val common = byRev.join(byQty, Seq("l_partkey"))
+        .withColumn("m", greatest(col("ra"), col("rb")))
+        .join(broadcast(tails), Seq("m"))
+      common.agg(count(lit(1)).as("n_common"),
+          sum(when(col("m") <= 10, 1L).otherwise(0L)).as("overlap_at_10"),
+          round(lit(0.1) * ssum(collect_list(col("tail"))), 6).as("rbo"))
+    }),
+
+    // SEASONAL-NAIVE BACKTEST (forecast f(t)=y(t−7), scored with
+    // MAPE/sMAPE/bias over the final 28 days — the baseline every
+    // forecasting pipeline must beat): the forecast is an equi-join of
+    // the day-grain series against itself shifted 7 calendar days —
+    // no window over the fact table, exact integer actuals, error
+    // folds sorted. One groupBy + one self-join on the tiny series.
+    "q213_backtest_mape" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("ty"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val horizon = daily.agg(date_sub(max(col("day")), 27).as("h0"))
+      val f = daily.select(col("ty"), date_add(col("day"), 7).as("day"),
+        col("cents").as("fc"))
+      daily.join(f, Seq("ty", "day"))
+        .crossJoin(broadcast(horizon))
+        .filter(col("day") >= col("h0"))
+        .groupBy("ty")
+        .agg(count(lit(1)).as("n_eval"),
+          round(ssum(collect_list(
+            abs(col("cents") - col("fc")).cast("double") / col("cents")))
+            / count(lit(1)), 6).as("mape"),
+          round(ssum(collect_list(
+            lit(2.0) * abs(col("cents") - col("fc")).cast("double") /
+              (col("cents") + col("fc")))) / count(lit(1)), 6)
+            .as("smape"),
+          sum(col("fc") - col("cents")).as("bias_cents"))
+        .orderBy("ty")
+    }),
+
+    // GREEDY KNAPSACK SELECTION (budget-constrained pick by value
+    // density — campaign/capacity allocation): per supplier, lineitems
+    // ranked by density (cents/qty desc, deterministic tie), taken
+    // while cumulative weight fits the capacity. One per-key rank
+    // window + one cumulative frame — the greedy loop IS the window.
+    "q214_greedy_knapsack" -> ((s, dir) => {
+      val cap = 100L
+      val it = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"), col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .withColumn("density",
+          col("v").cast("double") / col("w").cast("double"))
+      val ord = Window.partitionBy("supp")
+        .orderBy(col("density").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      it.withColumn("cumw", sum(col("w")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cumw") <= cap)
+        .groupBy("supp")
+        .agg(count(lit(1)).as("n_taken"),
+          sum(col("v")).as("value_cents"),
+          max(col("cumw")).as("weight_used"))
+        .withColumn("utilization",
+          round(col("weight_used").cast("double") / cap, 4))
+        .orderBy("supp")
+    }),
+
+    // LEAD-LAG CROSS-CORRELATION (which series moves first — the
+    // click→purchase latency discovery): zero-filled daily click and
+    // purchase counts on a shared spine, CCF at lags −7..+7 via
+    // calendar-shifted equi-joins, Pearson terms from exact integer
+    // moments. The whole computation runs on the metadata-sized day
+    // grain; the best lag is a deterministic rank pick.
+    "q215_lead_lag" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val byDay = (tpe: String, name: String) => ev
+        .filter(col("event_type") === tpe)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(name))
+      val span = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      val spine = span.select(explode(expr(
+        "sequence(d0, d1, interval 1 day)")).as("day"))
+      val base = spine
+        .join(byDay("click", "x"), Seq("day"), "left")
+        .join(byDay("purchase", "y"), Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val lags = base.select(col("day"), col("x"),
+        explode(sequence(lit(-7), lit(7))).as("lg"))
+      val joined = lags.join(base.select(
+          col("day").as("dy"), col("y")),
+          col("dy") === expr("date_add(day, lg)"))
+        .select(col("lg").cast("long").as("lg"),
+          col("x").cast("decimal(19,0)").as("x"),
+          col("y").cast("decimal(19,0)").as("y"))
+      val m = joined.groupBy("lg")
+        .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lg"), col("n").cast("long").as("n_days"),
+          (round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 4) + 0.0).as("ccf"))
+      m.withColumn("best", row_number().over(
+          Window.orderBy(col("ccf").desc, col("lg"))) === 1)
+        .orderBy("lg")
     }),
   )
 
@@ -6998,5 +8132,962 @@ object SparkEntry {
            round(contrib, 6) AS contrib,
            round(stat, 6) AS chi2_total, dof::BIGINT AS dof
          FROM c CROSS JOIN s ORDER BY ty, dow""",
+
+    "q181_target_encoding" ->
+      """WITH c AS (
+           SELECT c_custkey, c_mktsegment AS seg,
+             round(c_acctbal * 100)::BIGINT AS cents
+           FROM customer),
+         s AS (
+           SELECT seg, sum(cents)::BIGINT AS ssum,
+             count(*)::BIGINT AS sn
+           FROM c GROUP BY 1),
+         g AS (
+           SELECT sum(cents)::BIGINT AS gsum, count(*)::BIGINT AS gn
+           FROM c)
+         SELECT c_custkey, seg,
+           round(CASE WHEN sn > 1
+               THEN (ssum - cents)::DOUBLE / (sn - 1)::DOUBLE
+               ELSE (gsum - cents)::DOUBLE / (gn - 1)::DOUBLE
+             END / 100.0, 4) AS loo_mean
+         FROM c JOIN s USING (seg) CROSS JOIN g
+         ORDER BY c_custkey""",
+
+    "q182_lorenz" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg,
+             round(c_acctbal * 100)::BIGINT AS cents, c_custkey
+           FROM customer WHERE c_acctbal > 0),
+         r AS (
+           SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg
+               ORDER BY cents, c_custkey) AS rk,
+             count(*) OVER (PARTITION BY seg) AS n
+           FROM c),
+         d AS (
+           SELECT seg, (10 * rk + n - 1) // n AS dec,
+             count(*)::BIGINT AS n_members, sum(cents)::BIGINT AS dc
+           FROM r GROUP BY 1, 2),
+         t AS (SELECT seg, sum(dc)::BIGINT AS tc FROM d GROUP BY 1),
+         cm AS (
+           SELECT d.*, tc,
+             sum(dc) OVER (PARTITION BY d.seg ORDER BY dec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d JOIN t USING (seg))
+         SELECT seg, dec::BIGINT AS dec, n_members,
+           round(dc::DOUBLE / tc::DOUBLE, 6) AS share,
+           round(cum::DOUBLE / tc::DOUBLE, 6) AS cum_share
+         FROM cm ORDER BY seg, dec""",
+
+    "q183_good_turing" ->
+      """WITH tk AS (
+           SELECT string_split(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+             AS ts
+           FROM documents),
+         w AS (
+           SELECT unnest(list_transform(range(1, len(ts) - 1),
+             j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2])) AS w
+           FROM tk),
+         f AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY 1),
+         fof AS (SELECT c, count(*)::BIGINT AS nc FROM f GROUP BY 1),
+         st AS (
+           SELECT sum(nc)::BIGINT AS d_obs,
+             sum(c * nc)::BIGINT AS n_tokens,
+             max(CASE WHEN c = 1 THEN nc END)::BIGINT AS n1,
+             max(CASE WHEN c = 2 THEN nc END)::BIGINT AS n2
+           FROM fof),
+         led AS (
+           SELECT c, nc, lead(nc) OVER (ORDER BY c) AS nc1,
+             row_number() OVER (ORDER BY c) AS rn
+           FROM fof QUALIFY rn <= 10)
+         SELECT c, nc,
+           round((c + 1)::DOUBLE * nc1 / nc, 4) AS c_star,
+           d_obs, n_tokens,
+           round(n1::DOUBLE / n_tokens, 6) AS p_unseen,
+           round(d_obs + n1::DOUBLE * n1 / (2.0 * n2), 2) AS chao1
+         FROM led CROSS JOIN st ORDER BY c""",
+
+    "q184_bootstrap" ->
+      """WITH o AS (
+           SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         reps AS (
+           SELECT o_orderkey, cents, r.range AS rep,
+             ('0x' || substring(md5('0:' || o_orderkey || ':' || r.range),
+               1, 12))::BIGINT % 3 AS w
+           FROM o CROSS JOIN range(64) r),
+         m AS (
+           SELECT rep, sum(w)::BIGINT AS n_eff,
+             sum(w * cents)::BIGINT AS wsum
+           FROM reps GROUP BY 1),
+         rk AS (
+           SELECT rep, n_eff,
+             round(wsum::DOUBLE / n_eff::DOUBLE / 100.0, 4)
+               AS mean_price
+           FROM m)
+         SELECT row_number() OVER (ORDER BY mean_price, rep) AS rk,
+           rep::BIGINT AS rep, n_eff, mean_price
+         FROM rk ORDER BY rk""",
+
+    "q185_geo_hubs" ->
+      """WITH cust AS (
+           SELECT c_custkey,
+             (c_custkey * 37547 % 17000) / 100.0 - 85.0 AS lat,
+             (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+           FROM customer),
+         hubs AS (
+           SELECT n_nationkey AS hub,
+             (n_nationkey * 6151 % 17000) / 100.0 - 85.0 AS hlat,
+             (n_nationkey * 2741 % 36000) / 100.0 - 180.0 AS hlon
+           FROM nation),
+         x AS (
+           SELECT c.*, h.*,
+             (lat - hlat) * (lat - hlat) + (lon - hlon) * (lon - hlon)
+               AS d2,
+             row_number() OVER (PARTITION BY c_custkey
+               ORDER BY (lat - hlat) * (lat - hlat)
+                 + (lon - hlon) * (lon - hlon), hub) AS rn
+           FROM cust c CROSS JOIN hubs h),
+         a AS (
+           SELECT *, 2 * 6371.0 * asin(sqrt(
+               pow(sin((hlat - lat) * pi() / 180.0 / 2), 2)
+               + cos(lat * pi() / 180.0) * cos(hlat * pi() / 180.0)
+                 * pow(sin((hlon - lon) * pi() / 180.0 / 2), 2))) AS km
+           FROM x WHERE rn = 1)
+         SELECT hub, count(*)::BIGINT AS n_assigned,
+           round(min(km), 2) AS min_km, round(max(km), 2) AS max_km,
+           round(list_sum(list_sort(list(km))) / count(*), 2) AS mean_km
+         FROM a GROUP BY 1 ORDER BY 1""",
+
+    "q186_overlap_depth" ->
+      """WITH iv AS (
+           SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS st,
+             CAST(l_shipdate AS DATE)
+               + to_days((CAST(l_quantity AS INT) % 7 + 2)) AS en
+           FROM lineitem),
+         ev AS (
+           SELECT supp, st AS day, 1::BIGINT AS d FROM iv
+           UNION ALL
+           SELECT supp, en AS day, -1::BIGINT AS d FROM iv),
+         byday AS (
+           SELECT supp, day, sum(d)::BIGINT AS net,
+             sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_starts
+           FROM ev GROUP BY 1, 2),
+         dep AS (
+           SELECT supp, day, n_starts,
+             sum(net) OVER (PARTITION BY supp ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS depth,
+             sum(n_starts) OVER (PARTITION BY supp) AS n_intervals
+           FROM byday),
+         pk AS (
+           SELECT *, row_number() OVER (PARTITION BY supp
+               ORDER BY depth DESC, day) AS rn
+           FROM dep)
+         SELECT supp, n_intervals::BIGINT AS n_intervals,
+           depth::BIGINT AS max_concurrent,
+           strftime(day, '%Y-%m-%d') AS peak_day
+         FROM pk WHERE rn = 1 ORDER BY supp""",
+
+    "q187_ndcg" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             (6 - CAST(substring(o_orderpriority, 1, 1) AS INT))::DOUBLE
+               AS rel
+           FROM orders),
+         p AS (
+           SELECT o_custkey, rel,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS pos
+           FROM o QUALIFY pos <= 10),
+         i AS (
+           SELECT o_custkey, rel,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY rel DESC, o_orderkey) AS ipos
+           FROM o QUALIFY ipos <= 10),
+         d AS (
+           SELECT o_custkey, count(*)::BIGINT AS n_ranked,
+             list_sum(list_sort(list(rel * ln(2.0) / ln(pos + 1))))
+               AS dcg
+           FROM p GROUP BY 1),
+         ideal AS (
+           SELECT o_custkey,
+             list_sum(list_sort(list(rel * ln(2.0) / ln(ipos + 1))))
+               AS idcg
+           FROM i GROUP BY 1)
+         SELECT d.o_custkey, n_ranked, round(dcg, 6) AS dcg,
+           round(dcg / idcg, 6) AS ndcg
+         FROM d JOIN ideal USING (o_custkey) ORDER BY o_custkey""",
+
+    "q188_date_spine" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+             (CAST(l_shipdate AS DATE) - DATE '1970-01-05') // 7 AS wk,
+             round(l_extendedprice * 100)::BIGINT AS cents
+           FROM lineitem),
+         weekly AS (
+           SELECT flag, wk, sum(cents)::BIGINT AS cents
+           FROM li GROUP BY 1, 2),
+         span AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM weekly),
+         spine AS (
+           SELECT f.flag, unnest(generate_series(w0, w1)) AS wk
+           FROM (SELECT DISTINCT flag FROM weekly) f
+           CROSS JOIN span),
+         z AS (
+           SELECT sp.flag, sp.wk, coalesce(w.cents, 0)::BIGINT AS cents
+           FROM spine sp LEFT JOIN weekly w
+             ON sp.flag = w.flag AND sp.wk = w.wk),
+         lg AS (
+           SELECT *, lag(cents) OVER (PARTITION BY flag ORDER BY wk)
+             AS prev
+           FROM z)
+         SELECT flag, wk::BIGINT AS wk,
+           round(cents::DOUBLE / 100.0, 2) AS revenue,
+           (cents = 0) AS is_gap,
+           round((cents - coalesce(prev, 0))::DOUBLE / 100.0, 2)
+             AS wow_delta
+         FROM lg ORDER BY flag, wk""",
+
+    "q189_zipf_fit" ->
+      """WITH tk AS (
+           SELECT string_split(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+             AS ts
+           FROM documents),
+         w AS (
+           SELECT unnest(list_transform(range(1, len(ts) - 1),
+             j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2])) AS w
+           FROM tk),
+         f AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY 1),
+         r AS (
+           SELECT ln(row_number() OVER (ORDER BY c DESC, w)::DOUBLE)
+               AS x,
+             ln(c::DOUBLE) AS y,
+             row_number() OVER (ORDER BY c DESC, w) AS rn
+           FROM f QUALIFY rn <= 50000),
+         m AS (
+           SELECT count(*)::BIGINT AS n,
+             list_sum(list_sort(list(x))) AS sx,
+             list_sum(list_sort(list(y))) AS sy,
+             list_sum(list_sort(list(x * y))) AS sxy,
+             list_sum(list_sort(list(x * x))) AS sxx
+           FROM r)
+         SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n, 4) AS intercept
+         FROM m""",
+
+    "q190_degree_histogram" ->
+      """WITH e AS (
+           SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         d AS (
+           SELECT l_partkey, count(*)::BIGINT AS deg FROM e GROUP BY 1)
+         SELECT length(bin(deg))::BIGINT AS bin,
+           count(*)::BIGINT AS n_nodes, min(deg)::BIGINT AS min_deg,
+           max(deg)::BIGINT AS max_deg, sum(deg)::BIGINT AS n_edges
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q191_weighted_percentile" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+             round(l_extendedprice * 100)::BIGINT AS cents,
+             CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+           FROM lineitem),
+         c AS (
+           SELECT flag, cents,
+             sum(w) OVER (PARTITION BY flag
+               ORDER BY cents, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+           FROM li)
+         SELECT flag, max(tw)::BIGINT AS total_weight,
+           round(min(CASE WHEN cumw * 4 >= tw THEN cents END)::DOUBLE
+             / 100.0, 2) AS w_p25,
+           round(min(CASE WHEN cumw * 2 >= tw THEN cents END)::DOUBLE
+             / 100.0, 2) AS w_median,
+           round(min(CASE WHEN cumw * 4 >= tw * 3 THEN cents END)::DOUBLE
+             / 100.0, 2) AS w_p75
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q192_interpolate" ->
+      """WITH daily AS (
+           SELECT event_type AS ty, CAST(ts AS DATE) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS c0,
+             (CAST(ts AS DATE) - DATE '1970-01-05')::BIGINT AS t
+           FROM events GROUP BY 1, 2, 4),
+         sp AS (
+           SELECT *, CASE WHEN t % 5 = 0 THEN NULL ELSE c0 END AS v
+           FROM daily),
+         f AS (
+           SELECT *,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY ty ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY ty ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY ty ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY ty ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM sp),
+         o AS (
+           SELECT ty, day, (v IS NULL) AS was_gap,
+             CASE WHEN v IS NOT NULL THEN v::DOUBLE
+               WHEN pv IS NULL THEN nv::DOUBLE
+               WHEN nv IS NULL THEN pv::DOUBLE
+               ELSE pv + (nv - pv)::DOUBLE * (t - pt) / (nt - pt)
+             END AS fill
+           FROM f)
+         SELECT ty, day::VARCHAR AS day, was_gap,
+           round(fill / 100.0, 4) AS value
+         FROM o ORDER BY ty, day""",
+
+    "q193_rank_shift" ->
+      """WITH li AS (
+           SELECT l_partkey, epoch_us(l_shipdate) AS us FROM lineitem),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM li),
+         cnt AS (
+           SELECT l_partkey, (us < mid) AS is_a, count(*)::BIGINT AS n
+           FROM li CROSS JOIN span GROUP BY 1, 2),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY is_a
+               ORDER BY n DESC, l_partkey) AS rk
+           FROM cnt QUALIFY rk <= 20),
+         a AS (
+           SELECT l_partkey, n AS cnt_a, rk AS rank_a
+           FROM rk WHERE is_a),
+         b AS (
+           SELECT l_partkey, n AS cnt_b, rk AS rank_b
+           FROM rk WHERE NOT is_a)
+         SELECT coalesce(a.l_partkey, b.l_partkey) AS l_partkey,
+           rank_a, rank_b, cnt_a, cnt_b,
+           CASE WHEN rank_a IS NULL THEN 'new'
+             WHEN rank_b IS NULL THEN 'dropped'
+             WHEN rank_b < rank_a THEN 'up'
+             WHEN rank_b > rank_a THEN 'down'
+             ELSE 'flat' END AS status
+         FROM a FULL OUTER JOIN b USING (l_partkey)
+         ORDER BY coalesce(rank_b, 999), coalesce(rank_a, 999),
+           l_partkey""",
+
+    "q194_ppr" ->
+      """WITH e0 AS (
+           SELECT DISTINCT l_suppkey * 2 AS src,
+             l_partkey * 2 + 1 AS dst
+           FROM lineitem),
+         e AS (
+           SELECT src, dst FROM e0
+           UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         dg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         seeds AS (
+           SELECT s_suppkey * 2 AS node FROM supplier
+           WHERE s_suppkey % 10 = 0),
+         m0 AS (SELECT node, 1000000000000::BIGINT AS m FROM seeds),
+         m1 AS (
+           SELECT node, sum(c)::BIGINT AS m FROM (
+             SELECT e.dst AS node, (m.m * 85) // 100 // dg.deg AS c
+             FROM m0 m JOIN e ON m.node = e.src JOIN dg ON e.src = dg.src
+             UNION ALL
+             SELECT node, 150000000000::BIGINT AS c FROM seeds)
+           GROUP BY 1),
+         m2 AS (
+           SELECT node, sum(c)::BIGINT AS m FROM (
+             SELECT e.dst AS node, (m.m * 85) // 100 // dg.deg AS c
+             FROM m1 m JOIN e ON m.node = e.src JOIN dg ON e.src = dg.src
+             UNION ALL
+             SELECT node, 150000000000::BIGINT AS c FROM seeds)
+           GROUP BY 1),
+         m3 AS (
+           SELECT node, sum(c)::BIGINT AS m FROM (
+             SELECT e.dst AS node, (m.m * 85) // 100 // dg.deg AS c
+             FROM m2 m JOIN e ON m.node = e.src JOIN dg ON e.src = dg.src
+             UNION ALL
+             SELECT node, 150000000000::BIGINT AS c FROM seeds)
+           GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY m DESC, node) AS rk,
+           node, m AS mass_micro
+         FROM m3 QUALIFY rk <= 20 ORDER BY rk""",
+
+    "q195_ks_test" ->
+      """WITH ev AS (
+           SELECT event_type AS ty, round(value * 100)::BIGINT AS cents,
+             epoch_us(ts) AS us
+           FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         g AS (
+           SELECT ty, cents,
+             sum(CASE WHEN us < mid THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)::BIGINT AS cb
+           FROM ev CROSS JOIN span GROUP BY 1, 2),
+         c AS (
+           SELECT *,
+             sum(ca) OVER (PARTITION BY ty ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cuma,
+             sum(cb) OVER (PARTITION BY ty ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumb,
+             sum(ca) OVER (PARTITION BY ty) AS na,
+             sum(cb) OVER (PARTITION BY ty) AS nb
+           FROM g),
+         d AS (
+           SELECT *, abs(cuma * nb - cumb * na) AS diff,
+             row_number() OVER (PARTITION BY ty
+               ORDER BY abs(cuma * nb - cumb * na) DESC, cents) AS rn
+           FROM c)
+         SELECT ty, na::BIGINT AS na, nb::BIGINT AS nb,
+           round(diff::DOUBLE / (na * nb)::DOUBLE, 6) AS ks_stat,
+           round(cents::DOUBLE / 100.0, 2) AS at_value
+         FROM d WHERE rn = 1 ORDER BY ty""",
+
+    "q196_mean_zoo" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+             round(l_extendedprice * 100)::BIGINT AS cents,
+             l_orderkey % 4096 AS bk,
+             round(l_extendedprice * 100)::BIGINT::DOUBLE / 100.0 AS x
+           FROM lineitem),
+         l1 AS (
+           SELECT flag, bk, count(*)::BIGINT AS n,
+             sum(cents)::BIGINT AS sc, sum(cents * cents) AS sq,
+             list_sum(list_sort(list(ln(x)))) AS sln,
+             list_sum(list_sort(list(1.0 / x))) AS srec
+           FROM li GROUP BY 1, 2),
+         l2 AS (
+           SELECT flag, sum(n)::BIGINT AS n, sum(sc)::BIGINT AS sc,
+             sum(sq) AS sq,
+             list_sum(list_sort(list(sln))) AS sln,
+             list_sum(list_sort(list(srec))) AS srec
+           FROM l1 GROUP BY 1)
+         SELECT flag, n,
+           round(sc::DOUBLE / n / 100.0, 4) AS mean_arith,
+           round(exp(sln / n), 4) AS mean_geom,
+           round(n / srec, 4) AS mean_harm,
+           round(sqrt(sq::DOUBLE / n) / 100.0, 4) AS mean_quad
+         FROM l2 ORDER BY flag""",
+
+    "q197_cohens_kappa" ->
+      """WITH docs AS (
+           SELECT source, (n_chars >= 500) AS r1,
+             ((length(text) - length(replace(text, 'e', ''))) * 8
+               >= length(text)) AS r2
+           FROM documents),
+         c AS (
+           SELECT source, count(*)::BIGINT AS n,
+             sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END)::BIGINT AS yy,
+             sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)::BIGINT
+               AS yn,
+             sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END)::BIGINT
+               AS ny,
+             sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END)::BIGINT
+               AS nn
+           FROM docs GROUP BY 1)
+         SELECT source, n, yy, yn, ny, nn,
+           round((yy + nn)::DOUBLE / n, 6) AS p_o,
+           round((((yy + yn) * (yy + ny))::DOUBLE
+             + ((ny + nn) * (yn + nn))::DOUBLE) / (n * n)::DOUBLE, 6)
+             AS p_e,
+           round(CASE WHEN (n * n)::DOUBLE
+               = ((yy + yn) * (yy + ny))::DOUBLE
+                 + ((ny + nn) * (yn + nn))::DOUBLE THEN 0.0
+             ELSE ((n * (yy + nn))::DOUBLE
+               - (((yy + yn) * (yy + ny))::DOUBLE
+                 + ((ny + nn) * (yn + nn))::DOUBLE)) /
+               ((n * n)::DOUBLE
+                 - (((yy + yn) * (yy + ny))::DOUBLE
+                   + ((ny + nn) * (yn + nn))::DOUBLE)) END, 6) AS kappa
+         FROM c ORDER BY source""",
+
+    "q198_calibration" ->
+      """WITH o AS (
+           SELECT round(o_totalprice * 100)::BIGINT AS cents,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+           FROM orders),
+         s AS (
+           SELECT *, least(9, cents // 5000000)::BIGINT AS bin,
+             1.0 / (1.0 + exp(-(cents::DOUBLE / 100.0 - 25000.0)
+               / 10000.0)) AS score
+           FROM o),
+         bins AS (
+           SELECT bin, count(*)::BIGINT AS n_bin,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+             list_sum(list_sort(list(score))) AS ssc
+           FROM s GROUP BY 1),
+         b2 AS (
+           SELECT *, ssc / n_bin AS conf,
+             n_pos::DOUBLE / n_bin AS acc
+           FROM bins),
+         tot AS (SELECT sum(n_bin)::BIGINT AS nn FROM bins),
+         ece AS (
+           SELECT list_sum(list_sort(list(
+             n_bin::DOUBLE / nn * abs(acc - conf)))) AS ece
+           FROM b2 CROSS JOIN tot)
+         SELECT bin, n_bin, n_pos, round(conf, 6) AS mean_score,
+           round(acc, 6) AS pos_rate, round(ece, 6) AS ece
+         FROM b2 CROSS JOIN ece ORDER BY bin""",
+
+    "q199_auc" ->
+      """WITH o AS (
+           SELECT round(o_totalprice * 100)::BIGINT AS cents,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+           FROM orders),
+         g AS (
+           SELECT cents,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+             sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::BIGINT AS nn
+           FROM o GROUP BY 1),
+         c AS (
+           SELECT *, coalesce(sum(nn) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumnn
+           FROM g),
+         u AS (
+           SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+             sum(np * (2 * cumnn + nn)) AS u2
+           FROM c)
+         SELECT n_pos, n_neg,
+           round(u2::DOUBLE / (2.0 * n_pos * n_neg), 6) AS auc
+         FROM u""",
+
+    "q200_oof_encoding" ->
+      """WITH c AS (
+           SELECT c_custkey, c_mktsegment AS seg,
+             round(c_acctbal * 100)::BIGINT AS cents,
+             ('0x' || substring(md5('0:' || c_custkey), 1, 12))::BIGINT
+               % 5 AS fold
+           FROM customer),
+         cell AS (
+           SELECT fold, seg, count(*)::BIGINT AS nf,
+             sum(cents)::BIGINT AS sf
+           FROM c GROUP BY 1, 2),
+         st AS (
+           SELECT seg, sum(nf)::BIGINT AS ns, sum(sf)::BIGINT AS ss
+           FROM cell GROUP BY 1)
+         SELECT fold, seg, nf AS n_rows,
+           round((ss - sf)::DOUBLE / (ns - nf)::DOUBLE / 100.0, 4)
+             AS oof_mean
+         FROM cell JOIN st USING (seg)
+         ORDER BY fold, seg""",
+
+    "q201_nucleus_topp" ->
+      """WITH cnt AS (
+           SELECT user_id, event_type, count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+         n AS (
+           SELECT *, sum(c) OVER (PARTITION BY user_id) AS n
+           FROM cnt),
+         e AS (
+           SELECT *, exp(c::DOUBLE / n / 0.5) AS e FROM n),
+         z AS (
+           SELECT *, list_sum(list_sort(
+             list(e) OVER (PARTITION BY user_id))) AS z
+           FROM e),
+         p AS (SELECT *, e / z AS p FROM z),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY p DESC, event_type) AS rk,
+             sum(p) OVER (PARTITION BY user_id
+               ORDER BY p DESC, event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             coalesce(sum(p) OVER (PARTITION BY user_id
+               ORDER BY p DESC, event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS prevcum
+           FROM p)
+         SELECT user_id, count(*)::BIGINT AS k_nucleus,
+           max(CASE WHEN rk = 1 THEN event_type END) AS top_type,
+           round(max(cum), 6) AS nucleus_mass
+         FROM r WHERE prevcum < 0.9 GROUP BY 1 ORDER BY user_id""",
+
+    "q202_contamination" ->
+      """WITH w AS (
+           SELECT source,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+               'g'))), ' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+           FROM w),
+         sizes AS (
+           SELECT source, count(*)::BIGINT AS na FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             count(*)::BIGINT AS n_common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, n_common, na,
+           round(n_common::DOUBLE / na, 4) AS containment
+         FROM pairs JOIN sizes ON sizes.source = pairs.src_a
+         WHERE n_common * 20 >= na
+         ORDER BY src_a, src_b""",
+
+    "q203_schema_drift_union" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice * 100)::BIGINT AS cents,
+             NULL::VARCHAR AS o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0),
+         v2 AS (
+           SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice * 100)::BIGINT AS cents, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1),
+         u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         SELECT o_orderstatus, (o_orderpriority IS NULL) AS from_v1,
+           count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents,
+           min(o_orderkey)::BIGINT AS first_key
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q204_multiset_ops" ->
+      """WITH a AS (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         ac AS (SELECT o_custkey, count(*)::BIGINT AS ca
+                FROM a GROUP BY 1),
+         bc AS (SELECT o_custkey, count(*)::BIGINT AS cb
+                FROM b GROUP BY 1),
+         m AS (
+           SELECT coalesce(ac.o_custkey, bc.o_custkey) AS o_custkey,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+           FROM ac FULL OUTER JOIN bc USING (o_custkey))
+         SELECT o_custkey, least(ca, cb)::BIGINT AS n_inter,
+           greatest(ca - cb, 0)::BIGINT AS n_except
+         FROM m WHERE least(ca, cb) > 0 OR greatest(ca - cb, 0) > 0
+         ORDER BY o_custkey""",
+
+    "q205_kaplan_meier" ->
+      """WITH o AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             (o_totalprice >= 300000.0) AS big
+           FROM orders),
+         per AS (
+           SELECT o_custkey, min(d) AS entry,
+             min(CASE WHEN big THEN d END) AS eventd
+           FROM o GROUP BY 1),
+         hz AS (SELECT max(d) AS hz FROM o),
+         times AS (
+           SELECT o_custkey,
+             CASE WHEN eventd IS NOT NULL THEN eventd - entry
+               ELSE hz - entry END AS t,
+             (eventd IS NOT NULL) AS ev
+           FROM per CROSS JOIN hz),
+         tot AS (SELECT count(*)::BIGINT AS nn FROM times),
+         byt AS (
+           SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d_t,
+             count(*)::BIGINT AS leave
+           FROM times GROUP BY 1),
+         risk AS (
+           SELECT *, nn - coalesce(sum(leave) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM byt CROSS JOIN tot),
+         ev2 AS (
+           SELECT *, ln(1.0 - d_t::DOUBLE / n_risk::DOUBLE) AS lnterm
+           FROM risk WHERE d_t > 0),
+         s AS (
+           SELECT *, exp(list_sum(list_sort(
+             list(lnterm) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))))
+             AS s
+           FROM ev2)
+         SELECT t::BIGINT AS t, n_risk::BIGINT AS n_risk, d_t,
+           round(s, 6) AS survival
+         FROM s ORDER BY t""",
+
+    "q206_rolling_median" ->
+      """WITH daily AS (
+           SELECT event_type AS ty, CAST(ts AS DATE) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT ty, day,
+             list_sort(list(cents) OVER (PARTITION BY ty ORDER BY day
+               ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)) AS arr
+           FROM daily)
+         SELECT ty, day::VARCHAR AS day,
+           len(arr)::BIGINT AS n_window,
+           round(arr[(len(arr) + 1) // 2]::DOUBLE / 100.0, 2)
+             AS rolling_median
+         FROM f ORDER BY ty, day""",
+
+    "q207_haar_pyramid" ->
+      """WITH daily AS (
+           SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-05')::BIGINT
+               AS t,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+           FROM lineitem GROUP BY 1),
+         lv AS (
+           SELECT t, cents, l.range AS lvl,
+             t // (1 << l.range) AS bucket,
+             (t // (1 << (l.range - 1))) % 2 AS half
+           FROM daily CROSS JOIN range(1, 5) l),
+         a AS (
+           SELECT lvl, bucket, count(*)::BIGINT AS n_days,
+             sum(cents)::BIGINT AS sc,
+             sum(CASE WHEN half = 0 THEN cents END)::BIGINT AS s0,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+             sum(CASE WHEN half = 1 THEN cents END)::BIGINT AS s1,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+           FROM lv GROUP BY 1, 2)
+         SELECT lvl::BIGINT AS lvl, bucket, n_days,
+           floor(sc::DOUBLE / n_days + 0.5)::BIGINT AS approx_cents,
+           floor((CASE WHEN n0 > 0 THEN s0::DOUBLE / n0 ELSE 0.0 END
+             - CASE WHEN n1 > 0 THEN s1::DOUBLE / n1 ELSE 0.0 END)
+             + 0.5)::BIGINT AS detail_cents
+         FROM a ORDER BY lvl, bucket""",
+
+    "q208_time_to_convert" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         su AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN us END) AS su
+           FROM ev GROUP BY 1 HAVING su IS NOT NULL),
+         pu AS (
+           SELECT ev.user_id, min(us) AS pu
+           FROM ev JOIN su USING (user_id)
+           WHERE event_type = 'purchase' AND us >= su
+           GROUP BY 1),
+         conv AS (
+           SELECT su.user_id, pu - su AS gap
+           FROM su JOIN pu USING (user_id)),
+         r AS (
+           SELECT gap, row_number() OVER (ORDER BY gap, user_id) AS rk,
+             count(*) OVER () AS n
+           FROM conv)
+         SELECT max(n)::BIGINT AS n_converted,
+           round(min(CASE WHEN rk * 2 >= n THEN gap END)::DOUBLE
+             / 86400000000.0, 4) AS p50_days,
+           round(min(CASE WHEN rk * 10 >= n * 9 THEN gap END)::DOUBLE
+             / 86400000000.0, 4) AS p90_days
+         FROM r""",
+
+    "q209_langid_prf" ->
+      """WITH b AS (
+           SELECT doc_id, lang AS gold,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         s AS (
+           SELECT doc_id, gold,
+             len(list_filter(ws, t -> t IN ('the','a','of','and')))
+               AS en,
+             len(list_filter(ws, t -> t IN ('le','la','et','un'))) AS fr,
+             len(list_filter(ws, t -> t IN ('der','die','und','ein')))
+               AS de,
+             len(list_filter(ws, t -> t IN ('el','los','y','una')))
+               AS es,
+             CAST(length(regexp_replace(d.text,
+               '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+               / greatest(length(d.text), 1) AS cjk
+           FROM b JOIN documents d USING (doc_id)),
+         pred AS (
+           SELECT gold,
+             CASE WHEN cjk > 0.1 THEN 'zh'
+               WHEN greatest(en,fr,de,es) = 0 THEN 'und'
+               WHEN en = greatest(en,fr,de,es) THEN 'en'
+               WHEN fr = greatest(en,fr,de,es) THEN 'fr'
+               WHEN de = greatest(en,fr,de,es) THEN 'de'
+               ELSE 'es' END AS pred
+           FROM s),
+         cells AS (
+           SELECT gold, pred, count(*)::BIGINT AS n
+           FROM pred GROUP BY 1, 2),
+         tp AS (
+           SELECT gold AS l, n AS tp FROM cells WHERE gold = pred),
+         gt AS (SELECT gold AS l, sum(n)::BIGINT AS ng
+                FROM cells GROUP BY 1),
+         pt AS (SELECT pred AS l, sum(n)::BIGINT AS np
+                FROM cells GROUP BY 1),
+         m AS (
+           SELECT coalesce(gt.l, pt.l) AS lang,
+             coalesce(ng, 0) AS n_gold, coalesce(np, 0) AS n_pred,
+             coalesce(tp, 0) AS tp
+           FROM gt FULL OUTER JOIN pt ON gt.l = pt.l
+           LEFT JOIN tp ON coalesce(gt.l, pt.l) = tp.l)
+         SELECT lang, n_gold::BIGINT AS n_gold, n_pred::BIGINT AS n_pred,
+           tp::BIGINT AS tp,
+           CASE WHEN n_pred = 0 THEN 0.0
+             ELSE round(tp::DOUBLE / n_pred, 6) END AS prec,
+           CASE WHEN n_gold = 0 THEN 0.0
+             ELSE round(tp::DOUBLE / n_gold, 6) END AS rec,
+           CASE WHEN n_pred + n_gold = 0 OR tp = 0 THEN 0.0
+             ELSE round(2.0 * tp / (n_pred + n_gold), 6) END AS f1
+         FROM m ORDER BY lang""",
+
+    "q210_fifo_allocation" ->
+      """WITH li AS (
+           SELECT l_partkey AS pk, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS q,
+             round(l_extendedprice * 100)::BIGINT AS cents, l_shipdate
+           FROM lineitem),
+         buys AS (
+           SELECT pk,
+             sum(q) OVER (PARTITION BY pk
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q
+               AS blo,
+             sum(q) OVER (PARTITION BY pk
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bhi,
+             q AS bq, cents AS bcents
+           FROM li WHERE l_linenumber % 2 = 1),
+         sells AS (
+           SELECT pk,
+             sum(q) OVER (PARTITION BY pk
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q
+               AS slo,
+             sum(q) OVER (PARTITION BY pk
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shi
+           FROM li WHERE l_linenumber % 2 = 0),
+         mt AS (
+           SELECT b.pk,
+             least(bhi, shi) - greatest(blo, slo) AS matched,
+             matched::DOUBLE * bcents / bq AS cost
+           FROM buys b JOIN sells s
+             ON b.pk = s.pk AND blo < shi AND slo < bhi)
+         SELECT pk, count(*)::BIGINT AS n_matches,
+           sum(matched)::BIGINT AS matched_qty,
+           floor(list_sum(list_sort(list(cost))) + 0.5)::BIGINT
+             AS fifo_cost_cents
+         FROM mt GROUP BY 1 ORDER BY 1""",
+
+    "q211_theil_sen" ->
+      """WITH daily AS (
+           SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-05')::BIGINT
+               AS tt,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+           FROM lineitem GROUP BY 1),
+         pairs AS (
+           SELECT a.tt, b.tt AS t2,
+             (b.cents - a.cents)::DOUBLE / (b.tt - a.tt)::DOUBLE
+               AS slope
+           FROM daily a JOIN daily b ON b.tt > a.tt),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY slope, tt, t2) AS rk,
+             count(*) OVER () AS np
+           FROM pairs),
+         ols AS (
+           SELECT round(
+             (count(*) * sum(tt * cents) - sum(tt) * sum(cents))::DOUBLE
+             / (count(*) * sum(tt * tt) - sum(tt) * sum(tt))::DOUBLE, 6)
+             AS ols_slope
+           FROM daily)
+         SELECT np::BIGINT AS n_pairs, round(slope, 6)
+             AS theil_sen_slope, ols_slope
+         FROM r CROSS JOIN ols WHERE rk = (np + 1) // 2""",
+
+    "q212_rbo" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY
+               sum(round(l_extendedprice * 100)::BIGINT) DESC,
+               l_partkey) AS ra
+           FROM lineitem GROUP BY l_partkey QUALIFY ra <= 50),
+         qty AS (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY
+               sum(CAST(l_quantity AS BIGINT)) DESC, l_partkey) AS rb
+           FROM lineitem GROUP BY l_partkey QUALIFY rb <= 50),
+         tails AS (
+           SELECT m.range AS m,
+             list_sum(list_sort(list_transform(
+               generate_series(m.range::INT, 50),
+               dd -> power(0.9, dd - 1) / dd))) AS tail
+           FROM range(1, 51) m),
+         common AS (
+           SELECT greatest(ra, rb) AS m
+           FROM rev JOIN qty USING (l_partkey))
+         SELECT count(*)::BIGINT AS n_common,
+           sum(CASE WHEN m <= 10 THEN 1 ELSE 0 END)::BIGINT
+             AS overlap_at_10,
+           round(0.1 * list_sum(list_sort(list(tail))), 6) AS rbo
+         FROM common JOIN tails USING (m)""",
+
+    "q213_backtest_mape" ->
+      """WITH daily AS (
+           SELECT event_type AS ty, CAST(ts AS DATE) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+           FROM events GROUP BY 1, 2),
+         hz AS (SELECT max(day) - 27 AS h0 FROM daily),
+         f AS (
+           SELECT ty, day + 7 AS day, cents AS fc FROM daily),
+         j AS (
+           SELECT d.ty, d.day, d.cents, f.fc
+           FROM daily d JOIN f ON d.ty = f.ty AND d.day = f.day
+           CROSS JOIN hz WHERE d.day >= h0)
+         SELECT ty, count(*)::BIGINT AS n_eval,
+           round(list_sum(list_sort(list(
+             abs(cents - fc)::DOUBLE / cents))) / count(*), 6) AS mape,
+           round(list_sum(list_sort(list(
+             2.0 * abs(cents - fc)::DOUBLE / (cents + fc))))
+             / count(*), 6) AS smape,
+           sum(fc - cents)::BIGINT AS bias_cents
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q214_greedy_knapsack" ->
+      """WITH it AS (
+           SELECT l_suppkey AS supp, l_orderkey, l_linenumber,
+             round(l_extendedprice * 100)::BIGINT AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             round(l_extendedprice * 100)::BIGINT::DOUBLE
+               / CAST(l_quantity AS BIGINT)::DOUBLE AS density
+           FROM lineitem),
+         c AS (
+           SELECT *,
+             sum(w) OVER (PARTITION BY supp
+               ORDER BY density DESC, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw
+           FROM it)
+         SELECT supp, count(*)::BIGINT AS n_taken,
+           sum(v)::BIGINT AS value_cents,
+           max(cumw)::BIGINT AS weight_used,
+           round(max(cumw)::DOUBLE / 100, 4) AS utilization
+         FROM c WHERE cumw <= 100 GROUP BY 1 ORDER BY 1""",
+
+    "q215_lead_lag" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+         sp AS (
+           SELECT unnest(generate_series(min(day), max(day),
+             INTERVAL 1 DAY))::DATE AS day
+           FROM ev),
+         cx AS (
+           SELECT day, count(*)::BIGINT AS x FROM ev
+           WHERE event_type = 'click' GROUP BY 1),
+         py AS (
+           SELECT day, count(*)::BIGINT AS y FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+         base AS (
+           SELECT sp.day, coalesce(cx.x, 0) AS x, coalesce(py.y, 0) AS y
+           FROM sp LEFT JOIN cx USING (day) LEFT JOIN py USING (day)),
+         lagged AS (
+           SELECT l.range AS lg, a.x, b.y
+           FROM base a
+           CROSS JOIN range(-7, 8) l
+           JOIN base b ON b.day = a.day + to_days(l.range::INT)),
+         m AS (
+           SELECT lg, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM lagged GROUP BY 1),
+         cc AS (
+           SELECT lg::BIGINT AS lg, n AS n_days,
+             round((n * sxy - sx * sy)::DOUBLE /
+               sqrt((n * sxx - sx * sx)::DOUBLE *
+                 (n * syy - sy * sy)::DOUBLE), 4) + 0.0 AS ccf
+           FROM m)
+         SELECT lg, n_days, ccf,
+           (row_number() OVER (ORDER BY ccf DESC, lg) = 1) AS best
+         FROM cc ORDER BY lg""",
   )
 }

@@ -47,4 +47,20 @@ class ContractSpec extends SparkSpec {
       }
     }
   }
+
+  test("no non-broadcast CartesianProduct in the round-5 family's " +
+    "physical plans (broadcast single-row/model-sized cross joins are " +
+    "the intended pattern; a CartesianProduct operator means both " +
+    "sides shuffled — the 100 TB killer)") {
+    val dir = "/root/testdata/sf0.001"
+    val family = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.take(4).drop(1).toIntOption.exists(_ >= 171))
+    assert(family.size >= 35, family.mkString(","))
+    for (q <- family) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val cp = plan.linesIterator.count(_.contains("CartesianProduct"))
+      assert(cp === 0, s"$q plan has a CartesianProduct")
+    }
+  }
 }
