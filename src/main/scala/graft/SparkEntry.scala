@@ -4698,6 +4698,391 @@ object SparkEntry {
           Window.orderBy(col("ccf").desc, col("lg"))) === 1)
         .orderBy("lg")
     }),
+
+    // PRICE/VOLUME INDEX DECOMPOSITION (Laspeyres / Paasche / Fisher —
+    // "did revenue move because of price or because of volume?"): the
+    // two time halves' per-part price (value/qty) and quantity enter
+    // four exact cross-basket integer sums (Σp₀q₀, Σp₁q₀, Σp₀q₁,
+    // Σp₁q₁ — in cents×qty micro-units via cross-multiplication, no
+    // per-part division); the three indices are ratios of those sums.
+    // One (part, half) agg + one self-join on part.
+    "q216_price_volume" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_returnflag").as("flag"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("us"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("q"))
+      val span = li.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val half = li.crossJoin(broadcast(span))
+        .groupBy(col("flag"), col("pk"), (col("us") < col("mid")).as("a"))
+        .agg(sum(col("cents")).cast("decimal(19,0)").as("v"),
+          sum(col("q")).cast("decimal(19,0)").as("qq"))
+      val h0 = half.filter(col("a"))
+        .select(col("flag"), col("pk"), col("v").as("v0"),
+          col("qq").as("q0"))
+      val h1 = half.filter(!col("a"))
+        .select(col("flag"), col("pk"), col("v").as("v1"),
+          col("qq").as("q1"))
+      // price p = v/q; cross sums via cross-multiplication:
+      // Σ p1·q0 over parts = Σ v1·q0/q1 — keep the exact numerators
+      // and denominators per part, fold the rational terms sorted
+      // two-level bucketed folds (q82 rule): the rational cross terms
+      // fold within pk%4096 buckets first, then over bucket subtotals
+      val lvl1 = h0.join(h1, Seq("flag", "pk"))
+        .withColumn("bk", pmod(col("pk"), lit(4096)))
+        .groupBy("flag", "bk")
+        .agg(count(lit(1)).as("np"),
+          sum(col("v0")).as("s00"), sum(col("v1")).as("s11"),
+          ssum(collect_list(d(col("v1") * col("q0")) / d(col("q1"))))
+            .as("s10"),
+          ssum(collect_list(d(col("v0") * col("q1")) / d(col("q0"))))
+            .as("s01"))
+      lvl1.groupBy("flag")
+        .agg(sum(col("np")).as("n_parts"),
+          sum(col("s00")).as("s00"), sum(col("s11")).as("s11"),
+          ssum(collect_list(col("s10"))).as("s10"),
+          ssum(collect_list(col("s01"))).as("s01"))
+        .select(col("flag"), col("n_parts"),
+          round(col("s10") / d(col("s00")), 6).as("laspeyres_price"),
+          round(d(col("s11")) / col("s01"), 6).as("paasche_price"),
+          round(sqrt(col("s10") / d(col("s00")) *
+            (d(col("s11")) / col("s01"))), 6).as("fisher_price"),
+          round(d(col("s11")) / d(col("s00")), 6).as("value_index"))
+        .orderBy("flag")
+    }),
+
+    // 1-D EARTH-MOVER DISTANCE, exact (the integral twin of q195's
+    // KS sup-statistic — total distribution shift, not just the worst
+    // point): Σ |cumA·nB − cumB·nA| · Δvalue over one sorted pass of
+    // distinct values, all integer until the final normalization.
+    "q217_emd" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type").as("ty"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val g = ev.crossJoin(broadcast(span))
+        .groupBy("ty", "cents")
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("cb"))
+      val ord = Window.partitionBy("ty").orderBy("cents")
+      val full = Window.partitionBy("ty")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cuma", sum(col("ca")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cumb", sum(col("cb")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("na", sum(col("ca")).over(full))
+        .withColumn("nb", sum(col("cb")).over(full))
+        .withColumn("gap", lead(col("cents"), 1).over(ord) - col("cents"))
+        .filter(col("gap").isNotNull)
+        .withColumn("term",
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")) *
+            col("gap"))
+        .groupBy("ty")
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(col("term").cast("decimal(38,0)")).as("w"))
+        .select(col("ty"), col("na"), col("nb"),
+          round(col("w").cast("double") /
+            (col("na") * col("nb")).cast("double") / 100.0, 6)
+            .as("emd"))
+        .orderBy("ty")
+    }),
+
+    // SPLIT-CONFORMAL PREDICTION INTERVALS (distribution-free coverage
+    // — Vovk/Shafer, the calibration layer any point forecaster can
+    // wear): calibration half fits per-type means (exact cents) and
+    // takes q̂ = ⌈(n+1)·0.9⌉-th smallest |residual| by ONE rank
+    // window; the gate then PROVES empirical coverage ≈ 90% on the
+    // disjoint test half. Exact integer residual ranks — no quantile
+    // sketch anywhere.
+    "q218_conformal" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type").as("ty"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val halved = ev.crossJoin(broadcast(span))
+        .withColumn("cal", col("us") < col("mid"))
+      val fit = halved.filter(col("cal")).groupBy("ty")
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+        .select(col("ty"), expr("sc div n").as("pred"), col("n"))
+      val resid = halved.filter(col("cal"))
+        .join(broadcast(fit), Seq("ty"))
+        .withColumn("r", abs(col("cents") - col("pred")))
+        .withColumn("rk", row_number().over(Window.partitionBy("ty")
+          .orderBy(col("r"), col("cents"), col("us"))))
+        // q̂ = the k-th smallest with k = ⌈(n+1)·0.9⌉ (integer ceil)
+        .filter(col("rk") === expr("(9 * (n + 1) + 9) div 10"))
+        .select(col("ty"), col("r").as("qhat"))
+      halved.filter(!col("cal"))
+        .join(broadcast(fit.select("ty", "pred")), Seq("ty"))
+        .join(broadcast(resid), Seq("ty"))
+        .groupBy(col("ty"))
+        .agg(count(lit(1)).as("n_test"), max(col("qhat")).as("qhat"),
+          sum(when(abs(col("cents") - col("pred")) <= col("qhat"), 1L)
+            .otherwise(0L)).as("n_covered"))
+        .withColumn("coverage", round(col("n_covered").cast("double") /
+          col("n_test"), 4))
+        .withColumn("ok", col("coverage") >= 0.85)
+        .orderBy("ty")
+    }),
+
+    // CAPTURE–RECAPTURE POPULATION ESTIMATE (Chapman's Lincoln–
+    // Petersen — estimating corpus size from two overlapping hash
+    // samples, the ecology trick that audits "how many distinct users
+    // are there REALLY" without a full distinct): two deterministic
+    // md5 subsamples, overlap counted exactly, N̂ = (n₁+1)(n₂+1)/(m+1)
+    // − 1 gated against the true distinct count it estimates.
+    "q219_capture_recapture" -> ((s, dir) => {
+      val users = events(s, dir).select(col("user_id")).distinct()
+        .withColumn("h1",
+          pmod(TF.md5Hash48(concat(lit("s1:"), col("user_id"))), lit(5L)))
+        .withColumn("h2",
+          pmod(TF.md5Hash48(concat(lit("s2:"), col("user_id"))), lit(5L)))
+      users.agg(count(lit(1)).as("n_true"),
+          sum(when(col("h1") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("h2") === 0, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("h1") === 0 && col("h2") === 0, 1L).otherwise(0L))
+            .as("m"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m"),
+          round((col("n1") + 1).cast("double") * (col("n2") + 1) /
+            (col("m") + 1) - 1.0, 2).as("n_hat"),
+          ((abs((col("n1") + 1).cast("double") * (col("n2") + 1) /
+            (col("m") + 1) - 1.0 - col("n_true"))) <=
+            lit(0.5) * col("n_true") + 100.0).as("ok"))
+    }),
+
+    // BRADLEY–TERRY PREFERENCE STRENGTHS (the pairwise-comparison
+    // model behind RLHF preference data, 2 fixed MM iterations —
+    // Hunter '04): within each order, the pricier lineitem "beats"
+    // the cheaper per part-pair (basket-bounded pair fan-out, the
+    // q130 contract); each MM round is one join + one sorted-fold
+    // aggregation over pair terms. Fixed iteration count ⇒ statically
+    // replayable oracle.
+    "q220_bradley_terry" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 100 < 4)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_linenumber"))
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"),
+          when(col("x.cents") > col("y.cents"), 1L)
+            .when(col("x.cents") < col("y.cents"), 0L)
+            .when(col("x.l_linenumber") < col("y.l_linenumber"), 1L)
+            .otherwise(0L).as("a_wins"))
+      val nab = pairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("n"), sum(col("a_wins")).as("wa"))
+      val wins = nab.select(col("a").as("pk"), col("wa").as("w"))
+        .unionByName(nab.select(col("b").as("pk"),
+          (col("n") - col("wa")).as("w")))
+        .groupBy("pk").agg(sum(col("w")).as("wins"))
+      val sym = nab.select(col("a").as("pk"), col("b").as("opp"), col("n"))
+        .unionByName(nab.select(col("b").as("pk"), col("a").as("opp"),
+          col("n")))
+      var pi = wins.select(col("pk"), lit(1.0).as("p"))
+      for (_ <- 1 to 2) {
+        val po = pi.select(col("pk").as("opp"), col("p").as("po"))
+        val denom = sym.join(pi, Seq("pk")).join(po, Seq("opp"))
+          .select(col("pk"),
+            (col("n").cast("double") / (col("p") + col("po"))).as("term"))
+          .groupBy("pk").agg(ssum(collect_list(col("term"))).as("den"))
+        // +0.5 win smoothing keeps every strength positive — a pair of
+        // zero-win items would otherwise divide by p+po = 0
+        pi = wins.join(denom, Seq("pk"))
+          .select(col("pk"),
+            ((col("wins").cast("double") + 0.5) / col("den")).as("p"))
+      }
+      val z = pi.agg(ssum(collect_list(col("p"))).as("z"))
+      pi.crossJoin(broadcast(z))
+        .join(wins, Seq("pk"))
+        .select(col("pk"), col("wins"),
+          round(col("p") / col("z"), 6).as("strength"))
+        .orderBy("pk")
+    }),
+
+    // PRIORITY SAMPLING without replacement (Efraimidis–Spirakis
+    // '06 — the weighted sample that composes across partitions): each
+    // row's priority key −ln(u)/w comes from a DETERMINISTIC md5
+    // uniform (no RNG, replayable); the per-stratum top-5 is one rank
+    // window with WindowGroupLimit. The scale story: keys are map-side,
+    // the sample is mergeable by just keeping the k smallest anywhere.
+    "q221_priority_sampling" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("w"))
+        .withColumn("u",
+          (TF.md5Hash48(col("c_custkey").cast("string"))
+            .cast("double") + 0.5) / lit(math.pow(2, 48)))
+        .withColumn("key", -log(col("u")) / col("w").cast("double"))
+      c.withColumn("rk", row_number().over(Window.partitionBy("seg")
+          .orderBy(col("key"), col("c_custkey"))))
+        .filter(col("rk") <= 5)
+        .select(col("seg"), col("rk"), col("c_custkey"), col("w"),
+          round(col("key") * 1e9, 6).as("priority_x1e9"))
+        .orderBy("seg", "rk")
+    }),
+
+    // MARKOV CONDITIONAL ENTROPY per user (how predictable is each
+    // user's event sequence — the behavioral-segmentation feature):
+    // bigram transition counts from ONE lead window over the per-user
+    // time order, H(next|cur) = −Σ p(cur,next)·ln p(next|cur) from
+    // exact integer counts; the per-user fold is bounded by the 25
+    // possible type-pairs, never by activity volume.
+    "q222_markov_entropy" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      val trans = ev.withColumn("nxt", lead(col("event_type"), 1).over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("user_id"), col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("nij"))
+      val curTot = trans.groupBy("user_id", "cur")
+        .agg(sum(col("nij")).as("ni"))
+      val userTot = trans.groupBy("user_id")
+        .agg(sum(col("nij")).as("n"))
+      trans.join(curTot, Seq("user_id", "cur"))
+        .join(userTot, Seq("user_id"))
+        .withColumn("term",
+          -(col("nij").cast("double") / col("n")) *
+            log(col("nij").cast("double") / col("ni")))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_transitions"),
+          count(lit(1)).as("n_distinct_pairs"),
+          round(ssum(collect_list(col("term"))), 6).as("cond_entropy"))
+        .orderBy("user_id")
+    }),
+
+    // DIRECTLY STANDARDIZED RATE (the "adjust for mix shift before
+    // comparing" epidemiology/ops primitive): period-A per-type
+    // purchase rates applied to period-B's activity mix give the
+    // EXPECTED purchases; SMR = actual/expected separates real change
+    // from composition change. Exact integer strata counts; one
+    // division per stratum at the end, folded sorted.
+    "q223_standardized_rate" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      // stratum = user's activity band (by event count, log2 bins)
+      val strat = ev.groupBy("user_id").agg(count(lit(1)).as("na"))
+        .select(col("user_id"),
+          length(bin(col("na"))).cast("long").as("stratum"))
+      val h = ev.crossJoin(broadcast(span))
+        .join(strat, Seq("user_id"))
+        .withColumn("is_a", col("us") < col("mid"))
+      val rates = h.filter(col("is_a")).groupBy("stratum")
+        .agg(count(lit(1)).as("na"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pa"))
+      val mix = h.filter(!col("is_a")).groupBy("stratum")
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pb"))
+      rates.join(mix, Seq("stratum"))
+        .withColumn("expected",
+          col("nb").cast("double") * col("pa") / col("na"))
+        .groupBy()
+        .agg(sum(col("pb")).as("actual"),
+          round(ssum(collect_list(col("expected"))), 4).as("expected"),
+          round(sum(col("pb")).cast("double") /
+            ssum(collect_list(col("expected"))), 6).as("smr"),
+          count(lit(1)).as("n_strata"))
+    }),
+
+    // BENJAMINI–HOCHBERG FDR over per-segment A/B z-tests (q164 one
+    // level up — the multiple-testing correction every experimentation
+    // platform needs): exact cohort counts → z per segment → normal
+    // p-value via the Abramowitz–Stegun Φ polynomial (identical fixed
+    // op sequence in both engines — no erf built-in required) → BH
+    // step-up by rank. One agg + one tiny rank window over segments.
+    "q224_ab_fdr" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          (pmod(TF.md5Hash48(col("c_custkey").cast("string")), lit(2L))
+            === 0).as("arm_a"),
+          (col("c_acctbal") > 4500.0).as("conv"))
+      val cell = c.groupBy("seg")
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm_a") && col("conv"), 1L).otherwise(0L))
+            .as("xa"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("arm_a") && col("conv"), 1L).otherwise(0L))
+            .as("xb"))
+      val zed = cell
+        .withColumn("p1", d(col("xa")) / col("na"))
+        .withColumn("p2", d(col("xb")) / col("nb"))
+        .withColumn("pp", d(col("xa") + col("xb")) /
+          d(col("na") + col("nb")))
+        .withColumn("z", (col("p1") - col("p2")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+        // Φ(|z|) via Abramowitz–Stegun 7.1.26 (max err 7.5e-8): fixed
+        // polynomial in t = 1/(1 + 0.2316419|z|) times the normal pdf
+        .withColumn("az", abs(col("z")))
+        .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
+        .withColumn("phi_tail",
+          exp(col("az") * col("az") * -0.5) * lit(0.3989422804014327) *
+            (((((lit(1.330274429) * col("tt") - lit(1.821255978)) *
+              col("tt") + lit(1.781477937)) * col("tt") -
+              lit(0.356563782)) * col("tt") + lit(0.319381530)) *
+              col("tt")))
+        .withColumn("p", lit(2.0) * col("phi_tail"))
+      val m = zed.agg(count(lit(1)).as("m"))
+      zed.crossJoin(broadcast(m))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("p"), col("seg"))))
+        .withColumn("bh_thresh",
+          col("rk").cast("double") / col("m") * 0.10)
+        .withColumn("max_rej", max(when(col("p") <= col("bh_thresh"),
+          col("rk"))).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("seg"), col("na"), col("nb"),
+          round(col("z"), 4).as("z"),
+          round(col("p"), 6).as("p_value"), col("rk"),
+          round(col("bh_thresh"), 6).as("bh_thresh"),
+          (col("rk") <= coalesce(col("max_rej"), lit(0L))).as("rejected"))
+        .orderBy("rk")
+    }),
+
+    // MANN–KENDALL TREND TEST (the non-parametric "is there a trend at
+    // all" companion to q211's Theil–Sen slope): S = Σ sign(y_j − y_i)
+    // over day pairs — an EXACT integer statistic on the calendar-
+    // bounded series (broadcast pair build); variance with tie
+    // correction, z with the ±1 continuity adjustment. Doubles appear
+    // only in the final z.
+    "q225_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(expr("datediff(to_date(l_shipdate), date'1970-01-05')")
+          .cast("long").as("tt"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val pairs = daily.join(broadcast(daily
+          .select(col("tt").as("t2"), col("cents").as("c2"))),
+          col("t2") > col("tt"))
+        .select(signum(col("c2") - col("cents")).cast("long").as("sgn"))
+      val sstat = pairs.agg(sum(col("sgn")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      val ties = daily.groupBy("cents").agg(count(lit(1)).as("tj"))
+        .agg(sum(expr("tj * (tj - 1) * (2 * tj + 5)")).as("tie_corr"))
+      val n = daily.agg(count(lit(1)).as("n"))
+      sstat.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+        .withColumn("vars",
+          (expr("n * (n - 1) * (2 * n + 5)") - col("tie_corr"))
+            .cast("double") / 18.0)
+        .withColumn("z",
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("vars")))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(col("vars")))
+            .otherwise(lit(0.0)))
+        .select(col("n").as("n_days"), col("n_pairs"), col("s_stat"),
+          round(col("vars"), 2).as("var_s"), round(col("z"), 4).as("z"),
+          (abs(col("z")) > 1.96).as("significant"))
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -9089,5 +9474,327 @@ object SparkEntry {
          SELECT lg, n_days, ccf,
            (row_number() OVER (ORDER BY ccf DESC, lg) = 1) AS best
          FROM cc ORDER BY lg""",
+
+    "q216_price_volume" ->
+      """WITH li AS (
+           SELECT l_partkey AS pk, l_returnflag AS flag,
+             epoch_us(l_shipdate) AS us,
+             round(l_extendedprice * 100)::BIGINT AS cents,
+             CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM li),
+         half AS (
+           SELECT flag, pk, (us < mid) AS a,
+             sum(cents)::BIGINT AS v, sum(q)::BIGINT AS qq
+           FROM li CROSS JOIN span GROUP BY 1, 2, 3),
+         h0 AS (SELECT flag, pk, v AS v0, qq AS q0 FROM half WHERE a),
+         h1 AS (SELECT flag, pk, v AS v1, qq AS q1 FROM half
+                WHERE NOT a),
+         l1 AS (
+           SELECT flag, pk % 4096 AS bk, count(*)::BIGINT AS np,
+             sum(v0)::BIGINT AS s00, sum(v1)::BIGINT AS s11,
+             list_sum(list_sort(list(
+               (v1 * q0)::DOUBLE / q1::DOUBLE))) AS s10,
+             list_sum(list_sort(list(
+               (v0 * q1)::DOUBLE / q0::DOUBLE))) AS s01
+           FROM h0 JOIN h1 USING (flag, pk) GROUP BY 1, 2),
+         l2 AS (
+           SELECT flag, sum(np)::BIGINT AS n_parts,
+             sum(s00)::BIGINT AS s00, sum(s11)::BIGINT AS s11,
+             list_sum(list_sort(list(s10))) AS s10,
+             list_sum(list_sort(list(s01))) AS s01
+           FROM l1 GROUP BY 1)
+         SELECT flag, n_parts,
+           round(s10 / s00::DOUBLE, 6) AS laspeyres_price,
+           round(s11::DOUBLE / s01, 6) AS paasche_price,
+           round(sqrt(s10 / s00::DOUBLE * (s11::DOUBLE / s01)), 6)
+             AS fisher_price,
+           round(s11::DOUBLE / s00::DOUBLE, 6) AS value_index
+         FROM l2 ORDER BY flag""",
+
+    "q217_emd" ->
+      """WITH ev AS (
+           SELECT event_type AS ty, round(value * 100)::BIGINT AS cents,
+             epoch_us(ts) AS us
+           FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         g AS (
+           SELECT ty, cents,
+             sum(CASE WHEN us < mid THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)::BIGINT AS cb
+           FROM ev CROSS JOIN span GROUP BY 1, 2),
+         c AS (
+           SELECT *,
+             sum(ca) OVER (PARTITION BY ty ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cuma,
+             sum(cb) OVER (PARTITION BY ty ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumb,
+             sum(ca) OVER (PARTITION BY ty) AS na,
+             sum(cb) OVER (PARTITION BY ty) AS nb,
+             lead(cents) OVER (PARTITION BY ty ORDER BY cents) - cents
+               AS gap
+           FROM g)
+         SELECT ty, max(na)::BIGINT AS na, max(nb)::BIGINT AS nb,
+           round(sum(abs(cuma * nb - cumb * na) * gap)::DOUBLE
+             / (max(na) * max(nb))::DOUBLE / 100.0, 6) AS emd
+         FROM c WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""",
+
+    "q218_conformal" ->
+      """WITH ev AS (
+           SELECT event_type AS ty, round(value * 100)::BIGINT AS cents,
+             epoch_us(ts) AS us
+           FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         h AS (
+           SELECT ev.*, (us < mid) AS cal FROM ev CROSS JOIN span),
+         fit AS (
+           SELECT ty, sum(cents) // count(*) AS pred,
+             count(*)::BIGINT AS n
+           FROM h WHERE cal GROUP BY 1),
+         resid AS (
+           SELECT ty, r AS qhat FROM (
+             SELECT h.ty, abs(cents - pred) AS r,
+               row_number() OVER (PARTITION BY h.ty
+                 ORDER BY abs(cents - pred), cents, us) AS rk,
+               n
+             FROM h JOIN fit USING (ty) WHERE cal)
+           WHERE rk = (9 * (n + 1) + 9) // 10)
+         SELECT ty, count(*)::BIGINT AS n_test,
+           max(qhat)::BIGINT AS qhat,
+           sum(CASE WHEN abs(cents - pred) <= qhat THEN 1 ELSE 0 END)
+             ::BIGINT AS n_covered,
+           round(sum(CASE WHEN abs(cents - pred) <= qhat
+             THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS coverage,
+           (round(sum(CASE WHEN abs(cents - pred) <= qhat
+             THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) >= 0.85) AS ok
+         FROM h JOIN fit USING (ty) JOIN resid USING (ty)
+         WHERE NOT cal GROUP BY 1 ORDER BY 1""",
+
+    "q219_capture_recapture" ->
+      """WITH u AS (
+           SELECT DISTINCT user_id FROM events),
+         m AS (
+           SELECT count(*)::BIGINT AS n_true,
+             sum(CASE WHEN ('0x' || substring(md5('0:s1:' || user_id),
+               1, 12))::BIGINT % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n1,
+             sum(CASE WHEN ('0x' || substring(md5('0:s2:' || user_id),
+               1, 12))::BIGINT % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n2,
+             sum(CASE WHEN ('0x' || substring(md5('0:s1:' || user_id),
+               1, 12))::BIGINT % 5 = 0
+               AND ('0x' || substring(md5('0:s2:' || user_id),
+               1, 12))::BIGINT % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS m
+           FROM u)
+         SELECT n_true, n1, n2, m,
+           round((n1 + 1)::DOUBLE * (n2 + 1) / (m + 1) - 1.0, 2)
+             AS n_hat,
+           (abs((n1 + 1)::DOUBLE * (n2 + 1) / (m + 1) - 1.0 - n_true)
+             <= 0.5 * n_true + 100.0) AS ok
+         FROM m""",
+
+    "q220_bradley_terry" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk,
+             round(l_extendedprice * 100)::BIGINT AS cents, l_linenumber
+           FROM lineitem WHERE l_partkey % 100 < 4),
+         pairs AS (
+           SELECT x.pk AS a, y.pk AS b,
+             CASE WHEN x.cents > y.cents THEN 1
+               WHEN x.cents < y.cents THEN 0
+               WHEN x.l_linenumber < y.l_linenumber THEN 1
+               ELSE 0 END AS a_wins
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         nab AS (
+           SELECT a, b, count(*)::BIGINT AS n,
+             sum(a_wins)::BIGINT AS wa
+           FROM pairs GROUP BY 1, 2),
+         wins AS (
+           SELECT pk, sum(w)::BIGINT AS wins FROM (
+             SELECT a AS pk, wa AS w FROM nab
+             UNION ALL SELECT b AS pk, (n - wa) AS w FROM nab)
+           GROUP BY 1),
+         sym AS (
+           SELECT a AS pk, b AS opp, n FROM nab
+           UNION ALL SELECT b AS pk, a AS opp, n FROM nab),
+         p0 AS (SELECT pk, 1.0 AS p FROM wins),
+         d1 AS (
+           SELECT s.pk, list_sum(list_sort(list(
+             s.n::DOUBLE / (pa.p + pb.p)))) AS den
+           FROM sym s JOIN p0 pa ON s.pk = pa.pk
+           JOIN p0 pb ON s.opp = pb.pk
+           GROUP BY 1),
+         p1 AS (
+           SELECT w.pk, (w.wins::DOUBLE + 0.5) / d1.den AS p
+           FROM wins w JOIN d1 ON w.pk = d1.pk),
+         d2 AS (
+           SELECT s.pk, list_sum(list_sort(list(
+             s.n::DOUBLE / (pa.p + pb.p)))) AS den
+           FROM sym s JOIN p1 pa ON s.pk = pa.pk
+           JOIN p1 pb ON s.opp = pb.pk
+           GROUP BY 1),
+         p2 AS (
+           SELECT w.pk, (w.wins::DOUBLE + 0.5) / d2.den AS p
+           FROM wins w JOIN d2 ON w.pk = d2.pk),
+         z AS (SELECT list_sum(list_sort(list(p))) AS z FROM p2)
+         SELECT p2.pk, wins, round(p / z, 6) AS strength
+         FROM p2 JOIN wins USING (pk) CROSS JOIN z
+         ORDER BY p2.pk""",
+
+    "q221_priority_sampling" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_custkey,
+             round(c_acctbal * 100)::BIGINT AS w,
+             (('0x' || substring(md5('0:' || c_custkey), 1, 12))::BIGINT
+               ::DOUBLE + 0.5) / 281474976710656.0 AS u
+           FROM customer WHERE c_acctbal > 0),
+         k AS (
+           SELECT *, -ln(u) / w::DOUBLE AS key,
+             row_number() OVER (PARTITION BY seg
+               ORDER BY -ln(u) / w::DOUBLE, c_custkey) AS rk
+           FROM c)
+         SELECT seg, rk::BIGINT AS rk, c_custkey, w,
+           round(key * 1e9, 6) AS priority_x1e9
+         FROM k WHERE rk <= 5 ORDER BY seg, rk""",
+
+    "q222_markov_entropy" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events),
+         tr AS (
+           SELECT user_id, event_type AS cur, nxt,
+             count(*)::BIGINT AS nij
+           FROM ev WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+         ct AS (
+           SELECT user_id, cur, sum(nij)::BIGINT AS ni
+           FROM tr GROUP BY 1, 2),
+         ut AS (
+           SELECT user_id, sum(nij)::BIGINT AS n FROM tr GROUP BY 1),
+         terms AS (
+           SELECT tr.user_id, ut.n,
+             -(nij::DOUBLE / n) * ln(nij::DOUBLE / ni) AS term
+           FROM tr JOIN ct USING (user_id, cur)
+           JOIN ut USING (user_id))
+         SELECT user_id, max(n)::BIGINT AS n_transitions,
+           count(*)::BIGINT AS n_distinct_pairs,
+           round(list_sum(list_sort(list(term))), 6) AS cond_entropy
+         FROM terms GROUP BY 1 ORDER BY user_id""",
+
+    "q223_standardized_rate" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         strat AS (
+           SELECT user_id, length(bin(count(*)))::BIGINT AS stratum
+           FROM ev GROUP BY 1),
+         h AS (
+           SELECT ev.*, stratum, (us < mid) AS is_a
+           FROM ev CROSS JOIN span JOIN strat USING (user_id)),
+         rates AS (
+           SELECT stratum, count(*)::BIGINT AS na,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS pa
+           FROM h WHERE is_a GROUP BY 1),
+         mix AS (
+           SELECT stratum, count(*)::BIGINT AS nb,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS pb
+           FROM h WHERE NOT is_a GROUP BY 1),
+         j AS (
+           SELECT r.stratum, pb,
+             nb::DOUBLE * pa / na AS expected
+           FROM rates r JOIN mix USING (stratum))
+         SELECT sum(pb)::BIGINT AS actual,
+           round(list_sum(list_sort(list(expected))), 4) AS expected,
+           round(sum(pb)::DOUBLE
+             / list_sum(list_sort(list(expected))), 6) AS smr,
+           count(*)::BIGINT AS n_strata
+         FROM j""",
+
+    "q224_ab_fdr" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_custkey,
+             (('0x' || substring(md5('0:' || c_custkey), 1, 12))::BIGINT
+               % 2 = 0) AS arm_a,
+             (c_acctbal > 4500.0) AS conv
+           FROM customer),
+         cell AS (
+           SELECT seg,
+             sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(CASE WHEN arm_a AND conv THEN 1 ELSE 0 END)::BIGINT
+               AS xa,
+             sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)::BIGINT AS nb,
+             sum(CASE WHEN NOT arm_a AND conv THEN 1 ELSE 0 END)
+               ::BIGINT AS xb
+           FROM c GROUP BY 1),
+         zed AS (
+           SELECT *,
+             (xa::DOUBLE / na - xb::DOUBLE / nb) /
+               sqrt(((xa + xb)::DOUBLE / (na + nb)) *
+                 (1.0 - (xa + xb)::DOUBLE / (na + nb)) *
+                 (1.0 / na + 1.0 / nb)) AS z
+           FROM cell),
+         pp AS (
+           SELECT *, abs(z) AS az,
+             1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+           FROM zed),
+         pv AS (
+           SELECT *,
+             2.0 * exp(az * az * -0.5) * 0.3989422804014327 *
+               (((((1.330274429 * tt - 1.821255978) * tt
+                 + 1.781477937) * tt - 0.356563782) * tt
+                 + 0.319381530) * tt) AS p
+           FROM pp),
+         m AS (SELECT count(*)::BIGINT AS m FROM pv),
+         rks AS (
+           SELECT *, row_number() OVER (ORDER BY p, seg) AS rk,
+             rk::DOUBLE / m.m * 0.10 AS bh_thresh
+           FROM pv CROSS JOIN m),
+         mr AS (
+           SELECT max(CASE WHEN p <= bh_thresh THEN rk END) AS max_rej
+           FROM rks)
+         SELECT seg, na, nb, round(z, 4) AS z, round(p, 6) AS p_value,
+           rk::BIGINT AS rk, round(bh_thresh, 6) AS bh_thresh,
+           (rk <= coalesce(max_rej, 0)) AS rejected
+         FROM rks CROSS JOIN mr ORDER BY rk""",
+
+    "q225_mann_kendall" ->
+      """WITH daily AS (
+           SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-05')::BIGINT
+               AS tt,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+           FROM lineitem GROUP BY 1),
+         prs AS (
+           SELECT sign(b.cents - a.cents)::BIGINT AS sgn
+           FROM daily a JOIN daily b ON b.tt > a.tt),
+         st AS (
+           SELECT sum(sgn)::BIGINT AS s_stat,
+             count(*)::BIGINT AS n_pairs
+           FROM prs),
+         ties AS (
+           SELECT sum(tj * (tj - 1) * (2 * tj + 5))::BIGINT AS tie_corr
+           FROM (SELECT count(*)::BIGINT AS tj FROM daily
+                 GROUP BY cents)),
+         nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+         v AS (
+           SELECT s_stat, n_pairs, n,
+             (n * (n - 1) * (2 * n + 5) - tie_corr)::DOUBLE / 18.0
+               AS vars
+           FROM st CROSS JOIN nn CROSS JOIN ties)
+         SELECT n AS n_days, n_pairs, s_stat,
+           round(vars, 2) AS var_s,
+           round(CASE WHEN s_stat > 0
+               THEN (s_stat - 1)::DOUBLE / sqrt(vars)
+             WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(vars)
+             ELSE 0.0 END, 4) AS z,
+           (abs(CASE WHEN s_stat > 0
+               THEN (s_stat - 1)::DOUBLE / sqrt(vars)
+             WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(vars)
+             ELSE 0.0 END) > 1.96) AS significant
+         FROM v""",
   )
 }
