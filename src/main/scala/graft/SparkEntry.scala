@@ -3670,14 +3670,21 @@ object SparkEntry {
     // map-side partial aggregation to 64 groups. Integer-cent sums;
     // the rank column reads the CI straight off the sorted replicates.
     "q184_bootstrap" -> ((s, dir) => {
+      // 48 replicates from TWO md5 calls per row: base-3 digits (trits)
+      // of each 48-bit hash give 24 near-uniform mod-3 weights apiece
+      // (bias of trit r is ~3^r/2^48 ≤ 4e-8 for r < 24) — 24× fewer
+      // hash evaluations than one md5 per (row, replicate)
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          TF.md5Hash48(concat(lit("b1:"), col("o_orderkey"))).as("h1"),
+          TF.md5Hash48(concat(lit("b2:"), col("o_orderkey"))).as("h2"))
       val reps = o.select(col("o_orderkey"), col("cents"),
-          explode(sequence(lit(0), lit(63))).as("rep"))
-        .withColumn("w", pmod(TF.md5Hash48(
-          concat(col("o_orderkey").cast("string"), lit(":"),
-            col("rep").cast("string"))), lit(3L)))
+          col("h1"), col("h2"),
+          explode(sequence(lit(0), lit(47))).as("rep"))
+        .withColumn("w", expr(
+          "pmod((if(rep < 24, h1, h2) div " +
+            "cast(pow(3, rep % 24) as long)) , 3)"))
       reps.groupBy("rep")
         .agg(sum(col("w")).as("n_eff"),
           sum(col("w") * col("cents")).as("wsum"))
@@ -4249,14 +4256,32 @@ object SparkEntry {
     // by corpus size — the corpus-level complement of q68's doc-level
     // decontamination. Exact integer counts throughout.
     "q202_contamination" -> ((s, dir) => {
+      // two-step shingle build behind an exchange barrier (the
+      // withShingles lesson): an inline explode(shingles(text)) lets
+      // Catalyst re-substitute the whole normalize+split lambda into
+      // the generate — measured ~30× the explode's own cost
+      val par = s.sparkContext.defaultParallelism
       val sh = t(s, dir, "documents")
-        .select(col("source"), explode(DedupOps.shingles(col("text"), 3))
-          .as("g"))
+        .select(col("source"),
+          split(TF.normalizeText(col("text")), " ").as("__w"))
+        .repartition(par)
+        .select(col("source"),
+          explode_outer(DedupOps.shinglesFromWords(col("__w"), 3))
+            .as("g"))
+        .filter(col("g").isNotNull)
         .distinct()
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("na"))
-      val pairs = sh.as("a").join(sh.as("b"), Seq("g"))
-        .filter(col("a.source") =!= col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      // group-to-set then emit pairs (≤ nsources² per shingle, bounded
+      // by source count) — ONE groupBy instead of a corpus-sized
+      // self-join on the shingle key; the per-shingle set is capped by
+      // the source dimension, never corpus size
+      val pairs = sh.groupBy("g")
+        .agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(col("ss")).as("src_a"), col("ss"))
+        .select(col("src_a"), explode(col("ss")).as("src_b"))
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("n_common"))
       pairs.join(broadcast(sizes.withColumnRenamed("source", "src_a")),
           Seq("src_a"))
@@ -5082,6 +5107,350 @@ object SparkEntry {
         .select(col("n").as("n_days"), col("n_pairs"), col("s_stat"),
           round(col("vars"), 2).as("var_s"), round(col("z"), 4).as("z"),
           (abs(col("z")) > 1.96).as("significant"))
+    }),
+
+    // HODGES–LEHMANN LOCATION (median of pairwise means — the robust
+    // center that keeps ~95% efficiency under normality, unlike the
+    // median's 64%): pairwise (i ≤ j) means over the calendar-bounded
+    // daily series via the q211 broadcast pair build; the estimate is
+    // an exact half-cent integer picked by deterministic rank, shown
+    // beside the plain mean and median it robustifies.
+    "q226_hodges_lehmann" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(expr("datediff(to_date(l_shipdate), date'1970-01-05')")
+          .cast("long").as("tt"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val pairs = daily.join(broadcast(daily
+          .select(col("tt").as("t2"), col("cents").as("c2"))),
+          col("t2") >= col("tt"))
+        .select((col("cents") + col("c2")).as("half2"),
+          col("tt"), col("t2"))
+      val ranked = pairs.withColumn("rk", row_number().over(
+        Window.orderBy(col("half2"), col("tt"), col("t2"))))
+      val np = pairs.agg(count(lit(1)).as("np"))
+      val med = daily.withColumn("rk", row_number().over(
+          Window.orderBy(col("cents"), col("tt"))))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+        .filter(col("rk") === expr("(nd + 1) div 2"))
+        .select(col("cents").as("med_cents"), col("nd"))
+      val mean = daily.agg(
+        (sum(col("cents")) / count(lit(1))).as("mean_cents"))
+      ranked.crossJoin(broadcast(np))
+        .filter(col("rk") === expr("(np + 1) div 2"))
+        .crossJoin(broadcast(med)).crossJoin(broadcast(mean))
+        .select(col("np").as("n_pairs"), col("nd").as("n_days"),
+          // 3 decimals: half2/200 is an exact multiple of 0.005, so a
+          // 2-decimal round would sit ON the tie boundary every odd sum
+          round(col("half2").cast("double") / 200.0, 3).as("hl_location"),
+          round(col("med_cents").cast("double") / 100.0, 2).as("median"),
+          round(col("mean_cents").cast("double") / 100.0, 2).as("mean"))
+    }),
+
+    // VALUE-AT-RISK + EXPECTED SHORTFALL (the tail-risk pair — CVaR is
+    // coherent, VaR alone is not): per-type signed daily P&L (q178's
+    // parity deltas at day grain), the k = ⌈0.05n⌉ worst days picked by
+    // ONE rank window; VaR95 is the k-th worst exactly, CVaR95 the
+    // exact integer mean of the tail. No percentile sketch; doubles
+    // only at display.
+    "q227_var_cvar" -> ((s, dir) => {
+      val pnl = events(s, dir)
+        .select(col("event_type").as("ty"), to_date(col("ts")).as("day"),
+          (when(col("event_id") % 2 === 0, 1L).otherwise(-1L) *
+            round(col("value") * 100, 0).cast("long")).as("delta"))
+        .groupBy("ty", "day").agg(sum(col("delta")).as("d"))
+      val full = Window.partitionBy("ty")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      pnl.withColumn("n", count(lit(1)).over(full))
+        .withColumn("rk", row_number().over(Window.partitionBy("ty")
+          .orderBy(col("d"), col("day"))))
+        .withColumn("k", expr("(n + 19) div 20"))
+        .filter(col("rk") <= col("k"))
+        .groupBy("ty")
+        .agg(max(col("n")).as("n_days"), max(col("k")).as("k_tail"),
+          (-max(col("d"))).as("var95_cents"),
+          // integer cents via floor(x+0.5): mean of k integers lands
+          // exactly on .5 whenever k=2 — round()'s tie zone
+          floor(-(sum(col("d")).cast("double") / count(lit(1))) + 0.5)
+            .cast("long").as("cvar95_cents"),
+          date_format(min(struct(col("d"), col("day")))("day"),
+            "yyyy-MM-dd").as("worst_day"))
+        .orderBy("ty")
+    }),
+
+    // Q-Q DECILE TABLE (distribution-vs-distribution at matching
+    // quantiles — where a KS scalar says "different", the Q-Q table
+    // says WHERE): exact decile values of two segments' balances by
+    // rank cross-multiplication (rk·10 ≥ d·n picks ⌈d·n/10⌉-th), one
+    // rank window per segment, joined on decile.
+    "q228_qq_table" -> ((s, dir) => {
+      def dec(seg: String, out: String) = {
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === seg && col("c_acctbal") > 0)
+          .select(round(col("c_acctbal") * 100, 0).cast("long")
+            .as("cents"), col("c_custkey"))
+        val n = c.agg(count(lit(1)).as("n"))
+        c.withColumn("rk", row_number().over(
+            Window.orderBy(col("cents"), col("c_custkey"))))
+          .crossJoin(broadcast(n))
+          .select(col("cents"), col("rk"), col("n"),
+            explode(sequence(lit(1), lit(9))).as("dec"))
+          .filter(col("rk") * 10 >= col("dec") * col("n") &&
+            (col("rk") - 1) * 10 < col("dec") * col("n"))
+          .groupBy("dec")
+          .agg(min(col("cents")).as(out))
+      }
+      dec("AUTOMOBILE", "q_auto").join(dec("BUILDING", "q_build"),
+          Seq("dec"))
+        .select(col("dec"),
+          round(col("q_auto").cast("double") / 100.0, 2).as("q_auto"),
+          round(col("q_build").cast("double") / 100.0, 2).as("q_build"),
+          round(col("q_auto").cast("double") / col("q_build"), 4)
+            .as("ratio"))
+        .orderBy("dec")
+    }),
+
+    // MUTUAL INFORMATION between event type and value decile (the
+    // information-theoretic dependence measure beside q180's chi² —
+    // detects NONLINEAR association a correlation misses): global
+    // decile bounds broadcast (q107 idiom), exact joint/margin counts,
+    // MI = Σ p·ln(p·N²/(r·c)) folded sorted; normalized by the smaller
+    // marginal entropy.
+    "q229_mutual_information" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val ev = events(s, dir).select(col("event_type").as("ty"),
+        col("value").cast("double").as("v"))
+      val bounds = ev.agg(expr(
+        "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      val binned = ev.crossJoin(broadcast(bounds))
+        .select(col("ty"),
+          (lit(1) + size(filter(col("bs"), b => col("v") > b))).as("bin"))
+      val joint = binned.groupBy("ty", "bin").agg(count(lit(1)).as("nij"))
+      val rows = joint.groupBy("ty").agg(sum(col("nij")).as("ri"))
+      val cols_ = joint.groupBy("bin").agg(sum(col("nij")).as("cj"))
+      val tot = joint.agg(sum(col("nij")).as("nn"))
+      val mi = joint.join(broadcast(rows), Seq("ty"))
+        .join(broadcast(cols_), Seq("bin"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", d(col("nij")) / col("nn") *
+          log(d(col("nij")) * col("nn") / (d(col("ri")) * col("cj"))))
+        .agg(ssum(collect_list(col("term"))).as("mi"))
+      val hr = rows.crossJoin(broadcast(tot))
+        .withColumn("t", -(d(col("ri")) / col("nn")) *
+          log(d(col("ri")) / col("nn")))
+        .agg(ssum(collect_list(col("t"))).as("h_ty"))
+      val hc = cols_.crossJoin(broadcast(tot))
+        .withColumn("t", -(d(col("cj")) / col("nn")) *
+          log(d(col("cj")) / col("nn")))
+        .agg(ssum(collect_list(col("t"))).as("h_bin"))
+      mi.crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
+        .select(round(col("mi"), 6).as("mi"),
+          round(col("h_ty"), 6).as("h_ty"),
+          round(col("h_bin"), 6).as("h_bin"),
+          round(col("mi") / least(col("h_ty"), col("h_bin")), 6)
+            .as("nmi"))
+    }),
+
+    // ROBUST LOCATION ZOO (mean vs 10%-trimmed vs winsorized vs
+    // median, per group — how much do the tails move your center?):
+    // ONE per-group rank window feeds all four: exact rank cuts for
+    // the trim, rank-clamped values for the winsorization, the
+    // cross-multiplied middle for the median. Integer cents until
+    // display.
+    "q230_robust_location" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+      val full = Window.partitionBy("flag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val r = li.withColumn("n", count(lit(1)).over(full))
+        .withColumn("rk", row_number().over(Window.partitionBy("flag")
+          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("lo", expr("(n + 9) div 10"))
+        .withColumn("hi", expr("n - (n + 9) div 10"))
+      val lov = r.filter(col("rk") === col("lo") + 1)
+        .select(col("flag"), col("cents").as("lov"))
+      val hiv = r.filter(col("rk") === col("hi"))
+        .select(col("flag"), col("cents").as("hiv"))
+      r.join(broadcast(lov), Seq("flag")).join(broadcast(hiv), Seq("flag"))
+        .groupBy("flag")
+        .agg(max(col("n")).as("n"),
+          round(sum(col("cents")).cast("double") / max(col("n")) / 100.0,
+            2).as("mean"),
+          round(sum(when(col("rk") > col("lo") && col("rk") <= col("hi"),
+            col("cents"))).cast("double") /
+            sum(when(col("rk") > col("lo") && col("rk") <= col("hi"), 1L)
+              .otherwise(0L)) / 100.0, 2).as("trimmed10"),
+          round(sum(least(greatest(col("cents"), col("lov")), col("hiv")))
+            .cast("double") / max(col("n")) / 100.0, 2).as("winsorized10"),
+          round(min(when(col("rk") * 2 >= col("n"), col("cents")))
+            .cast("double") / 100.0, 2).as("median"))
+        .orderBy("flag")
+    }),
+
+    // EMBEDDING ISOTROPY DIAGNOSTICS (mean-vector norm vs mean squared
+    // norm — anisotropic embeddings break cosine retrieval, Ethayarajh
+    // EMNLP'19): per-dimension means through the q93 TWO-LEVEL bucketed
+    // folds (no per-dim buffer scales with corpus), per-row norms
+    // folded within the 64-dim row then two-level across rows.
+    "q231_embedding_isotropy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .withColumn("bk", pmod(col("vec_id"), lit(4096)))
+      val cells = emb.select(col("bk"), posexplode(col("v")))
+        .groupBy(col("pos"), col("bk"))
+        .agg(ssum(collect_list(col("col"))).as("s1"),
+          count(lit(1)).as("n1"))
+      val mu = cells.groupBy("pos")
+        .agg((ssum(collect_list(col("s1"))) / sum(col("n1"))).as("mu"))
+      val mu2 = mu.agg(ssum(collect_list(col("mu") * col("mu")))
+        .as("mu_norm2"), count(lit(1)).as("dims"))
+      val norms = emb.select(col("bk"),
+          aggregate(expr("transform(v, x -> x * x)"), lit(0.0),
+            (a, x) => a + x).as("n2"))
+        .groupBy("bk")
+        .agg(ssum(collect_list(sqrt(col("n2")))).as("sn"),
+          ssum(collect_list(col("n2"))).as("sn2"),
+          count(lit(1)).as("nb"))
+      val agg2 = norms.agg(ssum(collect_list(col("sn"))).as("sn"),
+        ssum(collect_list(col("sn2"))).as("sn2"),
+        sum(col("nb")).as("n"))
+      agg2.crossJoin(broadcast(mu2))
+        .select(col("n"), col("dims").cast("long").as("dims"),
+          round(col("sn") / col("n"), 6).as("mean_norm"),
+          round(col("mu_norm2") / (col("sn2") / col("n")), 6)
+            .as("isotropy"))
+    }),
+
+    // ANN RECALL@10 EVALUATION (the metric that justifies an
+    // approximate index): IVF(nprobe=1) hits vs brute-force truth for
+    // a deterministic query panel, recall per query + the panel mean.
+    // Truth and approx both rank by round-6 cosine with id tie-break
+    // (the q24 determinism contract); candidate scoring touches only
+    // the probed cluster.
+    "q232_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      val exact = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q")), 6)
+            .as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        centroids, "cid", "cv")
+      val qcl = queries.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("q"), col("cid"),
+          round(Similarity.cosine(col("q"), col("cv")), 6).as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("q"), col("cid").as("cluster"))
+      val approx = assigned.join(broadcast(qcl), Seq("cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q")), 6)
+            .as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      exact.join(approx.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_truth"), 4))
+        .orderBy("qid")
+    }),
+
+    // TEMPERATURE-SCALED SOURCE SAMPLING (the multilingual/domain
+    // mixing rule, α=0.5 — upweights small sources without drowning
+    // big ones; the data-mix table every pretraining run publishes):
+    // p_s ∝ n_s^α from exact counts, oversampling factor = p_s·N/n_s.
+    // One count agg + one 20-element sorted fold.
+    "q233_sampling_temperature" -> ((s, dir) => {
+      val cnt = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+      val z = cnt.agg(
+        ssum(collect_list(sqrt(col("n_docs").cast("double")))).as("z"),
+        sum(col("n_docs")).as("nn"))
+      cnt.crossJoin(broadcast(z))
+        .withColumn("p", sqrt(col("n_docs").cast("double")) / col("z"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          round(col("p"), 6).as("p_sample"),
+          round(col("p") * col("nn") / col("n_docs"), 4)
+            .as("oversample_x"))
+        .orderBy("source")
+    }),
+
+    // SEQUENCE-LENGTH BUCKETING + PADDING WASTE (the batch-shape
+    // economics behind q71's packing): power-of-two length buckets via
+    // binary-string length (pure integer), padding waste = what a
+    // pad-to-bucket-cap batcher burns vs the exact token count. One
+    // map-side length computation + one bucket agg.
+    "q234_padding_waste" -> ((s, dir) => {
+      val lens = t(s, dir, "documents")
+        .select(size(split(TF.normalizeText(col("text")), " "))
+          .cast("long").as("len"))
+        .filter(col("len") >= 1)
+        .withColumn("k", length(bin(greatest(col("len") - 1, lit(1))))
+          .cast("int"))
+        .withColumn("cap", when(col("len") === 1, 1L)
+          .otherwise(expr("cast(shiftleft(1L, k) as bigint)")))
+      lens.groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"),
+          sum(col("cap") - col("len")).as("n_pad"))
+        .withColumn("padding_frac", round(col("n_pad").cast("double") /
+          (col("n_tokens") + col("n_pad")), 6))
+        .orderBy("cap")
+    }),
+
+    // JOIN CARDINALITY MODEL vs ACTUAL (the q-error audit of the
+    // textbook estimator |L|·|R|/max(d_L,d_R) — the planner diagnostic
+    // behind every join-order decision): three FK joins, estimates
+    // from count/distinct-count tables only, actuals from the real
+    // join counts, q-error = max(est/act, act/est).
+    "q235_cardinality_model" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      def probe(name: String, l: DataFrame, lk: String,
+                r: DataFrame, rk: String): DataFrame = {
+        val stats = l.agg(count(lit(1)).as("n_left"),
+            countDistinct(col(lk)).as("d_left"))
+          .crossJoin(broadcast(r.agg(count(lit(1)).as("n_right"),
+            countDistinct(col(rk)).as("d_right"))))
+        val actual = l.join(r, col(lk) === col(rk))
+          .agg(count(lit(1)).as("actual"))
+        stats.crossJoin(broadcast(actual))
+          .select(lit(name).as("join_name"), col("n_left"),
+            col("d_left"), col("n_right"), col("d_right"),
+            floor(d(col("n_left")) * col("n_right") /
+              greatest(col("d_left"), col("d_right")) + 0.5).cast("long")
+              .as("est"),
+            col("actual"))
+      }
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val su = t(s, dir, "supplier")
+      probe("orders_customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(probe("lineitem_part", li, "l_partkey", p,
+          "p_partkey"))
+        .unionByName(probe("lineitem_supplier", li, "l_suppkey", su,
+          "s_suppkey"))
+        .withColumn("q_error", round(greatest(
+          d(col("est")) / col("actual"),
+          d(col("actual")) / col("est")), 4))
+        .orderBy("join_name")
     }),
   )
 
@@ -8595,13 +8964,17 @@ object SparkEntry {
 
     "q184_bootstrap" ->
       """WITH o AS (
-           SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+           SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents,
+             ('0x' || substring(md5('0:b1:' || o_orderkey), 1, 12))
+               ::BIGINT AS h1,
+             ('0x' || substring(md5('0:b2:' || o_orderkey), 1, 12))
+               ::BIGINT AS h2
            FROM orders),
          reps AS (
            SELECT o_orderkey, cents, r.range AS rep,
-             ('0x' || substring(md5('0:' || o_orderkey || ':' || r.range),
-               1, 12))::BIGINT % 3 AS w
-           FROM o CROSS JOIN range(64) r),
+             ((CASE WHEN r.range < 24 THEN h1 ELSE h2 END)
+               // CAST(pow(3, r.range % 24) AS BIGINT)) % 3 AS w
+           FROM o CROSS JOIN range(48) r),
          m AS (
            SELECT rep, sum(w)::BIGINT AS n_eff,
              sum(w * cents)::BIGINT AS wsum
@@ -9796,5 +10169,327 @@ object SparkEntry {
              WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(vars)
              ELSE 0.0 END) > 1.96) AS significant
          FROM v""",
+
+    "q226_hodges_lehmann" ->
+      """WITH daily AS (
+           SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-05')::BIGINT
+               AS tt,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+           FROM lineitem GROUP BY 1),
+         pairs AS (
+           SELECT (a.cents + b.cents)::BIGINT AS half2, a.tt, b.tt AS t2
+           FROM daily a JOIN daily b ON b.tt >= a.tt),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY half2, tt, t2) AS rk,
+             count(*) OVER () AS np
+           FROM pairs),
+         med AS (
+           SELECT cents AS med_cents, nd FROM (
+             SELECT cents,
+               row_number() OVER (ORDER BY cents, tt) AS rk,
+               count(*) OVER () AS nd
+             FROM daily)
+           WHERE rk = (nd + 1) // 2),
+         mn AS (
+           SELECT sum(cents)::DOUBLE / count(*) AS mean_cents
+           FROM daily)
+         SELECT np::BIGINT AS n_pairs, nd::BIGINT AS n_days,
+           round(half2::DOUBLE / 200.0, 3) AS hl_location,
+           round(med_cents::DOUBLE / 100.0, 2) AS median,
+           round(mean_cents / 100.0, 2) AS mean
+         FROM r CROSS JOIN med CROSS JOIN mn
+         WHERE rk = (np + 1) // 2""",
+
+    "q227_var_cvar" ->
+      """WITH pnl AS (
+           SELECT event_type AS ty, CAST(ts AS DATE) AS day,
+             sum((CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END)
+               * round(value * 100)::BIGINT)::BIGINT AS d
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT *, count(*) OVER (PARTITION BY ty) AS n,
+             row_number() OVER (PARTITION BY ty ORDER BY d, day) AS rk
+           FROM pnl),
+         k AS (SELECT *, (n + 19) // 20 AS k FROM r)
+         SELECT ty, max(n)::BIGINT AS n_days, max(k)::BIGINT AS k_tail,
+           (-max(d))::BIGINT AS var95_cents,
+           floor(-(sum(d)::DOUBLE / count(*)) + 0.5)::BIGINT
+             AS cvar95_cents,
+           max(CASE WHEN rk = 1 THEN strftime(day, '%Y-%m-%d') END)
+             AS worst_day
+         FROM k WHERE rk <= k GROUP BY 1 ORDER BY 1""",
+
+    "q228_qq_table" ->
+      """WITH a AS (
+           SELECT round(c_acctbal * 100)::BIGINT AS cents, c_custkey
+           FROM customer
+           WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 0),
+         b AS (
+           SELECT round(c_acctbal * 100)::BIGINT AS cents, c_custkey
+           FROM customer
+           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0),
+         ra AS (
+           SELECT cents, row_number() OVER (ORDER BY cents, c_custkey)
+               AS rk, count(*) OVER () AS n
+           FROM a),
+         rb AS (
+           SELECT cents, row_number() OVER (ORDER BY cents, c_custkey)
+               AS rk, count(*) OVER () AS n
+           FROM b),
+         da AS (
+           SELECT d.range AS dec, min(cents) AS q_auto
+           FROM ra CROSS JOIN range(1, 10) d
+           WHERE rk * 10 >= d.range * n AND (rk - 1) * 10 < d.range * n
+           GROUP BY 1),
+         db AS (
+           SELECT d.range AS dec, min(cents) AS q_build
+           FROM rb CROSS JOIN range(1, 10) d
+           WHERE rk * 10 >= d.range * n AND (rk - 1) * 10 < d.range * n
+           GROUP BY 1)
+         SELECT dec::BIGINT AS dec,
+           round(q_auto::DOUBLE / 100.0, 2) AS q_auto,
+           round(q_build::DOUBLE / 100.0, 2) AS q_build,
+           round(q_auto::DOUBLE / q_build, 4) AS ratio
+         FROM da JOIN db USING (dec) ORDER BY dec""",
+
+    "q229_mutual_information" ->
+      """WITH ev AS (
+           SELECT event_type AS ty, CAST(value AS DOUBLE) AS v
+           FROM events),
+         bounds AS (
+           SELECT quantile_cont(v,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM ev),
+         binned AS (
+           SELECT ty, 1 + len(list_filter(bs, x -> v > x)) AS bin
+           FROM ev CROSS JOIN bounds),
+         joint AS (
+           SELECT ty, bin, count(*)::BIGINT AS nij
+           FROM binned GROUP BY 1, 2),
+         rows_ AS (SELECT ty, sum(nij)::BIGINT AS ri
+                   FROM joint GROUP BY 1),
+         cols_ AS (SELECT bin, sum(nij)::BIGINT AS cj
+                   FROM joint GROUP BY 1),
+         tot AS (SELECT sum(nij)::BIGINT AS nn FROM joint),
+         mi AS (
+           SELECT list_sum(list_sort(list(
+             nij::DOUBLE / nn *
+               ln(nij::DOUBLE * nn / (ri::DOUBLE * cj))))) AS mi
+           FROM joint JOIN rows_ USING (ty) JOIN cols_ USING (bin)
+           CROSS JOIN tot),
+         hr AS (
+           SELECT list_sum(list_sort(list(
+             -(ri::DOUBLE / nn) * ln(ri::DOUBLE / nn)))) AS h_ty
+           FROM rows_ CROSS JOIN tot),
+         hc AS (
+           SELECT list_sum(list_sort(list(
+             -(cj::DOUBLE / nn) * ln(cj::DOUBLE / nn)))) AS h_bin
+           FROM cols_ CROSS JOIN tot)
+         SELECT round(mi, 6) AS mi, round(h_ty, 6) AS h_ty,
+           round(h_bin, 6) AS h_bin,
+           round(mi / least(h_ty, h_bin), 6) AS nmi
+         FROM mi CROSS JOIN hr CROSS JOIN hc""",
+
+    "q230_robust_location" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+             round(l_extendedprice * 100)::BIGINT AS cents,
+             l_orderkey, l_linenumber
+           FROM lineitem),
+         r AS (
+           SELECT *, count(*) OVER (PARTITION BY flag) AS n,
+             row_number() OVER (PARTITION BY flag
+               ORDER BY cents, l_orderkey, l_linenumber) AS rk
+           FROM li),
+         c AS (
+           SELECT *, (n + 9) // 10 AS lo, n - (n + 9) // 10 AS hi
+           FROM r),
+         lov AS (
+           SELECT flag, cents AS lov FROM c WHERE rk = lo + 1),
+         hiv AS (
+           SELECT flag, cents AS hiv FROM c WHERE rk = hi)
+         SELECT c.flag, max(n)::BIGINT AS n,
+           round(sum(cents)::DOUBLE / max(n) / 100.0, 2) AS mean,
+           round(sum(CASE WHEN rk > lo AND rk <= hi THEN cents END)
+             ::DOUBLE / sum(CASE WHEN rk > lo AND rk <= hi
+               THEN 1 ELSE 0 END) / 100.0, 2) AS trimmed10,
+           round(sum(least(greatest(cents, lov), hiv))::DOUBLE
+             / max(n) / 100.0, 2) AS winsorized10,
+           round(min(CASE WHEN rk * 2 >= n THEN cents END)::DOUBLE
+             / 100.0, 2) AS median
+         FROM c JOIN lov USING (flag) JOIN hiv USING (flag)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q231_embedding_isotropy" ->
+      """WITH e AS (
+           SELECT vec_id, vec_id % 4096 AS bk,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         px AS (
+           SELECT bk, u.pos, u.x FROM e,
+             LATERAL (SELECT unnest(range(1, len(v) + 1)) AS pos,
+               unnest(v) AS x) u),
+         cells AS (
+           SELECT pos, bk, list_sum(list_sort(list(x))) AS s1,
+             count(*)::BIGINT AS n1
+           FROM px GROUP BY 1, 2),
+         mu AS (
+           SELECT pos, list_sum(list_sort(list(s1))) / sum(n1) AS mu
+           FROM cells GROUP BY 1),
+         mu2 AS (
+           SELECT list_sum(list_sort(list(mu * mu))) AS mu_norm2,
+             count(*)::BIGINT AS dims
+           FROM mu),
+         rows_ AS (
+           SELECT bk,
+             list_sum(list_transform(v, x -> x * x)) AS n2
+           FROM e),
+         l1 AS (
+           SELECT bk, list_sum(list_sort(list(sqrt(n2)))) AS sn,
+             list_sum(list_sort(list(n2))) AS sn2,
+             count(*)::BIGINT AS nb
+           FROM rows_ GROUP BY 1),
+         l2 AS (
+           SELECT list_sum(list_sort(list(sn))) AS sn,
+             list_sum(list_sort(list(sn2))) AS sn2,
+             sum(nb)::BIGINT AS n
+           FROM l1)
+         SELECT n, dims, round(sn / n, 6) AS mean_norm,
+           round(mu_norm2 / (sn2 / n), 6) AS isotropy
+         FROM l2 CROSS JOIN mu2""",
+
+    "q232_ann_recall" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+           FROM e),
+         qs AS (
+           SELECT vec_id AS qid, v AS q, nm AS qn FROM nr
+           WHERE vec_id % 101 = 0),
+         cent AS (
+           SELECT vec_id AS cid, v AS cv, nm AS cn FROM nr
+           WHERE vec_id < 16),
+         exact AS (
+           SELECT qid, vec_id FROM (
+             SELECT q.qid, n.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * q.q[i])) / (n.nm * q.qn), 6) DESC,
+                 n.vec_id) AS rn
+             FROM nr n CROSS JOIN qs q WHERE n.vec_id <> q.qid)
+           WHERE rn <= 10),
+         assigned AS (
+           SELECT vec_id, v, nm, cid AS cluster FROM (
+             SELECT n.vec_id, n.v, n.nm, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])) / (n.nm * c.cn), 6) DESC,
+                 c.cid) AS rn
+             FROM nr n CROSS JOIN cent c)
+           WHERE rn = 1),
+         qcl AS (
+           SELECT qid, q, qn, cid AS cluster FROM (
+             SELECT s.qid, s.q, s.qn, c.cid,
+               row_number() OVER (PARTITION BY s.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(s.q) + 1),
+                   i -> s.q[i] * c.cv[i])) / (s.qn * c.cn), 6) DESC,
+                 c.cid) AS rn
+             FROM qs s CROSS JOIN cent c)
+           WHERE rn = 1),
+         approx AS (
+           SELECT qid, vec_id FROM (
+             SELECT k.qid, a.vec_id,
+               row_number() OVER (PARTITION BY k.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(a.v) + 1),
+                   i -> a.v[i] * k.q[i])) / (a.nm * k.qn), 6) DESC,
+                 a.vec_id) AS rn
+             FROM assigned a JOIN qcl k ON a.cluster = k.cluster
+             WHERE a.vec_id <> k.qid)
+           WHERE rn <= 10)
+         SELECT e.qid, count(*)::BIGINT AS n_truth,
+           sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             ::BIGINT AS n_hit,
+           round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*), 4) AS recall
+         FROM exact e LEFT JOIN approx ap
+           ON e.qid = ap.qid AND e.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
+
+    "q233_sampling_temperature" ->
+      """WITH cnt AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_chars)::BIGINT AS n_chars
+           FROM documents GROUP BY 1),
+         z AS (
+           SELECT list_sum(list_sort(list(sqrt(n_docs::DOUBLE)))) AS z,
+             sum(n_docs)::BIGINT AS nn
+           FROM cnt)
+         SELECT source, n_docs, n_chars,
+           round(sqrt(n_docs::DOUBLE) / z, 6) AS p_sample,
+           round(sqrt(n_docs::DOUBLE) / z * nn / n_docs, 4)
+             AS oversample_x
+         FROM cnt CROSS JOIN z ORDER BY source""",
+
+    "q234_padding_waste" ->
+      """WITH lens AS (
+           SELECT len(string_split(lower(trim(
+             regexp_replace(text, '\s+', ' ', 'g'))), ' '))::BIGINT
+             AS len
+           FROM documents),
+         b AS (
+           SELECT len,
+             CASE WHEN len = 1 THEN 1
+               ELSE 1 << length(bin(greatest(len - 1, 1))) END::BIGINT
+               AS cap
+           FROM lens WHERE len >= 1)
+         SELECT cap, count(*)::BIGINT AS n_docs,
+           sum(len)::BIGINT AS n_tokens,
+           sum(cap - len)::BIGINT AS n_pad,
+           round(sum(cap - len)::DOUBLE
+             / (sum(len) + sum(cap - len)), 6) AS padding_frac
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q235_cardinality_model" ->
+      """WITH probes AS (
+           SELECT 'orders_customer' AS join_name,
+             (SELECT count(*) FROM orders)::BIGINT AS n_left,
+             (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+               AS d_left,
+             (SELECT count(*) FROM customer)::BIGINT AS n_right,
+             (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT
+               AS d_right,
+             (SELECT count(*) FROM orders o JOIN customer c
+               ON o.o_custkey = c.c_custkey)::BIGINT AS actual
+           UNION ALL
+           SELECT 'lineitem_part',
+             (SELECT count(*) FROM lineitem)::BIGINT,
+             (SELECT count(DISTINCT l_partkey) FROM lineitem)::BIGINT,
+             (SELECT count(*) FROM part)::BIGINT,
+             (SELECT count(DISTINCT p_partkey) FROM part)::BIGINT,
+             (SELECT count(*) FROM lineitem l JOIN part p
+               ON l.l_partkey = p.p_partkey)::BIGINT
+           UNION ALL
+           SELECT 'lineitem_supplier',
+             (SELECT count(*) FROM lineitem)::BIGINT,
+             (SELECT count(DISTINCT l_suppkey) FROM lineitem)::BIGINT,
+             (SELECT count(*) FROM supplier)::BIGINT,
+             (SELECT count(DISTINCT s_suppkey) FROM supplier)::BIGINT,
+             (SELECT count(*) FROM lineitem l JOIN supplier s
+               ON l.l_suppkey = s.s_suppkey)::BIGINT)
+         SELECT join_name, n_left, d_left, n_right, d_right,
+           floor(n_left::DOUBLE * n_right
+             / greatest(d_left, d_right) + 0.5)::BIGINT AS est,
+           actual,
+           round(greatest(
+             floor(n_left::DOUBLE * n_right
+               / greatest(d_left, d_right) + 0.5)::DOUBLE / actual,
+             actual::DOUBLE /
+               floor(n_left::DOUBLE * n_right
+                 / greatest(d_left, d_right) + 0.5)), 4) AS q_error
+         FROM probes ORDER BY join_name""",
   )
 }
