@@ -5452,6 +5452,336 @@ object SparkEntry {
           d(col("actual")) / col("est")), 4))
         .orderBy("join_name")
     }),
+
+    // RECIPROCAL RANK FUSION (Cormack SIGIR'09 — combining rankings
+    // without score calibration, the default hybrid-retrieval merge):
+    // the revenue and quantity part rankings fuse by Σ 1/(60+rank);
+    // items missing from one list contribute only the other's term
+    // (full outer). Two top-50 rank windows + one join — no score
+    // normalization stage at all.
+    "q236_rrf_fusion" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val byRev = li.groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("v"))
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("v").desc, col("l_partkey"))))
+        .filter(col("ra") <= 50).select("l_partkey", "ra")
+      val byQty = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("q").desc, col("l_partkey"))))
+        .filter(col("rb") <= 50).select("l_partkey", "rb")
+      byRev.join(byQty, Seq("l_partkey"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("ra") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rb") + 60), lit(0.0)))
+        .withColumn("fused_rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("l_partkey"))))
+        .filter(col("fused_rank") <= 20)
+        .select(col("fused_rank"), col("l_partkey"), col("ra"),
+          col("rb"), round(col("rrf"), 6).as("rrf"))
+        .orderBy("fused_rank")
+    }),
+
+    // POPULARITY-BASELINE HIT-RATE BACKTEST (the recommender floor
+    // every model must beat): the first half's top-10 parts by
+    // purchase count become the static recommendation; hit-rate is
+    // the fraction of SECOND-half lineitems touching them. One count
+    // agg + one top-k window + one broadcast semi-join — the
+    // train/test split is exact integer microseconds.
+    "q237_popularity_hitrate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("us"))
+      val span = li.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val halved = li.crossJoin(broadcast(span))
+      val top10 = halved.filter(col("us") < col("mid"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("l_partkey"))))
+        .filter(col("rk") <= 10)
+        .select(col("l_partkey"), lit(1).as("rec"))
+      halved.filter(col("us") >= col("mid"))
+        .join(broadcast(top10), Seq("l_partkey"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(coalesce(col("rec"), lit(0))).cast("long").as("n_hits"))
+        .select(col("n_test"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_test"), 6)
+            .as("hit_rate"))
+    }),
+
+    // ABC INVENTORY CLASSIFICATION (the 80/15/5 Pareto cut every
+    // supply chain runs): parts ranked by exact revenue, cumulative
+    // share by integer cross-multiplication (cum·100 vs thresh·total —
+    // no float compare decides a class), per-class counts and shares.
+    // One agg + one rank window over the part dimension.
+    "q238_abc_classification" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("v"))
+      val tot = rev.agg(sum(col("v")).as("tv"))
+      val ranked = rev.withColumn("cum", sum(col("v")).over(
+          Window.orderBy(col("v").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("tv") * 80, "A")
+            .when(col("cum") * 100 <= col("tv") * 95, "B")
+            .otherwise(lit("C")))
+      ranked.groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum(col("v")).as("rev_cents"),
+          round(sum(col("v")).cast("double") / max(col("tv")), 6)
+            .as("rev_share"))
+        .orderBy("cls")
+    }),
+
+    // DUPLICATE-PAYMENT DETECTION (same payer, same amount, within 5
+    // days — the fin-ops control): ONE lag window over (custkey,
+    // cents, date) order finds adjacent same-amount orders; no
+    // self-join, no pair explosion — the sort makes candidate pairs
+    // ADJACENT. Flags grouped per customer with exact day gaps.
+    "q239_duplicate_payments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("cast(round(o_totalprice * 100) as bigint) div 500000")
+            .as("bucket"),
+          to_date(col("o_orderdate")).as("day"), col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey", "bucket")
+        .orderBy(col("day"), col("o_orderkey"))
+      o.withColumn("pday", lag(col("day"), 1).over(w))
+        .withColumn("pkey", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("pday").isNotNull &&
+          datediff(col("day"), col("pday")) <= 90)
+        .select(col("o_custkey"), col("pkey").as("first_key"),
+          col("o_orderkey").as("dup_key"),
+          col("bucket").as("amount_bucket"),
+          datediff(col("day"), col("pday")).cast("long").as("gap_days"))
+        .orderBy("o_custkey", "dup_key")
+    }),
+
+    // SLA ERROR-BUDGET BURN-DOWN (SRE's 30-day rolling error rate vs a
+    // 1% budget): day-grain error/total counts, a 30-row rolling frame
+    // over the calendar-bounded series, burn = errors/(budget·total)
+    // by integer cross-multiplication until the display division; the
+    // breach flag never touches a float.
+    "q240_error_budget" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("e"))
+      val w = Window.orderBy("day").rowsBetween(-29, 0)
+      daily.withColumn("n30", sum(col("n")).over(w))
+        .withColumn("e30", sum(col("e")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n30"), col("e30"),
+          round(col("e30").cast("double") * 100.0 / col("n30"), 4)
+            .as("err_pct"),
+          (col("e30") * 100 > col("n30")).as("over_budget"))
+        .orderBy("day")
+    }),
+
+    // RECURSIVE CTE hierarchy rollup (Spark 4's WITH RECURSIVE — the
+    // SQL-surface form of the iterative closure the engine otherwise
+    // does with driver loops): parts form a 10-ary containment tree
+    // (parent = pk div 10); the recursion walks every part to its
+    // root, then revenue rolls up to (root, depth) cells. Both engines
+    // run the IDENTICAL recursive SQL — the oracle is literally the
+    // same text.
+    "q241_recursive_rollup" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+             SELECT p_partkey AS pk, p_partkey AS node, 0 AS depth
+             FROM part
+             UNION ALL
+             SELECT pk, node div 10 AS node, depth + 1
+             FROM anc WHERE node >= 10)
+           , rooted AS (
+             SELECT pk, node AS root, depth
+             FROM anc WHERE node < 10)
+           , rev AS (
+             SELECT l_partkey AS pk,
+               sum(cast(round(l_extendedprice * 100) as bigint)) AS v
+             FROM lineitem GROUP BY 1)
+           SELECT root, cast(max(depth) as bigint) AS max_depth,
+             count(*) AS n_parts,
+             cast(sum(coalesce(v, 0)) as bigint) AS rev_cents
+           FROM rooted LEFT JOIN rev USING (pk)
+           GROUP BY root ORDER BY root""")
+    }),
+
+    // CORPUS NOVELTY DECAY (what fraction of each week's trigrams has
+    // never been seen before — the "is new data still new?" curve
+    // that decides when to stop crawling a source): first-occurrence
+    // week per distinct shingle (one min-agg), then per-week new vs
+    // total distinct. Weeks are integer day-div-7; shingles go through
+    // the barrier-materialized build (q202 lesson).
+    "q242_novelty_decay" -> ((s, dir) => {
+      val par = s.sparkContext.defaultParallelism
+      // synthetic crawl week: doc_id order stands in for crawl time
+      val sh = t(s, dir, "documents")
+        .select((col("doc_id") % 8).as("wk"),
+          split(TF.normalizeText(col("text")), " ").as("__w"))
+        .repartition(par)
+        .select(col("wk"),
+          explode_outer(DedupOps.shinglesFromWords(col("__w"), 3))
+            .as("g"))
+        .filter(col("g").isNotNull)
+        .distinct()
+      val first = sh.groupBy("g").agg(min(col("wk")).as("fw"))
+      val perWeek = sh.groupBy("wk").agg(count(lit(1)).as("n_distinct"))
+      val novel = first.groupBy(col("fw").as("wk"))
+        .agg(count(lit(1)).as("n_new"))
+      perWeek.join(novel, Seq("wk"), "left")
+        .select(col("wk"), col("n_distinct"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          round(coalesce(col("n_new"), lit(0L)).cast("double") /
+            col("n_distinct"), 6).as("novelty_rate"))
+        .orderBy("wk")
+    }),
+
+    // WATER-FILLING TOKEN-BUDGET ALLOCATION (cap-aware fair split of a
+    // training budget across sources): sources sorted ASC by size; at
+    // each rank the candidate level ℓ = (B − cum_smaller)/(remaining
+    // sources) is feasible iff ℓ ≥ this source's size — the LAST
+    // feasible rank fixes ℓ, smaller sources keep everything, larger
+    // ones are clipped to ℓ (floor-div + remainder bumps keep the
+    // total EXACTLY B). One sort over the source dimension.
+    "q243_water_filling" -> ((s, dir) => {
+      // budget = half the corpus tokens, so clipping engages at every
+      // SF and the Σ alloc == budget gate is non-vacuous
+      val cnt = t(s, dir, "documents").groupBy("source")
+        .agg(sum(size(split(TF.normalizeText(col("text")), " ")))
+          .cast("long").as("n_tok"))
+      val ord = Window.orderBy(col("n_tok"), col("source"))
+      val ranked = cnt
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum(col("n_tok")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(cnt.agg(count(lit(1)).as("m"),
+          expr("sum(n_tok) div 2").as("b"))))
+      // last rank where the remaining-average level covers this size
+      val lvl = ranked
+        .filter((col("cum") - col("n_tok")) +
+          col("n_tok") * (col("m") - col("rk") + 1) <= col("b"))
+        .agg(max(col("rk")).as("kfull"))
+      ranked.crossJoin(broadcast(lvl))
+        .withColumn("kfull", coalesce(col("kfull"), lit(0L)))
+        .withColumn("cumk", max(when(col("rk") <= col("kfull"),
+          col("cum"))).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("cumk", coalesce(col("cumk"), lit(0L)))
+        .withColumn("alloc",
+          when(col("rk") <= col("kfull"), col("n_tok"))
+            .otherwise(expr("(b - cumk) div (m - kfull)") +
+              when(col("rk") - col("kfull") <=
+                expr("(b - cumk) % (m - kfull)"), 1L)
+                .otherwise(0L)))
+        .select(col("source"), col("n_tok"), col("alloc"),
+          (col("alloc") < col("n_tok")).as("clipped"))
+        .orderBy("source")
+    }),
+
+    // HARD-NEGATIVE MINING (the contrastive-training data op: for each
+    // anchor, the most similar vector with a DIFFERENT label): a
+    // deterministic anchor panel broadcast against the corpus, top
+    // cross-label cosine by the q24 round-6 rank contract. At corpus
+    // scale the panel loop is the same broadcast shape — candidates
+    // would come from the LSH buckets instead of a full scan.
+    "q244_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val anchors = emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("av"),
+          col("label").as("albl"))
+      emb.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("albl"))
+        .select(col("aid"), col("albl"), col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("av")), 6)
+            .as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("aid")
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("aid"), col("albl"), col("vec_id").as("hard_neg"),
+          col("label").as("neg_label"), col("cs").as("cosine"))
+        .orderBy("aid")
+    }),
+
+    // CLASS-BALANCED WEIGHTS via effective number of samples (Cui
+    // CVPR'19 — reweighting that saturates instead of exploding on
+    // rare classes): w_c ∝ (1−β)/(1−β^{n_c}), β=0.999, normalized to
+    // sum to the class count. Exact label counts; pow/division in a
+    // fixed op sequence; one tiny sorted fold for the normalizer.
+    "q245_class_weights" -> ((s, dir) => {
+      val cnt = t(s, dir, "embeddings").groupBy("label")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("raw", (lit(1.0) - lit(0.999)) /
+          (lit(1.0) - pow(lit(0.999), col("n").cast("double"))))
+      val z = cnt.agg(ssum(collect_list(col("raw"))).as("z"),
+        count(lit(1)).as("k"))
+      cnt.crossJoin(broadcast(z))
+        .select(col("label"), col("n"),
+          round(col("raw") * col("k") / col("z"), 6).as("weight"))
+        .orderBy("label")
+    }),
+
+    // kNN LABEL PURITY (label-noise screening: if a vector's neighbors
+    // disagree with its label, the label is suspect): for the anchor
+    // panel, the 5 nearest neighbors' label agreement per anchor and
+    // the per-label mean purity. Same broadcast-panel shape as q244;
+    // purity from exact integer votes.
+    "q246_knn_label_purity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val anchors = emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("av"),
+          col("label").as("albl"))
+      val nn = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .select(col("aid"), col("albl"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("av")), 6)
+            .as("cs"), col("vec_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy("aid")
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+      nn.groupBy("aid", "albl")
+        .agg(sum(when(col("label") === col("albl"), 1L).otherwise(0L))
+          .as("agree"))
+        .groupBy(col("albl").as("label"))
+        .agg(count(lit(1)).as("n_anchors"),
+          sum(col("agree")).as("n_agree"),
+          round(sum(col("agree")).cast("double") /
+            (count(lit(1)) * 5), 4).as("mean_purity"))
+        .orderBy("label")
+    }),
+
+    // DEDUPLICATION IMPACT REPORT (what exact-dup removal actually
+    // saves, per source — the before/after table a curation run
+    // publishes): md5 fingerprint groups (q18 machinery), per source:
+    // docs/tokens before vs after keep-first, dup factor. Two
+    // aggregations, no pairwise anything.
+    "q247_dedup_impact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TA.fingerprint(col("text")).as("fp"),
+          size(split(TF.normalizeText(col("text")), " ")).cast("long")
+            .as("tok"))
+      val keep = d.withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy(col("doc_id"))))
+        .withColumn("kept", col("rn") === 1)
+      keep.groupBy("source")
+        .agg(count(lit(1)).as("docs_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("docs_after"),
+          sum(col("tok")).as("tokens_before"),
+          sum(when(col("kept"), col("tok")).otherwise(0L))
+            .as("tokens_after"))
+        .withColumn("dup_factor", round(col("tokens_before")
+          .cast("double") / col("tokens_after"), 4))
+        .orderBy("source")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -10491,5 +10821,277 @@ object SparkEntry {
                floor(n_left::DOUBLE * n_right
                  / greatest(d_left, d_right) + 0.5)), 4) AS q_error
          FROM probes ORDER BY join_name""",
+
+    "q236_rrf_fusion" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY
+               sum(round(l_extendedprice * 100)::BIGINT) DESC,
+               l_partkey) AS ra
+           FROM lineitem GROUP BY l_partkey QUALIFY ra <= 50),
+         qty AS (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY
+               sum(CAST(l_quantity AS BIGINT)) DESC, l_partkey) AS rb
+           FROM lineitem GROUP BY l_partkey QUALIFY rb <= 50),
+         f AS (
+           SELECT coalesce(rev.l_partkey, qty.l_partkey) AS l_partkey,
+             ra, rb,
+             coalesce(1.0 / (ra + 60), 0.0)
+               + coalesce(1.0 / (rb + 60), 0.0) AS rrf
+           FROM rev FULL OUTER JOIN qty USING (l_partkey)),
+         rk AS (
+           SELECT *, row_number() OVER (ORDER BY rrf DESC, l_partkey)
+             AS fused_rank
+           FROM f)
+         SELECT fused_rank::BIGINT AS fused_rank, l_partkey,
+           ra::BIGINT AS ra, rb::BIGINT AS rb, round(rrf, 6) AS rrf
+         FROM rk WHERE fused_rank <= 20 ORDER BY fused_rank""",
+
+    "q237_popularity_hitrate" ->
+      """WITH li AS (
+           SELECT l_partkey, epoch_us(l_shipdate) AS us FROM lineitem),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM li),
+         t10 AS (
+           SELECT l_partkey FROM (
+             SELECT l_partkey, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, l_partkey)
+                 AS rk
+             FROM li CROSS JOIN span WHERE us < mid GROUP BY l_partkey)
+           WHERE rk <= 10)
+         SELECT count(*)::BIGINT AS n_test,
+           sum(CASE WHEN t10.l_partkey IS NOT NULL THEN 1 ELSE 0 END)
+             ::BIGINT AS n_hits,
+           round(sum(CASE WHEN t10.l_partkey IS NOT NULL
+             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS hit_rate
+         FROM li CROSS JOIN span LEFT JOIN t10 USING (l_partkey)
+         WHERE us >= mid""",
+
+    "q238_abc_classification" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS v
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(v)::BIGINT AS tv FROM rev),
+         rk AS (
+           SELECT v, tv,
+             sum(v) OVER (ORDER BY v DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+           FROM rev CROSS JOIN tot),
+         cls AS (
+           SELECT *, CASE WHEN cum * 100 <= tv * 80 THEN 'A'
+             WHEN cum * 100 <= tv * 95 THEN 'B' ELSE 'C' END AS cls
+           FROM rk)
+         SELECT cls, count(*)::BIGINT AS n_parts,
+           sum(v)::BIGINT AS rev_cents,
+           round(sum(v)::DOUBLE / max(tv), 6) AS rev_share
+         FROM cls GROUP BY 1 ORDER BY 1""",
+
+    "q239_duplicate_payments" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             round(o_totalprice * 100)::BIGINT // 500000 AS bucket,
+             CAST(o_orderdate AS DATE) AS day, o_orderkey
+           FROM orders),
+         l AS (
+           SELECT *,
+             lag(day) OVER (PARTITION BY o_custkey, bucket
+               ORDER BY day, o_orderkey) AS pday,
+             lag(o_orderkey) OVER (PARTITION BY o_custkey, bucket
+               ORDER BY day, o_orderkey) AS pkey
+           FROM o)
+         SELECT o_custkey, pkey AS first_key, o_orderkey AS dup_key,
+           bucket AS amount_bucket,
+           (day - pday)::BIGINT AS gap_days
+         FROM l WHERE pday IS NOT NULL AND day - pday <= 90
+         ORDER BY o_custkey, dup_key""",
+
+    "q240_error_budget" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               ::BIGINT AS e
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT day,
+             sum(n) OVER (ORDER BY day
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS n30,
+             sum(e) OVER (ORDER BY day
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS e30
+           FROM daily)
+         SELECT day::VARCHAR AS day, n30::BIGINT AS n30,
+           e30::BIGINT AS e30,
+           round(e30::DOUBLE * 100.0 / n30, 4) AS err_pct,
+           (e30 * 100 > n30) AS over_budget
+         FROM r ORDER BY day""",
+
+    "q241_recursive_rollup" ->
+      """WITH RECURSIVE anc AS (
+           SELECT p_partkey AS pk, p_partkey AS node, 0 AS depth
+           FROM part
+           UNION ALL
+           SELECT pk, node // 10 AS node, depth + 1
+           FROM anc WHERE node >= 10),
+         rooted AS (
+           SELECT pk, node AS root, depth
+           FROM anc WHERE node < 10),
+         rev AS (
+           SELECT l_partkey AS pk,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS v
+           FROM lineitem GROUP BY 1)
+         SELECT root, max(depth)::BIGINT AS max_depth,
+           count(*)::BIGINT AS n_parts,
+           sum(coalesce(v, 0))::BIGINT AS rev_cents
+         FROM rooted LEFT JOIN rev USING (pk)
+         GROUP BY root ORDER BY root""",
+
+    "q242_novelty_decay" ->
+      """WITH w AS (
+           SELECT doc_id % 8 AS wk,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+               'g'))), ' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT wk,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+           FROM w),
+         fw AS (SELECT g, min(wk) AS fw FROM sh GROUP BY 1),
+         pw AS (SELECT wk, count(*)::BIGINT AS n_distinct
+                FROM sh GROUP BY 1),
+         nv AS (SELECT fw AS wk, count(*)::BIGINT AS n_new
+                FROM fw GROUP BY 1)
+         SELECT pw.wk::BIGINT AS wk, n_distinct,
+           coalesce(n_new, 0)::BIGINT AS n_new,
+           round(coalesce(n_new, 0)::DOUBLE / n_distinct, 6)
+             AS novelty_rate
+         FROM pw LEFT JOIN nv ON pw.wk = nv.wk
+         ORDER BY wk""",
+
+    "q243_water_filling" ->
+      """WITH cnt AS (
+           SELECT source,
+             sum(len(string_split(lower(trim(regexp_replace(text,
+               '\s+', ' ', 'g'))), ' ')))::BIGINT AS n_tok
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT count(*)::BIGINT AS m, sum(n_tok) // 2 AS b
+           FROM cnt),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY n_tok, source) AS rk,
+             sum(n_tok) OVER (ORDER BY n_tok, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+           FROM cnt CROSS JOIN tot),
+         lvl AS (
+           SELECT coalesce(max(CASE WHEN (cum - n_tok)
+               + n_tok * (m - rk + 1) <= b THEN rk END), 0) AS kfull
+           FROM r),
+         ck AS (
+           SELECT coalesce(max(CASE WHEN rk <= kfull THEN cum END), 0)
+             AS cumk
+           FROM r CROSS JOIN lvl)
+         SELECT source, n_tok,
+           (CASE WHEN rk <= kfull THEN n_tok
+             ELSE (b - cumk) // (m - kfull)
+               + (CASE WHEN rk - kfull <= (b - cumk) % (m - kfull)
+                 THEN 1 ELSE 0 END) END)::BIGINT AS alloc,
+           (CASE WHEN rk <= kfull THEN n_tok
+             ELSE (b - cumk) // (m - kfull)
+               + (CASE WHEN rk - kfull <= (b - cumk) % (m - kfull)
+                 THEN 1 ELSE 0 END) END < n_tok) AS clipped
+         FROM r CROSS JOIN lvl CROSS JOIN ck
+         ORDER BY source""",
+
+    "q244_hard_negatives" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+           FROM e),
+         an AS (
+           SELECT vec_id AS aid, label AS albl, v AS av, nm AS anm
+           FROM nr WHERE vec_id % 101 = 0),
+         sc AS (
+           SELECT an.aid, an.albl, nr.vec_id, nr.label,
+             round(list_sum(list_transform(range(1, len(nr.v) + 1),
+               i -> nr.v[i] * an.av[i])) / (nr.nm * an.anm), 6) AS cs,
+             row_number() OVER (PARTITION BY an.aid ORDER BY
+               round(list_sum(list_transform(range(1, len(nr.v) + 1),
+                 i -> nr.v[i] * an.av[i])) / (nr.nm * an.anm), 6)
+               DESC, nr.vec_id) AS rn
+           FROM nr CROSS JOIN an WHERE nr.label <> an.albl)
+         SELECT aid, albl, vec_id AS hard_neg, label AS neg_label,
+           cs AS cosine
+         FROM sc WHERE rn = 1 ORDER BY aid""",
+
+    "q245_class_weights" ->
+      """WITH cnt AS (
+           SELECT label, count(*)::BIGINT AS n,
+             (1.0 - 0.999) / (1.0 - pow(0.999, count(*)::DOUBLE))
+               AS raw
+           FROM embeddings GROUP BY 1),
+         z AS (
+           SELECT list_sum(list_sort(list(raw))) AS z,
+             count(*)::BIGINT AS k
+           FROM cnt)
+         SELECT label, n, round(raw * k / z, 6) AS weight
+         FROM cnt CROSS JOIN z ORDER BY label""",
+
+    "q246_knn_label_purity" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+           FROM e),
+         an AS (
+           SELECT vec_id AS aid, label AS albl, v AS av, nm AS anm
+           FROM nr WHERE vec_id % 101 = 0),
+         sc AS (
+           SELECT an.aid, an.albl, nr.label,
+             row_number() OVER (PARTITION BY an.aid ORDER BY
+               round(list_sum(list_transform(range(1, len(nr.v) + 1),
+                 i -> nr.v[i] * an.av[i])) / (nr.nm * an.anm), 6)
+               DESC, nr.vec_id) AS rn
+           FROM nr CROSS JOIN an WHERE nr.vec_id <> an.aid),
+         ag AS (
+           SELECT aid, albl,
+             sum(CASE WHEN label = albl THEN 1 ELSE 0 END)::BIGINT
+               AS agree
+           FROM sc WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT albl AS label, count(*)::BIGINT AS n_anchors,
+           sum(agree)::BIGINT AS n_agree,
+           round(sum(agree)::DOUBLE / (count(*) * 5), 4)
+             AS mean_purity
+         FROM ag GROUP BY 1 ORDER BY 1""",
+
+    "q247_dedup_impact" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fp,
+             len(string_split(lower(trim(regexp_replace(text, '\s+',
+               ' ', 'g'))), ' '))::BIGINT AS tok
+           FROM documents),
+         k AS (
+           SELECT *, (row_number() OVER (PARTITION BY fp
+             ORDER BY doc_id) = 1) AS kept
+           FROM d)
+         SELECT source, count(*)::BIGINT AS docs_before,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS docs_after,
+           sum(tok)::BIGINT AS tokens_before,
+           sum(CASE WHEN kept THEN tok ELSE 0 END)::BIGINT
+             AS tokens_after,
+           round(sum(tok)::DOUBLE
+             / sum(CASE WHEN kept THEN tok ELSE 0 END), 4)
+             AS dup_factor
+         FROM k GROUP BY 1 ORDER BY 1""",
   )
 }
