@@ -5782,6 +5782,397 @@ object SparkEntry {
           .cast("double") / col("tokens_after"), 4))
         .orderBy("source")
     }),
+      // GEOHASH ENCODING (base-32 Morton interleave — the geospatial
+    // bucketing primitive behind spatial joins and map tiles): the
+    // q185 synthetic coordinates quantize to 13+12 bit cells; the
+    // 25-bit interleave is an explode over bit positions + ONE integer
+    // sum (no loops, no UDF), then five substring lookups into the
+    // base-32 alphabet. Every step is integer arithmetic both engines
+    // replay exactly.
+    "q248_geohash" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 37547 % 17000) / 100.0 - 85.0).as("lat"),
+        ((col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).as("lon"))
+      val quant = cust
+        .withColumn("lonb", floor((col("lon") + 180.0) / 360.0 * 8192)
+          .cast("long"))
+        .withColumn("latb", floor((col("lat") + 90.0) / 180.0 * 4096)
+          .cast("long"))
+      // morton: even output bits (from MSB) take lon bits, odd take lat
+      val bits = quant.select(col("c_custkey"), col("lonb"), col("latb"),
+          explode(sequence(lit(0), lit(24))).as("i"))
+        .withColumn("bit",
+          when(col("i") % 2 === 0,
+            expr("(lonb div cast(pow(2, 12 - i div 2) as long)) % 2"))
+            .otherwise(
+              expr("(latb div cast(pow(2, 11 - i div 2) as long)) % 2")))
+        .withColumn("contrib",
+          expr("bit * cast(pow(2, 24 - i) as long)"))
+      val morton = bits.groupBy("c_custkey", "lonb", "latb")
+        .agg(sum(col("contrib")).as("m"))
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val hash = morton.withColumn("gh", concat(
+        (0 until 5).map(c => expr(
+          s"substring('$alpha', cast((m div cast(pow(2, ${20 - 5 * c})" +
+            " as long)) % 32 + 1 as int), 1)")): _*))
+      hash.select(col("c_custkey"), col("gh")).orderBy("c_custkey")
+    }),
+
+    // MARKOV NEXT-EVENT BACKTEST (does yesterday's transition matrix
+    // predict tomorrow? — the sequence-model baseline eval): the
+    // transition matrix fits on the time-first half (exact bigram
+    // counts, argmax next-type per current-type with deterministic
+    // tie), accuracy measures on the second half's transitions. The
+    // model is a 25-cell broadcast.
+    "q249_markov_backtest" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val seq0 = ev.crossJoin(broadcast(span))
+        .withColumn("nxt", lead(col("event_type"), 1).over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))))
+        .withColumn("nxt_us", lead(col("us"), 1).over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("nxt").isNotNull)
+      val model = seq0.filter(col("nxt_us") < col("mid"))
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("cur")
+          .orderBy(col("n").desc, col("nxt"))))
+        .filter(col("rn") === 1)
+        .select(col("cur"), col("nxt").as("pred"))
+      seq0.filter(col("us") >= col("mid"))
+        .join(broadcast(model), col("event_type") === col("cur"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("nxt") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"),
+          max(col("pred")).as("predicted_next"))
+        .withColumn("accuracy", round(col("n_correct").cast("double") /
+          col("n_test"), 4))
+        .orderBy("event_type")
+    }),
+
+    // CUPED VARIANCE REDUCTION (Deng WSDM'13 — the pre-experiment
+    // covariate adjustment every A/B platform runs): X = first-half
+    // user spend, Y = second-half; θ = cov(X,Y)/var(X) from
+    // DECIMAL-exact moments; the report gates the variance-reduction
+    // ratio 1 − (1 − ρ²). All sums exact integers until the fixed
+    // final op sequence.
+    "q250_cuped" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val ev = events(s, dir).select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(span))
+        .groupBy("user_id")
+        .agg(sum(when(col("us") < col("mid"), col("cents"))
+          .otherwise(0L)).cast("decimal(19,0)").as("x"),
+          sum(when(col("us") >= col("mid"), col("cents"))
+            .otherwise(0L)).cast("decimal(19,0)").as("y"))
+      per.agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").cast("long").as("n_users"),
+          round(d(col("n") * col("sxy") - col("sx") * col("sy")) /
+            d(col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("theta"),
+          round(
+            (d(col("n") * col("sxy") - col("sx") * col("sy")) *
+              d(col("n") * col("sxy") - col("sx") * col("sy"))) /
+            (d(col("n") * col("sxx") - col("sx") * col("sx")) *
+              d(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("rho2"),
+          round(lit(1.0) -
+            (d(col("n") * col("sxy") - col("sx") * col("sy")) *
+              d(col("n") * col("sxy") - col("sx") * col("sy"))) /
+            (d(col("n") * col("sxx") - col("sx") * col("sx")) *
+              d(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("var_ratio"))
+    }),
+
+    // ADDITIVE DECOMPOSITION (trend + day-of-week seasonal + residual
+    // — STL-lite with deterministic components): trend = centered
+    // 7-day moving average over the day grain; seasonal = mean
+    // detrended value per dow (sorted folds); residual closes the sum
+    // exactly. The gate carries per-component variance shares so a
+    // wrong component shifts hashed numbers, not just shape.
+    "q251_decomposition" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .withColumn("dow",
+          expr("(datediff(day, date'1970-01-05') % 7 + 7) % 7"))
+      val wtr = Window.orderBy("day").rowsBetween(-3, 3)
+      // trend BEFORE the edge filter — filtering first would shift the
+      // ±3 frame of rows adjacent to the removed edges
+      val trended = daily
+        .withColumn("nw", count(lit(1)).over(wtr))
+        .withColumn("trend", sum(col("cents")).over(wtr)
+          .cast("double") / 7.0)
+        .filter(col("nw") === 7)
+        .withColumn("detr", col("cents") - col("trend"))
+      val seas = trended.groupBy("dow")
+        .agg((ssum(collect_list(col("detr"))) / count(lit(1)))
+          .as("seasonal"))
+      val dec = trended.join(broadcast(seas), Seq("dow"))
+        .withColumn("resid", col("detr") - col("seasonal"))
+      dec.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("seasonal")) / 100.0, 4).as("seasonal"),
+          round(ssum(collect_list(col("resid") * col("resid")))
+            / count(lit(1)) / 10000.0, 2).as("resid_var"),
+          round(ssum(collect_list(abs(col("resid"))))
+            / count(lit(1)) / 100.0, 4).as("resid_mad"))
+        .orderBy("dow")
+    }),
+
+    // A/A CALIBRATION SWEEP (the experimentation-platform sanity
+    // check: 20 null-effect hash splits should reject ~5% at α=.05):
+    // each split is a different md5 seed over users, ALL splits
+    // evaluate in ONE pass (explode over seeds, exact cohort counts),
+    // z per split via the q164 machinery. The gate carries every
+    // split's z — a biased splitter moves hashed values immediately.
+    "q252_aa_calibration" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val per = events(s, dir).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"), count(lit(1)).as("n"))
+        .withColumn("y", (col("conv") > 0).cast("long"))
+      val splits = per.select(col("user_id"), col("y"),
+          explode(sequence(lit(0), lit(19))).as("seed"))
+        .withColumn("arm_a", pmod(TF.md5Hash48(
+          concat(col("seed").cast("string"), lit(":"),
+            col("user_id").cast("string"))), lit(2L)) === 0)
+      val cells = splits.groupBy("seed")
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm_a"), col("y")).otherwise(0L)).as("xa"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("arm_a"), col("y")).otherwise(0L)).as("xb"))
+      cells
+        .withColumn("pp", d(col("xa") + col("xb")) /
+          d(col("na") + col("nb")))
+        .withColumn("z", when(col("pp") === 0 || col("pp") === 1, 0.0)
+          .otherwise((d(col("xa")) / col("na") - d(col("xb")) / col("nb"))
+            / sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb")))))
+        .select(col("seed"), col("na"), col("nb"),
+          round(col("z"), 4).as("z"),
+          (abs(col("z")) > 1.96).as("rejected"))
+        .orderBy("seed")
+    }),
+
+    // RANK-GAUSS FEATURE TRANSFORM (percent-rank → inverse normal CDF
+    // — the tabular-NN normalization that makes any distribution
+    // standard-normal): exact integer mid-ranks per type, Φ⁻¹ via the
+    // Beasley–Springer–Moro rational polynomial (fixed op sequence —
+    // no erfinv builtin needed in either engine). Output gated on a
+    // deterministic row panel; per-type moments of the transformed
+    // column PROVE ≈ N(0,1) in-data.
+    "q253_rank_gauss" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"),
+        col("event_type").as("ty"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val full = Window.partitionBy("ty")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = ev
+        .withColumn("rk", row_number().over(Window.partitionBy("ty")
+          .orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(full))
+        // mid-rank u in (0,1): (rk − 0.5)/n — never exactly 0 or 1
+        .withColumn("u", (col("rk").cast("double") - 0.5) / col("n"))
+      // Beasley–Springer–Moro: rational approx on |u−.5| ≤ .42, Moro's
+      // ln-ln Chebyshev fit in the tails — identical fixed arithmetic
+      // in both engines, max abs error ~3e-9
+      val tf = ranked
+        .withColumn("r", col("u") - 0.5)
+        .withColumn("r2", col("r") * col("r"))
+        .withColumn("w",
+          when(col("u") < 0.5, col("u")).otherwise(lit(1.0) - col("u")))
+        .withColumn("kk", log(-log(col("w"))))
+        .withColumn("central", col("r") *
+          (((lit(-25.44106049637) * col("r2") + 41.39119773534) *
+            col("r2") - 18.61500062529) * col("r2") + 2.50662823884) /
+          ((((lit(3.13082909833) * col("r2") - 21.06224101826) *
+            col("r2") + 23.08336743743) * col("r2") - 8.47351093090) *
+            col("r2") + 1.0))
+        .withColumn("tail",
+          ((((((((lit(0.0000003960315187) * col("kk")
+            + 0.0000002888167364) * col("kk")
+            + 0.0000321767881768) * col("kk")
+            + 0.0003951896511919) * col("kk")
+            + 0.0038405729373609) * col("kk")
+            + 0.0276438810333863) * col("kk")
+            + 0.1607979714918209) * col("kk")
+            + 0.9761690190917186) * col("kk") + 0.3374754822726147))
+        .withColumn("rg", when(abs(col("r")) <= 0.42, col("central"))
+          .otherwise(when(col("u") < 0.5, -col("tail"))
+            .otherwise(col("tail"))))
+      val moments = tf.groupBy("ty")
+        .agg(count(lit(1)).as("n_rows"),
+          (round(ssum(collect_list(col("rg"))) / count(lit(1)), 4)
+            + 0.0).as("mean_rg"),
+          round(sqrt(ssum(collect_list(col("rg") * col("rg")))
+            / count(lit(1))), 4).as("std_rg"))
+      tf.filter(col("event_id") % 997 === 0)
+        .join(moments, Seq("ty"))
+        .select(col("ty"), col("event_id"),
+          round(col("u"), 6).as("u"), round(col("rg"), 4).as("rank_gauss"),
+          col("n_rows"), col("mean_rg"), col("std_rg"))
+        .orderBy("ty", "event_id")
+    }),
+
+    // BLOOM-FILTER FALSE-POSITIVE AUDIT (the membership sketch's
+    // error contract proven in-data): a 2048-bit / k=3 bloom over the
+    // first-half user set, built as 33 bit_or'd 63-bit words (the q159 encoding
+    // — bit 63 would overflow DuckDB's checked shift) (associative —
+    // partial aggregation does real work map-side), broadcast, probed
+    // by the second-half NEW users; measured FPR lands beside the
+    // (1−e^{−kn/m})^k theory value. All hashing md5, all bit ops
+    // integer.
+    "q254_bloom_fpr" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val h = ev.crossJoin(broadcast(span))
+        .groupBy("user_id", "mid")
+        .agg(min(col("us")).as("first_us"))
+        .withColumn("in_a", col("first_us") < col("mid"))
+      def hashes(c: Column) = (0 until 3).map(k =>
+        pmod(TF.md5Hash48(concat(lit(s"bl$k:"), c)), lit(2048L)))
+      val words = h.filter(col("in_a"))
+        .select(explode(array(hashes(col("user_id")): _*)).as("hb"))
+        .select(expr("hb div 63").as("w"),
+          expr("cast(shiftleft(1L, cast(hb % 63 as int)) as long)")
+            .as("b"))
+        .groupBy("w").agg(expr("bit_or(b)").as("word"))
+      val probes = h.filter(!col("in_a"))
+      val tested = probes.select(Seq(col("user_id")) ++
+        hashes(col("user_id")).zipWithIndex.map { case (hc, i) =>
+          hc.as(s"h$i")
+        }: _*)
+      def bitSet(i: Int) =
+        col(s"word$i").isNotNull &&
+          expr(s"(word$i & shiftleft(1L, cast(h$i % 63 as int))) != 0")
+      // join each hash bit's word (3 broadcast joins of the 32-row table)
+      val w0 = words.select(expr("w").as("w0"), col("word").as("word0"))
+      val w1 = words.select(expr("w").as("w1"), col("word").as("word1"))
+      val w2 = words.select(expr("w").as("w2"), col("word").as("word2"))
+      val withWords = tested
+        .join(broadcast(w0), expr("h0 div 63") === col("w0"), "left")
+        .join(broadcast(w1), expr("h1 div 63") === col("w1"), "left")
+        .join(broadcast(w2), expr("h2 div 63") === col("w2"), "left")
+      val nA = h.filter(col("in_a")).agg(count(lit(1)).as("n_a"))
+      withWords
+        .withColumn("hit", bitSet(0) && bitSet(1) && bitSet(2))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_fp"))
+        .crossJoin(broadcast(nA))
+        .select(col("n_a"), col("n_probes"), col("n_fp"),
+          round(col("n_fp").cast("double") / col("n_probes"), 4)
+            .as("fpr_measured"),
+          round(pow(lit(1.0) - exp(lit(-3.0) * col("n_a") / 2048.0),
+            3.0), 4).as("fpr_theory"))
+    }),
+
+    // STRICT SEQUENTIAL FUNNEL with per-step deadlines (signup →
+    // click ≤ 7d → purchase ≤ 7d — q94's funnel with the time
+    // constraints real product analytics needs): two filter-then-min
+    // hops (the q208 no-buffer pattern), exact integer-microsecond
+    // deadlines, per-step survivor counts and conversion rates.
+    "q255_strict_funnel" -> ((s, dir) => {
+      val week = 7L * 86400L * 1000000L
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("t0"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, Seq("user_id"))
+        .filter(col("us") >= col("t0") && col("us") <= col("t0") + week)
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, Seq("user_id"))
+        .filter(col("us") >= col("t1") && col("us") <= col("t1") + week)
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val n0 = su.agg(count(lit(1)).as("n_signup"))
+      val n1 = cl.agg(count(lit(1)).as("n_click_7d"))
+      val n2 = pu.agg(count(lit(1)).as("n_purchase_7d"))
+      n0.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("n_signup"), col("n_click_7d"), col("n_purchase_7d"),
+          round(col("n_click_7d").cast("double") / col("n_signup"), 4)
+            .as("step1_rate"),
+          round(col("n_purchase_7d").cast("double") /
+            col("n_click_7d"), 4).as("step2_rate"),
+          round(col("n_purchase_7d").cast("double") /
+            col("n_signup"), 4).as("overall_rate"))
+    }),
+
+    // SALT-FACTOR PLANNER (how much to salt each skewed join key —
+    // q166's diagnostic turned into a prescription): per join key the
+    // max per-key row count vs a 10k-rows-per-task target gives the
+    // recommended salt fan-out ⌈max/target⌉; keys needing salt > 1
+    // are listed with their skew ratios. Count tables only.
+    "q256_salt_planner" -> ((s, dir) => {
+      val target = 1000L
+      def keyStats(name: String, df: DataFrame, k: String) = {
+        val cnt = df.groupBy(col(k).as("key")).agg(count(lit(1)).as("n"))
+        cnt.agg(lit(name).as("join_key"),
+          count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_key_rows"))
+      }
+      keyStats("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey")
+        .unionByName(keyStats("lineitem.l_partkey",
+          t(s, dir, "lineitem"), "l_partkey"))
+        .unionByName(keyStats("lineitem.l_suppkey",
+          t(s, dir, "lineitem"), "l_suppkey"))
+        .unionByName(keyStats("orders.o_custkey",
+          t(s, dir, "orders"), "o_custkey"))
+        .withColumn("avg_x1000",
+          expr("(n_rows * 1000) div n_keys"))
+        .withColumn("skew_x1000",
+          expr("(max_key_rows * 1000 * n_keys) div n_rows"))
+        .withColumn("salt", expr(s"(max_key_rows + $target - 1)" +
+          s" div $target"))
+        .withColumn("needs_salt", col("salt") > 1)
+        .orderBy("join_key")
+    }),
+
+    // CHURN LABEL GENERATION with censoring (the labeling pipeline
+    // that feeds every churn model — and the leakage trap it must
+    // avoid): label window = last 30 days; users first seen INSIDE
+    // the window are CENSORED (too new to label), not negative. The
+    // gate carries label/censor counts per activity band and PROVES
+    // labeled + censored == total in every row.
+    "q257_churn_labels" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      val hz = ev.agg(max(col("us")).as("tmax"))
+      val win = 30L * 86400L * 1000000L
+      val per = ev.groupBy("user_id")
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(hz))
+        .withColumn("censored", col("first_us") > col("tmax") - win)
+        .withColumn("churned",
+          !col("censored") && col("last_us") < col("tmax") - win)
+        .withColumn("band", length(bin(col("n_events"))).cast("long"))
+      per.groupBy("band")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"),
+          sum(when(!col("churned") && !col("censored"), 1L)
+            .otherwise(0L)).as("n_retained"))
+        .withColumn("balanced",
+          col("n_churned") + col("n_censored") + col("n_retained")
+            === col("n_users"))
+        .orderBy("band")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -11093,5 +11484,358 @@ object SparkEntry {
              / sum(CASE WHEN kept THEN tok ELSE 0 END), 4)
              AS dup_factor
          FROM k GROUP BY 1 ORDER BY 1""",
+     "q248_geohash" ->
+      """WITH cust AS (
+           SELECT c_custkey,
+             (c_custkey * 37547 % 17000) / 100.0 - 85.0 AS lat,
+             (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+           FROM customer),
+         q AS (
+           SELECT c_custkey,
+             floor((lon + 180.0) / 360.0 * 8192)::BIGINT AS lonb,
+             floor((lat + 90.0) / 180.0 * 4096)::BIGINT AS latb
+           FROM cust),
+         bits AS (
+           SELECT c_custkey, lonb, latb, i.range AS i,
+             (CASE WHEN i.range % 2 = 0
+               THEN (lonb // CAST(pow(2, 12 - i.range // 2) AS BIGINT))
+                 % 2
+               ELSE (latb // CAST(pow(2, 11 - i.range // 2) AS BIGINT))
+                 % 2 END)
+               * CAST(pow(2, 24 - i.range) AS BIGINT) AS contrib
+           FROM q CROSS JOIN range(0, 25) i),
+         m AS (
+           SELECT c_custkey, sum(contrib)::BIGINT AS m
+           FROM bits GROUP BY 1),
+         gh AS (
+           SELECT c_custkey,
+             substring('0123456789bcdefghjkmnpqrstuvwxyz',
+               ((m // 1048576) % 32 + 1)::INT, 1) ||
+             substring('0123456789bcdefghjkmnpqrstuvwxyz',
+               ((m // 32768) % 32 + 1)::INT, 1) ||
+             substring('0123456789bcdefghjkmnpqrstuvwxyz',
+               ((m // 1024) % 32 + 1)::INT, 1) ||
+             substring('0123456789bcdefghjkmnpqrstuvwxyz',
+               ((m // 32) % 32 + 1)::INT, 1) ||
+             substring('0123456789bcdefghjkmnpqrstuvwxyz',
+               (m % 32 + 1)::INT, 1) AS gh
+           FROM m)
+         SELECT c_custkey, gh FROM gh ORDER BY c_custkey""",
+
+    "q249_markov_backtest" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us
+           FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         s0 AS (
+           SELECT ev.*, mid,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt_us
+           FROM ev CROSS JOIN span),
+         model AS (
+           SELECT cur, nxt AS pred FROM (
+             SELECT event_type AS cur, nxt, count(*) AS n,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY count(*) DESC, nxt) AS rn
+             FROM s0 WHERE nxt IS NOT NULL AND nxt_us < mid
+             GROUP BY 1, 2)
+           WHERE rn = 1)
+         SELECT event_type, count(*)::BIGINT AS n_test,
+           sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           max(pred) AS predicted_next,
+           round(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS accuracy
+         FROM s0 LEFT JOIN model ON s0.event_type = model.cur
+         WHERE nxt IS NOT NULL AND us >= mid
+         GROUP BY 1 ORDER BY 1""",
+
+    "q250_cuped" ->
+      """WITH ev AS (
+           SELECT user_id, round(value * 100)::BIGINT AS cents,
+             epoch_us(ts) AS us
+           FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         per AS (
+           SELECT user_id,
+             sum(CASE WHEN us < mid THEN cents ELSE 0 END)::BIGINT
+               AS x,
+             sum(CASE WHEN us >= mid THEN cents ELSE 0 END)::BIGINT
+               AS y
+           FROM ev CROSS JOIN span GROUP BY 1),
+         m AS (
+           SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM per)
+         SELECT n AS n_users,
+           round((n * sxy - sx * sy)::DOUBLE
+             / (n * sxx - sx * sx)::DOUBLE, 6) AS theta,
+           round(((n * sxy - sx * sy)::DOUBLE
+               * (n * sxy - sx * sy)::DOUBLE)
+             / ((n * sxx - sx * sx)::DOUBLE
+               * (n * syy - sy * sy)::DOUBLE), 6) AS rho2,
+           round(1.0 - ((n * sxy - sx * sy)::DOUBLE
+               * (n * sxy - sx * sy)::DOUBLE)
+             / ((n * sxx - sx * sx)::DOUBLE
+               * (n * syy - sy * sy)::DOUBLE), 6) AS var_ratio
+         FROM m""",
+
+    "q251_decomposition" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+             ((CAST(ts AS DATE) - DATE '1970-01-05') % 7 + 7) % 7
+               AS dow
+           FROM events GROUP BY 1, 3),
+         tr AS (
+           SELECT *,
+             count(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw,
+             sum(cents) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::DOUBLE / 7.0
+               AS trend
+           FROM daily),
+         det AS (
+           SELECT *, cents - trend AS detr FROM tr WHERE nw = 7),
+         seas AS (
+           SELECT dow,
+             list_sum(list_sort(list(detr))) / count(*) AS seasonal
+           FROM det GROUP BY 1),
+         dec AS (
+           SELECT det.*, seasonal, detr - seasonal AS resid
+           FROM det JOIN seas USING (dow))
+         SELECT dow::BIGINT AS dow, count(*)::BIGINT AS n_days,
+           round(max(seasonal) / 100.0, 4) AS seasonal,
+           round(list_sum(list_sort(list(resid * resid)))
+             / count(*) / 10000.0, 2) AS resid_var,
+           round(list_sum(list_sort(list(abs(resid))))
+             / count(*) / 100.0, 4) AS resid_mad
+         FROM dec GROUP BY 1 ORDER BY 1""",
+
+    "q252_aa_calibration" ->
+      """WITH per AS (
+           SELECT user_id,
+             (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               > 0)::BIGINT AS y
+           FROM events GROUP BY 1),
+         sp AS (
+           SELECT user_id, y, s.range AS seed,
+             (('0x' || substring(md5('0:' || s.range || ':' || user_id),
+               1, 12))::BIGINT % 2 = 0) AS arm_a
+           FROM per CROSS JOIN range(0, 20) s),
+         cells AS (
+           SELECT seed,
+             sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(CASE WHEN arm_a THEN y ELSE 0 END)::BIGINT AS xa,
+             sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)::BIGINT AS nb,
+             sum(CASE WHEN NOT arm_a THEN y ELSE 0 END)::BIGINT AS xb
+           FROM sp GROUP BY 1),
+         z AS (
+           SELECT *, (xa + xb)::DOUBLE / (na + nb) AS pp
+           FROM cells)
+         SELECT seed::BIGINT AS seed, na, nb,
+           round(CASE WHEN pp = 0 OR pp = 1 THEN 0.0
+             ELSE (xa::DOUBLE / na - xb::DOUBLE / nb)
+               / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) END, 4)
+             AS z,
+           (abs(CASE WHEN pp = 0 OR pp = 1 THEN 0.0
+             ELSE (xa::DOUBLE / na - xb::DOUBLE / nb)
+               / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) END)
+             > 1.96) AS rejected
+         FROM z ORDER BY seed""",
+
+    "q253_rank_gauss" ->
+      """WITH ev AS (
+           SELECT event_id, event_type AS ty,
+             round(value * 100)::BIGINT AS cents
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY ty
+               ORDER BY cents, event_id) AS rk,
+             count(*) OVER (PARTITION BY ty) AS n
+           FROM ev),
+         u AS (
+           SELECT *, (rk::DOUBLE - 0.5) / n AS u,
+             (rk::DOUBLE - 0.5) / n - 0.5 AS rr
+           FROM r),
+         f AS (
+           SELECT *, rr * rr AS r2,
+             CASE WHEN u < 0.5 THEN u ELSE 1.0 - u END AS w
+           FROM u),
+         g AS (
+           SELECT *, ln(-ln(w)) AS kk,
+             rr * (((-25.44106049637 * r2 + 41.39119773534) * r2
+               - 18.61500062529) * r2 + 2.50662823884) /
+               ((((3.13082909833 * r2 - 21.06224101826) * r2
+               + 23.08336743743) * r2 - 8.47351093090) * r2 + 1.0)
+               AS central
+           FROM f),
+         h AS (
+           SELECT *,
+             ((((((((0.0000003960315187 * kk + 0.0000002888167364) * kk
+               + 0.0000321767881768) * kk + 0.0003951896511919) * kk
+               + 0.0038405729373609) * kk + 0.0276438810333863) * kk
+               + 0.1607979714918209) * kk + 0.9761690190917186) * kk
+               + 0.3374754822726147) AS tail
+           FROM g),
+         tf AS (
+           SELECT *, CASE WHEN abs(rr) <= 0.42 THEN central
+             WHEN u < 0.5 THEN -tail ELSE tail END AS rg
+           FROM h),
+         mom AS (
+           SELECT ty, count(*)::BIGINT AS n_rows,
+             round(list_sum(list_sort(list(rg))) / count(*), 4) + 0.0
+               AS mean_rg,
+             round(sqrt(list_sum(list_sort(list(rg * rg)))
+               / count(*)), 4) AS std_rg
+           FROM tf GROUP BY 1)
+         SELECT tf.ty, event_id, round(u, 6) AS u,
+           round(rg, 4) AS rank_gauss, n_rows, mean_rg, std_rg
+         FROM tf JOIN mom ON tf.ty = mom.ty
+         WHERE event_id % 997 = 0
+         ORDER BY tf.ty, event_id""",
+
+    "q254_bloom_fpr" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us FROM events),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         h AS (
+           SELECT user_id, (min(us) < mid) AS in_a
+           FROM ev CROSS JOIN span GROUP BY user_id, mid),
+         bits AS (
+           SELECT unnest([
+             ('0x' || substring(md5('0:bl0:' || user_id), 1, 12))
+               ::BIGINT % 2048,
+             ('0x' || substring(md5('0:bl1:' || user_id), 1, 12))
+               ::BIGINT % 2048,
+             ('0x' || substring(md5('0:bl2:' || user_id), 1, 12))
+               ::BIGINT % 2048]) AS hb
+           FROM h WHERE in_a),
+         words AS (
+           SELECT hb // 63 AS w, bit_or(1::BIGINT << (hb % 63)::INT)
+             AS word
+           FROM bits GROUP BY 1),
+         probes AS (
+           SELECT user_id,
+             ('0x' || substring(md5('0:bl0:' || user_id), 1, 12))
+               ::BIGINT % 2048 AS h0,
+             ('0x' || substring(md5('0:bl1:' || user_id), 1, 12))
+               ::BIGINT % 2048 AS h1,
+             ('0x' || substring(md5('0:bl2:' || user_id), 1, 12))
+               ::BIGINT % 2048 AS h2
+           FROM h WHERE NOT in_a),
+         ww AS (
+           SELECT p.*,
+             w0.word AS word0, w1.word AS word1, w2.word AS word2
+           FROM probes p
+           LEFT JOIN words w0 ON p.h0 // 63 = w0.w
+           LEFT JOIN words w1 ON p.h1 // 63 = w1.w
+           LEFT JOIN words w2 ON p.h2 // 63 = w2.w),
+         res AS (
+           SELECT count(*)::BIGINT AS n_probes,
+             sum(CASE WHEN word0 IS NOT NULL
+               AND (word0 & (1::BIGINT << (h0 % 63)::INT)) != 0
+               AND word1 IS NOT NULL
+               AND (word1 & (1::BIGINT << (h1 % 63)::INT)) != 0
+               AND word2 IS NOT NULL
+               AND (word2 & (1::BIGINT << (h2 % 63)::INT)) != 0
+               THEN 1 ELSE 0 END)::BIGINT AS n_fp
+           FROM ww),
+         na AS (SELECT count(*)::BIGINT AS n_a FROM h WHERE in_a)
+         SELECT n_a, n_probes, n_fp,
+           round(n_fp::DOUBLE / n_probes, 4) AS fpr_measured,
+           round(pow(1.0 - exp(-3.0 * n_a / 2048.0), 3.0), 4)
+             AS fpr_theory
+         FROM res CROSS JOIN na""",
+
+    "q255_strict_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         su AS (
+           SELECT user_id, min(us) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         cl AS (
+           SELECT ev.user_id, min(us) AS t1
+           FROM ev JOIN su USING (user_id)
+           WHERE event_type = 'click' AND us >= t0
+             AND us <= t0 + 604800000000
+           GROUP BY 1),
+         pu AS (
+           SELECT ev.user_id, min(us) AS t2
+           FROM ev JOIN cl USING (user_id)
+           WHERE event_type = 'purchase' AND us >= t1
+             AND us <= t1 + 604800000000
+           GROUP BY 1),
+         n0 AS (SELECT count(*)::BIGINT AS n_signup FROM su),
+         n1 AS (SELECT count(*)::BIGINT AS n_click_7d FROM cl),
+         n2 AS (SELECT count(*)::BIGINT AS n_purchase_7d FROM pu)
+         SELECT n_signup, n_click_7d, n_purchase_7d,
+           round(n_click_7d::DOUBLE / n_signup, 4) AS step1_rate,
+           round(n_purchase_7d::DOUBLE / n_click_7d, 4) AS step2_rate,
+           round(n_purchase_7d::DOUBLE / n_signup, 4) AS overall_rate
+         FROM n0 CROSS JOIN n1 CROSS JOIN n2""",
+
+    "q256_salt_planner" ->
+      """WITH s1 AS (
+           SELECT 'lineitem.l_orderkey' AS join_key,
+             count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+             max(n)::BIGINT AS max_key_rows
+           FROM (SELECT l_orderkey, count(*)::BIGINT AS n
+                 FROM lineitem GROUP BY 1)),
+         s2 AS (
+           SELECT 'lineitem.l_partkey', count(*)::BIGINT,
+             sum(n)::BIGINT, max(n)::BIGINT
+           FROM (SELECT l_partkey, count(*)::BIGINT AS n
+                 FROM lineitem GROUP BY 1)),
+         s3 AS (
+           SELECT 'lineitem.l_suppkey', count(*)::BIGINT,
+             sum(n)::BIGINT, max(n)::BIGINT
+           FROM (SELECT l_suppkey, count(*)::BIGINT AS n
+                 FROM lineitem GROUP BY 1)),
+         s4 AS (
+           SELECT 'orders.o_custkey', count(*)::BIGINT,
+             sum(n)::BIGINT, max(n)::BIGINT
+           FROM (SELECT o_custkey, count(*)::BIGINT AS n
+                 FROM orders GROUP BY 1)),
+         u AS (
+           SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+         SELECT join_key, n_keys, n_rows, max_key_rows,
+           (n_rows * 1000) // n_keys AS avg_x1000,
+           (max_key_rows * 1000 * n_keys) // n_rows AS skew_x1000,
+           ((max_key_rows + 999) // 1000)::BIGINT AS salt,
+           ((max_key_rows + 999) // 1000 > 1) AS needs_salt
+         FROM u ORDER BY join_key""",
+
+    "q257_churn_labels" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us FROM events),
+         hz AS (SELECT max(us) AS tmax FROM ev),
+         per AS (
+           SELECT user_id, min(us) AS first_us, max(us) AS last_us,
+             count(*)::BIGINT AS n_events
+           FROM ev GROUP BY 1),
+         lab AS (
+           SELECT *,
+             (first_us > tmax - 2592000000000) AS censored,
+             (NOT (first_us > tmax - 2592000000000)
+               AND last_us < tmax - 2592000000000) AS churned,
+             length(bin(n_events))::BIGINT AS band
+           FROM per CROSS JOIN hz)
+         SELECT band, count(*)::BIGINT AS n_users,
+           sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT
+             AS n_churned,
+           sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT
+             AS n_censored,
+           sum(CASE WHEN NOT churned AND NOT censored THEN 1 ELSE 0
+             END)::BIGINT AS n_retained,
+           (sum(CASE WHEN churned THEN 1 ELSE 0 END)
+             + sum(CASE WHEN censored THEN 1 ELSE 0 END)
+             + sum(CASE WHEN NOT churned AND NOT censored
+               THEN 1 ELSE 0 END) = count(*)) AS balanced
+         FROM lab GROUP BY 1 ORDER BY 1""",
   )
 }
