@@ -6173,6 +6173,191 @@ object SparkEntry {
             === col("n_users"))
         .orderBy("band")
     }),
+      // WEIGHT-OF-EVIDENCE ENCODING (the credit-scoring categorical
+    // transform: ln(P(x|good)/P(x|bad)) per bin, with the information
+    // value that ranks features): balance deciles × "good" =
+    // has-open-order label; 0.5-count smoothing keeps empty cells
+    // finite; IV = Σ (pg−pb)·WOE folded sorted. Exact counts, decile
+    // bounds broadcast.
+    "q258_woe_encoding" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val lbl = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")).distinct()
+        .withColumn("good", lit(1L))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .join(lbl, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_acctbal"),
+          coalesce(col("good"), lit(0L)).as("good"))
+      val bounds = c.agg(expr(
+        "percentile(c_acctbal, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      val binned = c.crossJoin(broadcast(bounds))
+        .select((lit(1) + size(filter(col("bs"),
+          b => col("c_acctbal") > b))).as("bin"), col("good"))
+      val cells = binned.groupBy("bin")
+        .agg(sum(col("good")).as("ng"),
+          sum(lit(1L) - col("good")).as("nb"))
+      val tot = cells.agg(sum(col("ng")).as("tg"), sum(col("nb")).as("tb"))
+      val woe = cells.crossJoin(broadcast(tot))
+        .withColumn("pg", (d(col("ng")) + 0.5) / (d(col("tg")) + 5.0))
+        .withColumn("pb", (d(col("nb")) + 0.5) / (d(col("tb")) + 5.0))
+        .withColumn("woe", log(col("pg") / col("pb")))
+        .withColumn("ivterm", (col("pg") - col("pb")) * col("woe"))
+      val iv = woe.agg(ssum(collect_list(col("ivterm"))).as("iv"))
+      woe.crossJoin(broadcast(iv))
+        .select(col("bin"), col("ng"), col("nb"),
+          round(col("woe"), 6).as("woe"),
+          round(col("iv"), 6).as("information_value"))
+        .orderBy("bin")
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES (the quasi-experimental estimator when
+    // you can't randomize: treated vs control, before vs after):
+    // treatment = md5 half of customers, periods = exact time halves,
+    // DiD = (T2−T1)−(C2−C1) on per-(group,period) mean order value
+    // from exact integer cents. Four cells, one agg.
+    "q259_diff_in_diff" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("us"))
+      val span = o.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val cells = o.crossJoin(broadcast(span))
+        .withColumn("treated",
+          pmod(TF.md5Hash48(col("o_custkey").cast("string")), lit(2L))
+            === 0)
+        .withColumn("after", col("us") >= col("mid"))
+        .groupBy("treated", "after")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+        .withColumn("mean_cents", d(col("sc")) / col("n"))
+      val wide = cells.groupBy()
+        .agg(max(when(col("treated") && !col("after"),
+          col("mean_cents"))).as("t1"),
+          max(when(col("treated") && col("after"),
+            col("mean_cents"))).as("t2"),
+          max(when(!col("treated") && !col("after"),
+            col("mean_cents"))).as("c1"),
+          max(when(!col("treated") && col("after"),
+            col("mean_cents"))).as("c2"),
+          sum(col("n")).as("n_orders"))
+      wide.select(col("n_orders"),
+        round(col("t1") / 100.0, 2).as("treated_before"),
+        round(col("t2") / 100.0, 2).as("treated_after"),
+        round(col("c1") / 100.0, 2).as("control_before"),
+        round(col("c2") / 100.0, 2).as("control_after"),
+        round(((col("t2") - col("t1")) - (col("c2") - col("c1")))
+          / 100.0, 4).as("did_estimate"))
+    }),
+
+    // BOILERPLATE N-GRAM DETECTION (the repeated-span scrub every web
+    // corpus needs — headers, footers, templates): per source, a
+    // trigram that appears in ≥ 10% of the source's docs is
+    // boilerplate; the report carries the worst offender and its doc
+    // coverage. Barrier-materialized shingles (q202 lesson), exact
+    // doc-presence counts; dilution note: at larger corpora the 10%
+    // bar naturally empties — that IS the signal.
+    "q260_boilerplate" -> ((s, dir) => {
+      val par = s.sparkContext.defaultParallelism
+      val docs = t(s, dir, "documents")
+      val nd = docs.groupBy("source").agg(countDistinct(col("doc_id"))
+        .as("n_docs"))
+      val sh = docs
+        .select(col("source"), col("doc_id"),
+          split(TF.normalizeText(col("text")), " ").as("__w"))
+        .repartition(par)
+        .select(col("source"), col("doc_id"),
+          explode_outer(DedupOps.shinglesFromWords(col("__w"), 3))
+            .as("g"))
+        .filter(col("g").isNotNull)
+        .distinct()
+      val freq = sh.groupBy("source", "g")
+        .agg(count(lit(1)).as("n_in"))
+      val flagged = freq.join(broadcast(nd), Seq("source"))
+        .filter(col("n_in") * 10 >= col("n_docs"))
+      flagged
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_in").desc, col("g"))))
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_boiler_ngrams"),
+          max(col("n_in")).as("max_repeat"),
+          max(when(col("rn") === 1, col("g"))).as("top_boiler_ngram"))
+        .orderBy("source")
+    }),
+
+    // QUOTA ALLOCATION WITH SPILLOVER (exactly-k coupon assignment:
+    // each segment gets 20 slots; unfilled quota spills to a global
+    // pool awarded by rank — and Σ assigned == min(k·segments, pool)
+    // is PROVED in the result): two rank windows (per-segment, then
+    // global over the leftovers), all integer.
+    "q261_quota_spillover" -> ((s, dir) => {
+      val quota = 20L
+      // scarcity on purpose (acctbal > 9000): small SFs leave segment
+      // quotas unfilled so the spillover path actually exercises
+      val c = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      val ranked = c.withColumn("srk", row_number().over(
+        Window.partitionBy("seg")
+          .orderBy(col("cents").desc, col("c_custkey"))))
+      val segWinners = ranked.filter(col("srk") <= quota)
+      val nseg = c.select("seg").distinct().count()
+      val budget = quota * nseg
+      val nWon = segWinners.count()
+      val spill = budget - nWon
+      val leftovers = ranked.filter(col("srk") > quota)
+        .withColumn("grk", row_number().over(
+          Window.orderBy(col("cents").desc, col("c_custkey"))))
+        .filter(col("grk") <= spill)
+      segWinners.select(col("seg"), col("c_custkey"), col("cents"),
+          lit("segment").as("via"))
+        .unionByName(leftovers.select(col("seg"), col("c_custkey"),
+          col("cents"), lit("spill").as("via")))
+        .groupBy("seg", "via")
+        .agg(count(lit(1)).as("n_awarded"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy("seg", "via")
+    }),
+
+    // KENDALL TAU-B between the revenue and quantity part rankings
+    // (the exact-statistic companion to q212's RBO): concordant/
+    // discordant pairs over the common top-50 — all integer counts
+    // from a broadcast pair build over ≤50 items; tie-corrected
+    // denominator. Where RBO weights the head, tau treats all pairs
+    // equally — reporting both is the standard practice.
+    "q262_kendall_tau" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val byRev = li.groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("v"))
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("v").desc, col("l_partkey"))))
+        .filter(col("ra") <= 50).select("l_partkey", "ra")
+      val byQty = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("q").desc, col("l_partkey"))))
+        .filter(col("rb") <= 50).select("l_partkey", "rb")
+      val common = byRev.join(byQty, Seq("l_partkey"))
+      val pairs = common.select(col("ra").as("ra1"), col("rb").as("rb1"),
+          col("l_partkey").as("k1"))
+        .join(broadcast(common.select(col("ra").as("ra2"),
+          col("rb").as("rb2"), col("l_partkey").as("k2"))),
+          col("k1") < col("k2"))
+        .withColumn("s", signum((col("ra1") - col("ra2")) *
+          (col("rb1") - col("rb2"))).cast("long"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("s") === 1, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("s") === -1, 1L).otherwise(0L)).as("discordant"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          round((col("concordant") - col("discordant")).cast("double") /
+            col("n_pairs"), 6).as("tau"))
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -11837,5 +12022,163 @@ object SparkEntry {
              + sum(CASE WHEN NOT churned AND NOT censored
                THEN 1 ELSE 0 END) = count(*)) AS balanced
          FROM lab GROUP BY 1 ORDER BY 1""",
+     "q258_woe_encoding" ->
+      """WITH lbl AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'O'),
+         c AS (
+           SELECT c_custkey, c_acctbal,
+             CASE WHEN lbl.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+               AS good
+           FROM customer LEFT JOIN lbl
+             ON customer.c_custkey = lbl.o_custkey),
+         bounds AS (
+           SELECT quantile_cont(c_acctbal,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM c),
+         binned AS (
+           SELECT 1 + len(list_filter(bs, x -> c_acctbal > x)) AS bin,
+             good
+           FROM c CROSS JOIN bounds),
+         cells AS (
+           SELECT bin, sum(good)::BIGINT AS ng,
+             sum(1 - good)::BIGINT AS nb
+           FROM binned GROUP BY 1),
+         tot AS (
+           SELECT sum(ng)::BIGINT AS tg, sum(nb)::BIGINT AS tb
+           FROM cells),
+         woe AS (
+           SELECT *,
+             (ng::DOUBLE + 0.5) / (tg::DOUBLE + 5.0) AS pg,
+             (nb::DOUBLE + 0.5) / (tb::DOUBLE + 5.0) AS pb
+           FROM cells CROSS JOIN tot),
+         w2 AS (
+           SELECT *, ln(pg / pb) AS woe,
+             (pg - pb) * ln(pg / pb) AS ivterm
+           FROM woe),
+         iv AS (
+           SELECT list_sum(list_sort(list(ivterm))) AS iv FROM w2)
+         SELECT bin, ng, nb, round(woe, 6) AS woe,
+           round(iv, 6) AS information_value
+         FROM w2 CROSS JOIN iv ORDER BY bin""",
+
+    "q259_diff_in_diff" ->
+      """WITH o AS (
+           SELECT o_custkey, round(o_totalprice * 100)::BIGINT AS cents,
+             epoch_us(o_orderdate) AS us
+           FROM orders),
+         span AS (SELECT (min(us) + max(us)) // 2 AS mid FROM o),
+         cells AS (
+           SELECT
+             (('0x' || substring(md5('0:' || o_custkey), 1, 12))
+               ::BIGINT % 2 = 0) AS treated,
+             (us >= mid) AS after,
+             count(*)::BIGINT AS n,
+             sum(cents)::DOUBLE / count(*) AS mean_cents
+           FROM o CROSS JOIN span GROUP BY 1, 2),
+         wide AS (
+           SELECT
+             max(CASE WHEN treated AND NOT after THEN mean_cents END)
+               AS t1,
+             max(CASE WHEN treated AND after THEN mean_cents END)
+               AS t2,
+             max(CASE WHEN NOT treated AND NOT after THEN mean_cents
+               END) AS c1,
+             max(CASE WHEN NOT treated AND after THEN mean_cents END)
+               AS c2,
+             sum(n)::BIGINT AS n_orders
+           FROM cells)
+         SELECT n_orders, round(t1 / 100.0, 2) AS treated_before,
+           round(t2 / 100.0, 2) AS treated_after,
+           round(c1 / 100.0, 2) AS control_before,
+           round(c2 / 100.0, 2) AS control_after,
+           round(((t2 - t1) - (c2 - c1)) / 100.0, 4) AS did_estimate
+         FROM wide""",
+
+    "q260_boilerplate" ->
+      """WITH docs AS (
+           SELECT source, doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+               'g'))), ' ') AS ws
+           FROM documents),
+         nd AS (
+           SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs
+           FROM docs GROUP BY 1),
+         sh AS (
+           SELECT DISTINCT source, doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+           FROM docs),
+         f AS (
+           SELECT source, g, count(*)::BIGINT AS n_in
+           FROM sh GROUP BY 1, 2),
+         fl AS (
+           SELECT f.*, n_docs,
+             row_number() OVER (PARTITION BY f.source
+               ORDER BY n_in DESC, g) AS rn
+           FROM f JOIN nd USING (source)
+           WHERE n_in * 10 >= n_docs)
+         SELECT source, max(n_docs)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_boiler_ngrams,
+           max(n_in)::BIGINT AS max_repeat,
+           max(CASE WHEN rn = 1 THEN g END) AS top_boiler_ngram
+         FROM fl GROUP BY 1 ORDER BY 1""",
+
+    "q261_quota_spillover" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_custkey,
+             round(c_acctbal * 100)::BIGINT AS cents
+           FROM customer WHERE c_acctbal > 9000),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY seg
+               ORDER BY cents DESC, c_custkey) AS srk
+           FROM c),
+         segw AS (SELECT * FROM r WHERE srk <= 20),
+         meta AS (
+           SELECT (SELECT count(DISTINCT seg) FROM c) * 20
+             - (SELECT count(*) FROM segw) AS spill),
+         lo AS (
+           SELECT r.*, row_number() OVER (ORDER BY cents DESC,
+             c_custkey) AS grk
+           FROM r WHERE srk > 20),
+         sp AS (
+           SELECT lo.* FROM lo CROSS JOIN meta WHERE grk <= spill),
+         u AS (
+           SELECT seg, c_custkey, cents, 'segment' AS via FROM segw
+           UNION ALL
+           SELECT seg, c_custkey, cents, 'spill' AS via FROM sp)
+         SELECT seg, via, count(*)::BIGINT AS n_awarded,
+           min(cents)::BIGINT AS min_cents,
+           max(cents)::BIGINT AS max_cents
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q262_kendall_tau" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY
+               sum(round(l_extendedprice * 100)::BIGINT) DESC,
+               l_partkey) AS ra
+           FROM lineitem GROUP BY l_partkey QUALIFY ra <= 50),
+         qty AS (
+           SELECT l_partkey,
+             row_number() OVER (ORDER BY
+               sum(CAST(l_quantity AS BIGINT)) DESC, l_partkey) AS rb
+           FROM lineitem GROUP BY l_partkey QUALIFY rb <= 50),
+         common AS (
+           SELECT l_partkey, ra, rb FROM rev JOIN qty
+             USING (l_partkey)),
+         pairs AS (
+           SELECT sign((a.ra - b.ra) * (a.rb - b.rb))::BIGINT AS s
+           FROM common a JOIN common b
+             ON a.l_partkey < b.l_partkey)
+         SELECT count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS concordant,
+           sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT
+             AS discordant,
+           round((sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+             - sum(CASE WHEN s = -1 THEN 1 ELSE 0 END))::DOUBLE
+             / count(*), 6) AS tau
+         FROM pairs""",
   )
 }
