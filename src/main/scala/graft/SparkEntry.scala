@@ -6358,6 +6358,159 @@ object SparkEntry {
           round((col("concordant") - col("discordant")).cast("double") /
             col("n_pairs"), 6).as("tau"))
     }),
+
+    // PERCENTILE-OF-LATEST (the "is today normal?" monitor: where the
+    // most recent daily value ranks against its own 90-day history):
+    // exact integer comparisons on the day-grain series — latest value
+    // per type picked by rank, percentile = count(history ≤ latest)/n.
+    // No percentile sketch, no sort beyond the day grain.
+    "q263_percentile_of_latest" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("ty"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val latest = daily.withColumn("rn", row_number().over(
+          Window.partitionBy("ty").orderBy(col("day").desc)))
+        .filter(col("rn") === 1)
+        .select(col("ty"), col("day").as("lday"),
+          col("cents").as("lcents"))
+      val hist = daily.join(latest, Seq("ty"))
+        .filter(col("day") < col("lday") &&
+          col("day") >= date_sub(col("lday"), 90))
+      hist.groupBy("ty")
+        .agg(count(lit(1)).as("n_hist"),
+          max(col("lcents")).as("latest_cents"),
+          sum(when(col("cents") <= col("lcents"), 1L).otherwise(0L))
+            .as("n_below"))
+        .withColumn("pctile", round(col("n_below").cast("double") /
+          col("n_hist"), 4))
+        .withColumn("alert", col("n_below") * 20 >= col("n_hist") * 19
+          || col("n_below") * 20 <= col("n_hist"))
+        .orderBy("ty")
+    }),
+
+    // WILSON SCORE INTERVALS for per-segment conversion (the CI that
+    // behaves at small n and extreme p, unlike Wald): exact counts,
+    // the closed-form Wilson bounds at z=1.96 in a fixed op sequence.
+    // Pure map-side math on the cells table.
+    "q264_wilson_interval" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val cells = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") > 4500.0, 1L).otherwise(0L))
+            .as("x"))
+      val z2 = 1.96 * 1.96
+      cells
+        .withColumn("p", d(col("x")) / col("n"))
+        .withColumn("den", lit(1.0) + lit(z2) / col("n"))
+        .withColumn("ctr", (col("p") + lit(z2) / (col("n") * 2))
+          / col("den"))
+        .withColumn("hw", lit(1.96) * sqrt(col("p") * (lit(1.0) -
+          col("p")) / col("n") + lit(z2) / (d(col("n")) * col("n") * 4))
+          / col("den"))
+        .select(col("seg"), col("n"), col("x"),
+          round(col("p"), 6).as("p_hat"),
+          round(col("ctr") - col("hw"), 6).as("wilson_lo"),
+          round(col("ctr") + col("hw"), 6).as("wilson_hi"))
+        .orderBy("seg")
+    }),
+
+    // PARETO LAYERS (non-dominated sorting, NSGA-style, first two
+    // fronts): front 1 = the q172 skyline; front 2 = the skyline of
+    // what remains after removing front 1 — multi-objective shortlist
+    // construction. Each front is one keep-first window over
+    // (price asc, size desc) order; at scale each pass takes the q172
+    // two-phase pruning.
+    "q265_pareto_layers" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      def front(df: DataFrame): DataFrame = {
+        val w = Window.orderBy(col("p_retailprice"), col("p_size").desc,
+          col("p_partkey")).rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("mx", max(col("p_size")).over(w))
+          .filter(col("mx").isNull || col("p_size") > col("mx"))
+          .drop("mx")
+      }
+      val f1 = front(p).withColumn("front", lit(1L))
+      val rest = p.join(f1.select("p_partkey"), Seq("p_partkey"),
+        "left_anti")
+      val f2 = front(rest).withColumn("front", lit(2L))
+      f1.unionByName(f2)
+        .select(col("front"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"), col("p_size"))
+        .orderBy("front", "p_partkey")
+    }),
+
+    // GROWTH ACCOUNTING (new / retained / resurrected / churned per
+    // week — the Social-Capital user-growth decomposition): one
+    // distinct (user, week) frame, first-week per user, last-active
+    // flags via a lag window — every class from exact set algebra,
+    // and new+retained+resurrected == WAU is PROVED per row.
+    "q266_growth_accounting" -> ((s, dir) => {
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'1970-01-05') div 7")
+            .as("wk"))
+        .distinct()
+      val firstW = uw.groupBy("user_id").agg(min(col("wk")).as("fw"))
+      val flagged = uw.join(firstW, Seq("user_id"))
+        .withColumn("prev_wk", lag(col("wk"), 1).over(
+          Window.partitionBy("user_id").orderBy("wk")))
+        .withColumn("cls",
+          when(col("wk") === col("fw"), "new")
+            .when(col("prev_wk") === col("wk") - 1, "retained")
+            .otherwise(lit("resurrected")))
+      val act = flagged.groupBy("wk")
+        .agg(count(lit(1)).as("wau"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      // churned(w) = active in w-1 but not w: anti-semantics via join
+      // of consecutive week activity counts
+      val churn = flagged.select(col("user_id"),
+          (col("wk") + 1).as("wk"))
+        .except(uw.select(col("user_id"), col("wk")))
+        .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+      act.join(churn, Seq("wk"), "left")
+        .select(col("wk"), col("wau"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+          (col("n_new") + col("n_retained") + col("n_resurrected")
+            === col("wau")).as("balanced"))
+        .orderBy("wk")
+    }),
+
+    // GROSS & NET REVENUE RETENTION by month (the SaaS board metrics):
+    // per (customer, month) exact cents; month-over-month pairs by an
+    // equi-join on month+1; GRR caps each customer's contribution at
+    // last month's level (no expansion), NRR lets expansion count.
+    // Integer cents throughout; one join on the (customer, month)
+    // grain.
+    "q267_revenue_retention" -> ((s, dir) => {
+      val cm = t(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          expr("(year(o_orderdate) - 1990) * 12 + month(o_orderdate)")
+            .cast("long").as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val prev = cm.select(col("o_custkey"), (col("mo") + 1).as("mo"),
+        col("cents").as("prev_cents"))
+      val paired = prev.join(cm, Seq("o_custkey", "mo"), "left")
+        .withColumn("cur", coalesce(col("cents"), lit(0L)))
+      paired.groupBy("mo")
+        .agg(count(lit(1)).as("n_prev_customers"),
+          sum(col("prev_cents")).as("base_cents"),
+          sum(least(col("cur"), col("prev_cents"))).as("grr_cents"),
+          sum(col("cur")).as("nrr_cents"))
+        .select(col("mo"), col("n_prev_customers"),
+          round(col("grr_cents").cast("double") /
+            col("base_cents"), 6).as("grr"),
+          round(col("nrr_cents").cast("double") /
+            col("base_cents"), 6).as("nrr"))
+        .orderBy("mo")
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -12180,5 +12333,140 @@ object SparkEntry {
              - sum(CASE WHEN s = -1 THEN 1 ELSE 0 END))::DOUBLE
              / count(*), 6) AS tau
          FROM pairs""",
+
+    "q263_percentile_of_latest" ->
+      """WITH daily AS (
+           SELECT event_type AS ty, CAST(ts AS DATE) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+           FROM events GROUP BY 1, 2),
+         latest AS (
+           SELECT ty, day AS lday, cents AS lcents FROM (
+             SELECT *, row_number() OVER (PARTITION BY ty
+               ORDER BY day DESC) AS rn
+             FROM daily)
+           WHERE rn = 1),
+         hist AS (
+           SELECT d.ty, d.cents, l.lcents
+           FROM daily d JOIN latest l ON d.ty = l.ty
+           WHERE d.day < l.lday AND d.day >= l.lday - 90)
+         SELECT ty, count(*)::BIGINT AS n_hist,
+           max(lcents)::BIGINT AS latest_cents,
+           sum(CASE WHEN cents <= lcents THEN 1 ELSE 0 END)::BIGINT
+             AS n_below,
+           round(sum(CASE WHEN cents <= lcents THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*), 4) AS pctile,
+           (sum(CASE WHEN cents <= lcents THEN 1 ELSE 0 END) * 20
+               >= count(*) * 19
+             OR sum(CASE WHEN cents <= lcents THEN 1 ELSE 0 END) * 20
+               <= count(*)) AS alert
+         FROM hist GROUP BY 1 ORDER BY 1""",
+
+    "q264_wilson_interval" ->
+      """WITH cells AS (
+           SELECT c_mktsegment AS seg, count(*)::BIGINT AS n,
+             sum(CASE WHEN c_acctbal > 4500.0 THEN 1 ELSE 0 END)
+               ::BIGINT AS x
+           FROM customer GROUP BY 1),
+         w AS (
+           SELECT *, x::DOUBLE / n AS p,
+             1.0 + 3.8416 / n AS den,
+             (x::DOUBLE / n + 3.8416 / (n * 2))
+               / (1.0 + 3.8416 / n) AS ctr,
+             1.96 * sqrt((x::DOUBLE / n) * (1.0 - x::DOUBLE / n) / n
+               + 3.8416 / (n::DOUBLE * n * 4))
+               / (1.0 + 3.8416 / n) AS hw
+           FROM cells)
+         SELECT seg, n, x, round(p, 6) AS p_hat,
+           round(ctr - hw, 6) AS wilson_lo,
+           round(ctr + hw, 6) AS wilson_hi
+         FROM w ORDER BY seg""",
+
+    "q265_pareto_layers" ->
+      """WITH p AS (
+           SELECT p_partkey, p_retailprice, p_size FROM part),
+         f1 AS (
+           SELECT p_partkey, p_retailprice, p_size FROM (
+             SELECT *, max(p_size) OVER (ORDER BY p_retailprice,
+               p_size DESC, p_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS mx
+             FROM p)
+           WHERE mx IS NULL OR p_size > mx),
+         rest AS (
+           SELECT p.* FROM p LEFT JOIN f1 USING (p_partkey)
+           WHERE f1.p_partkey IS NULL),
+         f2 AS (
+           SELECT p_partkey, p_retailprice, p_size FROM (
+             SELECT *, max(p_size) OVER (ORDER BY p_retailprice,
+               p_size DESC, p_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS mx
+             FROM rest)
+           WHERE mx IS NULL OR p_size > mx),
+         u AS (
+           SELECT 1::BIGINT AS front, p_partkey, p_retailprice, p_size
+           FROM f1
+           UNION ALL
+           SELECT 2::BIGINT, p_partkey, p_retailprice, p_size FROM f2)
+         SELECT front, p_partkey, round(p_retailprice, 2) AS price,
+           p_size
+         FROM u ORDER BY front, p_partkey""",
+
+    "q266_growth_accounting" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS wk
+           FROM events),
+         fw AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY 1),
+         fl AS (
+           SELECT uw.user_id, wk, fw,
+             lag(wk) OVER (PARTITION BY uw.user_id ORDER BY wk)
+               AS prev_wk
+           FROM uw JOIN fw USING (user_id)),
+         cls AS (
+           SELECT *, CASE WHEN wk = fw THEN 'new'
+             WHEN prev_wk = wk - 1 THEN 'retained'
+             ELSE 'resurrected' END AS cls
+           FROM fl),
+         act AS (
+           SELECT wk, count(*)::BIGINT AS wau,
+             sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)::BIGINT
+               AS n_new,
+             sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)::BIGINT
+               AS n_retained,
+             sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+               ::BIGINT AS n_resurrected
+           FROM cls GROUP BY 1),
+         churn AS (
+           SELECT wk, count(*)::BIGINT AS n_churned FROM (
+             SELECT user_id, wk + 1 AS wk FROM cls
+             EXCEPT
+             SELECT user_id, wk FROM uw)
+           GROUP BY 1)
+         SELECT act.wk::BIGINT AS wk, wau, n_new, n_retained,
+           n_resurrected,
+           coalesce(n_churned, 0)::BIGINT AS n_churned,
+           (n_new + n_retained + n_resurrected = wau) AS balanced
+         FROM act LEFT JOIN churn ON act.wk = churn.wk
+         ORDER BY wk""",
+
+    "q267_revenue_retention" ->
+      """WITH cm AS (
+           SELECT o_custkey,
+             ((year(o_orderdate) - 1990) * 12 + month(o_orderdate))
+               ::BIGINT AS mo,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+           FROM orders GROUP BY 1, 2),
+         prev AS (
+           SELECT o_custkey, mo + 1 AS mo, cents AS prev_cents
+           FROM cm),
+         paired AS (
+           SELECT prev.o_custkey, prev.mo, prev.prev_cents,
+             coalesce(cm.cents, 0) AS cur
+           FROM prev LEFT JOIN cm
+             ON prev.o_custkey = cm.o_custkey AND prev.mo = cm.mo)
+         SELECT mo, count(*)::BIGINT AS n_prev_customers,
+           round(sum(least(cur, prev_cents))::DOUBLE
+             / sum(prev_cents), 6) AS grr,
+           round(sum(cur)::DOUBLE / sum(prev_cents), 6) AS nrr
+         FROM paired GROUP BY 1 ORDER BY 1""",
   )
 }
