@@ -224,4 +224,39 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(k2p.keySet === (1L to 9L).toSet)
   }
+
+  test("integer-mass PPR (the q194 arithmetic): total mass never " +
+    "exceeds spread+restart budget and is partition-layout invariant") {
+    import org.apache.spark.sql.functions._
+    // replicate q194's round arithmetic on a small symmetric graph
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seeds = Seq(1L).toDF("node")
+    val restart = seeds.select(col("node"), lit(150000000000L).as("r"))
+    def run(parts: Int): Map[Long, Long] = {
+      var mass = seeds.select(col("node"), lit(1000000000000L).as("m"))
+        .repartition(parts)
+      for (_ <- 1 to 3) {
+        val spread = mass.join(edges, col("node") === col("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("node"),
+            expr("(m * 85) div 100 div deg").as("c"))
+        mass = spread.unionByName(
+            restart.select(col("node"), col("r").as("c")))
+          .groupBy("node").agg(sum(col("c")).as("m"))
+      }
+      mass.as[(Long, Long)].collect().toMap
+    }
+    val m1 = run(1)
+    // floor-division truncation only LOSES mass: per round,
+    // total ≤ 0.85·prev_total + restart, so the fixpoint bound is the
+    // initial 10¹² — truncation can only push the sum BELOW it
+    assert(m1.values.sum <= 1000000000000L, m1.toString)
+    assert(m1.values.forall(_ >= 0))
+    // bit-identical across partition layouts (plain integer sums)
+    assert(run(7) === m1)
+  }
 }
