@@ -6511,6 +6511,165 @@ object SparkEntry {
             col("base_cents"), 6).as("nrr"))
         .orderBy("mo")
     }),
+
+    // UCB1 EXPLORATION PRIORITY (Auer '02 — which source to crawl/
+    // sample next, balancing observed quality against uncertainty):
+    // score = mean_quality + √(2·ln N / n) per source from exact
+    // counts (quality = mean doc length as the stand-in signal). The
+    // priority table is the bandit's whole state — metadata-sized,
+    // rebuilt in one aggregation pass.
+    "q268_ucb_priority" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val cnt = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+      val tot = cnt.agg(sum(col("n")).as("nn"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("mean_q", d(col("sc")) / col("n") / 1000.0)
+        .withColumn("explore", sqrt(lit(2.0) * log(d(col("nn"))) /
+          col("n")))
+        .withColumn("ucb", col("mean_q") + col("explore"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ucb").desc, col("source"))))
+        .select(col("rk"), col("source"), col("n"),
+          round(col("mean_q"), 6).as("mean_q"),
+          round(col("explore"), 6).as("explore_bonus"),
+          round(col("ucb"), 6).as("ucb_score"))
+        .orderBy("rk")
+    }),
+
+    // INFORMATION GAIN per candidate feature (the split criterion /
+    // feature-ranking primitive): IG = H(label) − H(label|feature)
+    // for three derived features against the high-priority label —
+    // exact joint counts per feature (one agg each over unioned long
+    // form), entropies via sorted folds; features ranked by gain.
+    "q269_info_gain" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .as("y"),
+          expr("cast(round(o_totalprice * 100) as bigint)" +
+            " div 10000000").as("f_price_band"),
+          expr("(datediff(to_date(o_orderdate), date'1970-01-05')" +
+            " % 7 + 7) % 7").as("f_dow"),
+          (col("o_orderstatus") === "O").cast("long").as("f_open"))
+      val long0 = o.select(col("y"), lit("price_band").as("feat"),
+          col("f_price_band").cast("long").as("v"))
+        .unionByName(o.select(col("y"), lit("dow").as("feat"),
+          col("f_dow").cast("long").as("v")))
+        .unionByName(o.select(col("y"), lit("open").as("feat"),
+          col("f_open").as("v")))
+      val joint = long0.groupBy("feat", "v")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+      val tot = joint.groupBy("feat")
+        .agg(sum(col("n")).as("nn"), sum(col("np")).as("tp"))
+      def hTerm(p: Column) = when(p > 0 && p < 1,
+        -(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+        .otherwise(lit(0.0))
+      val cond = joint.join(broadcast(tot), Seq("feat"))
+        .withColumn("hv", hTerm(d(col("np")) / col("n")))
+        .withColumn("wterm", d(col("n")) / col("nn") * col("hv"))
+        .groupBy("feat")
+        .agg(max(d(col("tp")) / col("nn")).as("p0"),
+          ssum(collect_list(col("wterm"))).as("h_cond"),
+          count(lit(1)).as("n_values"))
+        .withColumn("h_label", hTerm(col("p0")))
+        .withColumn("info_gain", col("h_label") - col("h_cond"))
+      cond.withColumn("rk", row_number().over(
+          Window.orderBy(col("info_gain").desc, col("feat"))))
+        .select(col("rk"), col("feat"), col("n_values"),
+          round(col("h_label"), 6).as("h_label"),
+          round(col("h_cond"), 6).as("h_cond"),
+          round(col("info_gain"), 6).as("info_gain"))
+        .orderBy("rk")
+    }),
+
+    // BUSY-HOUR CONCENTRATION (peak-to-mean and top-3-hour share —
+    // the load-shaping numbers capacity planning runs on): exact
+    // hourly counts per type, peak share and top-3 concentration by
+    // integer sums, peak-to-mean via cross-multiplication display.
+    "q270_busy_hours" -> ((s, dir) => {
+      val hr = events(s, dir)
+        .groupBy(col("event_type").as("ty"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = hr.withColumn("rk", row_number().over(
+        Window.partitionBy("ty").orderBy(col("n").desc, col("h"))))
+      ranked.groupBy("ty")
+        .agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_hours"),
+          max(when(col("rk") === 1, col("h"))).as("peak_hour"),
+          max(when(col("rk") === 1, col("n"))).as("peak_n"),
+          sum(when(col("rk") <= 3, col("n")).otherwise(0L)).as("top3_n"))
+        .select(col("ty"), col("total"), col("peak_hour"),
+          round(col("peak_n").cast("double") * col("n_hours") /
+            col("total"), 4).as("peak_to_mean"),
+          round(col("top3_n").cast("double") / col("total"), 4)
+            .as("top3_share"))
+        .orderBy("ty")
+    }),
+
+    // PRICE ELASTICITY by brand (log-log OLS of quantity on unit
+    // price at the part grain — the pricing-analytics regression):
+    // part-level exact sums first (unit price = value/qty as one
+    // division), then per-brand ln-moment sums as sorted folds; the
+    // slope IS the elasticity. One part-grain agg + one brand agg.
+    "q271_price_elasticity" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val pp = t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"), sum(col("l_quantity").cast("long")).as("qty"))
+        .join(t(s, dir, "part").select(col("p_partkey"),
+          col("p_brand")), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          log(d(col("cents")) / col("qty") / 100.0).as("x"),
+          log(d(col("qty"))).as("y"))
+      pp.groupBy("brand")
+        .agg(count(lit(1)).as("n_parts"),
+          ssum(collect_list(col("x"))).as("sx"),
+          ssum(collect_list(col("y"))).as("sy"),
+          ssum(collect_list(col("x") * col("y"))).as("sxy"),
+          ssum(collect_list(col("x") * col("x"))).as("sxx"))
+        .select(col("brand"), col("n_parts"),
+          round((col("n_parts") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_parts") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("elasticity"))
+        .orderBy("brand")
+    }),
+
+    // THRESHOLD-CROSSING FORECAST (when does the trend line hit the
+    // ceiling — the capacity-planning "days of headroom" number):
+    // q211's exact-moment OLS over the day grain, crossing day =
+    // (threshold − intercept)/slope in closed form, gated alongside
+    // the fitted line's endpoints. Metadata-sized all the way.
+    "q272_threshold_crossing" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("datediff(day, date'1970-01-05')").cast("long")
+          .as("tt"), col("n"))
+      val m = daily.agg(count(lit(1)).cast("decimal(19,0)").as("k"),
+        sum(col("tt").cast("decimal(19,0)")).as("sx"),
+        sum(col("n").cast("decimal(19,0)")).as("sy"),
+        sum(col("tt").cast("decimal(19,0)") * col("n")).as("sxy"),
+        sum(col("tt").cast("decimal(19,0)") * col("tt")).as("sxx"),
+        max(col("tt")).as("tmax"))
+      m.withColumn("slope", d(col("k") * col("sxy") -
+          col("sx") * col("sy")) /
+          d(col("k") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept",
+          (d(col("sy")) - col("slope") * d(col("sx"))) / d(col("k")))
+        .withColumn("threshold", d(col("sy")) / d(col("k")) * 1.5)
+        .withColumn("cross_t",
+          (col("threshold") - col("intercept")) / col("slope"))
+        .select(col("k").cast("long").as("n_days"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("threshold"), 4).as("threshold"),
+          round(col("cross_t") - col("tmax"), 2)
+            .as("days_to_threshold"),
+          (col("slope") > 0).as("growing"))
+    }),
   )
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
@@ -12468,5 +12627,134 @@ object SparkEntry {
              / sum(prev_cents), 6) AS grr,
            round(sum(cur)::DOUBLE / sum(prev_cents), 6) AS nrr
          FROM paired GROUP BY 1 ORDER BY 1""",
+
+    "q268_ucb_priority" ->
+      """WITH cnt AS (
+           SELECT source, count(*)::BIGINT AS n,
+             sum(n_chars)::BIGINT AS sc
+           FROM documents GROUP BY 1),
+         tot AS (SELECT sum(n)::BIGINT AS nn FROM cnt),
+         u AS (
+           SELECT *, sc::DOUBLE / n / 1000.0 AS mean_q,
+             sqrt(2.0 * ln(nn::DOUBLE) / n) AS explore,
+             sc::DOUBLE / n / 1000.0 + sqrt(2.0 * ln(nn::DOUBLE) / n)
+               AS ucb
+           FROM cnt CROSS JOIN tot)
+         SELECT row_number() OVER (ORDER BY ucb DESC, source)::BIGINT
+             AS rk,
+           source, n, round(mean_q, 6) AS mean_q,
+           round(explore, 6) AS explore_bonus,
+           round(ucb, 6) AS ucb_score
+         FROM u ORDER BY rk""",
+
+    "q269_info_gain" ->
+      """WITH o AS (
+           SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y,
+             round(o_totalprice * 100)::BIGINT // 10000000
+               AS f_price_band,
+             ((CAST(o_orderdate AS DATE) - DATE '1970-01-05') % 7 + 7)
+               % 7 AS f_dow,
+             (o_orderstatus = 'O')::BIGINT AS f_open
+           FROM orders),
+         l AS (
+           SELECT y, 'price_band' AS feat, f_price_band::BIGINT AS v
+           FROM o
+           UNION ALL SELECT y, 'dow', f_dow::BIGINT FROM o
+           UNION ALL SELECT y, 'open', f_open FROM o),
+         joint AS (
+           SELECT feat, v, count(*)::BIGINT AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np
+           FROM l GROUP BY 1, 2),
+         tot AS (
+           SELECT feat, sum(n)::BIGINT AS nn, sum(np)::BIGINT AS tp
+           FROM joint GROUP BY 1),
+         cond AS (
+           SELECT j.feat, count(*)::BIGINT AS n_values,
+             max(tp::DOUBLE / nn) AS p0,
+             list_sum(list_sort(list(n::DOUBLE / nn *
+               (CASE WHEN np::DOUBLE / n > 0 AND np::DOUBLE / n < 1
+                 THEN -((np::DOUBLE / n) * ln(np::DOUBLE / n)
+                   + (1.0 - np::DOUBLE / n)
+                     * ln(1.0 - np::DOUBLE / n))
+                 ELSE 0.0 END)))) AS h_cond
+           FROM joint j JOIN tot USING (feat) GROUP BY 1),
+         hg AS (
+           SELECT *,
+             CASE WHEN p0 > 0 AND p0 < 1
+               THEN -(p0 * ln(p0) + (1.0 - p0) * ln(1.0 - p0))
+               ELSE 0.0 END AS h_label
+           FROM cond)
+         SELECT row_number() OVER (ORDER BY h_label - h_cond DESC,
+             feat)::BIGINT AS rk,
+           feat, n_values, round(h_label, 6) AS h_label,
+           round(h_cond, 6) AS h_cond,
+           round(h_label - h_cond, 6) AS info_gain
+         FROM hg ORDER BY rk""",
+
+    "q270_busy_hours" ->
+      """WITH hr AS (
+           SELECT event_type AS ty, hour(ts) AS h,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY ty
+               ORDER BY n DESC, h) AS rk
+           FROM hr)
+         SELECT ty, sum(n)::BIGINT AS total,
+           max(CASE WHEN rk = 1 THEN h END)::BIGINT AS peak_hour,
+           round(max(CASE WHEN rk = 1 THEN n END)::DOUBLE * count(*)
+             / sum(n), 4) AS peak_to_mean,
+           round(sum(CASE WHEN rk <= 3 THEN n ELSE 0 END)::DOUBLE
+             / sum(n), 4) AS top3_share
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q271_price_elasticity" ->
+      """WITH pp AS (
+           SELECT p.p_brand AS brand,
+             ln(sum(round(l_extendedprice * 100)::BIGINT)::DOUBLE
+               / sum(CAST(l_quantity AS BIGINT)) / 100.0) AS x,
+             ln(sum(CAST(l_quantity AS BIGINT))::DOUBLE) AS y
+           FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+           GROUP BY l_partkey, p.p_brand),
+         m AS (
+           SELECT brand, count(*)::BIGINT AS n_parts,
+             list_sum(list_sort(list(x))) AS sx,
+             list_sum(list_sort(list(y))) AS sy,
+             list_sum(list_sort(list(x * y))) AS sxy,
+             list_sum(list_sort(list(x * x))) AS sxx
+           FROM pp GROUP BY 1)
+         SELECT brand, n_parts,
+           round((n_parts * sxy - sx * sy)
+             / (n_parts * sxx - sx * sx), 4) AS elasticity
+         FROM m ORDER BY brand""",
+
+    "q272_threshold_crossing" ->
+      """WITH daily AS (
+           SELECT (CAST(ts AS DATE) - DATE '1970-01-05')::BIGINT AS tt,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT count(*)::BIGINT AS k, sum(tt) AS sx, sum(n) AS sy,
+             sum(tt * n) AS sxy, sum(tt * tt) AS sxx,
+             max(tt)::BIGINT AS tmax
+           FROM daily),
+         f AS (
+           SELECT *,
+             (k * sxy - sx * sy)::DOUBLE
+               / (k * sxx - sx * sx)::DOUBLE AS slope
+           FROM m),
+         g AS (
+           SELECT *,
+             (sy::DOUBLE - slope * sx::DOUBLE) / k::DOUBLE
+               AS intercept,
+             sy::DOUBLE / k::DOUBLE * 1.5 AS threshold
+           FROM f)
+         SELECT k AS n_days, round(slope, 6) AS slope,
+           round(intercept, 4) AS intercept,
+           round(threshold, 4) AS threshold,
+           round((threshold - intercept) / slope - tmax, 2)
+             AS days_to_threshold,
+           (slope > 0) AS growing
+         FROM g""",
   )
 }
