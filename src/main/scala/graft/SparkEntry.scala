@@ -4180,10 +4180,11 @@ object SparkEntry {
       val g = o.groupBy("cents")
         .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
           sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
-      val ord = Window.orderBy("cents")
-      val u = g.withColumn("cumnn",
-          coalesce(sum(col("nn")).over(
-            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // exclusive cumneg over the distinct-score order, two-phase
+      // (value-level grain still grows with data — no global sort)
+      val u = Dedup.numberAndRunningSum(g, col("cents"), "rk",
+          Seq("cumnn_incl" -> col("nn")))
+        .withColumn("cumnn", col("cumnn_incl") - col("nn"))
         .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
           sum(col("np").cast("decimal(19,0)") *
             (lit(2) * col("cumnn") + col("nn"))).as("u2"))
@@ -4461,8 +4462,9 @@ object SparkEntry {
       val conv = su.join(pu, Seq("user_id"))
         .withColumn("gap", col("pu") - col("su"))
       val n = conv.agg(count(lit(1)).as("n"))
-      conv.withColumn("rk", row_number().over(
-          Window.orderBy(col("gap"), col("user_id"))))
+      // two-phase global rank — the converted-user frame grows with the
+      // user dimension, so no single-partition sort
+      Dedup.numberRows(conv, struct(col("gap"), col("user_id")), "rk")
         .crossJoin(broadcast(n))
         .groupBy()
         .agg(max(col("n")).as("n_converted"),
@@ -5042,9 +5044,14 @@ object SparkEntry {
         .withColumn("p2", d(col("xb")) / col("nb"))
         .withColumn("pp", d(col("xa") + col("xb")) /
           d(col("na") + col("nb")))
-        .withColumn("z", (col("p1") - col("p2")) /
-          sqrt(col("pp") * (lit(1.0) - col("pp")) *
-            (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+        // degenerate segment (pp ∈ {0,1} ⇒ zero pooled variance) would
+        // give NaN z / NaN p and corrupt the BH rank order — same guard
+        // as q252_aa_calibration, mirrored in the oracle
+        .withColumn("z",
+          when(col("pp") === 0.0 || col("pp") === 1.0, lit(0.0))
+            .otherwise((col("p1") - col("p2")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("na") + lit(1.0) / col("nb")))))
         // Φ(|z|) via Abramowitz–Stegun 7.1.26 (max err 7.5e-8): fixed
         // polynomial in t = 1/(1 + 0.2316419|z|) times the normal pdf
         .withColumn("az", abs(col("z")))
@@ -5190,8 +5197,9 @@ object SparkEntry {
           .select(round(col("c_acctbal") * 100, 0).cast("long")
             .as("cents"), col("c_custkey"))
         val n = c.agg(count(lit(1)).as("n"))
-        c.withColumn("rk", row_number().over(
-            Window.orderBy(col("cents"), col("c_custkey"))))
+        // two-phase global rank over the segment's customers (dimension-
+        // sized frame — no single-partition sort)
+        Dedup.numberRows(c, struct(col("cents"), col("c_custkey")), "rk")
           .crossJoin(broadcast(n))
           .select(col("cents"), col("rk"), col("n"),
             explode(sequence(lit(1), lit(9))).as("dec"))
@@ -5515,15 +5523,17 @@ object SparkEntry {
     // supply chain runs): parts ranked by exact revenue, cumulative
     // share by integer cross-multiplication (cum·100 vs thresh·total —
     // no float compare decides a class), per-class counts and shares.
-    // One agg + one rank window over the part dimension.
+    // The cumulative ranking runs TWO-PHASE (Dedup.numberAndRunningSum:
+    // range-partition + local cumsum + broadcast partition offsets), so
+    // no single partition ever sorts the whole part dimension.
     "q238_abc_classification" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem").groupBy("l_partkey")
         .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
           .as("v"))
       val tot = rev.agg(sum(col("v")).as("tv"))
-      val ranked = rev.withColumn("cum", sum(col("v")).over(
-          Window.orderBy(col("v").desc, col("l_partkey"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      val ranked = Dedup.numberAndRunningSum(rev,
+          struct((-col("v")).as("nv"), col("l_partkey")), "rk",
+          Seq("cum" -> col("v")))
         .crossJoin(broadcast(tot))
         .withColumn("cls",
           when(col("cum") * 100 <= col("tv") * 80, "A")
@@ -5536,10 +5546,11 @@ object SparkEntry {
         .orderBy("cls")
     }),
 
-    // DUPLICATE-PAYMENT DETECTION (same payer, same amount, within 5
-    // days — the fin-ops control): ONE lag window over (custkey,
-    // cents, date) order finds adjacent same-amount orders; no
-    // self-join, no pair explosion — the sort makes candidate pairs
+    // DUPLICATE-PAYMENT DETECTION (same payer, same $5,000
+    // amount-BUCKET, within 90 days — the fin-ops control, bucketed so
+    // near-identical amounts are comparable): ONE lag window over
+    // (custkey, bucket, date) order finds adjacent same-bucket orders;
+    // no self-join, no pair explosion — the sort makes candidate pairs
     // ADJACENT. Flags grouped per customer with exact day gaps.
     "q239_duplicate_payments" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -6305,14 +6316,24 @@ object SparkEntry {
         Window.partitionBy("seg")
           .orderBy(col("cents").desc, col("c_custkey"))))
       val segWinners = ranked.filter(col("srk") <= quota)
-      val nseg = c.select("seg").distinct().count()
-      val budget = quota * nseg
-      val nWon = segWinners.count()
-      val spill = budget - nWon
+      // budget / spill derived LAZILY as one-row aggregate frames and
+      // broadcast in (the q243 water-filling pattern) — no driver-side
+      // .count() in the builder, so merely constructing the plan stays
+      // free and the filtered customer table is scanned once per stage
+      val budget = c.agg((countDistinct(col("seg")) * quota).as("budget"))
+      val nWon = segWinners.agg(count(lit(1)).as("n_won"))
+      // survivor bound BEFORE the global rank window: a leftover with
+      // per-segment rank beyond quota+budget can never win a spill slot
+      // (at most `budget` spill awards exist), so the global ORDER BY
+      // window sees ≤ nseg·budget rows — metadata-sized at any SF
       val leftovers = ranked.filter(col("srk") > quota)
+        .crossJoin(broadcast(budget))
+        .filter(col("srk") <= lit(quota) + col("budget"))
         .withColumn("grk", row_number().over(
           Window.orderBy(col("cents").desc, col("c_custkey"))))
-        .filter(col("grk") <= spill)
+        .crossJoin(broadcast(nWon))
+        .filter(col("grk") <= col("budget") - col("n_won"))
+        .drop("budget", "n_won")
       segWinners.select(col("seg"), col("c_custkey"), col("cents"),
           lit("segment").as("via"))
         .unionByName(leftovers.select(col("seg"), col("c_custkey"),
@@ -6418,18 +6439,35 @@ object SparkEntry {
     // PARETO LAYERS (non-dominated sorting, NSGA-style, first two
     // fronts): front 1 = the q172 skyline; front 2 = the skyline of
     // what remains after removing front 1 — multi-objective shortlist
-    // construction. Each front is one keep-first window over
-    // (price asc, size desc) order; at scale each pass takes the q172
-    // two-phase pruning.
+    // construction. Each front runs the q172 TWO-PHASE pruning: phase 1
+    // drops rows strictly dominated by an earlier price-decile's max
+    // size via a broadcast per-decile running-max table (map-side), so
+    // the exact keep-first skyline window in phase 2 only ever sees the
+    // pruned sliver (≈ frontier + bucket-local noise), never the full
+    // part table — the global ORDER BY window stays metadata-sized.
     "q265_pareto_layers" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
       def front(df: DataFrame): DataFrame = {
+        val bounds = df.agg(expr(
+          "percentile(p_retailprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("bs"))
+        val bucketed = df.crossJoin(broadcast(bounds))
+          .withColumn("bk",
+            lit(1) + size(filter(col("bs"), b => col("p_retailprice") > b)))
+          .drop("bs")
+        val bmax = bucketed.groupBy("bk")
+          .agg(max(col("p_size")).as("bmx"))
+          .withColumn("prevmx", max(col("bmx")).over(
+            Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)))
+          .select("bk", "prevmx")
+        val pruned = bucketed.join(broadcast(bmax), Seq("bk"))
+          .filter(col("prevmx").isNull || col("p_size") >= col("prevmx"))
         val w = Window.orderBy(col("p_retailprice"), col("p_size").desc,
           col("p_partkey")).rowsBetween(Window.unboundedPreceding, -1)
-        df.withColumn("mx", max(col("p_size")).over(w))
+        pruned.withColumn("mx", max(col("p_size")).over(w))
           .filter(col("mx").isNull || col("p_size") > col("mx"))
-          .drop("mx")
+          .drop("mx", "bk", "prevmx")
       }
       val f1 = front(p).withColumn("front", lit(1L))
       val rest = p.join(f1.select("p_partkey"), Seq("p_partkey"),
@@ -11324,10 +11362,11 @@ object SparkEntry {
            FROM c GROUP BY 1),
          zed AS (
            SELECT *,
-             (xa::DOUBLE / na - xb::DOUBLE / nb) /
-               sqrt(((xa + xb)::DOUBLE / (na + nb)) *
-                 (1.0 - (xa + xb)::DOUBLE / (na + nb)) *
-                 (1.0 / na + 1.0 / nb)) AS z
+             CASE WHEN (xa + xb) = 0 OR (xa + xb) = (na + nb) THEN 0.0
+               ELSE (xa::DOUBLE / na - xb::DOUBLE / nb) /
+                 sqrt(((xa + xb)::DOUBLE / (na + nb)) *
+                   (1.0 - (xa + xb)::DOUBLE / (na + nb)) *
+                   (1.0 / na + 1.0 / nb)) END AS z
            FROM cell),
          pp AS (
            SELECT *, abs(z) AS az,

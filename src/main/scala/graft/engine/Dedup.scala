@@ -56,6 +56,48 @@ object Dedup {
       .drop("__graft_pid", "__graft_local", "__graft_off")
   }
 
+  /** Two-phase global rank + running sums: like [[numberRows]], but also
+    * emits, for each `(name, expr)` in `sums`, the INCLUSIVE running sum
+    * of `expr` under the global `order` — all without a single-partition
+    * sort. Phase 1 range-partitions on `order` and computes the local
+    * rank/cumsums per partition; phase 2 broadcasts a partition-count-
+    * grain offsets table (exclusive prefix of per-partition counts and
+    * totals) back onto the rows. This is the scale-safe form of
+    * `row_number()/sum().over(Window.orderBy(...))` for frames that grow
+    * with a dimension or with distinct values (ABC cumulative shares,
+    * Mann–Whitney cumulative counts, exact quantile-by-rank). */
+  def numberAndRunningSum(df: DataFrame, order: Column, rankCol: String,
+                          sums: Seq[(String, Column)]): DataFrame = {
+    val ranged = df.repartitionByRange(order)
+      .withColumn("__graft_pid", spark_partition_id())
+    val pw = Window.partitionBy(col("__graft_pid")).orderBy(order)
+    var withLocal = ranged.withColumn("__graft_local", row_number().over(pw))
+    for (((_, ex), i) <- sums.zipWithIndex)
+      withLocal = withLocal.withColumn(s"__graft_ls$i",
+        sum(ex).over(pw.rowsBetween(Window.unboundedPreceding, 0)))
+    val offAggs = count(lit(1)).as("__graft_cnt") +:
+      sums.zipWithIndex.map { case ((_, ex), i) => sum(ex).as(s"__graft_t$i") }
+    val perPid = withLocal.groupBy(col("__graft_pid"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    // exclusive prefix over partition ids — partition-count-grain frame
+    val ow = Window.orderBy(col("__graft_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var offsets = perPid.withColumn("__graft_off",
+      coalesce(sum(col("__graft_cnt")).over(ow), lit(0L)))
+    for (i <- sums.indices)
+      offsets = offsets.withColumn(s"__graft_so$i",
+        coalesce(sum(col(s"__graft_t$i")).over(ow), lit(0L)))
+    val offCols = col("__graft_pid") +: col("__graft_off") +:
+      sums.indices.map(i => col(s"__graft_so$i"))
+    var out = withLocal
+      .join(broadcast(offsets.select(offCols: _*)), Seq("__graft_pid"))
+      .withColumn(rankCol, col("__graft_local") + col("__graft_off"))
+    for (((nm, _), i) <- sums.zipWithIndex)
+      out = out.withColumn(nm, col(s"__graft_ls$i") + col(s"__graft_so$i"))
+    out.drop("__graft_pid" +: "__graft_local" +: "__graft_off" +:
+      sums.indices.flatMap(i => Seq(s"__graft_ls$i", s"__graft_so$i")): _*)
+  }
+
   /** Reference-faithful patient numbering: number BEFORE dedup (so dropped
     * duplicates leave gaps — verified behavior, SURVEY.md §2 P5), then
     * keep-first dedup on `keys`. */
