@@ -45,7 +45,9 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val timings = selected.map { case (name, fn) =>
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Boolean) = {
       // Inter-query hygiene, OUTSIDE the timed region: a GC cycle lets
       // the ContextCleaner release the previous queries' localCheckpoint
       // blocks, so a query's measured time reflects its own work, not
@@ -76,6 +78,21 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // SPARK_GRAFT_BENCH_RUNS=N (default 1): sweep the suite N times and
+    // keep the per-query MEDIAN — the re-baselining mode. A committed
+    // baseline recorded from one mid-session run skews toward whatever
+    // the box was doing that minute; the median of 3 clean sweeps is
+    // the number the >2x guardrail should compare against.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    val allRuns = (1 to runs).map { r =>
+      if (runs > 1) System.err.println(s"[bench] sweep $r/$runs")
+      selected.map { case (name, fn) => timeOne(name, fn) }
+    }
+    val timings = if (runs == 1) allRuns.head
+    else selected.indices.map { i =>
+      val vs = allRuns.map(_(i))
+      (vs.head._1, vs.map(_._2).sorted.apply(runs / 2), vs.forall(_._3))
+    }.toSeq
     val failed = timings.filterNot(_._3).map(_._1)
     val qs = timings.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1.0")
@@ -97,9 +114,26 @@ object Bench {
         """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
-    val flagged = timings.collect {
-      case (k, v, true) if baseline.get(k).exists(b => b > 0 && v > 2 * b && v > 1.0) =>
-        f"$k (${v}%.2fs vs baseline ${baseline(k)}%.2fs)"
+    // A single-shot >2x reading on a shared box is often session noise
+    // (GC/JIT pressure late in a 272-query sweep), not a plan
+    // regression: every flag from the main sweep is AUTOMATICALLY
+    // re-measured in the same JVM right after the sweep — the
+    // mechanical form of the "re-run flagged queries in isolation"
+    // triage that previously happened by hand. The flag stands only if
+    // the re-measure is ALSO >2x baseline; both numbers are reported so
+    // a drift between them reads as session pressure, not plan change.
+    def over(k: String, v: Double): Boolean =
+      baseline.get(k).exists(b => b > 0 && v > 2 * b && v > 1.0)
+    val suspects = timings.collect { case (k, v, true) if over(k, v) => (k, v) }
+    val byName = selected.toMap
+    val flagged = suspects.flatMap { case (k, v0) =>
+      val (_, v1, ok1) = timeOne(k, byName(k))
+      if (ok1 && !over(k, v1)) {
+        System.err.println(
+          f"[bench] $k un-flagged on re-measure: $v0%.2fs sweep, $v1%.2fs re-run vs baseline ${baseline(k)}%.2fs")
+        None
+      } else Some(
+        f"$k ($v0%.2fs sweep, $v1%.2fs re-run vs baseline ${baseline(k)}%.2fs)")
     }
     // FULL per-query map goes to a sidecar FILE (driver tail-truncation
     // loses half of 150 stdout timings); the compact one-line summary is

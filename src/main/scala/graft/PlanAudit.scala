@@ -3,9 +3,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-query physical-plan shape summary: exchange/join counts,
   * nested-loop detection, parquet pushdown + column pruning. Run with
-  * query names as args, or no args for all queries. */
+  * query names as args, or no args for all queries.
+  *
+  * The one-line-per-query output is committed per round as
+  * `PLANS_rNN.txt` (tools/gate.sh), so plan-shape regressions diff
+  * mechanically across rounds the same way BENCH_BASELINE diffs time.
+  * Exits nonzero if ANY query's plan (including checkpoint-hidden
+  * sub-plans) contains a CartesianProduct (both sides shuffled — never
+  * excusable) or fails to build. `nl` in the output ALSO counts
+  * BroadcastNestedLoopJoins, most of which are the intended broadcast
+  * cross joins of one-row/model-sized frames; the bounded-build-side
+  * proof for those is ContractSpec's PlanGuard gate, which walks the
+  * plan objects rather than the strings. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    var bad = 0
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
@@ -48,11 +60,19 @@ object PlanAudit {
           s"smj=${n("SortMergeJoin")} nl=$nl scans=${n("FileScan")} " +
           s"maxReadCols=${if (widths.isEmpty) 0 else widths.max} " +
           s"pushedScans=$pushed subplans=${subPlans.size + 1}")
+        val cart = n("CartesianProduct")
+        if (cart > 0) { bad += 1
+          System.err.println(s"[plan] GATE FAIL: $q has $cart CartesianProduct operators") }
       } catch { case e: Throwable =>
         graft.ops.Caches.stopCapture()
         println(s"[plan] $q ERROR ${e.getMessage}")
+        bad += 1
       }
     }
     spark.stop()
+    if (bad > 0) {
+      System.err.println(s"[plan] $bad queries failed the plan gate")
+      sys.exit(1)
+    }
   }
 }

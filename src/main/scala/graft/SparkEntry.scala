@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Dedup, Merge, Partitioning, Patients, TextFunctions => TF}
+import graft.engine.{Dedup, Merge, Partitioning, Patients, TxLog, TextFunctions => TF}
 import graft.functions.SortedSumD.{sortedSum => ssum}
 import graft.ops.{AsOf, Behavior, DedupOps, JoinOps, Multimodal, Sampling, Similarity, Sketches, TextAnalysis => TA}
 
@@ -418,7 +418,7 @@ object SparkEntry {
       val exact = docs
         .agg(countDistinct(TF.normalizeText(col("text")))
           .as("exact_distinct"))
-      est.crossJoin(exact)
+      est.crossJoin(broadcast(exact))
     }),
 
     // A2 at scale — GLOBAL dense numbering via the two-phase range-
@@ -1868,7 +1868,7 @@ object SparkEntry {
       val ev = events(s, dir)
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
       Sketches.hllEstimate(ev, col("user_id").cast("string"), p = 6)
-        .crossJoin(exact)
+        .crossJoin(broadcast(exact))
     }),
 
     // SemDeDup-style SEMANTIC dedup (Similarity.semanticDedup):
@@ -6707,6 +6707,44 @@ object SparkEntry {
           round(col("cross_t") - col("tmax"), 2)
             .as("days_to_threshold"),
           (col("slope") > 0).as("growing"))
+    }),
+
+    // TRANSACTIONAL MERGE + EXACTLY-ONCE LINEAGE, oracle-gated end to
+    // end (the reference's S8/T5 semantics made driver-visible): three
+    // deterministic micro-batches from `orders` slices run through the
+    // REAL TxLog — epoch-tagged MERGE, a restart REPLAY of epoch 2
+    // (must no-op, or the gate's counts shift), a predicate DELETE,
+    // then a final merge — and the committed table's per-upload rollup
+    // must match DuckDB replaying the same latest-wins/delete algebra
+    // in pure SQL. Construction is EAGER by design: the query's subject
+    // is the transactional sink itself, so building it IS running the
+    // micro-batch sequence (batches are %-sliced — hundreds of rows at
+    // gate SFs; the commit path is O(batch), not O(table)).
+    "q273_txlog_exactly_once" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q273").toString
+      def batch(m: Int, bump: Long, e: Long) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % m === 0)
+        .select(col("o_orderkey").as("k"),
+          (round(col("o_totalprice") * 100, 0).cast("long") + bump)
+            .as("v"),
+          lit(e).as("upload_id"))
+      TxLog.mergeEpoch(s, root, batch(7, 0, 1), "k", epochId = 1L)
+      TxLog.mergeEpoch(s, root, batch(5, 1, 2), "k", epochId = 2L)
+      // streaming-restart replay of the last epoch: exactly-once means
+      // this commit is SKIPPED — a double-apply cannot change v (merge
+      // is idempotent on identical rows) but WOULD burn a version and
+      // break the epoch monotonicity contract the oracle ignores; the
+      // real gate bite: if replay were mis-keyed as epoch 3, batch 3's
+      // merge below would be skipped and n_rows(upload 3) would differ
+      TxLog.mergeEpoch(s, root, batch(5, 1, 2), "k", epochId = 2L)
+      TxLog.delete(s, root, "k", col("k") % 3 === 0)
+      TxLog.mergeEpoch(s, root, batch(11, 2, 3), "k", epochId = 3L)
+      TxLog.read(s, root)
+        .groupBy("upload_id")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy("upload_id")
     }),
   )
 
@@ -12795,5 +12833,39 @@ object SparkEntry {
              AS days_to_threshold,
            (slope > 0) AS growing
          FROM g""",
+
+    // Replays the TxLog micro-batch algebra in pure SQL: latest-wins
+    // per key over epochs 1..2, predicate delete, epoch-3 merge on top.
+    "q273_txlog_exactly_once" ->
+      """WITH b1 AS (
+           SELECT o_orderkey AS k,
+             round(o_totalprice * 100)::BIGINT + 0 AS v,
+             1::BIGINT AS upload_id
+           FROM orders WHERE o_orderkey % 7 = 0),
+         b2 AS (
+           SELECT o_orderkey AS k,
+             round(o_totalprice * 100)::BIGINT + 1 AS v,
+             2::BIGINT AS upload_id
+           FROM orders WHERE o_orderkey % 5 = 0),
+         b3 AS (
+           SELECT o_orderkey AS k,
+             round(o_totalprice * 100)::BIGINT + 2 AS v,
+             3::BIGINT AS upload_id
+           FROM orders WHERE o_orderkey % 11 = 0),
+         s12 AS (
+           SELECT k, v, upload_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY k ORDER BY upload_id DESC) AS rn
+             FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
+           WHERE rn = 1),
+         surv AS (SELECT * FROM s12 WHERE k % 3 <> 0),
+         fin AS (
+           SELECT * FROM b3
+           UNION ALL
+           SELECT * FROM surv WHERE k NOT IN (SELECT k FROM b3))
+         SELECT upload_id, count(*)::BIGINT AS n_rows,
+           sum(v)::BIGINT AS sum_cents,
+           min(k)::BIGINT AS min_key, max(k)::BIGINT AS max_key
+         FROM fin GROUP BY 1 ORDER BY 1""",
   )
 }

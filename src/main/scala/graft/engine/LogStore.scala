@@ -69,6 +69,57 @@ object LogStore {
     }
   }
 
+  /** Object-store conditional-PUT shape, modeled with local primitives:
+    * the commit decomposes into exactly the two properties a
+    * conditional PUT (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`)
+    * provides in one call —
+    *
+    *   (a) an atomic CLAIM that exactly one racer wins: here
+    *       `Files.createFile(dest + ".claim", CREATE_NEW)` — the kernel
+    *       returns EEXIST to every loser, like the PUT's 412;
+    *   (b) all-or-nothing CONTENT visibility: the winner publishes via
+    *       `ATOMIC_MOVE`, so `dest` appears with full content in one
+    *       namespace op — like an object becoming readable only once
+    *       the PUT completes.
+    *
+    * A real object-store impl collapses (a)+(b) into the single
+    * conditional PUT call and needs no claim file; this impl exists to
+    * PROVE (TxLogSpec races all three LogStores) that TxLog's commit
+    * contract is satisfiable by that primitive alone — the 100 TB
+    * object-store story as tested code rather than prose. Claim files
+    * carry no content, are invisible to manifest listing (`.manifest`
+    * suffix filter), and are dropped with their manifest at vacuum.
+    *
+    * Mock-only liveness caveat (NOT present with a real PUT, where
+    * claim and content are one call): a winner dying between claim and
+    * move orphans the claim, and later committers of that version lose
+    * forever. Safety is unaffected (no reader ever sees a partial
+    * manifest; no two writers both win); un-wedging would mean clearing
+    * stale claims by age, omitted because this impl exists to prove the
+    * commit contract against the conditional-PUT primitive, not to be
+    * deployed on a local disk (LocalLink is the deployment impl there). */
+  object ConditionalPut extends LogStore {
+    def commitExclusive(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val destNio = Paths.get(dest.toUri.getPath)
+      val tmpNio = Paths.get(tmp.toUri.getPath)
+      val claim = Paths.get(dest.toUri.getPath + ".claim")
+      val won =
+        if (Files.exists(destNio)) false
+        else {
+          val claimed =
+            try { Files.createFile(claim); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          if (claimed) {
+            Files.move(tmpNio, destNio, StandardCopyOption.ATOMIC_MOVE)
+            true
+          } else false
+        }
+      if (!won) fs.delete(tmp, false)
+      won
+    }
+  }
+
   /** Scheme-based default: local fs gets the hard-link CAS, everything
     * else the HDFS rename contract. */
   def forFs(fs: FileSystem): LogStore =

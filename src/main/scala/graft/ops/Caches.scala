@@ -15,14 +15,22 @@ private[graft] object Caches {
     * "no nested loops anywhere" is machine-checked across ALL stages,
     * not just the visible tail. */
   private val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val capturedPlans =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.execution.SparkPlan]
   @volatile private var capturing = false
 
   def startCapture(): Unit =
-    synchronized { captured.clear(); capturing = true }
+    synchronized { captured.clear(); capturedPlans.clear(); capturing = true }
 
   /** Stop capturing and return every sub-plan recorded since start. */
   def stopCapture(): Seq[String] =
     synchronized { capturing = false; captured.toList }
+
+  /** Like [[stopCapture]] but returns the plan OBJECTS, for the
+    * PlanGuard object-level walks (bounded-build-side proofs need the
+    * tree, not its string). */
+  def stopCapturePlans(): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    synchronized { capturing = false; capturedPlans.toList }
 
   /** Eagerly materialize a SMALL frame (candidate-pair lists, model-sized
     * artifacts) via `localCheckpoint`: computation runs now, lineage is
@@ -39,7 +47,9 @@ private[graft] object Caches {
     */
   def small(df: DataFrame): DataFrame = {
     if (capturing) synchronized {
-      captured += df.queryExecution.executedPlan.toString
+      val p = df.queryExecution.executedPlan
+      captured += p.toString
+      capturedPlans += p
     }
     df.localCheckpoint(eager = true)
   }

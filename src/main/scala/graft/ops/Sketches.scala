@@ -260,7 +260,7 @@ object Sketches {
       .agg(sum((col("ina").isNotNull && col("inb").isNotNull).cast("long"))
           .as("exact_inter"),
         count(lit(1)).as("exact_union"))
-    flags.crossJoin(exact)
+    flags.crossJoin(broadcast(exact))
       .select(lit(k).as("sketch_k"), col("union_sketch_size"),
         col("in_both"),
         round(col("in_both").cast("double") /

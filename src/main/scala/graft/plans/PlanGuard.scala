@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Mechanical 100 TB-shape audit over physical plans — the object-level
+  * (not string-level) form of the plan gates, shared by PlanAudit and
+  * ContractSpec.
+  *
+  * Two scan families:
+  *
+  *  1. [[killers]] — operators that explode at scale: a
+  *     `CartesianProduct` (both sides shuffled — n·m rows), or a
+  *     `BroadcastNestedLoopJoin` whose broadcast side is NOT provably
+  *     bounded. Broadcast cross joins of one-row aggregates / top-k
+  *     frames are the engine's intended pattern for threading totals
+  *     and model-sized artifacts through plans; the guard distinguishes
+  *     them from a genuine corpus×corpus nested loop by PROVING the
+  *     build side's row bound from the plan itself.
+  *
+  *  2. [[globalWindows]] — `Window` operators with an empty partition
+  *     spec (single-partition global sort). Callers classify each by
+  *     [[bounded]] (provable small input: group-limit-capped rank,
+  *     one-row aggregates, limits) and [[grainReduced]] (input passed
+  *     through a grouped aggregation — day/week/value/pid grain rather
+  *     than raw rows); a global window over RAW data is the scale
+  *     killer the q172/q238 two-phase forms exist to avoid.
+  */
+object PlanGuard {
+
+  /** Unwrap AQE / reuse wrappers so walks see the real operator tree. */
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+    case q: QueryStageExec        => unwrap(q.plan)
+    case r: ReusedExchangeExec    => unwrap(r.child)
+    case other                    => other
+  }
+
+  /** Row count provably bounded by construction: the walk passes only
+    * through row-preserving/reducing operators (project, filter, sort,
+    * exchange, window, codegen glue) to a bounding node — an aggregate
+    * with no grouping keys (≤1 row), a limit, a rank group-limit
+    * (≤ k·partitions), literal local data, or a small Range. Joins are
+    * bounded iff both sides are; Generate (explode) is accepted over a
+    * bounded child (the engine only explodes fixed-size arrays —
+    * percentile bounds, sequence(1,k) — over model frames). */
+  def bounded(plan: SparkPlan): Boolean = unwrap(plan) match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || bounded(a.child) ||
+        // partition-id grain: the offsets frame of the two-phase
+        // Dedup.numberRows/numberAndRunningSum — ≤ shuffle-partition
+        // rows by construction (the name is library-owned)
+        a.groupingExpressions.forall(
+          _.references.forall(_.name == "__graft_pid"))
+    case _: TakeOrderedAndProjectExec => true
+    case _: GlobalLimitExec           => true
+    case _: LocalLimitExec            => true
+    case _: WindowGroupLimitExec      => true
+    case _: LocalTableScanExec        => true
+    // ExistingRDD scans come from localCheckpoint, whose only producer
+    // here is Caches.small — model-sized by that method's contract
+    // (and the pre-checkpoint plan is separately captured + audited)
+    case _: RDDScanExec               => true
+    case r: RangeExec                 => r.numElements <= 1000000L
+    case j: BaseJoinExec              => bounded(j.left) && bounded(j.right)
+    case u: UnionExec                 => u.children.forall(bounded)
+    case g: GenerateExec              => bounded(g.child)
+    case other if other.children.size == 1 => bounded(other.children.head)
+    case _ => false // scans, zero-child leaves, multi-child unknowns
+  }
+
+  /** The walk hits a GROUPED aggregation before any scan: the frame is
+    * an aggregate grain (days, weeks, partition ids, distinct values),
+    * not raw rows. Weaker than [[bounded]] — value grains can still
+    * grow with data — so gate callers require an explicit allowlist
+    * entry naming the grain for these. */
+  def grainReduced(plan: SparkPlan): Boolean = unwrap(plan) match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.nonEmpty || grainReduced(a.child)
+    case j: BaseJoinExec => grainReduced(j.left) && grainReduced(j.right)
+    case u: UnionExec    => u.children.forall(grainReduced)
+    case g: GenerateExec => grainReduced(g.child)
+    case p if bounded(p) => true
+    case other if other.children.size == 1 =>
+      grainReduced(other.children.head)
+    case _ => false
+  }
+
+  /** Scale-killer operators in `plan`: every CartesianProduct, and
+    * every BroadcastNestedLoopJoin whose build side is not [[bounded]].
+    * Empty result = the plan has no nested-loop shape that grows with
+    * the data. */
+  def killers(plan: SparkPlan): Seq[String] = {
+    val walked = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: SparkPlan): Unit = {
+      unwrap(p) match {
+        case c: CartesianProductExec =>
+          walked += s"CartesianProduct (shuffled x shuffled)"
+          c.children.foreach(walk)
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = if (j.buildSide == BuildLeft) j.left else j.right
+          if (!bounded(build))
+            walked += "BroadcastNestedLoopJoin with unbounded build side"
+          j.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(plan)
+    walked.toSeq
+  }
+
+  /** Every global (partition-less) Window operator in `plan`, paired
+    * with its input sub-plan for bounded/grain classification. */
+  def globalWindows(plan: SparkPlan): Seq[WindowExec] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[WindowExec]
+    def walk(p: SparkPlan): Unit = unwrap(p) match {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        found += w; walk(w.child)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    found.toSeq
+  }
+}

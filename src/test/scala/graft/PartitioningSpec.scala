@@ -36,16 +36,24 @@ class PartitioningSpec extends AnyFunSuite {
   test("bucketed co-located join plans ZERO exchanges") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    // the session is SHARED across suites — restore the threshold or
+    // every later suite sees auto-broadcast disabled (intended tiny
+    // cross joins then plan as CartesianProduct and trip the PlanGuard
+    // gate; cost a real debugging round)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    resetTable("t_bucketed_a"); resetTable("t_bucketed_b")
-    Partitioning.writeBucketed(a, "t_bucketed_a", "k", 4)
-    Partitioning.writeBucketed(b, "t_bucketed_b", "k", 4)
-    val joined = Partitioning.bucketedJoin(spark, "t_bucketed_a",
-      "t_bucketed_b", "k")
-    assert(joined.count() === 1000)
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"bucketed join should be exchange-free, got:\n$plan")
+    try {
+      resetTable("t_bucketed_a"); resetTable("t_bucketed_b")
+      Partitioning.writeBucketed(a, "t_bucketed_a", "k", 4)
+      Partitioning.writeBucketed(b, "t_bucketed_b", "k", 4)
+      val joined = Partitioning.bucketedJoin(spark, "t_bucketed_a",
+        "t_bucketed_b", "k")
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be exchange-free, got:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("unbucketed control: the same join DOES shuffle") {

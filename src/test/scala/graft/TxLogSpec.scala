@@ -391,6 +391,80 @@ class TxLogSpec extends SparkSpec {
     assert(!fs.exists(tmp) && fs.exists(dest))
   }
 
+  test("commit-CAS race contract: N concurrent committers of the SAME " +
+    "version against ALL THREE LogStores — exactly one wins, the " +
+    "published manifest is the winner's COMPLETE content, every temp " +
+    "is consumed") {
+    import graft.engine.LogStore
+    import org.apache.hadoop.fs.{Path => HPath, RawLocalFileSystem}
+    // AtomicRename's refusal of an existing destination is an HDFS
+    // NAMESPACE guarantee; POSIX renameTo overwrites. To race the impl
+    // against the contract it was written for, wrap the local fs with
+    // an HDFS-like rename (atomic refuse-if-exists under a lock) — the
+    // LogStore logic is what's under test, not the kernel.
+    class HdfsLikeFs extends RawLocalFileSystem {
+      private val nsLock = new Object
+      override def rename(src: HPath, dst: HPath): Boolean =
+        nsLock.synchronized {
+          if (exists(dst)) false else super.rename(src, dst)
+        }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val plainFs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      .getRawFileSystem
+    val hdfsLike = new HdfsLikeFs
+    hdfsLike.initialize(java.net.URI.create("file:///"), conf)
+    val cases: Seq[(LogStore, org.apache.hadoop.fs.FileSystem)] = Seq(
+      LogStore.LocalLink -> plainFs,
+      LogStore.AtomicRename -> hdfsLike,
+      LogStore.ConditionalPut -> plainFs)
+    for (((ls, fs), ci) <- cases.zipWithIndex; round <- 1 to 4) {
+      val dir = new HPath(freshRoot()); fs.mkdirs(dir)
+      val dest = new HPath(dir, "00000000000000000001.manifest")
+      val n = 16
+      val tmps = (0 until n).map { i =>
+        val t = new HPath(dir, s".tmp-$i")
+        val o = fs.create(t, false)
+        o.write(s"writer-$i-payload".getBytes("UTF-8")); o.close(); t
+      }
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val won = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            if (ls.commitExclusive(fs, tmps(i), dest)) won.add(i)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"case $ci round $round: $errs")
+      assert(won.size === 1, s"case $ci round $round: winners=$won")
+      val in = fs.open(dest)
+      val content = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      val w = won.iterator().next()
+      assert(content === s"writer-$w-payload",
+        s"case $ci round $round: reader saw partial/foreign content")
+      tmps.foreach(t => assert(!fs.exists(t),
+        s"case $ci round $round: temp $t not consumed"))
+    }
+    // end-to-end under ConditionalPut: the DML cycle commits through
+    // claim+move and reads back exactly like the other stores
+    val prev = TxLog.logStoreProvider
+    try {
+      TxLog.logStoreProvider = _ => LogStore.ConditionalPut
+      val root = freshRoot()
+      assert(TxLog.append(spark, root, rows(0 until 50, "a"), "id") === 1L)
+      assert(TxLog.merge(spark, root, rows(25 until 75, "b"), "id") === 2L)
+      assert(TxLog.delete(spark, root, "id", col("id") < 10) === 3L)
+      assert(TxLog.read(spark, root).count() === 65)
+    } finally TxLog.logStoreProvider = prev
+  }
+
   test("renameColumn is metadata-only: same data files, new logical " +
     "name, time travel shows the old name, stale batches rejected") {
     val root = freshRoot()
