@@ -48,10 +48,16 @@ object Bench {
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Boolean) = {
-      // Inter-query hygiene, OUTSIDE the timed region: a GC cycle lets
-      // the ContextCleaner release the previous queries' localCheckpoint
-      // blocks, so a query's measured time reflects its own work, not
-      // the heap debt of the 100 queries before it.
+      // Inter-query hygiene, OUTSIDE the timed region. Two parts:
+      // (1) explicitly unpersist every still-persistent RDD — nothing
+      // is shared across queries, and localCheckpoint blocks are
+      // otherwise freed only after BOTH a GC of the RDD object and an
+      // async ContextCleaner pass, so late-sweep queries (the q19
+      // in-sweep drift) would run against hundreds of MB of dead
+      // checkpoint blocks squatting in the storage memory pool;
+      // (2) a GC cycle for whatever the cleaner still owns.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
       val ok =
@@ -83,7 +89,10 @@ object Bench {
     // baseline recorded from one mid-session run skews toward whatever
     // the box was doing that minute; the median of 3 clean sweeps is
     // the number the >2x guardrail should compare against.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    // clamped: a zero/negative/garbled value degrades to 1, never to an
+    // empty sweep (allRuns.head would throw after doing no work)
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).getOrElse(1))
     val allRuns = (1 to runs).map { r =>
       if (runs > 1) System.err.println(s"[bench] sweep $r/$runs")
       selected.map { case (name, fn) => timeOne(name, fn) }

@@ -28,7 +28,14 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
-      try {
+      if (SparkEntry.eagerSinks(q)) {
+        // an eager-sink query's BUILDER executes DML — a plan-only
+        // audit must not run it; the line keeps the committed artifact
+        // at one row per query so round-over-round diffs stay aligned
+        println(s"[plan] $q SKIPPED eager-sink (builder executes TxLog " +
+          "DML; commit path audited by TxLogSpec, read-back is a " +
+          "parquet scan + keyed agg)")
+      } else try {
         // capture the plans Caches.small materializes too: lineage
         // truncation otherwise hides the LSH pipelines' expensive
         // candidate stages from the audit

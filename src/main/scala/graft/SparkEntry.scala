@@ -3648,9 +3648,18 @@ object SparkEntry {
         sum(col("c") * col("nc")).as("n_tokens"),
         max(when(col("c") === 1, col("nc"))).as("n1"),
         max(when(col("c") === 2, col("nc"))).as("n2"))
-      fof.withColumn("nc1", lead(col("nc"), 1).over(Window.orderBy("c")))
-        .withColumn("rn", row_number().over(Window.orderBy("c")))
-        .filter(col("rn") <= 10)
+      // fof is a VALUE grain (distinct counts — grows with the corpus
+      // under Zipf): rank it with the two-phase numberRows instead of a
+      // single-partition global window, then recover lead(nc) for the
+      // kept c ≤ 10 rows by a rank-shift self-join of the 11-row head
+      // (row rn's successor is row rn+1 — c is distinct, so the
+      // two-phase rank equals the global row_number exactly).
+      val ranked = Dedup.numberRows(fof, col("c"), "rn")
+      val head11 = ranked.filter(col("rn") <= 11)
+      val lead1 = head11.select((col("rn") - 1).as("rn"),
+        col("nc").as("nc1"))
+      head11.filter(col("rn") <= 10)
+        .join(broadcast(lead1), Seq("rn"), "left")
         .crossJoin(broadcast(stats))
         .select(col("c"), col("nc"),
           round((col("c") + 1).cast("double") * col("nc1") / col("nc"), 4)
@@ -5667,11 +5676,15 @@ object SparkEntry {
       val cnt = t(s, dir, "documents").groupBy("source")
         .agg(sum(size(split(TF.normalizeText(col("text")), " ")))
           .cast("long").as("n_tok"))
-      val ord = Window.orderBy(col("n_tok"), col("source"))
-      val ranked = cnt
-        .withColumn("rk", row_number().over(ord))
-        .withColumn("cum", sum(col("n_tok")).over(
-          ord.rowsBetween(Window.unboundedPreceding, 0)))
+      // the source dimension is a VALUE grain (grows with the corpus),
+      // so the global rank + running sum run in the two-phase
+      // numberAndRunningSum form (range-partition → local rank/cumsum →
+      // broadcast partition offsets) — no single-partition sort. The
+      // order key is packed into one struct ((n_tok, source) asc; both
+      // components ascending, source breaks ties → globally monotone).
+      val ranked = Dedup.numberAndRunningSum(cnt,
+          struct(col("n_tok"), col("source")), "rk",
+          Seq("cum" -> col("n_tok")))
         .crossJoin(broadcast(cnt.agg(count(lit(1)).as("m"),
           expr("sum(n_tok) div 2").as("b"))))
       // last rank where the remaining-average level covers this size
@@ -5679,12 +5692,13 @@ object SparkEntry {
         .filter((col("cum") - col("n_tok")) +
           col("n_tok") * (col("m") - col("rk") + 1) <= col("b"))
         .agg(max(col("rk")).as("kfull"))
-      ranked.crossJoin(broadcast(lvl))
+      val withLvl = ranked.crossJoin(broadcast(lvl))
         .withColumn("kfull", coalesce(col("kfull"), lit(0L)))
-        .withColumn("cumk", max(when(col("rk") <= col("kfull"),
-          col("cum"))).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("cumk", coalesce(col("cumk"), lit(0L)))
+      // cum at the waterline rank — a one-row aggregate crossJoined
+      // back (replaces the former partition-less whole-frame max window)
+      val cumk = withLvl.filter(col("rk") <= col("kfull"))
+        .agg(coalesce(max(col("cum")), lit(0L)).as("cumk"))
+      withLvl.crossJoin(broadcast(cumk))
         .withColumn("alloc",
           when(col("rk") <= col("kfull"), col("n_tok"))
             .otherwise(expr("(b - cumk) div (m - kfull)") +
@@ -6445,23 +6459,30 @@ object SparkEntry {
     // the exact keep-first skyline window in phase 2 only ever sees the
     // pruned sliver (≈ frontier + bucket-local noise), never the full
     // part table — the global ORDER BY window stays metadata-sized.
+    // The decile BOUNDS are computed once from the full table and
+    // checkpointed (one-row model frame): both fronts reuse the same
+    // bucket geometry — prune validity needs only SOME monotone price
+    // bucketing, while the per-bucket running max MUST be recomputed
+    // per front from the rows still in play (a dropped row's dominator
+    // is provably a front-1 member, so after removing front 1 the old
+    // maxima would over-prune legitimate front-2 rows).
     "q265_pareto_layers" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val bounds = graft.ops.Caches.small(p.agg(expr(
+        "percentile(p_retailprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs")))
+      val bucketed = p.crossJoin(broadcast(bounds))
+        .withColumn("bk",
+          lit(1) + size(filter(col("bs"), b => col("p_retailprice") > b)))
+        .drop("bs")
       def front(df: DataFrame): DataFrame = {
-        val bounds = df.agg(expr(
-          "percentile(p_retailprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-          .as("bs"))
-        val bucketed = df.crossJoin(broadcast(bounds))
-          .withColumn("bk",
-            lit(1) + size(filter(col("bs"), b => col("p_retailprice") > b)))
-          .drop("bs")
-        val bmax = bucketed.groupBy("bk")
+        val bmax = df.groupBy("bk")
           .agg(max(col("p_size")).as("bmx"))
           .withColumn("prevmx", max(col("bmx")).over(
             Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)))
           .select("bk", "prevmx")
-        val pruned = bucketed.join(broadcast(bmax), Seq("bk"))
+        val pruned = df.join(broadcast(bmax), Seq("bk"))
           .filter(col("prevmx").isNull || col("p_size") >= col("prevmx"))
         val w = Window.orderBy(col("p_retailprice"), col("p_size").desc,
           col("p_partkey")).rowsBetween(Window.unboundedPreceding, -1)
@@ -6469,8 +6490,11 @@ object SparkEntry {
           .filter(col("mx").isNull || col("p_size") > col("mx"))
           .drop("mx", "bk", "prevmx")
       }
-      val f1 = front(p).withColumn("front", lit(1L))
-      val rest = p.join(f1.select("p_partkey"), Seq("p_partkey"),
+      // frontier-sized: checkpoint so the anti-join AND the output
+      // union don't each re-run front 1's prune+skyline pipeline
+      val f1 = graft.ops.Caches.small(front(bucketed))
+        .withColumn("front", lit(1L))
+      val rest = bucketed.join(f1.select("p_partkey"), Seq("p_partkey"),
         "left_anti")
       val f2 = front(rest).withColumn("front", lit(2L))
       f1.unionByName(f2)
@@ -6561,13 +6585,17 @@ object SparkEntry {
       val cnt = t(s, dir, "documents").groupBy("source")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
       val tot = cnt.agg(sum(col("n")).as("nn"))
-      cnt.crossJoin(broadcast(tot))
+      val scored = cnt.crossJoin(broadcast(tot))
         .withColumn("mean_q", d(col("sc")) / col("n") / 1000.0)
         .withColumn("explore", sqrt(lit(2.0) * log(d(col("nn"))) /
           col("n")))
         .withColumn("ucb", col("mean_q") + col("explore"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("ucb").desc, col("source"))))
+      // source is a VALUE grain (grows with the corpus): the global
+      // priority rank runs two-phase (Dedup.numberRows) — negating ucb
+      // packs (ucb DESC, source ASC) into one ascending struct key
+      // (ucb > 0 always: mean_q > 0 and the explore bonus is a sqrt)
+      Dedup.numberRows(scored,
+          struct((col("ucb") * -1).as("negucb"), col("source")), "rk")
         .select(col("rk"), col("source"), col("n"),
           round(col("mean_q"), 6).as("mean_q"),
           round(col("explore"), 6).as("explore_bonus"),
@@ -6719,10 +6747,27 @@ object SparkEntry {
     // in pure SQL. Construction is EAGER by design: the query's subject
     // is the transactional sink itself, so building it IS running the
     // micro-batch sequence (batches are %-sliced — hundreds of rows at
-    // gate SFs; the commit path is O(batch), not O(table)).
+    // gate SFs; the commit path is O(batch), not O(table)). Listed in
+    // [[eagerSinks]] so plan-only consumers (PlanAudit, ContractSpec's
+    // all-query gates) skip it — building a PLAN must never write. The
+    // work dir is deterministic per SF and wiped before each build, so
+    // repeated invocations (Verify + Bench in one session) reuse one
+    // directory instead of leaking a fresh temp dir per call.
     "q273_txlog_exactly_once" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q273").toString
+      val root = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_q273_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        if (java.nio.file.Files.exists(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally st.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
       def batch(m: Int, bump: Long, e: Long) = t(s, dir, "orders")
         .filter(col("o_orderkey") % m === 0)
         .select(col("o_orderkey").as("k"),
@@ -6747,6 +6792,17 @@ object SparkEntry {
         .orderBy("upload_id")
     }),
   )
+
+  /** Queries whose BUILDER executes side effects — the sink IS the
+    * query's subject, so constructing the DataFrame runs real DML
+    * (TxLog merges/deletes) before returning the lazy read-back plan.
+    * Runtime consumers (Verify, Bench) pay that by design; PLAN-ONLY
+    * consumers (PlanAudit, ContractSpec's all-query plan gates) must
+    * consult this set and skip, so that "build every plan" is
+    * side-effect-free. The skipped queries' scale shape is audited by
+    * their own specs (TxLogSpec races the commit path; the read-back
+    * plan is a plain parquet scan + keyed agg). */
+  val eagerSinks: Set[String] = Set("q273_txlog_exactly_once")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per

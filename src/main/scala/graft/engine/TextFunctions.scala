@@ -67,6 +67,28 @@ object TextFunctions {
       concat(lit("Dr "), initcap(truncated))).otherwise(lit(null))
   }
 
+  /** Author pattern, SANE mode: Unicode-letter word class, so accented
+    * names (`Dr Pêche`) are captured whole instead of being cut at the
+    * first non-ASCII letter. `(?U)` turns on UNICODE_CHARACTER_CLASS so
+    * `\b` and `\w` agree with `\p{L}` about where words end. */
+  val AuthorPatternSane = "(?U)\\bdr\\s+(\\p{L}+(?:\\s+\\p{L}+)?)\\b"
+
+  /** F3 — author rule, sane mode: same last-match-wins selection as the
+    * faithful [[extractAuthor]], but with the accent-aware pattern and
+    * WITHOUT the reference's `split("dr")[0]` truncation quirk (which
+    * mangles any name containing the letters "dr" — `exo_2.py:166-201`).
+    * The mode toggle is SQL-visible: the registered `graft_author`
+    * function reads `spark.graft.author.legacySemantics` (default true,
+    * the faithful reference behavior) at resolution time —
+    * `graft.functions.GraftExtensions`. */
+  def extractAuthorSane(text: Column): Column = {
+    val last = try_element_at(
+      regexp_extract_all(normalizeText(text), lit(AuthorPatternSane), lit(1)),
+      lit(-1))
+    when(last.isNotNull && length(last) > 0,
+      concat(lit("Dr "), initcap(last))).otherwise(lit(null))
+  }
+
   /** F5 — load-date stamp, `dd/MM/yyyy` at the sink boundary
     * (`exo_1.py:75`); internal representation stays DateType. */
   def updateDateStamp(): Column = date_format(current_date(), "dd/MM/yyyy")

@@ -406,27 +406,39 @@ object TxLog {
     val (incMin, incMax) = (bounds.getLong(0), bounds.getLong(1))
     @tailrec def loop(): Long = {
       val snap = snapshot(spark, root)
-      // schema-conflict check runs per ATTEMPT: a rename/drop committed
-      // while this merge raced fails the retry instead of resurrecting
-      // the stale name as a "new" column
-      assertNoSchemaConflict(incoming.columns.toSeq, snap)
-      val physKey = physName(keyCol, snap)
-      val inc = toPhysical(incoming, snap)
-      val (touched, untouched) =
-        snap.files.partition(f => f.maxKey >= incMin && f.minKey <= incMax)
-      val existing =
-        if (touched.isEmpty) inc.limit(0)
-        else dropRetired(spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => s"$root/${f.path}"): _*), snap)
-      val merged = Merge.upsert(align(existing, inc),
-        align(inc, existing), Seq(physKey))
-      val newFiles = writeData(spark, root, merged, physKey)
-      if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles,
-          epoch, snap)) {
-        snap.version + 1
-      } else {
-        newFiles.foreach(f => fs.delete(new Path(s"$root/${f.path}"), false))
-        loop()
+      // DOUBLE-DEPLOYMENT guard, re-checked per ATTEMPT: mergeEpoch's
+      // entry check only sees epochs committed before this call, but a
+      // RACING writer (two watcher instances accidentally deployed on
+      // one table) can commit the same epoch between attempts — after
+      // losing the commit CAS, the loser must re-read the log and SKIP
+      // an epoch that is now committed, not burn a duplicate version
+      // for an already-delivered batch (exactly-once under the race,
+      // not just under restart replay).
+      if (epoch.exists(e => lastEpoch(spark, root).exists(_ >= e)))
+        snap.version
+      else {
+        // schema-conflict check runs per ATTEMPT: a rename/drop committed
+        // while this merge raced fails the retry instead of resurrecting
+        // the stale name as a "new" column
+        assertNoSchemaConflict(incoming.columns.toSeq, snap)
+        val physKey = physName(keyCol, snap)
+        val inc = toPhysical(incoming, snap)
+        val (touched, untouched) =
+          snap.files.partition(f => f.maxKey >= incMin && f.minKey <= incMax)
+        val existing =
+          if (touched.isEmpty) inc.limit(0)
+          else dropRetired(spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(f => s"$root/${f.path}"): _*), snap)
+        val merged = Merge.upsert(align(existing, inc),
+          align(inc, existing), Seq(physKey))
+        val newFiles = writeData(spark, root, merged, physKey)
+        if (tryCommit(fs, root, snap.version + 1, untouched ++ newFiles,
+            epoch, snap)) {
+          snap.version + 1
+        } else {
+          newFiles.foreach(f => fs.delete(new Path(s"$root/${f.path}"), false))
+          loop()
+        }
       }
     }
     loop()
@@ -437,10 +449,15 @@ object TxLog {
     * of delivery are ONE atomic operation. A replay of an
     * already-committed epoch (streaming restart re-running its last
     * batch) is detected from the log and skipped — no duplicate work,
-    * no version bump. Contract: ONE writer stream per table with
-    * monotonically increasing epochs (Structured Streaming's batchId /
-    * the Watcher's uploadId). Returns the table version holding the
-    * epoch (current version when skipped). */
+    * no version bump. Contract: writers use monotonically increasing
+    * epochs (Structured Streaming's batchId / the Watcher's uploadId);
+    * the intended deployment is ONE writer stream per table, but an
+    * ACCIDENTALLY doubled deployment is also safe — the epoch check is
+    * re-run against every retry snapshot inside [[merge]], so a writer
+    * that loses the commit CAS to a racer carrying the same epoch
+    * skips instead of re-delivering (WatcherSpec races two live
+    * watchers through this path). Returns the table version holding
+    * the epoch (current version when skipped). */
   def mergeEpoch(spark: SparkSession, root: String, incoming: DataFrame,
                  keyCol: String, epochId: Long): Long =
     if (lastEpoch(spark, root).exists(_ >= epochId))
@@ -481,38 +498,45 @@ object TxLog {
       "partition values must not contain tab or newline")
     @tailrec def loop(): Long = {
       val snap = snapshot(spark, root)
-      require(snap.files.forall(_.part.isDefined),
-        s"$root holds unpartitioned files — not a partitioned table")
-      assertNoSchemaConflict(incoming.columns.toSeq, snap)
-      val physKey = physName(keyCol, snap)
-      val physPart = physName(partCol, snap)
-      val inc = toPhysical(incoming, snap)
-      val (touched, untouched) = snap.files.partition(f =>
-        f.part.exists(p => bounds.get(p).exists { case (mn, mx) =>
-          f.maxKey >= mn && f.minKey <= mx }))
-      val existing =
-        if (touched.isEmpty) inc.limit(0)
-        else dropRetired(spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => s"$root/${f.path}"): _*), snap)
-      val merged = Merge.upsert(align(existing, inc),
-        align(inc, existing), Seq(physPart, physKey))
-        .persist()
-      // one write per touched partition so each data file carries a
-      // single partition value — batches touch few partitions (the
-      // point of partitioning), so this loop is micro-batch-sized
-      val newFiles =
-        try bounds.keys.toSeq.sorted.flatMap { p =>
-          writeData(spark, root,
-              merged.filter(col(physPart).cast("string") === p), physKey)
-            .map(_.copy(part = Some(p)))
-        } finally merged.unpersist()
-      if (tryCommit(fs, root, snap.version + 1,
-          untouched ++ newFiles, epoch, snap)) {
-        snap.version + 1
-      } else {
-        newFiles.foreach(f =>
-          fs.delete(new Path(s"$root/${f.path}"), false))
-        loop()
+      // same per-attempt double-deployment guard as [[merge]]: a CAS
+      // loser re-reads the log and skips an epoch a racing writer has
+      // meanwhile committed, instead of re-delivering the batch
+      if (epoch.exists(e => lastEpoch(spark, root).exists(_ >= e)))
+        snap.version
+      else {
+        require(snap.files.forall(_.part.isDefined),
+          s"$root holds unpartitioned files — not a partitioned table")
+        assertNoSchemaConflict(incoming.columns.toSeq, snap)
+        val physKey = physName(keyCol, snap)
+        val physPart = physName(partCol, snap)
+        val inc = toPhysical(incoming, snap)
+        val (touched, untouched) = snap.files.partition(f =>
+          f.part.exists(p => bounds.get(p).exists { case (mn, mx) =>
+            f.maxKey >= mn && f.minKey <= mx }))
+        val existing =
+          if (touched.isEmpty) inc.limit(0)
+          else dropRetired(spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(f => s"$root/${f.path}"): _*), snap)
+        val merged = Merge.upsert(align(existing, inc),
+          align(inc, existing), Seq(physPart, physKey))
+          .persist()
+        // one write per touched partition so each data file carries a
+        // single partition value — batches touch few partitions (the
+        // point of partitioning), so this loop is micro-batch-sized
+        val newFiles =
+          try bounds.keys.toSeq.sorted.flatMap { p =>
+            writeData(spark, root,
+                merged.filter(col(physPart).cast("string") === p), physKey)
+              .map(_.copy(part = Some(p)))
+          } finally merged.unpersist()
+        if (tryCommit(fs, root, snap.version + 1,
+            untouched ++ newFiles, epoch, snap)) {
+          snap.version + 1
+        } else {
+          newFiles.foreach(f =>
+            fs.delete(new Path(s"$root/${f.path}"), false))
+          loop()
+        }
       }
     }
     loop()

@@ -104,7 +104,20 @@ object GraftExtensions {
     columnFn("graft_normalize_text", 1)(cs => TF.normalizeText(cs(0))),
     columnFn("graft_md5hash48", 1)(cs => TF.md5Hash48(cs(0))),
     columnFn("graft_document_date", 1)(cs => TF.extractDocumentDate(cs(0))),
-    columnFn("graft_author", 1)(cs => TF.extractAuthor(cs(0))),
+    // `graft_author` is mode-switched by a SQL-visible session conf,
+    // read at RESOLUTION time (the builder runs during analysis of each
+    // statement, so `SET spark.graft.author.legacySemantics=false`
+    // takes effect for the next statement): legacy=true (default) pins
+    // the reference's verified quirks — ASCII-only word class and the
+    // split-"dr" truncation (exo_2.py:166-201) — while false selects
+    // the accent-aware, truncation-free rule (SURVEY.md §7.4's
+    // faithful-vs-sane decision, surfaced to SQL users).
+    columnFn("graft_author", 1)(cs => {
+      val legacy = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.author.legacySemantics", "true")
+        .toBoolean
+      if (legacy) TF.extractAuthor(cs(0)) else TF.extractAuthorSane(cs(0))
+    }),
     columnFn("graft_zero_pad_id", 1)(cs => TF.zeroPadId(cs(0))),
     columnFn("graft_quality_score", 1)(cs => TA.qualityScore(cs(0))),
     columnFn("graft_lang_id", 1)(cs => TA.langId(cs(0))),

@@ -114,6 +114,24 @@ object PlanGuard {
     walked.toSeq
   }
 
+  /** Build-side sub-plan of every BroadcastNestedLoopJoin in `plan`
+    * whose build side is NOT [[bounded]] — the per-INSTANCE form of the
+    * killer scan, so an allowlist can classify each such build
+    * ([[grainReduced]] model frame vs documented raw-filter build)
+    * instead of blanket-exempting every BNLJ a listed query contains. */
+  def unboundedBnljBuilds(plan: SparkPlan): Seq[SparkPlan] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = unwrap(p) match {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        if (!bounded(build)) found += build
+        j.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    found.toSeq
+  }
+
   /** Every global (partition-less) Window operator in `plan`, paired
     * with its input sub-plan for bounded/grain classification. */
   def globalWindows(plan: SparkPlan): Seq[WindowExec] = {

@@ -48,22 +48,32 @@ class ContractSpec extends SparkSpec {
     }
   }
 
-  // Global (partition-less) Windows whose input is NOT provably bounded
-  // from the plan alone: each entry documents why that input cannot
+  /** Plan-gate query set: everything except [[SparkEntry.eagerSinks]],
+    * whose BUILDERS execute DML — a plan gate must be side-effect-free
+    * (those queries' commit paths are audited by TxLogSpec instead). */
+  private def planGateQueries =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (q, _) => SparkEntry.eagerSinks(q) }
+
+  // Global (partition-less) Windows over an AGGREGATE grain the plan
+  // cannot prove bounded: each entry documents why that grain cannot
   // grow past metadata size — a calendar-bounded grain (days/weeks of a
   // fixed corpus window), a fixed small dimension, a Zipf-capped vocab
-  // slice, or (for the raw-row cases) an explicit map-side prune that
-  // leaves only a frontier-sized sliver. A query NOT in this map must
-  // prove its global-window input bounded from the plan (group-limit-
-  // capped rank, one-row aggregates, limits, partition-id offsets) or
-  // run the two-phase Dedup.numberRows/numberAndRunningSum form.
+  // slice. The allowlist is applied PER WINDOW: an entry here still
+  // requires every global window in the query to be grain-reduced — a
+  // future edit that slips a global Window over RAW rows into one of
+  // these queries fails the gate (the advisor's round-6 hole). A query
+  // in neither map must prove every global-window input bounded from
+  // the plan (group-limit-capped rank, one-row aggregates, limits,
+  // partition-id offsets) or run the two-phase
+  // Dedup.numberRows/numberAndRunningSum form. Value grains that grow
+  // with the data (q183 fof, q243/q268 source dimension) were converted
+  // to the two-phase form in round 7 and need no entry.
   private val globalWindowGrains: Map[String, String] = Map(
     "q126_pareto" -> "nation grain (25 rows)",
     "q140_cumulative_users" -> "calendar-day grain (first-seen-day pre-agg)",
     "q147_hierarchy_rollup" -> "nation grain (25 rows)",
-    "q172_skyline" -> "decile-dominance pruned sliver (frontier-sized) + 10-row decile-max table",
     "q175_acf" -> "calendar-day grain",
-    "q183_good_turing" -> "frequency-of-frequencies grain (≤ max count, Zipf)",
     "q184_bootstrap" -> "48 bootstrap-replicate grain",
     "q189_zipf_fit" -> "vocab rank grain, consumed under a ≤50k rank filter",
     "q205_kaplan_meier" -> "event-day grain (calendar-bounded)",
@@ -72,67 +82,108 @@ class ContractSpec extends SparkSpec {
     "q224_ab_fdr" -> "market-segment grain (5 rows)",
     "q226_hodges_lehmann" -> "calendar-day-pair grain (bounded by days²)",
     "q240_error_budget" -> "calendar-day grain",
-    "q243_water_filling" -> "source-dimension grain (documents.source)",
     "q251_decomposition" -> "calendar-day grain",
-    "q261_quota_spillover" -> "spill candidates capped map-side at rank ≤ quota+budget per segment",
-    "q265_pareto_layers" -> "decile-dominance pruned sliver per front (q172 pattern)",
-    "q268_ucb_priority" -> "source-dimension grain",
     "q269_info_gain" -> "feature grain (fixed feature list)")
+
+  // Global Windows whose input is RAW rows BY DESIGN — each entry
+  // documents the explicit map-side prune that keeps the window's input
+  // frontier-sized at any scale (the q172 two-phase pattern). The raw
+  // flag subsumes grain windows in the same query (e.g. q265's 10-row
+  // decile-max running window).
+  private val globalWindowRawSlivers: Map[String, String] = Map(
+    "q172_skyline" -> "decile-dominance pruned sliver (frontier-sized) + 10-row decile-max table",
+    "q261_quota_spillover" -> "spill candidates capped map-side at rank ≤ quota+budget per segment",
+    "q265_pareto_layers" -> "decile-dominance pruned sliver per front (q172 pattern)")
 
   test("every global (partition-less) Window — in any query's plan, " +
     "including checkpoint-hidden sub-plans — is provably bounded, or " +
-    "carries a documented metadata-sized-input justification (the " +
-    "q172/q238 two-phase rule, machine-checked)") {
+    "carries a documented PER-WINDOW justification: grain entries " +
+    "still fail on a raw-row window; raw windows need an explicit " +
+    "pruned-sliver entry (q172/q238 two-phase rule, machine-checked). " +
+    "Building every plan is also asserted SIDE-EFFECT-FREE (no graft " +
+    "temp dirs created)") {
     val dir = "/root/testdata/sf0.001"
+    val tmpRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    def graftTmpDirs: Set[String] = {
+      val st = java.nio.file.Files.list(tmpRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("graft_")).toSet
+      } finally st.close()
+    }
+    val dirsBefore = graftTmpDirs
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((q, fn) <- planGateQueries) {
       graft.ops.Caches.startCapture()
       val finalPlan = fn(spark, dir).queryExecution.executedPlan
       val subs = graft.ops.Caches.stopCapturePlans()
       for (p <- subs :+ finalPlan;
            w <- graft.plans.PlanGuard.globalWindows(p)) {
-        if (graft.plans.PlanGuard.bounded(w.child) ||
-            globalWindowGrains.contains(q)) ()
-        else if (graft.plans.PlanGuard.grainReduced(w.child))
-          bad += s"$q: global Window over an undocumented aggregate grain"
-        else bad += s"$q: global Window over RAW (non-aggregated) rows"
+        if (graft.plans.PlanGuard.bounded(w.child)) ()
+        else if (globalWindowRawSlivers.contains(q)) ()
+        else if (graft.plans.PlanGuard.grainReduced(w.child)) {
+          if (!globalWindowGrains.contains(q))
+            bad += s"$q: global Window over an undocumented aggregate grain"
+        } else bad += s"$q: global Window over RAW (non-aggregated) rows"
       }
     }
     assert(bad.isEmpty, "\n" + bad.distinct.mkString("\n"))
+    assert(graftTmpDirs === dirsBefore,
+      "building plans created graft temp dirs (an eager sink escaped " +
+        "the eagerSinks tag?)")
   }
 
   // BroadcastNestedLoopJoins whose build side the plan cannot PROVE
-  // bounded: each entry says why the broadcast frame is model-sized (or
-  // names the knob that keeps it so at scale). A CartesianProduct is
-  // never excusable; an undocumented unbounded-build BNLJ fails.
-  private val bnljBuilds: Map[String, String] = Map(
+  // bounded, classified PER BUILD INSTANCE: entries here document
+  // builds that the plan shows GRAIN-REDUCED (a grouped aggregate —
+  // sketch artifacts, margin tables, centroid/model frames, day-pair
+  // grains) but whose grain the plan can't bound. A CartesianProduct
+  // is never excusable.
+  private val bnljGrainBuilds: Map[String, String] = Map(
     "q176_kmv_intersection" -> "two KMV bottom-64 sketch artifacts (k-capped)",
     "q180_chisq" -> "row/col margin tables (event-type × decile grains)",
-    "q185_geo_hubs" -> "25 broadcast hubs (nation-derived)",
     "q211_theil_sen" -> "calendar-day grain pair build (days² metadata-sized)",
     "q225_mann_kendall" -> "calendar-day grain pair build",
-    "q226_hodges_lehmann" -> "calendar-day grain pair build",
+    "q226_hodges_lehmann" -> "calendar-day grain pair build")
+
+  // Unbounded-build BNLJs whose build side is a RAW-ROW FILTER the plan
+  // can't see through: each entry names the filter that keeps the build
+  // model-sized and the knob that holds at corpus scale. A raw build in
+  // a query listed only under bnljGrainBuilds FAILS (per-instance, the
+  // advisor's round-6 hole).
+  private val bnljRawBuilds: Map[String, String] = Map(
     "q22_cosine_topk" -> "single query vector (vec_id = 0 equality filter)",
     "q232_ann_recall" -> "fixed probe set (key-equality filter)",
     "q244_hard_negatives" -> "anchor sample — 1/101 rate is the scale knob; cap anchors or switch to the q23 LSH-blocked path at corpus scale",
     "q246_knn_label_purity" -> "probe sample — same rate knob as q244",
-    "q24_ann_ivf" -> "IVF centroid table (k-means model-sized)",
-    "q92_semantic_dedup" -> "cluster-centroid model frame")
+    "q185_geo_hubs" -> "25-row nation dimension scan (fixed hub table)",
+    "q24_ann_ivf" -> "IVF centroid table — k seed rows via key-range filter (vec_id < 8), k is the model-size knob",
+    "q92_semantic_dedup" -> "cluster-centroid frame — same k-seed-row key-range filter as q24")
 
   test("no scale-killer join shape in ANY query's physical plan " +
-    "(object-level: CartesianProduct anywhere, or an UNDOCUMENTED " +
-    "BroadcastNestedLoopJoin whose build side is not provably bounded) " +
-    "— including the sub-plans that localCheckpoint hides") {
+    "(object-level: CartesianProduct anywhere; every unbounded-build " +
+    "BroadcastNestedLoopJoin classified PER INSTANCE as a documented " +
+    "grain-reduced build or a documented raw-filter build) — including " +
+    "the sub-plans that localCheckpoint hides") {
     val dir = "/root/testdata/sf0.001"
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((q, fn) <- planGateQueries) {
       graft.ops.Caches.startCapture()
       val finalPlan = fn(spark, dir).queryExecution.executedPlan
       val subs = graft.ops.Caches.stopCapturePlans()
-      for (p <- subs :+ finalPlan;
-           k <- graft.plans.PlanGuard.killers(p)) {
-        if (k.startsWith("BroadcastNestedLoopJoin") && bnljBuilds.contains(q)) ()
-        else bad += s"$q: $k"
+      for (p <- subs :+ finalPlan) {
+        for (k <- graft.plans.PlanGuard.killers(p)
+             if !k.startsWith("BroadcastNestedLoopJoin"))
+          bad += s"$q: $k"
+        for (b <- graft.plans.PlanGuard.unboundedBnljBuilds(p)) {
+          if (graft.plans.PlanGuard.grainReduced(b)) {
+            if (!bnljGrainBuilds.contains(q) && !bnljRawBuilds.contains(q))
+              bad += s"$q: BNLJ with undocumented grain-reduced build"
+          } else if (!bnljRawBuilds.contains(q))
+            bad += s"$q: BNLJ with undocumented RAW build side"
+        }
       }
     }
     assert(bad.isEmpty, "\n" + bad.distinct.mkString("\n"))
@@ -144,6 +195,7 @@ class ContractSpec extends SparkSpec {
     "sides shuffled — the 100 TB killer)") {
     val dir = "/root/testdata/sf0.001"
     val family = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.eagerSinks)
       .filter(n => n.take(4).drop(1).toIntOption.exists(_ >= 171))
     assert(family.size >= 35, family.mkString(","))
     for (q <- family) {

@@ -65,6 +65,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(authorOf("aucun medecin ici") === null)
   }
 
+  private def saneAuthorOf(text: String): String =
+    Seq(text).toDF("t")
+      .select(TextFunctions.extractAuthorSane(col("t")))
+      .head().getString(0)
+
+  test("F3 faithful vs sane on the accented fixture (Dr Pêche): in " +
+    "legacy mode the accented name is INVISIBLE — the ASCII class " +
+    "stops at 'p' and the trailing \\b fails inside the word (Python " +
+    "re and Java regex agree; verified against the reference regex) — " +
+    "while sane mode captures it whole") {
+    assert(authorOf("signé dr pêche") === null)
+    assert(saneAuthorOf("signé dr pêche") === "Dr Pêche")
+  }
+
+  test("F3 faithful vs sane on the split-'dr' quirk fixture " +
+    "('dr andre'): legacy truncates inside the name (verified " +
+    "'Dr An'); sane mode keeps the full name") {
+    assert(authorOf("signé dr andre") === "Dr An")
+    assert(saneAuthorOf("signé dr andre") === "Dr Andre")
+  }
+
+  test("F3 sane mode keeps faithful selection semantics (last match " +
+    "wins, two-word greedy capture) where the quirks don't apply") {
+    assert(saneAuthorOf("avis du dr frank einstein") === "Dr Frank Einstein")
+    assert(saneAuthorOf("aucun medecin ici") === null)
+  }
+
+  test("graft_author SQL function obeys the SQL-visible " +
+    "spark.graft.author.legacySemantics conf (default true = faithful; " +
+    "false = accent-aware, no split-'dr' truncation) at statement " +
+    "resolution time") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq("signé dr pêche le dr andre").toDF("t").createOrReplaceTempView("t_auth")
+    def q() = spark.sql("SELECT graft_author(t) FROM t_auth").head().getString(0)
+    val confKey = "spark.graft.author.legacySemantics"
+    assert(spark.conf.getOption(confKey).isEmpty)
+    assert(q() === "Dr An") // default: faithful (last match 'andre', truncated)
+    try {
+      spark.conf.set(confKey, "false")
+      assert(q() === "Dr Andre")
+      spark.conf.set(confKey, "true")
+      assert(q() === "Dr An")
+    } finally spark.conf.unset(confKey)
+  }
+
   test("F1: normalize trims, collapses whitespace, lowercases") {
     val got = Seq("  Un\t\tTexte  Multi   ligne ").toDF("t")
       .select(TextFunctions.normalizeText(col("t"))).head().getString(0)

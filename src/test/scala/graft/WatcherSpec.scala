@@ -446,4 +446,73 @@ class WatcherSpec extends SparkSpec {
     assert(ch.deleted === Seq("a.pdf"))
     assert(ch.modified === Seq("c.docx"))
   }
+
+  test("TxLog sink under accidental DOUBLE DEPLOYMENT with the " +
+    "ConditionalPut (object-store) commit primitive: two concurrent " +
+    "watcher instances on the same source+table, each running its own " +
+    "Watcher.start heartbeat — the conditional-PUT CAS elects exactly " +
+    "one winner per epoch, the loser detects the committed epoch and " +
+    "skips (no duplicate rows, no burned version), matching the " +
+    "reference's single-writer semantics (script.py:60-117) end to end") {
+    val src = Files.createTempDirectory("graft_src_dd").toString
+    val wh = Files.createTempDirectory("graft_wh_dd").toString + "/docs"
+    def mk() = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("doc_id"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "_(\\d+)\\.", 1).cast("long")
+          .as("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID")),
+      useTxLog = true)
+    def await(label: String, cond: => Boolean, ms: Long = 120000): Unit = {
+      // tolerate transient mid-commit reads
+      def ok = scala.util.Try(cond).getOrElse(false)
+      val t0 = System.currentTimeMillis()
+      var good = ok
+      while (!good && System.currentTimeMillis() - t0 < ms) {
+        Thread.sleep(250); good = ok
+      }
+      assert(good, s"timeout waiting for $label")
+    }
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    val prevProvider = TxLog.logStoreProvider
+    TxLog.logStoreProvider = _ => graft.engine.LogStore.ConditionalPut
+    try {
+      val (w1, w2) = (mk(), mk())
+      val (q1, q2) = (w1.start(1), w2.start(1))
+      try {
+        // both watchers observe the first snapshot and race epoch 1:
+        // exactly ONE manifest for version 1 exists afterwards
+        await("epoch-1 on both",
+          w1.lastUploadId >= 1L && w2.lastUploadId >= 1L)
+        assert(TxLog.currentVersion(spark, wh) === 1L)
+        assert(TxLog.commitEpoch(spark, wh, 1L) === Some(1L))
+        val t1 = TxLog.read(spark, wh)
+        assert(t1.count() === 2)
+        assert(t1.select("doc_id").as[Long].collect().toSet
+          === Set(1L, 2L))
+        // exactly-once under the race: every doc_id appears ONCE and
+        // carries epoch 1 — the losing watcher's batch left no rows
+        assert(t1.groupBy("doc_id").count()
+          .filter(col("count") > 1).count() === 0L)
+        assert(t1.agg(max(col("UPLOAD_ID"))).head().getLong(0) === 1L)
+
+        // a new file races both watchers into epoch 2: still one
+        // winner, still a linear version history (1, 2 — no gaps, no
+        // burned versions from the loser)
+        Thread.sleep(1100) // mtime resolution
+        writeDoc(src, "c_3.pdf", "gamma")
+        await("epoch-2 on both",
+          w1.lastUploadId >= 2L && w2.lastUploadId >= 2L)
+        assert(TxLog.currentVersion(spark, wh) === 2L)
+        assert(TxLog.commitEpoch(spark, wh, 2L) === Some(2L))
+        val t2 = TxLog.read(spark, wh)
+        assert(t2.count() === 3)
+        assert(t2.groupBy("doc_id").count()
+          .filter(col("count") > 1).count() === 0L)
+        assert(TxLog.lastEpoch(spark, wh) === Some(2L))
+      } finally { q1.stop(); q2.stop() }
+    } finally TxLog.logStoreProvider = prevProvider
+  }
 }

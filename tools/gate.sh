@@ -5,21 +5,48 @@
 #
 # 1. sbt test                      — every ScalaTest spec
 # 2. Smoke (sf0.001)               — entry() + every query builds & runs
-# 3. Verify (sf0.01) + DuckDB      — the t2 correctness gate (N/N OK)
+# 3. Verify (sf0.01) + DuckDB      — the t2 correctness gate: FAILS on
+#                                    check_oracle.py's exit status AND on
+#                                    a non-equal-count summary (the
+#                                    "269/272 OK" fail-open is closed by
+#                                    the \1 backreference)
 # 4. PlanAudit → PLANS_<round>.txt — committed plan-shape artifact;
-#                                    HARD-FAILS on any CartesianProduct
+#                                    HARD-FAILS on PlanAudit's own exit
+#                                    status (CartesianProduct / build
+#                                    error) — greps are anchored to the
+#                                    tool's [plan] prefix so log4j noise
+#                                    containing "ERROR" can't false-fail
 #                                    (ContractSpec holds the finer
 #                                    bounded-build-side BNLJ gate)
 # 5. Bench (sf0.1)                 — full sweep; >2x-baseline flags are
-#                                    auto re-measured in-JVM (Bench.scala)
+#                                    auto re-measured in-JVM (Bench.scala);
+#                                    FAILS when the sidecar JSON reports
+#                                    any failed or surviving-flagged query
 # 6. Top-15 isolated re-bench      — the 15 most expensive queries by
 #                                    baseline cost, re-run in a FRESH JVM
 #                                    after the sweep: bounds the session
 #                                    GC/JIT drift the committed baseline
-#                                    can ever absorb
+#                                    can ever absorb; same JSON fail check
 set -u
 cd "$(dirname "$0")/.."
 ROUND=${1:?usage: tools/gate.sh rNN}
+
+# Shared check: a Bench sidecar JSON must exist, be fresh (we delete it
+# before each run), and carry empty failed[] and flagged[] arrays.
+check_bench_json() {
+  python3 - "$1" <<'EOF'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+except Exception as e:
+    print(f"bench sidecar unreadable: {e}"); sys.exit(1)
+bad = []
+if d.get("failed"):  bad.append(f"failed={d['failed']}")
+if d.get("flagged"): bad.append(f"flagged={d['flagged']}")
+if bad:
+    print("; ".join(bad)); sys.exit(1)
+EOF
+}
 
 echo "== [1/6] sbt test"
 sbt -batch test >/tmp/gate_test.log 2>&1
@@ -33,29 +60,45 @@ wc -l </tmp/gate_smoke.log
 echo "== [3/6] Verify sf0.01 + DuckDB oracle"
 rm -rf /tmp/graft_verify
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify" >/dev/null 2>&1
-python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/graft_verify | tail -2
-python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/graft_verify 2>/dev/null \
-  | tail -1 | grep -qE "^[0-9]+/[0-9]+ OK$" || { echo "FAIL: oracle"; exit 1; }
+if ! python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/graft_verify \
+    >/tmp/gate_oracle.log 2>&1; then
+  tail -8 /tmp/gate_oracle.log; echo "FAIL: oracle"; exit 1
+fi
+tail -2 /tmp/gate_oracle.log
+# belt and braces: the summary line must read N/N with EQUAL counts
+tail -1 /tmp/gate_oracle.log | grep -qE '^([0-9]+)/\1 OK$' \
+  || { echo "FAIL: oracle (partial pass)"; exit 1; }
 
 echo "== [4/6] PlanAudit -> PLANS_${ROUND}.txt"
-sbt -batch "runMain graft.PlanAudit" 2>/tmp/gate_plan_err.log | grep '\[plan\]' \
-  | sed 's/^\[info\] //' >"PLANS_${ROUND}.txt"
-if grep -q "GATE FAIL\|ERROR" "PLANS_${ROUND}.txt" /tmp/gate_plan_err.log; then
+if ! sbt -batch "runMain graft.PlanAudit" \
+    >/tmp/gate_plan_out.log 2>/tmp/gate_plan_err.log; then
+  grep -h '\[plan\].*\(GATE FAIL\|ERROR\)' /tmp/gate_plan_out.log \
+    /tmp/gate_plan_err.log | head -5
   echo "FAIL: plan gate (CartesianProduct or build error)"; exit 1
+fi
+grep '\[plan\]' /tmp/gate_plan_out.log | sed 's/^\[info\] //' >"PLANS_${ROUND}.txt"
+if grep -q '\[plan\].*\(GATE FAIL\|ERROR\)' "PLANS_${ROUND}.txt"; then
+  echo "FAIL: plan gate (error line in artifact)"; exit 1
 fi
 wc -l <"PLANS_${ROUND}.txt"
 
 echo "== [5/6] Bench sf0.1 (full sweep, auto re-measured flags)"
+rm -f BENCH_QUERIES.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>/tmp/gate_bench_err.log | grep '"metric"' | tail -1
+check_bench_json BENCH_QUERIES.json \
+  || { echo "FAIL: bench sweep (failed or >2x-flagged queries)"; exit 1; }
 
 echo "== [6/6] Top-15-by-baseline isolated re-bench (fresh JVM)"
 TOP15=$(python3 -c "
 import json
 b = json.load(open('BENCH_BASELINE.json'))
 print(','.join(sorted(b, key=b.get, reverse=True)[:15]))")
+rm -f BENCH_TOP15_ISOLATED.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_QUERIES="$TOP15" SPARK_GRAFT_BENCH_OUT=BENCH_TOP15_ISOLATED.json \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1
+check_bench_json BENCH_TOP15_ISOLATED.json \
+  || { echo "FAIL: top-15 isolated bench"; exit 1; }
 
 echo "== gate complete for ${ROUND}"
