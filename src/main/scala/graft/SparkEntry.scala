@@ -6791,6 +6791,100 @@ object SparkEntry {
           min(col("k")).as("min_key"), max(col("k")).as("max_key"))
         .orderBy("upload_id")
     }),
+
+    // BENFORD FIRST-DIGIT AUDIT (the classic fabricated-data screen —
+    // Newcomb 1881 / Benford 1938): leading-digit distribution of
+    // order value in cents vs log10(1+1/d), with per-digit chi-square
+    // contributions and the total statistic riding on every row. Exact
+    // integer counts; doubles only in the display divisions; the
+    // chi-square total folds via the sorted-sum aggregator (bit-exact
+    // across partitionings).
+    "q274_benford" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val digits = t(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int").as("dg"))
+        .groupBy("dg").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("nn"))
+      val terms = digits.crossJoin(broadcast(tot))
+        .withColumn("p_exp", log10(lit(1.0) + lit(1.0) / col("dg")))
+        .withColumn("n_exp", col("p_exp") * col("nn"))
+        .withColumn("chi_term", (d(col("n")) - col("n_exp")) *
+          (d(col("n")) - col("n_exp")) / col("n_exp"))
+      val chi = terms.agg(ssum(collect_list(col("chi_term"))).as("chi2"))
+      terms.crossJoin(broadcast(chi))
+        .select(col("dg"), col("n"),
+          round(d(col("n")) / col("nn"), 6).as("obs_share"),
+          round(col("p_exp"), 6).as("exp_share"),
+          round(col("chi_term"), 4).as("chi_term"),
+          round(col("chi2"), 4).as("chi2"))
+        .orderBy("dg")
+    }),
+
+    // GINI / LORENZ CONCENTRATION of order value ("what share of spend
+    // do the top deciles carry" — the corpus-composition inequality
+    // metric): exact integer cents; the global value ranking runs
+    // TWO-PHASE (Dedup.numberAndRunningSum — range-partition, local
+    // rank+cumsum, broadcast offsets; no single-partition sort), the
+    // Σ rank·value term sums in decimal(38) so it cannot overflow at
+    // warehouse row counts, and G = (2·Σrk·x − (n+1)·Σx)/(n·Σx) comes
+    // out of one pass. Output: 10 Lorenz deciles with cumulative
+    // share, Gini on every row.
+    "q275_gini_lorenz" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val ranked = Dedup.numberAndRunningSum(o,
+        struct(col("cents"), col("o_orderkey")), "rk",
+        Seq("cum" -> col("cents")))
+      val g = ranked.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sx"),
+          sum((col("rk").cast("decimal(38,0)") * col("cents")))
+            .as("srx"))
+        .select(col("n"), col("sx"),
+          round((lit(2.0) * col("srx").cast("double")
+            - d(col("n") + 1) * d(col("sx")))
+            / (d(col("n")) * d(col("sx"))), 6).as("gini"))
+      ranked.crossJoin(broadcast(g))
+        .withColumn("decile", expr("((rk - 1) * 10) div n + 1"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"), max(col("cum")).as("cum_cents"),
+          max(col("sx")).as("sx"), max(col("gini")).as("gini"))
+        .select(col("decile"), col("n_orders"), col("cum_cents"),
+          round(d(col("cum_cents")) / col("sx"), 6).as("cum_share"),
+          col("gini"))
+        .orderBy("decile")
+    }),
+
+    // DISTRIBUTION-DRIFT MONITOR: per-day KL divergence of the
+    // event-type mix against the corpus-wide mix — the composition-
+    // drift alarm a training-data pipeline runs on every ingest day
+    // ("this day's traffic mix changed"). Exact counts at the
+    // (day, type) grain; the per-day KL folds via the sorted-sum
+    // aggregator over the observed support (absent types contribute
+    // no term). Day grain stays metadata-sized at any corpus scale.
+    "q276_daily_kl_drift" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val dt = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"),
+          col("event_type").as("ty"))
+        .agg(count(lit(1)).as("n"))
+      val byTy = dt.groupBy("ty").agg(sum(col("n")).as("nt"))
+      val tot = byTy.agg(sum(col("nt")).as("nn"))
+      dt.join(broadcast(byTy), Seq("ty"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nd", sum(col("n")).over(Window.partitionBy("day")))
+        .withColumn("term", d(col("n")) / col("nd") *
+          log((d(col("n")) / col("nd")) / (d(col("nt")) / col("nn"))))
+        .groupBy("day")
+        .agg(max(col("nd")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          ssum(collect_list(col("term"))).as("kl"))
+        .select(col("day").cast("string").as("day"), col("n_events"),
+          col("n_types"), round(col("kl"), 6).as("kl"))
+        .orderBy("day")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -12923,5 +13017,77 @@ object SparkEntry {
            sum(v)::BIGINT AS sum_cents,
            min(k)::BIGINT AS min_key, max(k)::BIGINT AS max_key
          FROM fin GROUP BY 1 ORDER BY 1""",
+
+    "q274_benford" ->
+      """WITH digits AS (
+           SELECT left((round(o_totalprice * 100)::BIGINT)::VARCHAR,
+               1)::INT AS dg,
+             count(*)::BIGINT AS n
+           FROM orders GROUP BY 1),
+         tot AS (SELECT sum(n)::BIGINT AS nn FROM digits),
+         terms AS (
+           SELECT dg, n, nn, log10(1.0 + 1.0 / dg) AS p_exp,
+             log10(1.0 + 1.0 / dg) * nn AS n_exp
+           FROM digits CROSS JOIN tot),
+         t2 AS (
+           SELECT *, (n::DOUBLE - n_exp) * (n::DOUBLE - n_exp) / n_exp
+             AS chi_term
+           FROM terms),
+         chi AS (
+           SELECT list_sum(list_sort(list(chi_term))) AS chi2 FROM t2)
+         SELECT dg, n, round(n::DOUBLE / nn, 6) AS obs_share,
+           round(p_exp, 6) AS exp_share,
+           round(chi_term, 4) AS chi_term, round(chi2, 4) AS chi2
+         FROM t2 CROSS JOIN chi ORDER BY dg""",
+
+    "q275_gini_lorenz" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+             round(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         r AS (
+           SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey)::BIGINT
+               AS rk,
+             sum(cents) OVER (ORDER BY cents, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum
+           FROM o),
+         g AS (
+           SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
+             sum(rk::HUGEINT * cents) AS srx
+           FROM r),
+         g2 AS (
+           SELECT n, sx,
+             round((2.0 * srx::DOUBLE - (n + 1)::DOUBLE * sx::DOUBLE)
+               / (n::DOUBLE * sx::DOUBLE), 6) AS gini
+           FROM g)
+         SELECT ((rk - 1) * 10) // n + 1 AS decile,
+           count(*)::BIGINT AS n_orders, max(cum)::BIGINT AS cum_cents,
+           round(max(cum)::DOUBLE / max(sx), 6) AS cum_share,
+           max(gini) AS gini
+         FROM r CROSS JOIN g2
+         GROUP BY 1 ORDER BY 1""",
+
+    "q276_daily_kl_drift" ->
+      """WITH dt AS (
+           SELECT CAST(ts AS DATE) AS day, event_type AS ty,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         bt AS (SELECT ty, sum(n)::BIGINT AS nt FROM dt GROUP BY 1),
+         tot AS (SELECT sum(nt)::BIGINT AS nn FROM bt),
+         j AS (
+           SELECT dt.day, dt.n, bt.nt, tot.nn,
+             sum(dt.n) OVER (PARTITION BY dt.day)::BIGINT AS nd
+           FROM dt JOIN bt USING (ty) CROSS JOIN tot),
+         k AS (
+           SELECT day, max(nd)::BIGINT AS n_events,
+             count(*)::BIGINT AS n_types,
+             list_sum(list_sort(list(n::DOUBLE / nd
+               * ln((n::DOUBLE / nd) / (nt::DOUBLE / nn))))) AS kl
+           FROM j GROUP BY 1)
+         SELECT day::VARCHAR AS day, n_events, n_types,
+           round(kl, 6) AS kl
+         FROM k ORDER BY day""",
   )
 }

@@ -48,6 +48,22 @@ if bad:
 EOF
 }
 
+echo "== [0/6] baseline freshness"
+# The >2x guardrail is meaningless when the committed baseline predates
+# the plans it judges (the round-6 q265 lesson): fail unless
+# BENCH_BASELINE.json's last commit is at least as new as the last
+# commit touching query-defining source. Re-baseline with
+#   SPARK_GRAFT_BENCH_RUNS=3 sbt "runMain graft.Bench"   (sf0.1)
+# then rebuild BENCH_BASELINE.json from the sidecar's median timings.
+SRC_T=$(git log -1 --format=%ct -- src/main/scala/graft)
+BASE_T=$(git log -1 --format=%ct -- BENCH_BASELINE.json)
+if [ -z "$BASE_T" ] || [ "$BASE_T" -lt "$SRC_T" ]; then
+  echo "FAIL: BENCH_BASELINE.json ($BASE_T) is older than the last"
+  echo "      src/main/scala/graft commit ($SRC_T) — re-baseline first"
+  exit 1
+fi
+echo "baseline commit >= source commit: OK"
+
 echo "== [1/6] sbt test"
 sbt -batch test >/tmp/gate_test.log 2>&1
 grep -E "Tests:|All tests passed|TESTS FAILED" /tmp/gate_test.log | tail -3
