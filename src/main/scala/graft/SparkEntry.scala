@@ -6885,6 +6885,22 @@ object SparkEntry {
           col("n_types"), round(col("kl"), 6).as("kl"))
         .orderBy("day")
     }),
+
+    // QUOTE / EXCERPT DETECTION via shingle CONTAINMENT (the dedup
+    // metric Jaccard can't express: a short doc verbatim-embedded in a
+    // long one): same MinHash-LSH candidate pipeline as q19/q20 (16
+    // hashes, 8×2 bands, bucket cap 10), then exact |A∩B|/min(|A|,|B|)
+    // on the candidate slice only — sub-quadratic end to end. A pair
+    // is a QUOTE when containment is high but Jaccard low (one side
+    // contains the other without the sizes matching).
+    "q277_containment_quotes" -> ((s, dir) => {
+      DedupOps.containmentVerifiedPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 2, threshold = 0.5,
+          numHashes = 16, rowsPerBand = 2, maxBucket = 10)
+        .withColumn("is_quote",
+          col("containment") >= 0.8 && col("jaccard") < 0.5)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -13089,5 +13105,56 @@ object SparkEntry {
          SELECT day::VARCHAR AS day, n_events, n_types,
            round(kl, 6) AS kl
          FROM k ORDER BY day""",
+
+    "q277_containment_quotes" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')
+               AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS shs
+           FROM w),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0,16), k ->
+               list_min(list_transform(shs, s ->
+                 ((2*k+1) * ((('0x' || substring(md5('0:' || s),1,12))::BIGINT)
+                             % 2147483647)
+                  + 7919*k) % 2147483647))) AS sigs
+           FROM sh),
+         banded0 AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0,8), b ->
+               CAST(b AS VARCHAR) || ':'
+               || CAST(sigs[2*b+1] AS VARCHAR) || ':'
+               || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
+           FROM sig),
+         bsz AS (SELECT band_key, count(*) AS c FROM banded0 GROUP BY 1),
+         banded AS (
+           SELECT banded0.* FROM banded0 JOIN bsz USING (band_key)
+           WHERE bsz.c <= 10),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         v AS (
+           SELECT id_a, id_b,
+             len(sa.shs)::BIGINT AS n_a, len(sb.shs)::BIGINT AS n_b,
+             len(list_intersect(sa.shs, sb.shs))::BIGINT AS inter
+           FROM cand
+           JOIN sh sa ON sa.doc_id = id_a
+           JOIN sh sb ON sb.doc_id = id_b),
+         m AS (
+           SELECT id_a, id_b, n_a, n_b, inter,
+             round(inter::DOUBLE / (n_a + n_b - inter), 4) AS jaccard,
+             round(inter::DOUBLE / least(n_a, n_b), 4) AS containment
+           FROM v)
+         SELECT id_a, id_b, n_a, n_b, inter, jaccard, containment,
+           (containment >= 0.8 AND jaccard < 0.5) AS is_quote
+         FROM m WHERE containment >= 0.5
+         ORDER BY id_a, id_b""",
   )
 }
