@@ -6901,6 +6901,167 @@ object SparkEntry {
           col("containment") >= 0.8 && col("jaccard") < 0.5)
         .orderBy("id_a", "id_b")
     }),
+
+    // POSITION-BASED (U-SHAPED) MULTI-TOUCH ATTRIBUTION: each purchase
+    // distributes its value over the user's view/click touches in a
+    // 7-day lookback — first and last touch 40% each, middles split
+    // the remaining 20% — in EXACT integer basis points (Σ = 10000
+    // per purchase by construction, remainder bumped onto the earliest
+    // middles, the q243 integer-split idiom), so channel totals are
+    // bit-exact integer sums at any scale. The user-equi join bounds
+    // the pair space by per-user activity; windows partition by
+    // purchase.
+    "q278_attribution" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("pts"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("tid"),
+          col("ts").as("tts"), col("event_type").as("channel"))
+      val joined = purchases.join(touches, Seq("user_id"))
+        .filter(col("tts") <= col("pts") &&
+          col("tts") > expr("pts - interval 7 day"))
+      val ranked = joined
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("tts"), col("tid"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
+      val attributed = ranked.withColumn("bp",
+          when(col("n") === 1, lit(10000L))
+            .when(col("n") === 2, lit(5000L))
+            .when(col("rn") === 1 || col("rn") === col("n"), lit(4000L))
+            .otherwise(expr("2000 div (n - 2)") +
+              when(col("rn") - 1 <= expr("2000 % (n - 2)"), 1L)
+                .otherwise(0L)))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("cents") * col("bp")).as("cents_bp"))
+      val tot = attributed.agg(sum(col("cents_bp")).as("tot"))
+      attributed.crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_touches"),
+          round(d(col("cents_bp")) / 1000000.0, 4).as("attributed_usd"),
+          round(d(col("cents_bp")) / col("tot"), 6).as("share"))
+        .orderBy("channel")
+    }),
+
+    // PSI (population stability index) — the model-monitoring drift
+    // score, computed for order value between a reference period
+    // (pre-1998) and the current one: 10 buckets from the REFERENCE
+    // decile bounds (floored to integer cents, so bucket membership is
+    // integer-exact cross-engine), Laplace-smoothed shares
+    // ((n+1)/(N+10) — keeps empty buckets defined, deterministically),
+    // PSI = Σ (p−q)·ln(p/q) via the sorted fold. Complements q276: KL
+    // watches composition, PSI watches a numeric distribution.
+    "q279_psi" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val o = t(s, dir, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)")
+          .as("cents"),
+          (col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+            .as("cur"))
+      val bounds = o.filter(!col("cur")).agg(expr(
+        "transform(percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> cast(floor(b) as bigint))")
+        .as("bs"))
+      val bucketed = o.crossJoin(broadcast(bounds))
+        .withColumn("bk",
+          lit(1) + size(filter(col("bs"), b => col("cents") > b)))
+        .groupBy("bk")
+        .agg(sum(when(col("cur"), 0L).otherwise(1L)).as("n_ref"),
+          sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
+      val totals = bucketed.agg(sum(col("n_ref")).as("m"),
+        sum(col("n_cur")).as("nn"))
+      val terms = bucketed.crossJoin(broadcast(totals))
+        .withColumn("q", (d(col("n_ref")) + 1.0) / (col("m") + 10))
+        .withColumn("p", (d(col("n_cur")) + 1.0) / (col("nn") + 10))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      val psi = terms.agg(ssum(collect_list(col("term"))).as("psi"))
+      terms.crossJoin(broadcast(psi))
+        .select(col("bk"), col("n_ref"), col("n_cur"),
+          round(col("term"), 6).as("term"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("bk")
+    }),
+
+    // EWMA ERROR-RATE ANOMALY (the ops-alerting smoother): per day,
+    // the normalized exponentially-weighted moving average of daily
+    // error counts (α=0.3 → weights 0.7^k, normalized so no init
+    // convention is needed) and today's ratio against it — spike =
+    // ratio > 1.5. The weighted sums run over the calendar-day PAIR
+    // grain (days² is metadata-sized — the q211/q226 pattern) and
+    // fold via the sorted-sum aggregator for bit-exactness.
+    "q280_ewma_anomaly" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = events(s, dir).filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.select(col("day").as("d1"), col("n").as("n1"))
+      val b = daily.select(col("day").as("d2"), col("n").as("n2"))
+      val pairs = a.join(broadcast(b), col("d2") <= col("d1"))
+        .withColumn("w", pow(lit(0.7), datediff(col("d1"), col("d2"))))
+      pairs.groupBy("d1")
+        .agg(max(col("n1")).as("n_err"),
+          ssum(collect_list(col("w") * col("n2"))).as("wx"),
+          ssum(collect_list(col("w"))).as("ws"))
+        .withColumn("ewma", col("wx") / col("ws"))
+        .withColumn("ratio", round(d(col("n_err")) / col("ewma"), 4))
+        .select(col("d1").cast("string").as("day"), col("n_err"),
+          round(col("ewma"), 4).as("ewma"), col("ratio"),
+          (col("ratio") > 1.5).as("spike"))
+        .orderBy("day")
+    }),
+
+    // SIGNUP → FIRST-PURCHASE CONVERSION LAG: conversion rate and the
+    // exact median / p90 time-to-convert. Per-user firsts are keyed
+    // aggregations; the quantiles interpolate over integer MICROS and
+    // are floored before display, so the cross-engine compare stays on
+    // exact integers (micros < 2^52 — the interpolated midpoint is
+    // exact in a double).
+    "q281_conversion_lag" -> ((s, dir) => {
+      val e = events(s, dir)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s0"))
+      val converted = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pt"))
+        .join(su, Seq("user_id"))
+        .filter(col("pt") >= col("s0"))
+        .groupBy("user_id")
+        .agg((unix_micros(min(col("pt"))) - unix_micros(min(col("s0"))))
+          .as("lag_us"))
+      val nSign = su.agg(count(lit(1)).as("n_signup"))
+      converted
+        .agg(count(lit(1)).as("n_converted"),
+          floor(expr("percentile(lag_us, 0.5)")).as("med_us"),
+          floor(expr("percentile(lag_us, 0.9)")).as("p90_us"))
+        .crossJoin(broadcast(nSign))
+        .select(col("n_signup"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signup"), 6)
+            .as("conv_rate"),
+          round(col("med_us").cast("double") / 3.6e9, 2)
+            .as("median_hours"),
+          round(col("p90_us").cast("double") / 3.6e9, 2).as("p90_hours"))
+    }),
+
+    // GAPS-AND-ISLANDS: consecutive-active-day streaks per user via
+    // the rank-difference island key (day − row_number is constant
+    // within a run), aggregated to a streak-length histogram — the
+    // engagement-depth profile. Everything is keyed windows + exact
+    // counts; no global sort anywhere.
+    "q282_streak_histogram" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val grp = ud.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+        .withColumn("island", expr("date_sub(day, rn)"))
+      val streaks = grp.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy("len")
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("len")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -13156,5 +13317,133 @@ object SparkEntry {
            (containment >= 0.8 AND jaccard < 0.5) AS is_quote
          FROM m WHERE containment >= 0.5
          ORDER BY id_a, id_b""",
+
+    "q278_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS pid, user_id, ts AS pts,
+             round(value * 100)::BIGINT AS cents
+           FROM events WHERE event_type = 'purchase'),
+         t AS (
+           SELECT user_id, event_id AS tid, ts AS tts,
+             event_type AS channel
+           FROM events WHERE event_type IN ('view', 'click')),
+         j AS (
+           SELECT * FROM p JOIN t USING (user_id)
+           WHERE tts <= pts AND tts > pts - INTERVAL 7 DAY),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY pid ORDER BY tts, tid)
+               AS rn,
+             count(*) OVER (PARTITION BY pid) AS n
+           FROM j),
+         b AS (
+           SELECT channel, cents,
+             (CASE WHEN n = 1 THEN 10000
+                   WHEN n = 2 THEN 5000
+                   WHEN rn = 1 OR rn = n THEN 4000
+                   ELSE 2000 // (n - 2)
+                     + (CASE WHEN rn - 1 <= 2000 % (n - 2)
+                        THEN 1 ELSE 0 END)
+              END)::BIGINT AS bp
+           FROM r),
+         a AS (
+           SELECT channel, count(*)::BIGINT AS n_touches,
+             sum(cents * bp)::BIGINT AS cents_bp
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(cents_bp)::BIGINT AS tot FROM a)
+         SELECT channel, n_touches,
+           round(cents_bp::DOUBLE / 1000000.0, 4) AS attributed_usd,
+           round(cents_bp::DOUBLE / tot, 6) AS share
+         FROM a CROSS JOIN tot ORDER BY channel""",
+
+    "q279_psi" ->
+      """WITH o AS (
+           SELECT round(o_totalprice * 100)::BIGINT AS cents,
+             (o_orderdate >= TIMESTAMP '1998-01-01') AS cur
+           FROM orders),
+         bounds AS (
+           SELECT list_transform(
+             quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             b -> floor(b)::BIGINT) AS bs
+           FROM o WHERE NOT cur),
+         bucketed AS (
+           SELECT 1 + len(list_filter(bs, b -> cents > b)) AS bk,
+             sum(CASE WHEN cur THEN 0 ELSE 1 END)::BIGINT AS n_ref,
+             sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS n_cur
+           FROM o CROSS JOIN bounds GROUP BY 1),
+         totals AS (
+           SELECT sum(n_ref)::BIGINT AS m, sum(n_cur)::BIGINT AS nn
+           FROM bucketed),
+         terms AS (
+           SELECT bk, n_ref, n_cur,
+             (n_ref::DOUBLE + 1.0) / (m + 10) AS q,
+             (n_cur::DOUBLE + 1.0) / (nn + 10) AS p
+           FROM bucketed CROSS JOIN totals),
+         t2 AS (
+           SELECT *, (p - q) * ln(p / q) AS term FROM terms),
+         psi AS (
+           SELECT list_sum(list_sort(list(term))) AS psi FROM t2)
+         SELECT bk, n_ref, n_cur, round(term, 6) AS term,
+           round(psi, 6) AS psi
+         FROM t2 CROSS JOIN psi ORDER BY bk""",
+
+    "q280_ewma_anomaly" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+         pairs AS (
+           SELECT a.day AS d1, a.n AS n1, b.n AS n2,
+             power(0.7, datediff('day', b.day, a.day)) AS w
+           FROM daily a JOIN daily b ON b.day <= a.day),
+         e AS (
+           SELECT d1, max(n1)::BIGINT AS n_err,
+             list_sum(list_sort(list(w * n2))) AS wx,
+             list_sum(list_sort(list(w))) AS ws
+           FROM pairs GROUP BY 1),
+         r AS (
+           SELECT d1, n_err, wx / ws AS ewma,
+             round(n_err::DOUBLE / (wx / ws), 4) AS ratio
+           FROM e)
+         SELECT d1::VARCHAR AS day, n_err, round(ewma, 4) AS ewma,
+           ratio, (ratio > 1.5) AS spike
+         FROM r ORDER BY day""",
+
+    "q281_conversion_lag" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS s0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         conv AS (
+           SELECT e.user_id,
+             epoch_us(min(e.ts)) - epoch_us(min(su.s0)) AS lag_us
+           FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= su.s0
+           GROUP BY 1),
+         ns AS (SELECT count(*)::BIGINT AS n_signup FROM su),
+         agg AS (
+           SELECT count(*)::BIGINT AS n_converted,
+             floor(quantile_cont(lag_us, 0.5))::BIGINT AS med_us,
+             floor(quantile_cont(lag_us, 0.9))::BIGINT AS p90_us
+           FROM conv)
+         SELECT n_signup, n_converted,
+           round(n_converted::DOUBLE / n_signup, 6) AS conv_rate,
+           round(med_us::DOUBLE / 3600000000.0, 2) AS median_hours,
+           round(p90_us::DOUBLE / 3600000000.0, 2) AS p90_hours
+         FROM agg CROSS JOIN ns""",
+
+    "q282_streak_histogram" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         grp AS (
+           SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+               ORDER BY day)::INT AS island
+           FROM ud),
+         streaks AS (
+           SELECT user_id, island, count(*)::BIGINT AS len
+           FROM grp GROUP BY 1, 2)
+         SELECT len, count(*)::BIGINT AS n_streaks,
+           count(DISTINCT user_id)::BIGINT AS n_users
+         FROM streaks GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -213,6 +213,24 @@ object Similarity {
     * bucketed near-dup search. Multiple tables are the standard sign-LSH
     * recall lever: a true near-dup pair only needs to agree in ONE
     * table's bucket (P[miss] = (1 − (1 − θ/π)^planes)^tables). */
+  /** Deployment rule for the sign-LSH family, MEASURED in SCALE.md §6g
+    * (graft.ScaleProbe): planes per table ≈ log₂(corpus /
+    * targetBucketRows), so per-bucket density — and the candidate pair
+    * space PER ROW — stays constant as the corpus grows. Held fixed,
+    * the pair space grows quadratically (104 M vs 14.2 M candidates at
+    * the 10× replica point). Clamped to [minPlanes, 20]; the gate SFs
+    * pin small literal plane counts so the DuckDB oracles replay
+    * bit-for-bit, and ScaleRuleSpec machine-checks this rule on a
+    * synthetic 10× corpus. */
+  def adaptivePlanes(corpusRows: Long, targetBucketRows: Long = 125L,
+                     minPlanes: Int = 4): Int = {
+    require(corpusRows > 0 && targetBucketRows > 0,
+      "adaptivePlanes needs positive row counts")
+    val needed = math.ceil(math.log(corpusRows.toDouble / targetBucketRows)
+      / math.log(2.0)).toInt
+    math.min(20, math.max(minPlanes, needed))
+  }
+
   def lshBandKeys(corpus: DataFrame, id: String, vec: String,
                   planesPerTable: Int, tables: Int, dims: Int): DataFrame = {
     val keys = (0 until tables).map { t =>

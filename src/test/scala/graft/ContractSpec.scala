@@ -146,7 +146,8 @@ class ContractSpec extends SparkSpec {
     "q180_chisq" -> "row/col margin tables (event-type × decile grains)",
     "q211_theil_sen" -> "calendar-day grain pair build (days² metadata-sized)",
     "q225_mann_kendall" -> "calendar-day grain pair build",
-    "q226_hodges_lehmann" -> "calendar-day grain pair build")
+    "q226_hodges_lehmann" -> "calendar-day grain pair build",
+    "q280_ewma_anomaly" -> "calendar-day grain pair build (EWMA lookback)")
 
   // Unbounded-build BNLJs whose build side is a RAW-ROW FILTER the plan
   // can't see through: each entry names the filter that keeps the build
