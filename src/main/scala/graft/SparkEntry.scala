@@ -7062,6 +7062,92 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("len")
     }),
+
+    // SESSION BOUNCE / ENTRY-CHANNEL ANALYSIS: 30-minute-gap
+    // sessionization via the lag+cumulative-flag island idiom (all
+    // windows user-partitioned — no global sort), then per-session
+    // entry/exit events by rank and a per-entry-channel rollup:
+    // sessions, bounce rate (single-event sessions), mean session
+    // depth from exact integer sums. Gap test runs on integer micros.
+    "q283_session_bounce" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val uw = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(uw))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(
+          uw.rowsBetween(Window.unboundedPreceding, 0)))
+      val sw = Window.partitionBy("user_id", "sid")
+        .orderBy(col("us"), col("event_id"))
+      val sessions = e
+        .withColumn("rn", row_number().over(sw))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("user_id", "sid")))
+        .filter(col("rn") === 1) // the rank-1 row IS the entry event
+      sessions.groupBy(col("event_type").as("entry_channel"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounces"),
+          sum(col("n")).as("total_events"))
+        .select(col("entry_channel"), col("n_sessions"),
+          col("n_bounces"),
+          round(d(col("n_bounces")) / col("n_sessions"), 6)
+            .as("bounce_rate"),
+          round(d(col("total_events")) / col("n_sessions"), 4)
+            .as("mean_depth"))
+        .orderBy("entry_channel")
+    }),
+
+    // RFM SEGMENTATION (recency / frequency / monetary quintiles —
+    // the classic CRM partitioning): per-customer last order day,
+    // order count, and exact cents; each dimension ranked GLOBALLY by
+    // the two-phase Dedup.numberRows (value grains grow with the
+    // customer base — never a single-partition sort) and cut into
+    // quintiles by integer rank arithmetic (the q275 decile idiom).
+    // Output: one row per populated RFM cell.
+    "q284_rfm_segments" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("cents"))
+      def quintile(df: DataFrame, order: Column, as: String): DataFrame = {
+        val ranked = Dedup.numberRows(df, order, "__rk")
+        ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+          .withColumn(as, expr("((__rk - 1) * 5) div __n + 1"))
+          .drop("__rk", "__n")
+      }
+      val scored = quintile(quintile(quintile(base,
+          struct(col("last_day"), col("ck")), "r_q"),
+          struct(col("freq"), col("ck")), "f_q"),
+          struct(col("cents"), col("ck")), "m_q")
+      scored.groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
+    // BURST DETECTION (bot screening): each user's maximum event count
+    // inside any sliding 60-second window, via a RANGE frame over
+    // integer micros (user-partitioned — no pair join, no global
+    // sort), rolled up to a burst-score histogram.
+    "q285_burst_histogram" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-59999999L, 0L)
+      val bursts = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("c60", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(max(col("c60")).as("burst"))
+      bursts.groupBy("burst")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("burst")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -13445,5 +13531,73 @@ object SparkEntry {
          SELECT len, count(*)::BIGINT AS n_streaks,
            count(DISTINCT user_id)::BIGINT AS n_users
          FROM streaks GROUP BY 1 ORDER BY 1""",
+
+    "q283_session_bounce" ->
+      """WITH e0 AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         e1 AS (
+           SELECT *,
+             lag(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS prev_us
+           FROM e0),
+         e2 AS (
+           SELECT *, (CASE WHEN prev_us IS NULL
+               OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT
+             AS is_new
+           FROM e1),
+         e3 AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e2),
+         s AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY user_id, sid
+               ORDER BY us, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, sid) AS n
+           FROM e3),
+         entries AS (SELECT * FROM s WHERE rn = 1)
+         SELECT event_type AS entry_channel,
+           count(*)::BIGINT AS n_sessions,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS bounce_rate,
+           round(sum(n)::DOUBLE / count(*), 4) AS mean_depth
+         FROM entries GROUP BY 1 ORDER BY 1""",
+
+    "q284_rfm_segments" ->
+      """WITH base AS (
+           SELECT o_custkey AS ck,
+             max(CAST(o_orderdate AS DATE)) AS last_day,
+             count(*)::BIGINT AS freq,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+           FROM orders GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS nn FROM base),
+         q AS (
+           SELECT ck, cents,
+             ((row_number() OVER (ORDER BY last_day, ck) - 1) * 5)
+               // nn + 1 AS r_q,
+             ((row_number() OVER (ORDER BY freq, ck) - 1) * 5)
+               // nn + 1 AS f_q,
+             ((row_number() OVER (ORDER BY cents, ck) - 1) * 5)
+               // nn + 1 AS m_q
+           FROM base CROSS JOIN n)
+         SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS sum_cents
+         FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q285_burst_histogram" ->
+      """WITH c AS (
+           SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
+               AS c60
+           FROM events),
+         b AS (
+           SELECT user_id, max(c60)::BIGINT AS burst
+           FROM c GROUP BY 1)
+         SELECT burst, count(*)::BIGINT AS n_users
+         FROM b GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -24,6 +24,38 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming COMPOSITION-DRIFT monitor — the deployment form of the
+    * batch q276 KL query: each watermarked tumbling window's event-type
+    * mix is scored against a FIXED reference mix (a model-sized
+    * artifact computed in batch over the corpus and threaded into the
+    * plan as literals). One single aggregation per window — no chained
+    * streaming aggs, so the query is legal in append/complete modes and
+    * state is bounded by the watermark horizon. Terms follow the q276
+    * convention: only OBSERVED types contribute (q·ln(q/p) with q>0).
+    * Works identically on a batch frame (parity-tested). */
+  def klDrift(events: DataFrame, refMix: Seq[(String, Double)],
+              windowLen: String = "1 hour",
+              watermark: String = "2 hours"): DataFrame = {
+    require(refMix.nonEmpty && refMix.forall(_._2 > 0),
+      "reference mix must cover the scored types with positive mass")
+    val counts = refMix.map { case (t, _) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    }
+    val agged = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("n",
+        refMix.map { case (t, _) => col(s"n_$t") }.reduce(_ + _))
+    val kl = refMix.map { case (t, p) =>
+      val q = col(s"n_$t").cast("double") / col("n")
+      when(col(s"n_$t") > 0, q * log(q / lit(p))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    agged
+      .withColumn("kl", round(kl, 6))
+      .select(col("window.start").as("window_start"), col("n"), col("kl"))
+  }
+
   /** JSON property extraction + per-user sessionized counts (batch or
     * stream; stream mode uses the same watermark contract). */
   def enriched(events: DataFrame): DataFrame =

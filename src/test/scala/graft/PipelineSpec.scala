@@ -278,6 +278,39 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
 
+  test("streaming: klDrift (the q276 composition-drift monitor's " +
+    "deployment form) scores windows against a fixed reference mix — " +
+    "stream output equals the batch transform, and a skewed window " +
+    "scores a strictly higher KL than a reference-shaped one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    def t(h: Int, min: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    // hour 10 matches the 50/50 reference; hour 11 is all-clicks skew
+    val data =
+      (0 until 40).map(i => (t(10, i), if (i % 2 == 0) "click" else "view")) ++
+      (0 until 40).map(i => (t(11, i), "click"))
+    val ref = Seq("click" -> 0.5, "view" -> 0.5)
+
+    val batch = EventStreams
+      .klDrift(data.toDF("ts", "event_type"), ref)
+      .orderBy("window_start")
+    val rows = batch.collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Double]("kl") === 0.0) // matches reference
+    assert(rows(1).getAs[Double]("kl") > 0.5)   // ln(2) ≈ 0.6931 skew
+
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    ms.addData(data: _*)
+    val q = EventStreams.klDrift(ms.toDF.toDF("ts", "event_type"), ref)
+      .writeStream.format("memory").queryName("kldrift")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("kldrift").orderBy("window_start")
+    assert(streamed.collect().toSeq === rows.toSeq)
+  }
+
   test("sessionize: gap-split sessions close when the next event arrives " +
     "past the gap (flatMapGroupsWithState over a MemoryStream)") {
     import graft.streaming.Sessionize
