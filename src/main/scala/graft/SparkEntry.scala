@@ -7148,6 +7148,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("burst")
     }),
+
+    // CROSS-LANGUAGE CONTAMINATION SCREEN: near-dup pairs (the q19
+    // LSH-candidates → exact-Jaccard pipeline at a looser 0.3
+    // threshold) joined back to each side's language and rolled up per
+    // unordered language pair — cross-language cells flag probable
+    // machine-translated/copied content between corpus slices that a
+    // per-language dedup would never compare. Rollup stats are
+    // order-independent exacts (count/min/max of the rounded metric).
+    "q286_crosslang_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.jaccardVerifiedPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.3, numHashes = 16, rowsPerBand = 2,
+        maxBucket = 10)
+      val langs = docs.select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.toDF("id_a", "lang_a"), Seq("id_a"))
+        .join(langs.toDF("id_b", "lang_b"), Seq("id_b"))
+        .withColumn("pair_lo", least(col("lang_a"), col("lang_b")))
+        .withColumn("pair_hi", greatest(col("lang_a"), col("lang_b")))
+        .groupBy("pair_lo", "pair_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("jaccard")).as("min_j"),
+          max(col("jaccard")).as("max_j"))
+        .withColumn("cross_lang", col("pair_lo") =!= col("pair_hi"))
+        .orderBy("pair_lo", "pair_hi")
+    }),
+
+    // LABEL-CENTROID SIMILARITY MATRIX (the label-noise / class-overlap
+    // diagnostic): per-label mean embedding at the (label, dim) grain
+    // with sorted-fold sums (bit-exact under any partitioning), then
+    // pairwise centroid cosine via a dim-keyed self-join — label² pairs
+    // of 64-term folds, all metadata-sized. Classes whose centroids
+    // cosine ≈ 1 are candidates for merged or mislabeled data.
+    "q287_label_centroids" -> ((s, dir) => {
+      val cells = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").as("v"))
+      val cent = cells.groupBy("label", "dim")
+        .agg((ssum(collect_list(col("v"))) / count(lit(1))).as("m"))
+      cent.select(col("label").as("la"), col("dim"), col("m").as("ma"))
+        .join(cent.select(col("label").as("lb"), col("dim"),
+          col("m").as("mb")), Seq("dim"))
+        .filter(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(ssum(collect_list(col("ma") * col("mb"))).as("dot"),
+          ssum(collect_list(col("ma") * col("ma"))).as("na"),
+          ssum(collect_list(col("mb") * col("mb"))).as("nb"))
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          round(col("dot") / sqrt(col("na") * col("nb")), 6)
+            .as("cosine"))
+        .orderBy("label_a", "label_b")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -13599,5 +13652,81 @@ object SparkEntry {
            FROM c GROUP BY 1)
          SELECT burst, count(*)::BIGINT AS n_users
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q286_crosslang_contamination" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')
+               AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS shs
+           FROM w),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0,16), k ->
+               list_min(list_transform(shs, s ->
+                 ((2*k+1) * ((('0x' || substring(md5('0:' || s),1,12))::BIGINT)
+                             % 2147483647)
+                  + 7919*k) % 2147483647))) AS sigs
+           FROM sh),
+         banded0 AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0,8), b ->
+               CAST(b AS VARCHAR) || ':'
+               || CAST(sigs[2*b+1] AS VARCHAR) || ':'
+               || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
+           FROM sig),
+         bsz AS (SELECT band_key, count(*) AS c FROM banded0 GROUP BY 1),
+         banded AS (
+           SELECT banded0.* FROM banded0 JOIN bsz USING (band_key)
+           WHERE bsz.c <= 10),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         v AS (
+           SELECT id_a, id_b,
+             round(CAST(len(list_filter(sa.shs,
+                 x -> list_contains(sb.shs, x))) AS DOUBLE)
+               / (len(sa.shs) + len(sb.shs)
+                  - len(list_filter(sa.shs,
+                      x -> list_contains(sb.shs, x)))), 4) AS jaccard
+           FROM cand
+           JOIN sh sa ON cand.id_a = sa.doc_id
+           JOIN sh sb ON cand.id_b = sb.doc_id),
+         pairs AS (
+           SELECT v.*, da.lang AS lang_a, db.lang AS lang_b
+           FROM v
+           JOIN documents da ON da.doc_id = v.id_a
+           JOIN documents db ON db.doc_id = v.id_b
+           WHERE jaccard >= 0.3)
+         SELECT least(lang_a, lang_b) AS pair_lo,
+           greatest(lang_a, lang_b) AS pair_hi,
+           count(*)::BIGINT AS n_pairs,
+           min(jaccard) AS min_j, max(jaccard) AS max_j,
+           (least(lang_a, lang_b) <> greatest(lang_a, lang_b))
+             AS cross_lang
+         FROM pairs GROUP BY 1, 2, 6 ORDER BY 1, 2""",
+
+    "q287_label_centroids" ->
+      """WITH cells AS (
+           SELECT label, i AS dim, embedding[i]::DOUBLE AS v
+           FROM embeddings CROSS JOIN range(1, 65) r(i)),
+         cent AS (
+           SELECT label, dim,
+             list_sum(list_sort(list(v))) / count(*) AS m
+           FROM cells GROUP BY 1, 2),
+         p AS (
+           SELECT a.label AS la, b.label AS lb, a.m AS ma, b.m AS mb
+           FROM cent a JOIN cent b USING (dim)
+           WHERE a.label < b.label)
+         SELECT la AS label_a, lb AS label_b,
+           round(list_sum(list_sort(list(ma * mb)))
+             / sqrt(list_sum(list_sort(list(ma * ma)))
+                  * list_sum(list_sort(list(mb * mb)))), 6) AS cosine
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
