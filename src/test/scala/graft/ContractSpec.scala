@@ -77,10 +77,8 @@ class ContractSpec extends SparkSpec {
     "q184_bootstrap" -> "48 bootstrap-replicate grain",
     "q189_zipf_fit" -> "vocab rank grain, consumed under a ≤50k rank filter",
     "q205_kaplan_meier" -> "event-day grain (calendar-bounded)",
-    "q211_theil_sen" -> "calendar-day-PAIR grain (bounded by days²)",
     "q215_lead_lag" -> "calendar-day grain",
     "q224_ab_fdr" -> "market-segment grain (5 rows)",
-    "q226_hodges_lehmann" -> "calendar-day-pair grain (bounded by days²)",
     "q240_error_budget" -> "calendar-day grain",
     "q251_decomposition" -> "calendar-day grain",
     "q269_info_gain" -> "feature grain (fixed feature list)")
@@ -141,12 +139,12 @@ class ContractSpec extends SparkSpec {
   // sketch artifacts, margin tables, centroid/model frames, day-pair
   // grains) but whose grain the plan can't bound. A CartesianProduct
   // is never excusable.
+  // (q211/q225/q226's former day-pair entries are gone: their day
+  // frame is Caches.small-checkpointed, so the plan now PROVES the
+  // builds bounded — no exemption needed.)
   private val bnljGrainBuilds: Map[String, String] = Map(
     "q176_kmv_intersection" -> "two KMV bottom-64 sketch artifacts (k-capped)",
     "q180_chisq" -> "row/col margin tables (event-type × decile grains)",
-    "q211_theil_sen" -> "calendar-day grain pair build (days² metadata-sized)",
-    "q225_mann_kendall" -> "calendar-day grain pair build",
-    "q226_hodges_lehmann" -> "calendar-day grain pair build",
     "q280_ewma_anomaly" -> "calendar-day grain pair build (EWMA lookback)")
 
   // Unbounded-build BNLJs whose build side is a RAW-ROW FILTER the plan
