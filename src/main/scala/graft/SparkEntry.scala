@@ -7217,6 +7217,127 @@ object SparkEntry {
             .as("cosine"))
         .orderBy("label_a", "label_b")
     }),
+
+    // SCD2 INTERVAL RECONSTRUCTION (the slowly-changing-dimension
+    // warehouse op): each user's event stream becomes validity
+    // intervals [ts, next_ts) via lead() over the user partition —
+    // the current state is open-ended and excluded from duration
+    // stats. Output per state (event_type): closed intervals, exact
+    // total/mean duration from integer-micros sums.
+    "q288_scd2_intervals" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val iv = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur_us", col("next_us") - col("us"))
+      iv.groupBy(col("event_type").as("state"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur_us")).as("total_us"))
+        .select(col("state"), col("n_intervals"),
+          round(d(col("total_us")) / 3600000000.0, 2).as("total_hours"),
+          round(d(col("total_us")) / col("n_intervals") / 3600000000.0,
+            4).as("mean_hours"))
+        .orderBy("state")
+    }),
+
+    // EXACT PERCENTILE BANDS PER GROUP (the p50/p90/p99 ops
+    // dashboard): per event type, the k-th smallest value in cents
+    // picked BY RANK (k = ceil(q·n) — the classic exact definition, no
+    // interpolation, no sketch): one partitioned rank window + one
+    // count per type, three conditional min-picks. Integer-exact
+    // end to end.
+    "q289_percentile_bands" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val e = events(s, dir)
+        .select(col("event_type").as("ty"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val w = Window.partitionBy("ty").orderBy(col("cents"),
+        col("event_id"))
+      val ranked = e
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("ty")))
+      def pick(q: Double, as: String) =
+        max(when(col("rk") === expr(s"cast(ceil($q * n) as bigint)"),
+          col("cents"))).as(as)
+      ranked.groupBy("ty")
+        .agg(max(col("n")).as("n_events"),
+          pick(0.50, "p50_cents"), pick(0.90, "p90_cents"),
+          pick(0.99, "p99_cents"))
+        .select(col("ty"), col("n_events"),
+          round(d(col("p50_cents")) / 100.0, 2).as("p50"),
+          round(d(col("p90_cents")) / 100.0, 2).as("p90"),
+          round(d(col("p99_cents")) / 100.0, 2).as("p99"))
+        .orderBy("ty")
+    }),
+
+    // CROSS-SOURCE DUPLICATE FLOW MATRIX (where does shared content
+    // come from): documents hash-grouped on an 8-word normalized
+    // PREFIX fingerprint (the "same title/lead" screen — whole-text
+    // hashing catches only byte-identical copies), groups of >1
+    // self-joined on the group key (pair space bounded by dup-group
+    // size), pairs rolled up per unordered source pair — the matrix
+    // that tells a curation pipeline which source pairs share content
+    // (mirrors vs independent duplication).
+    "q290_cross_source_dupes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ",
+            slice(split(TF.normalizeText(col("text")), " "), 1, 8)))
+            .as("h"))
+      val sized = docs
+        .withColumn("gs", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("gs") > 1)
+      val a = sized.select(col("h"), col("doc_id").as("id_a"),
+        col("source").as("src_a"))
+      val b = sized.select(col("h"), col("doc_id").as("id_b"),
+        col("source").as("src_b"))
+      a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .withColumn("cross_source", col("source_lo") =!= col("source_hi"))
+        .orderBy("source_lo", "source_hi")
+    }),
+
+    // TRAIN/VAL/TEST SPLIT BALANCE AUDIT: deterministic md5-hash
+    // 80/10/10 split of the embedding corpus, per-split label counts,
+    // and the chi-square statistic of label-mix independence across
+    // splits (expected = row·col/N over the split×label table; the
+    // 30-cell fold runs sorted for bit-exactness). The audit a
+    // training pipeline runs before trusting a split.
+    "q291_split_balance" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val e = t(s, dir, "embeddings")
+        .select(col("label"),
+          (TF.md5Hash48(col("vec_id").cast("string")) % 10).as("b"))
+        .withColumn("split", when(col("b") < 8, "train")
+          .when(col("b") === 8, "val").otherwise("test"))
+      val cell = e.groupBy("split", "label").agg(count(lit(1)).as("o"))
+      val bySplit = cell.groupBy("split").agg(sum(col("o")).as("ns"))
+      val byLabel = cell.groupBy("label").agg(sum(col("o")).as("nl"))
+      val tot = cell.agg(sum(col("o")).as("nn"))
+      val terms = cell
+        .join(broadcast(bySplit), Seq("split"))
+        .join(broadcast(byLabel), Seq("label"))
+        .crossJoin(broadcast(tot))
+        .withColumn("exp", d(col("ns")) * col("nl") / col("nn"))
+        .withColumn("term", (d(col("o")) - col("exp")) *
+          (d(col("o")) - col("exp")) / col("exp"))
+      val chi = terms.agg(ssum(collect_list(col("term"))).as("chi2"),
+        countDistinct(col("split")).as("nsplits"),
+        countDistinct(col("label")).as("nlabels"))
+      bySplit.crossJoin(broadcast(tot)).crossJoin(broadcast(chi))
+        .select(col("split"), col("ns").as("n_vectors"),
+          round(d(col("ns")) / col("nn"), 6).as("share"),
+          round(col("chi2"), 4).as("chi2"),
+          ((col("nsplits") - 1) * (col("nlabels") - 1)).as("dof"))
+        .orderBy("split")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -13744,5 +13865,97 @@ object SparkEntry {
              / sqrt(list_sum(list_sort(list(ma * ma)))
                   * list_sum(list_sort(list(mb * mb)))), 6) AS cosine
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q288_scd2_intervals" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         iv AS (
+           SELECT event_type,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) - us AS dur_us
+           FROM e),
+         closed AS (SELECT * FROM iv WHERE dur_us IS NOT NULL)
+         SELECT event_type AS state, count(*)::BIGINT AS n_intervals,
+           round(sum(dur_us)::DOUBLE / 3600000000.0, 2) AS total_hours,
+           round(sum(dur_us)::DOUBLE / count(*) / 3600000000.0, 4)
+             AS mean_hours
+         FROM closed GROUP BY 1 ORDER BY 1""",
+
+    "q289_percentile_bands" ->
+      """WITH e AS (
+           SELECT event_type AS ty, event_id,
+             round(value * 100)::BIGINT AS cents
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY ty
+               ORDER BY cents, event_id)::BIGINT AS rk,
+             count(*) OVER (PARTITION BY ty)::BIGINT AS n
+           FROM e)
+         SELECT ty, max(n)::BIGINT AS n_events,
+           round(max(CASE WHEN rk = ceil(0.5 * n)::BIGINT
+             THEN cents END)::DOUBLE / 100.0, 2) AS p50,
+           round(max(CASE WHEN rk = ceil(0.9 * n)::BIGINT
+             THEN cents END)::DOUBLE / 100.0, 2) AS p90,
+           round(max(CASE WHEN rk = ceil(0.99 * n)::BIGINT
+             THEN cents END)::DOUBLE / 100.0, 2) AS p99
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q290_cross_source_dupes" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+             md5(array_to_string(list_slice(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))), ' '),
+               1, 8), ' ')) AS h
+           FROM documents),
+         sized AS (
+           SELECT *, count(*) OVER (PARTITION BY h) AS gs FROM docs),
+         dup AS (SELECT * FROM sized WHERE gs > 1),
+         pairs AS (
+           SELECT least(a.source, b.source) AS source_lo,
+             greatest(a.source, b.source) AS source_hi
+           FROM dup a JOIN dup b
+             ON a.h = b.h AND a.doc_id < b.doc_id)
+         SELECT source_lo, source_hi, count(*)::BIGINT AS n_dup_pairs,
+           (source_lo <> source_hi) AS cross_source
+         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q291_split_balance" ->
+      """WITH e AS (
+           SELECT label,
+             (('0x' || substring(md5('0:' || vec_id::VARCHAR), 1, 12))
+               ::BIGINT % 10) AS b
+           FROM embeddings),
+         s AS (
+           SELECT label, CASE WHEN b < 8 THEN 'train'
+             WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+           FROM e),
+         cell AS (
+           SELECT split, label, count(*)::BIGINT AS o
+           FROM s GROUP BY 1, 2),
+         bysplit AS (
+           SELECT split, sum(o)::BIGINT AS ns FROM cell GROUP BY 1),
+         bylabel AS (
+           SELECT label, sum(o)::BIGINT AS nl FROM cell GROUP BY 1),
+         tot AS (SELECT sum(o)::BIGINT AS nn FROM cell),
+         terms AS (
+           SELECT c.split, c.label,
+             (c.o::DOUBLE - ns::DOUBLE * nl / nn)
+               * (c.o::DOUBLE - ns::DOUBLE * nl / nn)
+               / (ns::DOUBLE * nl / nn) AS term
+           FROM cell c JOIN bysplit USING (split)
+           JOIN bylabel USING (label) CROSS JOIN tot),
+         chi AS (
+           SELECT list_sum(list_sort(list(term))) AS chi2,
+             count(DISTINCT split)::BIGINT AS nsplits,
+             count(DISTINCT label)::BIGINT AS nlabels
+           FROM terms)
+         SELECT split, ns AS n_vectors,
+           round(ns::DOUBLE / nn, 6) AS share,
+           round(chi2, 4) AS chi2,
+           (nsplits - 1) * (nlabels - 1) AS dof
+         FROM bysplit CROSS JOIN tot CROSS JOIN chi
+         ORDER BY split""",
   )
 }
