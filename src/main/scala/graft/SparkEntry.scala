@@ -7338,6 +7338,92 @@ object SparkEntry {
           ((col("nsplits") - 1) * (col("nlabels") - 1)).as("dof"))
         .orderBy("split")
     }),
+
+    // QUANTILE MAPPING TABLE (quantile normalization across sources —
+    // the feature-alignment op: map each source's doc-length
+    // distribution onto the global one): per source, the d/10-quantile
+    // value picked by EXACT integer rank (kd = ceil(d·n/10) via
+    // (d·n+9) div 10) from a source-partitioned window; the GLOBAL
+    // side ranks raw rows, so it runs two-phase (Dedup.numberRows).
+    // Output: (source, decile, source quantile, global quantile).
+    "q292_quantile_mapping" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val sw = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      val srcQ = docs
+        .withColumn("rk", row_number().over(sw))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("source")))
+        .withColumn("d", explode(sequence(lit(1), lit(10))))
+        .filter(expr("(d * n + 9) div 10") === col("rk"))
+        .select(col("source"), col("d"), col("n_chars").as("src_q"))
+      val globalQ = Dedup.numberRows(docs,
+          struct(col("n_chars"), col("doc_id")), "grk")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("gn"))))
+        .withColumn("d", explode(sequence(lit(1), lit(10))))
+        .filter(expr("(d * gn + 9) div 10") === col("grk"))
+        .select(col("d"), col("n_chars").as("global_q"))
+      srcQ.join(broadcast(globalQ), Seq("d"))
+        .select(col("source"), col("d").as("decile"), col("src_q"),
+          col("global_q"))
+        .orderBy("source", "decile")
+    }),
+
+    // RETRIEVAL MRR@10 (the ranking-eval companion to q232's
+    // recall@10): per probe, the brute-force TOP-1 neighbor is the
+    // relevant item; the IVF system list (q24 path) is scored by the
+    // reciprocal of the rank at which it surfaces (0 beyond depth 10).
+    // Per-probe reciprocal ranks plus the corpus MRR (sorted fold over
+    // the probe grain) on every row.
+    "q293_retrieval_mrr" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      val truth = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q")), 6)
+            .as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("truth_id"))
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        centroids, "cid", "cv")
+      val qcl = queries.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("q"), col("cid"),
+          round(Similarity.cosine(col("q"), col("cv")), 6).as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("q"), col("cid").as("cluster"))
+      val approx = assigned.join(broadcast(qcl), Seq("cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q")), 6)
+            .as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val scored = truth
+        .join(approx.select(col("qid"), col("vec_id").as("truth_id"),
+          col("rn").as("sys_rank")), Seq("qid", "truth_id"), "left")
+        .withColumn("rr", when(col("sys_rank").isNotNull,
+          lit(1.0) / col("sys_rank")).otherwise(lit(0.0)))
+      val mrr = scored.agg(
+        round(ssum(collect_list(col("rr"))) / count(lit(1)), 6)
+          .as("mrr"))
+      scored.crossJoin(broadcast(mrr))
+        .select(col("qid"), col("truth_id"),
+          coalesce(col("sys_rank"), lit(0)).as("sys_rank"),
+          round(col("rr"), 6).as("rr"), col("mrr"))
+        .orderBy("qid")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -13957,5 +14043,99 @@ object SparkEntry {
            (nsplits - 1) * (nlabels - 1) AS dof
          FROM bysplit CROSS JOIN tot CROSS JOIN chi
          ORDER BY split""",
+
+    "q292_quantile_mapping" ->
+      """WITH docs AS (
+           SELECT doc_id, source, n_chars FROM documents),
+         sr AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id)::BIGINT AS rk,
+             count(*) OVER (PARTITION BY source)::BIGINT AS n
+           FROM docs),
+         srcq AS (
+           SELECT source, d.i AS decile, n_chars AS src_q
+           FROM sr CROSS JOIN range(1, 11) d(i)
+           WHERE (d.i * n + 9) // 10 = rk),
+         gr AS (
+           SELECT *,
+             row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT
+               AS grk,
+             count(*) OVER ()::BIGINT AS gn
+           FROM docs),
+         g AS (
+           SELECT d.i AS decile, n_chars AS global_q
+           FROM gr CROSS JOIN range(1, 11) d(i)
+           WHERE (d.i * gn + 9) // 10 = grk)
+         SELECT source, decile, src_q, global_q
+         FROM srcq JOIN g USING (decile)
+         ORDER BY source, decile""",
+
+    "q293_retrieval_mrr" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+           FROM e),
+         qs AS (
+           SELECT vec_id AS qid, v AS q, nm AS qn FROM nr
+           WHERE vec_id % 101 = 0),
+         cent AS (
+           SELECT vec_id AS cid, v AS cv, nm AS cn FROM nr
+           WHERE vec_id < 16),
+         truth AS (
+           SELECT qid, vec_id AS truth_id FROM (
+             SELECT q.qid, n.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * q.q[i])) / (n.nm * q.qn), 6) DESC,
+                 n.vec_id) AS rn
+             FROM nr n CROSS JOIN qs q WHERE n.vec_id <> q.qid)
+           WHERE rn = 1),
+         assigned AS (
+           SELECT vec_id, v, nm, cid AS cluster FROM (
+             SELECT n.vec_id, n.v, n.nm, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])) / (n.nm * c.cn), 6) DESC,
+                 c.cid) AS rn
+             FROM nr n CROSS JOIN cent c)
+           WHERE rn = 1),
+         qcl AS (
+           SELECT qid, q, qn, cid AS cluster FROM (
+             SELECT s.qid, s.q, s.qn, c.cid,
+               row_number() OVER (PARTITION BY s.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(s.q) + 1),
+                   i -> s.q[i] * c.cv[i])) / (s.qn * c.cn), 6) DESC,
+                 c.cid) AS rn
+             FROM qs s CROSS JOIN cent c)
+           WHERE rn = 1),
+         approx AS (
+           SELECT qid, vec_id, rn AS sys_rank FROM (
+             SELECT k.qid, a.vec_id,
+               row_number() OVER (PARTITION BY k.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(a.v) + 1),
+                   i -> a.v[i] * k.q[i])) / (a.nm * k.qn), 6) DESC,
+                 a.vec_id) AS rn
+             FROM assigned a JOIN qcl k ON a.cluster = k.cluster
+             WHERE a.vec_id <> k.qid)
+           WHERE rn <= 10),
+         scored AS (
+           SELECT t.qid, t.truth_id, a.sys_rank,
+             CASE WHEN a.sys_rank IS NOT NULL
+               THEN 1.0 / a.sys_rank ELSE 0.0 END AS rr
+           FROM truth t LEFT JOIN approx a
+             ON a.qid = t.qid AND a.vec_id = t.truth_id),
+         m AS (
+           SELECT round(list_sum(list_sort(list(rr))) / count(*), 6)
+             AS mrr
+           FROM scored)
+         SELECT qid, truth_id,
+           coalesce(sys_rank, 0)::BIGINT AS sys_rank,
+           round(rr, 6) AS rr, mrr
+         FROM scored CROSS JOIN m ORDER BY qid""",
   )
 }
