@@ -7424,6 +7424,86 @@ object SparkEntry {
           round(col("rr"), 6).as("rr"), col("mrr"))
         .orderBy("qid")
     }),
+
+    // FINANCIAL RECONCILIATION AUDIT (header-vs-detail consistency —
+    // the warehouse data-quality staple): o_totalprice against the
+    // recomputed Σ extendedprice·(1−disc)·(1+tax) per order, bucketed
+    // by relative mismatch band, plus the orders with NO detail rows.
+    // All diffs in exact integer cents; the ratio only picks a band.
+    "q294_reconciliation_audit" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val calc = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) as bigint)"))
+          .as("calc_cents"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)")
+            .as("hdr_cents"))
+      o.join(calc, Seq("o_orderkey"), "left")
+        .withColumn("band",
+          when(col("calc_cents").isNull, "no_lineitems")
+            .when(col("hdr_cents") === col("calc_cents"), "exact")
+            .when(abs(d(col("hdr_cents") - col("calc_cents")))
+              / col("hdr_cents") < 0.01, "lt_1pct")
+            .when(abs(d(col("hdr_cents") - col("calc_cents")))
+              / col("hdr_cents") < 0.1, "lt_10pct")
+            .when(abs(d(col("hdr_cents") - col("calc_cents")))
+              / col("hdr_cents") < 0.5, "lt_50pct")
+            .otherwise("ge_50pct"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(abs(col("hdr_cents")
+            - coalesce(col("calc_cents"), lit(0L)))).as("abs_diff_cents"))
+        .orderBy("band")
+    }),
+
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    // A-ES): per-source top-3 by key u^(1/w), u a deterministic
+    // md5-uniform in (0,1], w = doc length — the quality-weighted
+    // document picker every data-mix pipeline needs, fully replayable
+    // (no RNG). One partitioned rank window (WindowGroupLimit-capped).
+    "q295_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("u",
+          (TF.md5Hash48(col("doc_id").cast("string")) + 1)
+            / lit(281474976710656.0))
+        .withColumn("key", pow(col("u"), lit(1.0) / col("n_chars")))
+      docs.withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("key").desc, col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+          round(col("key"), 6).as("key"))
+        .orderBy("source", "rk")
+    }),
+
+    // FREEDMAN–DIACONIS HISTOGRAM (the bin-width rule that adapts to
+    // spread and n): width = ceil(2·IQR/∛n) in integer cents — IQR
+    // from floored percentile bounds (the q279 integer-exact trick) —
+    // then an integer-division binning, so bucket membership is exact
+    // cross-engine. The histogram every distribution dashboard draws.
+    "q296_fd_histogram" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)")
+          .as("cents"))
+      val stats = o.agg(count(lit(1)).as("n"),
+          floor(expr("percentile(cents, 0.25)")).as("q1"),
+          floor(expr("percentile(cents, 0.75)")).as("q3"))
+        .withColumn("width", ceil(
+          lit(2.0) * (col("q3") - col("q1")) / cbrt(col("n").cast("double")))
+          .cast("long"))
+        .select("n", "width")
+      o.crossJoin(broadcast(stats))
+        .withColumn("bin", expr("cents div width"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_orders"), max(col("width")).as("width"))
+        .select(col("bin"), (col("bin") * col("width")).as("lo_cents"),
+          col("n_orders"), col("width"))
+        .orderBy("bin")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -14137,5 +14217,67 @@ object SparkEntry {
            coalesce(sys_rank, 0)::BIGINT AS sys_rank,
            round(rr, 6) AS rr, mrr
          FROM scored CROSS JOIN m ORDER BY qid""",
+
+    "q294_reconciliation_audit" ->
+      """WITH calc AS (
+           SELECT l_orderkey AS o_orderkey,
+             sum(round(l_extendedprice * (1 - l_discount)
+               * (1 + l_tax) * 100)::BIGINT)::BIGINT AS calc_cents
+           FROM lineitem GROUP BY 1),
+         o AS (
+           SELECT o_orderkey,
+             round(o_totalprice * 100)::BIGINT AS hdr_cents
+           FROM orders),
+         j AS (
+           SELECT o.hdr_cents, calc.calc_cents,
+             CASE WHEN calc_cents IS NULL THEN 'no_lineitems'
+               WHEN hdr_cents = calc_cents THEN 'exact'
+               WHEN abs((hdr_cents - calc_cents)::DOUBLE) / hdr_cents
+                 < 0.01 THEN 'lt_1pct'
+               WHEN abs((hdr_cents - calc_cents)::DOUBLE) / hdr_cents
+                 < 0.1 THEN 'lt_10pct'
+               WHEN abs((hdr_cents - calc_cents)::DOUBLE) / hdr_cents
+                 < 0.5 THEN 'lt_50pct'
+               ELSE 'ge_50pct' END AS band
+           FROM o LEFT JOIN calc USING (o_orderkey))
+         SELECT band, count(*)::BIGINT AS n_orders,
+           sum(abs(hdr_cents - coalesce(calc_cents, 0)))::BIGINT
+             AS abs_diff_cents
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q295_weighted_sample" ->
+      """WITH docs AS (
+           SELECT doc_id, source, n_chars,
+             (('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 12))
+               ::BIGINT + 1) / 281474976710656.0 AS u
+           FROM documents),
+         keyed AS (
+           SELECT *, power(u, 1.0 / n_chars) AS key FROM docs),
+         r AS (
+           SELECT source, doc_id, n_chars, key,
+             row_number() OVER (PARTITION BY source
+               ORDER BY key DESC, doc_id) AS rk
+           FROM keyed)
+         SELECT source, rk, doc_id, n_chars, round(key, 6) AS key
+         FROM r WHERE rk <= 3 ORDER BY source, rk""",
+
+    "q296_fd_histogram" ->
+      """WITH o AS (
+           SELECT round(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         stats AS (
+           SELECT count(*)::BIGINT AS n,
+             floor(quantile_cont(cents, 0.25))::BIGINT AS q1,
+             floor(quantile_cont(cents, 0.75))::BIGINT AS q3
+           FROM o),
+         w AS (
+           SELECT n,
+             ceil(2.0 * (q3 - q1) / cbrt(n::DOUBLE))::BIGINT AS width
+           FROM stats)
+         SELECT cents // width AS bin,
+           (cents // width) * width AS lo_cents,
+           count(*)::BIGINT AS n_orders, max(width)::BIGINT AS width
+         FROM o CROSS JOIN w
+         GROUP BY 1, 2 ORDER BY 1""",
   )
 }
