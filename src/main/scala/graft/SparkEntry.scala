@@ -7504,6 +7504,69 @@ object SparkEntry {
           col("n_orders"), col("width"))
         .orderBy("bin")
     }),
+
+    // EMBEDDING-GEOMETRY DIAGNOSTIC: cosine-distance histogram from a
+    // fixed probe panel against the corpus (0.05-wide buckets of
+    // 1−cos) — concentration of the distance distribution is the
+    // high-dimensional pathology check run before trusting any ANN
+    // index. Probe-set broadcast, integer bucketing of the rounded
+    // cosine (exact cross-engine).
+    "q297_distance_histogram" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(floor((lit(1.0) -
+          round(Similarity.cosine(col("embedding"), col("q")), 6))
+          / 0.05).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("dist_lo", round(col("bucket") * 0.05, 2))
+        .orderBy("bucket")
+    }),
+
+    // HUBNESS (the other high-dim pathology: a few points appearing in
+    // EVERYONE's top-k): in-degree of the k-NN graph from the q91
+    // LSH-bucketed kNN join, rolled to an in-degree histogram. A heavy
+    // hub tail says the metric space needs re-scaling (e.g. q253
+    // rank-gauss) before nearest-neighbor labels can be trusted.
+    "q298_hubness" -> ((s, dir) => {
+      val knn = Similarity.knnJoin(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3, planesPerTable = 4, tables = 8,
+        dims = 64)
+      val indeg = knn.groupBy(col("nid")).agg(count(lit(1)).as("indeg"))
+      indeg.groupBy("indeg")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("indeg")
+    }),
+
+    // SEASONAL-NAIVE FORECAST BACKTEST (the baseline every forecaster
+    // must beat): predict each day's per-type event count with the
+    // value 7 days earlier (day-grain self-join — no window state),
+    // score MAPE and sMAPE per type from exact integer counts with
+    // sorted folds over the day grain.
+    "q299_seasonal_backtest" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("ty"),
+          expr("datediff(to_date(ts), date'1970-01-05')").as("dd"))
+        .agg(count(lit(1)).as("n"))
+      val pred = daily.select(col("ty"), (col("dd") + 7).as("dd"),
+        col("n").as("pred"))
+      val scored = daily.join(pred, Seq("ty", "dd"))
+        .withColumn("ape", abs(d(col("n") - col("pred"))) / col("n"))
+        .withColumn("sape", abs(d(col("n") - col("pred"))) * 2.0
+          / (col("n") + col("pred")))
+      scored.groupBy("ty")
+        .agg(count(lit(1)).as("n_days"),
+          round(ssum(collect_list(col("ape"))) / count(lit(1)) * 100, 4)
+            .as("mape_pct"),
+          round(ssum(collect_list(col("sape"))) / count(lit(1)) * 100, 4)
+            .as("smape_pct"))
+        .orderBy("ty")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -14279,5 +14342,87 @@ object SparkEntry {
            count(*)::BIGINT AS n_orders, max(width)::BIGINT AS width
          FROM o CROSS JOIN w
          GROUP BY 1, 2 ORDER BY 1""",
+
+    "q297_distance_histogram" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+           FROM e),
+         qs AS (
+           SELECT vec_id AS qid, v AS q, nm AS qn FROM nr
+           WHERE vec_id % 101 = 0),
+         d AS (
+           SELECT floor((1.0 -
+             round(list_sum(list_transform(range(1, len(n.v) + 1),
+               i -> n.v[i] * q.q[i])) / (n.nm * q.qn), 6)) / 0.05)
+             ::BIGINT AS bucket
+           FROM nr n CROSS JOIN qs q WHERE n.vec_id <> q.qid)
+         SELECT bucket, count(*)::BIGINT AS n_pairs,
+           round(bucket * 0.05, 2) AS dist_lo
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q298_hubness" ->
+      """WITH banded AS (
+           SELECT vec_id,
+             unnest(list_transform(range(0,8), t ->
+               CAST(t AS VARCHAR) || ':' ||
+               CAST(CAST(list_sum(list_transform(range(0,4), p ->
+                 CASE WHEN list_sum(list_transform(range(1,65), i ->
+                   CAST(embedding[i] AS DOUBLE) *
+                   ((((('0x' || substring(md5(CAST(t*4+p AS VARCHAR) || '_'
+                         || CAST(i-1 AS VARCHAR)),1,12))::BIGINT) % 1000)
+                     / 500.0) - 1.0))) >= 0
+                 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS VARCHAR)))
+               AS band_key
+           FROM embeddings),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.vec_id <> b.vec_id),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+           FROM embeddings),
+         p AS (
+           SELECT qid, nid, round(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 4) AS cos
+           FROM cand JOIN v a ON cand.qid = a.vec_id
+                     JOIN v b ON cand.nid = b.vec_id),
+         r AS (
+           SELECT qid, nid, row_number() OVER (
+             PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM p),
+         knn AS (SELECT qid, nid FROM r WHERE rank <= 3),
+         ind AS (
+           SELECT nid, count(*)::BIGINT AS indeg FROM knn GROUP BY 1)
+         SELECT indeg, count(*)::BIGINT AS n_vectors
+         FROM ind GROUP BY 1 ORDER BY 1""",
+
+    "q299_seasonal_backtest" ->
+      """WITH daily AS (
+           SELECT event_type AS ty,
+             datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) AS dd,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         pred AS (
+           SELECT ty, dd + 7 AS dd, n AS pred FROM daily),
+         scored AS (
+           SELECT d.ty,
+             abs((d.n - p.pred)::DOUBLE) / d.n AS ape,
+             abs((d.n - p.pred)::DOUBLE) * 2.0 / (d.n + p.pred) AS sape
+           FROM daily d JOIN pred p USING (ty, dd))
+         SELECT ty, count(*)::BIGINT AS n_days,
+           round(list_sum(list_sort(list(ape))) / count(*) * 100, 4)
+             AS mape_pct,
+           round(list_sum(list_sort(list(sape))) / count(*) * 100, 4)
+             AS smape_pct
+         FROM scored GROUP BY 1 ORDER BY 1""",
   )
 }

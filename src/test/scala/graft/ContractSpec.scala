@@ -156,6 +156,7 @@ class ContractSpec extends SparkSpec {
     "q22_cosine_topk" -> "single query vector (vec_id = 0 equality filter)",
     "q232_ann_recall" -> "fixed probe set (key-equality filter)",
     "q293_retrieval_mrr" -> "fixed probe set (q232 pattern)",
+    "q297_distance_histogram" -> "fixed probe panel (q232 pattern)",
     "q244_hard_negatives" -> "anchor sample — 1/101 rate is the scale knob; cap anchors or switch to the q23 LSH-blocked path at corpus scale",
     "q246_knn_label_purity" -> "probe sample — same rate knob as q244",
     "q185_geo_hubs" -> "25-row nation dimension scan (fixed hub table)",
