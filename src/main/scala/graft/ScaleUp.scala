@@ -59,10 +59,30 @@ object ScaleUp {
       "vecid"    -> domainOffset("embeddings", "vec_id"))
 
     /** K replicas of `df`, each key column shifted by r·domainOffset
-      * (type-preserving), with an optional per-replica transform. */
+      * (type-preserving), with an optional per-replica transform.
+      * FAILS FAST if the largest shifted key (k·offset − 1) would not
+      * fit the source column's type — a silent narrowing cast would
+      * wrap 32-bit keys at larger k/SF and corrupt FK consistency of
+      * the generated corpus (advisor r07). */
     def replicate(df: DataFrame, keys: Map[String, String],
                   extra: (DataFrame, Int) => DataFrame = (d, _) => d)
-        : DataFrame =
+        : DataFrame = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      for ((c, dom) <- keys) {
+        val typeMax: BigInt = df.schema(c).dataType match {
+          case ByteType    => BigInt(Byte.MaxValue)
+          case ShortType   => BigInt(Short.MaxValue)
+          case IntegerType => BigInt(Int.MaxValue)
+          case LongType    => BigInt(Long.MaxValue)
+          case other => sys.error(
+            s"scale-up key column $c has non-integral type ${other.simpleString}")
+        }
+        val maxShifted = BigInt(k) * BigInt(off(dom)) - 1
+        require(maxShifted <= typeMax,
+          s"scale-up k=$k would overflow key column $c " +
+            s"(${df.schema(c).dataType.simpleString}): max shifted key " +
+            s"$maxShifted > $typeMax — widen the source column or lower k")
+      }
       (0 until k).map { r =>
         val shifted = keys.foldLeft(df) { case (d, (c, dom)) =>
           d.withColumn(c, (col(c).cast("long") + lit(r * off(dom)))
@@ -70,6 +90,7 @@ object ScaleUp {
         }
         extra(shifted, r)
       }.reduce(_ unionByName _)
+    }
 
     def write(df: DataFrame, n: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$n.parquet")

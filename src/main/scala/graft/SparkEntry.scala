@@ -342,9 +342,12 @@ object SparkEntry {
     // broadcast), exact cosine verified on candidates only. The O(n²)
     // brute-force form stays a spec-level recall oracle (OpsSpec).
     "q23_embedding_neardup" -> ((s, dir) => {
+      // planesPerTable omitted → derived as log₂(corpus/targetBucket)
+      // (Similarity.resolvePlanes): 4 at the gate SFs — bit-identical
+      // to the oracle's pinned range(0,4) — and 8+ at 10×+ corpora,
+      // where fixed geometry was measured pair-quadratic (SCALE.md §6g)
       Similarity.cosineNearDupPairsBucketed(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4,
-          planesPerTable = 4, tables = 8, dims = 64)
+          "vec_id", "embedding", threshold = 0.4, tables = 8, dims = 64)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1115,19 +1118,20 @@ object SparkEntry {
     // on these pairs, and integers hash identically everywhere —
     // decimal/float textual representation cannot diverge the gate.
     "q102_jaro_winkler" -> ((s, dir) => {
-      val p = t(s, dir, "part")
-        .select(col("p_brand").as("b"), col("p_partkey"), col("p_name"))
-      val lhs = p.select(col("b"), col("p_partkey").as("key_a"),
-        col("p_name").as("name_a"))
-      val rhs = p.select(col("b"), col("p_partkey").as("key_b"),
-        col("p_name").as("name_b"))
-      lhs.join(rhs, Seq("b"))
-        .filter(col("key_a") < col("key_b"))
-        .select(col("key_a"), col("key_b"),
-          graft.functions.StringExpressions
-            .jaroWinkler(col("name_a"), col("name_b")).as("jw0"))
-        .filter(col("jw0") > 0.875)
-        .select(col("key_a"), col("key_b"),
+      // collapse-then-pair blocking (DedupOps.scoredBlockPairs): the
+      // Jaro–Winkler DP runs once per DISTINCT name pair inside a
+      // brand block; identical-name rows expand with the constant
+      // jw(x,x)=1.0 — duplication-heavy growth (the dominant crawl
+      // growth mode, and the ScaleUp replica corpus) stays ~linear
+      // where the raw brand self-join was quadratic
+      DedupOps.scoredBlockPairs(
+          t(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+            col("p_name")),
+          "p_partkey", "p_name", blockCols = Seq("p_brand"),
+          score = (na, nb) =>
+            graft.functions.StringExpressions.jaroWinkler(na, nb),
+          crossKeep = _ > 0.875, selfScore = lit(1.0d), out = "jw0")
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
           round(col("jw0") * 1e6, 0).cast("bigint").as("jw_micro"))
         .orderBy("key_a", "key_b")
     }),
@@ -1930,8 +1934,10 @@ object SparkEntry {
     // retrieval labeling — with the oracle replaying hyperplanes,
     // blocking, and ranking end-to-end.
     "q91_knn_join" -> ((s, dir) => {
+      // auto blocking geometry (q23 discipline): derived planes = the
+      // pinned 4 at gate SFs, log₂-scaled beyond
       Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, planesPerTable = 4, tables = 8, dims = 64)
+          k = 3, tables = 8, dims = 64)
         .orderBy("qid", "rank")
     }),
 
@@ -7492,9 +7498,9 @@ object SparkEntry {
       val stats = o.agg(count(lit(1)).as("n"),
           floor(expr("percentile(cents, 0.25)")).as("q1"),
           floor(expr("percentile(cents, 0.75)")).as("q3"))
-        .withColumn("width", ceil(
+        .withColumn("width", greatest(ceil(
           lit(2.0) * (col("q3") - col("q1")) / cbrt(col("n").cast("double")))
-          .cast("long"))
+          .cast("long"), lit(1L)))
         .select("n", "width")
       o.crossJoin(broadcast(stats))
         .withColumn("bin", expr("cents div width"))
@@ -7534,8 +7540,7 @@ object SparkEntry {
     // rank-gauss) before nearest-neighbor labels can be trusted.
     "q298_hubness" -> ((s, dir) => {
       val knn = Similarity.knnJoin(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 3, planesPerTable = 4, tables = 8,
-        dims = 64)
+        "vec_id", "embedding", k = 3, tables = 8, dims = 64)
       val indeg = knn.groupBy(col("nid")).agg(count(lit(1)).as("indeg"))
       indeg.groupBy("indeg")
         .agg(count(lit(1)).as("n_vectors"))
@@ -14335,7 +14340,7 @@ object SparkEntry {
            FROM o),
          w AS (
            SELECT n,
-             ceil(2.0 * (q3 - q1) / cbrt(n::DOUBLE))::BIGINT AS width
+             greatest(ceil(2.0 * (q3 - q1) / cbrt(n::DOUBLE))::BIGINT, 1) AS width
            FROM stats)
          SELECT cents // width AS bin,
            (cents // width) * width AS lo_cents,

@@ -404,6 +404,29 @@ object TxLog {
       max(col(keyCol).cast("long"))).collect()(0)
     if (bounds.isNullAt(0)) return currentVersion(spark, root) // empty batch
     val (incMin, incMax) = (bounds.getLong(0), bounds.getLong(1))
+    // Incremental epoch-scan state shared across retry attempts: the
+    // single-epoch-writer contract makes epochs monotone in version, so
+    // each attempt only scans the manifests COMMITTED SINCE the last
+    // attempt's scan instead of re-walking the log top-down — bounds
+    // the per-retry cost to the new commits, not O(history).
+    var epochScannedTo = 0L
+    var epochSeen: Option[Long] = None
+    // Returns Some(versionHoldingEpoch's current log head) if `e` is
+    // already committed as of a version read AFTER this attempt's
+    // snapshot — the returned head is >= the version that holds the
+    // epoch, so "current version when skipped" is honest even when a
+    // racing writer commits between snapshot() and the epoch check.
+    def epochCommittedAt(e: Long): Option[Long] = {
+      val cur = currentVersion(spark, root)
+      if (cur > epochScannedTo) {
+        val found = (cur to (epochScannedTo + 1) by -1L).iterator
+          .map(v => commitEpoch(spark, root, v))
+          .collectFirst { case Some(x) => x }
+        epochSeen = found.orElse(epochSeen)
+        epochScannedTo = cur
+      }
+      if (epochSeen.exists(_ >= e)) Some(cur) else None
+    }
     @tailrec def loop(): Long = {
       val snap = snapshot(spark, root)
       // DOUBLE-DEPLOYMENT guard, re-checked per ATTEMPT: mergeEpoch's
@@ -413,9 +436,12 @@ object TxLog {
       // losing the commit CAS, the loser must re-read the log and SKIP
       // an epoch that is now committed, not burn a duplicate version
       // for an already-delivered batch (exactly-once under the race,
-      // not just under restart replay).
-      if (epoch.exists(e => lastEpoch(spark, root).exists(_ >= e)))
-        snap.version
+      // not just under restart replay). The version returned is re-read
+      // AFTER snapshot(), so a commit landing between the two reads
+      // can't make the skip report a version one behind the epoch's.
+      val skippedAt = epoch.flatMap(epochCommittedAt)
+      if (skippedAt.isDefined)
+        skippedAt.get
       else {
         // schema-conflict check runs per ATTEMPT: a rename/drop committed
         // while this merge raced fails the retry instead of resurrecting

@@ -269,14 +269,34 @@ object Similarity {
     * two shuffle joins on the id, each pair scored once with the
     * codegen'd dot. Exact recall is achievable only by the O(n²)
     * [[cosineNearDupPairs]], which stays the spec-level test oracle. */
+  /** Resolve the planes-per-table geometry for a blocking call:
+    * an explicit positive `planesPerTable` wins (the gate SFs pin a
+    * literal so the DuckDB oracles replay bit-exactly); `0` derives it
+    * from the corpus via [[adaptivePlanes]] — `corpusHint` supplies the
+    * row count when the caller already knows it, otherwise ONE cheap
+    * `count()` job runs (a column-pruned scan of the id column; at
+    * 100 TB that is a metadata-cheap action vs the pair join it sizes).
+    * At the gate SFs (500 / 2 000 vectors) the derived value IS the
+    * pinned literal 4, so switching a call site to auto changes no
+    * oracle row — it only changes the 10×+ behavior, where fixed
+    * geometry was measured quadratic (SCALE.md §6g: 74.4 s → 13.2 s at
+    * the 10× replica point once planes scale with log₂ corpus). */
+  private def resolvePlanes(corpus: DataFrame, id: String,
+                            planesPerTable: Int,
+                            corpusHint: Option[Long]): Int =
+    if (planesPerTable > 0) planesPerTable
+    else adaptivePlanes(corpusHint.getOrElse(corpus.select(col(id)).count()))
+
   def cosineNearDupPairsBucketed(corpus: DataFrame, id: String, vec: String,
-                                 threshold: Double, planesPerTable: Int,
-                                 tables: Int, dims: Int,
-                                 maxBucket: Int = 0): DataFrame = {
+                                 threshold: Double, planesPerTable: Int = 0,
+                                 tables: Int = 8, dims: Int = 64,
+                                 maxBucket: Int = 0,
+                                 corpusHint: Option[Long] = None): DataFrame = {
+    val planes = resolvePlanes(corpus, id, planesPerTable, corpusHint)
     // the shared LSH blocking tail (persist → cap → self-join →
     // materialized distinct pairs) lives in DedupOps.blockedPairs
     val cands = DedupOps.blockedPairs(
-      lshBandKeys(corpus, id, vec, planesPerTable, tables, dims), maxBucket)
+      lshBandKeys(corpus, id, vec, planes, tables, dims), maxBucket)
     val prepped = corpus.select(col(id),
       col(vec).cast("array<double>").as("__pv"),
       sqrt(dot(col(vec), col(vec))).as("__pn"))
@@ -382,10 +402,14 @@ object Similarity {
     * with the corpus per [[planesForCorpus]]), `maxBucket` to drop
     * degenerate hot buckets. */
   def knnJoin(corpus: DataFrame, id: String, vec: String, k: Int,
-              planesPerTable: Int, tables: Int, dims: Int,
-              maxBucket: Int = 0): DataFrame = {
+              planesPerTable: Int = 0, tables: Int = 8, dims: Int = 64,
+              maxBucket: Int = 0,
+              corpusHint: Option[Long] = None): DataFrame = {
+    // planesPerTable = 0 (the default) derives the blocking geometry
+    // from the corpus — see [[resolvePlanes]]
+    val planes = resolvePlanes(corpus, id, planesPerTable, corpusHint)
     val cands = DedupOps.blockedPairs(
-      lshBandKeys(corpus, id, vec, planesPerTable, tables, dims), maxBucket)
+      lshBandKeys(corpus, id, vec, planes, tables, dims), maxBucket)
     val directed = cands.select(col("id_a").as("qid"), col("id_b").as("nid"))
       .unionByName(cands.select(col("id_b").as("qid"), col("id_a").as("nid")))
     val prepped = corpus.select(col(id),

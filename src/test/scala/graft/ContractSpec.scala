@@ -180,7 +180,11 @@ class ContractSpec extends SparkSpec {
           bad += s"$q: $k"
         for (b <- graft.plans.PlanGuard.unboundedBnljBuilds(p)) {
           if (graft.plans.PlanGuard.grainReduced(b)) {
-            if (!bnljGrainBuilds.contains(q) && !bnljRawBuilds.contains(q))
+            // grain-reduced builds must be documented under
+            // bnljGrainBuilds SPECIFICALLY — a raw-build allowlist entry
+            // does not excuse a later-added unbounded grain-reduced
+            // build on the same query (advisor r07)
+            if (!bnljGrainBuilds.contains(q))
               bad += s"$q: BNLJ with undocumented grain-reduced build"
           } else if (!bnljRawBuilds.contains(q))
             bad += s"$q: BNLJ with undocumented RAW build side"
