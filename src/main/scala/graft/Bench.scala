@@ -93,6 +93,17 @@ object Bench {
     // empty sweep (allRuns.head would throw after doing no work)
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(1))
+    // UNRECORDED warmup sweep of three real queries before the clock
+    // starts: the spark.range warmup above primes the JVM but not the
+    // parquet-scan, regex and join codepaths, so sweep positions 1-6
+    // (q01/q03/q06) read 2.6-3.5× their steady state every round and
+    // had to be adjudicated away by the isolated re-measure. Running
+    // them once untimed moves JIT/codegen warmup off the books.
+    for (w <- Seq("q01_pricing_agg", "q06_regex_date_extract",
+        "q03_antijoin_new_rows"))
+      SparkEntry.queries.get(w).foreach { fn =>
+        try timeOne(w, fn) catch { case _: Throwable => () }
+      }
     val allRuns = (1 to runs).map { r =>
       if (runs > 1) System.err.println(s"[bench] sweep $r/$runs")
       selected.map { case (name, fn) => timeOne(name, fn) }

@@ -29,9 +29,31 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <k>")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: ScaleUp <srcDir> <dstDir> <k> [tables-csv] [distinctNames]")
     val (src, dst, k) = (args(0), args(1), args(2).toInt)
     require(k >= 1, s"k must be >= 1, got $k")
+    // optional table filter: the 100× pairs probe replicates only the
+    // pair-family inputs (embeddings/customer/part) — a 100× lineitem
+    // would be 600M rows of unrelated I/O
+    val only: Option[Set[String]] =
+      if (args.length >= 4 && args(3).nonEmpty && args(3) != "all")
+        Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    // distinctNames: per-replica name suffixes on customer/part — the
+    // same "more data, not pathological duplication" shape the
+    // documents table always gets (see scaladoc above). Suffix blocks
+    // are letter-triples, so any two replicas' names differ by >= 3
+    // edits and a maxDist<=2 fuzzy join never pairs them — DISTINCT
+    // content growth, the regime the salt bound exists for.
+    val distinctNames = args.length == 5 && args(4).toBoolean
+    require(!distinctNames || k <= 100,
+      "distinctNames tags support k <= 100")
+    def nameTag(r: Int): String = {
+      val a = ('a' + r / 10).toChar
+      val b = ('a' + r % 10).toChar
+      s" ${a.toString * 3}${b.toString * 3}"
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,19 +114,27 @@ object ScaleUp {
       }.reduce(_ unionByName _)
     }
 
-    def write(df: DataFrame, n: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
-      val rows = spark.read.parquet(s"$dst/$n.parquet").count()
-      println(s"[scaleup] $n rows=$rows")
-    }
+    def write(df: => DataFrame, n: String): Unit =
+      if (only.forall(_.contains(n))) {
+        df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+        val rows = spark.read.parquet(s"$dst/$n.parquet").count()
+        println(s"[scaleup] $n rows=$rows")
+      }
 
     write(t("nation"), "nation")
     write(t("region"), "region")
-    write(replicate(t("customer"), Map("c_custkey" -> "custkey")),
-      "customer")
+    write(replicate(t("customer"), Map("c_custkey" -> "custkey"),
+      (d, r) =>
+        if (!distinctNames || r == 0) d
+        else d.withColumn("c_name", concat(col("c_name"),
+          lit(nameTag(r))))), "customer")
     write(replicate(t("supplier"), Map("s_suppkey" -> "suppkey")),
       "supplier")
-    write(replicate(t("part"), Map("p_partkey" -> "partkey")), "part")
+    write(replicate(t("part"), Map("p_partkey" -> "partkey"),
+      (d, r) =>
+        if (!distinctNames || r == 0) d
+        else d.withColumn("p_name", concat(col("p_name"),
+          lit(nameTag(r))))), "part")
     write(replicate(t("orders"),
       Map("o_orderkey" -> "orderkey", "o_custkey" -> "custkey")),
       "orders")
@@ -121,12 +151,27 @@ object ScaleUp {
           d.withColumn("text", concat(col("text"), lit(suffix)))
             .withColumn("n_chars", col("n_chars") + lit(suffix.length.toLong))
         }), "documents")
+    // rotation index wraps at the 64-dim cycle; past one full cycle
+    // (r >= 64) replicas also sign-flip the odd dimensions, so every
+    // replica's bucket geometry stays distinct up to k = 128 — a pure
+    // r-rotation would silently emit EXACT copies at r = 64 and
+    // re-create the pathological-duplication corpus the doc above
+    // rules out
     write(replicate(t("embeddings"), Map("vec_id" -> "vecid"),
       (d, r) =>
         if (r == 0) d
-        else d.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-            s"slice(embedding, 1, $r))"))), "embeddings")
+        else {
+          require(k <= 128, "embedding replica family supports k <= 128")
+          val rot = r % 64
+          val rotated =
+            if (rot == 0) "embedding"
+            else s"concat(slice(embedding, ${rot + 1}, " +
+              s"size(embedding) - $rot), slice(embedding, 1, $rot))"
+          val flipped =
+            if (r / 64 == 0) rotated
+            else s"transform($rotated, (x, i) -> if(i % 2 = 1, -x, x))"
+          d.withColumn("embedding", expr(flipped))
+        }), "embeddings")
     spark.stop()
   }
 }

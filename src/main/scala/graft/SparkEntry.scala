@@ -1216,16 +1216,17 @@ object SparkEntry {
     // name. The production ER pipeline shape in one plan.
     "q108_entity_resolution" -> ((s, dir) => {
       val p = t(s, dir, "part")
-      val base = p.select(col("p_brand").as("b"), col("p_partkey"),
-        col("p_name"))
-      val lhs = base.select(col("b"), col("p_partkey").as("id_a"),
-        col("p_name").as("name_a"))
-      val rhs = base.select(col("b"), col("p_partkey").as("id_b"),
-        col("p_name").as("name_b"))
-      val pairs = lhs.join(rhs, Seq("b"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(graft.functions.StringExpressions
-          .jaroWinkler(col("name_a"), col("name_b")) > 0.9375)
+      // collapse-then-pair blocking (q102 discipline): the JW DP runs
+      // once per DISTINCT name pair per brand and identical-name rows
+      // expand with jw(x,x)=1.0 > threshold — the CC edge set is
+      // unchanged, but duplication-heavy growth stays ~linear where
+      // the raw brand self-join was measured 33× at 10× data
+      val pairs = DedupOps.scoredBlockPairs(
+          p.select(col("p_brand"), col("p_partkey"), col("p_name")),
+          "p_partkey", "p_name", blockCols = Seq("p_brand"),
+          score = (na, nb) =>
+            graft.functions.StringExpressions.jaroWinkler(na, nb),
+          crossKeep = _ > 0.9375, selfScore = lit(1.0d), out = "jw0")
         .select("id_a", "id_b")
       val cc = DedupOps.connectedComponents(pairs)
       p.select(col("p_partkey"))
@@ -1794,8 +1795,16 @@ object SparkEntry {
     // pipeline shape: pair graph, cluster, survivor list in one plan.
     "q75_fuzzy_dedup_e2e" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.6)
+      // LSH+verify pair source (DedupOps.jaccardVerifiedPairs): banded
+      // MinHash candidates (equi-join, maxBucket skew cap) with exact
+      // shingle-set verification on the candidate slice only — the
+      // corpus-linear scale path. The former raw shingle self-join's
+      // posting lists grow with duplication (10× replicas → 100× pair
+      // work, measured 48× wall at 10×); banding keeps pair work
+      // proportional to true near-dup density.
+      val pairs = DedupOps.jaccardVerifiedPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, numHashes = 16, rowsPerBand = 2,
+        maxBucket = 64)
       val cc = DedupOps.connectedComponents(
         pairs.select("id_a", "id_b"))
       docs.select(col("doc_id"))
@@ -7572,6 +7581,19 @@ object SparkEntry {
             .as("smape_pct"))
         .orderBy("ty")
     }),
+
+    // BATCHED BPE training (TextAnalysis.bpeTrainBatched): 8 rounds ×
+    // batch 8 — up to 64 merges in 8 driver round trips where q116's
+    // per-merge loop would take 64. Per round: ONE pair recount, top-8
+    // candidates, conflict-filtered acceptance (tokens disjoint from
+    // every higher-ranked candidate of the round), accepted merges
+    // applied in rank order. The oracle unrolls the same 8 rounds and
+    // folds each round's accepted list with list_reduce.
+    "q300_bpe_batched" -> ((s, dir) => {
+      TA.bpeTrainBatched(t(s, dir, "documents"), "text", rounds = 8,
+          batch = 8)
+        .orderBy("rank")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -7628,6 +7650,74 @@ object SparkEntry {
     s"""WITH ${(v0 +: iters).mkString(",\n         ")}
          SELECT * FROM (
            $ranks)
+         ORDER BY rank"""
+  }
+
+  /** Generates the q300 oracle: `rounds` statically-unrolled BATCHED
+    * BPE rounds mirroring TextAnalysis.bpeTrainBatched — per round r:
+    * p_r = pair recount, c_r = top-`batch` candidates ranked
+    * (cnt desc, pair), a_r = conflict-filtered acceptance (NOT EXISTS
+    * a higher-ranked candidate sharing a token), l_r = the accepted
+    * pairs as an ordered list, v_r = ONE list_reduce fold applying the
+    * round's merges in rank order. Final ranks number acceptances
+    * across rounds. */
+  private def bpeTrainBatchedOracle(rounds: Int, batch: Int): String = {
+    def pairs(r: Int) =
+      s"""p$r AS MATERIALIZED (
+           SELECT pair, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_transform(range(1, len(t)),
+               j -> t[j] || ' ' || t[j+1])) AS pair
+             FROM (SELECT string_split(trim(s, chr(31)),
+               chr(31) || chr(31)) AS t, freq FROM v${r - 1}))
+           GROUP BY 1)"""
+    def cands(r: Int) =
+      s"""c$r AS MATERIALIZED (
+           SELECT pair, string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+           FROM (SELECT pair, cnt FROM p$r
+                 ORDER BY cnt DESC, pair LIMIT $batch))"""
+    def accepted(r: Int) =
+      s"""a$r AS MATERIALIZED (
+           SELECT k.pair, k.rn FROM c$r k
+           WHERE NOT EXISTS (
+             SELECT 1 FROM c$r j WHERE j.rn < k.rn
+               AND (j.a = k.a OR j.a = k.b OR j.b = k.a OR j.b = k.b)))"""
+    def mergeList(r: Int) =
+      s"""l$r AS MATERIALIZED (SELECT coalesce(list(pair ORDER BY rn),
+                    []::VARCHAR[]) AS ms FROM a$r)"""
+    def merged(r: Int) =
+      s"""v$r AS MATERIALIZED (
+           SELECT list_reduce(list_prepend(v.s, l.ms), (acc, m) ->
+               replace(acc,
+                 chr(31) || string_split(m, ' ')[1] || chr(31) || chr(31)
+                   || string_split(m, ' ')[2] || chr(31),
+                 chr(31) || string_split(m, ' ')[1]
+                   || string_split(m, ' ')[2] || chr(31))) AS s,
+             v.freq
+           FROM v${r - 1} v CROSS JOIN l$r l)"""
+    val v0 =
+      """v0 AS MATERIALIZED (
+           SELECT regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')
+               AS s, freq
+           FROM (
+             SELECT w, count(*) AS freq FROM (
+               SELECT unnest(string_split(
+                 lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+               FROM documents)
+             WHERE length(w) >= 2 GROUP BY 1))"""
+    val iters = (1 to rounds).flatMap { r =>
+      Seq(pairs(r), cands(r), accepted(r)) ++
+        (if (r < rounds) Seq(mergeList(r), merged(r)) else Nil)
+    }
+    val unioned = (1 to rounds).map {
+      case 1 => "SELECT 1 AS rnd, rn, pair FROM a1"
+      case r => s"UNION ALL SELECT $r, rn, pair FROM a$r"
+    }.mkString("\n           ")
+    s"""WITH ${(v0 +: iters).mkString(",\n         ")}
+         SELECT row_number() OVER (ORDER BY rnd, rn) AS rank, pair
+         FROM (
+           $unioned)
          ORDER BY rank"""
   }
 
@@ -9740,20 +9830,46 @@ object SparkEntry {
            SELECT doc_id, string_split(
              lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
            FROM documents),
-         sh AS (
-           SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, len(ws) - 1),
-             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-           FROM w WHERE len(ws) >= 3),
-         m AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY 1),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-               FROM sh a JOIN sh b USING (s)
-               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         j AS (SELECT id_a, id_b FROM p
-               JOIN m ma ON ma.doc_id = p.id_a
-               JOIN m mb ON mb.doc_id = p.id_b
-               WHERE round(CAST(inter AS DOUBLE)
-                 / CAST(ma.m + mb.m - inter AS DOUBLE), 4) >= 0.6),
+         shs AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             ELSE []::VARCHAR[] END AS shs
+           FROM w),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0,16), k ->
+               list_min(list_transform(shs, s ->
+                 ((2*k+1) * ((('0x' || substring(md5('0:' || s),1,12))::BIGINT)
+                             % 2147483647)
+                  + 7919*k) % 2147483647))) AS sigs
+           FROM shs),
+         banded0 AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0,8), b ->
+               CAST(b AS VARCHAR) || ':'
+               || CAST(sigs[2*b+1] AS VARCHAR) || ':'
+               || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
+           FROM sig),
+         bsz AS (SELECT band_key, count(*) AS c FROM banded0 GROUP BY 1),
+         banded AS (
+           SELECT banded0.* FROM banded0 JOIN bsz USING (band_key)
+           WHERE bsz.c <= 64),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT id_a, id_b FROM (
+             SELECT cand.id_a, cand.id_b,
+               len(list_intersect(sa.shs, sb.shs)) AS inter,
+               len(sa.shs) AS na, len(sb.shs) AS nb
+             FROM cand
+             JOIN shs sa ON sa.doc_id = cand.id_a
+             JOIN shs sb ON sb.doc_id = cand.id_b)
+           WHERE round(CAST(inter AS DOUBLE)
+             / CAST(na + nb - inter AS DOUBLE), 4) >= 0.6),
          e AS (SELECT id_a AS s, id_b AS d FROM j
                UNION ALL SELECT id_b, id_a FROM j),
          reach(node, r) AS (
@@ -14429,5 +14545,7 @@ object SparkEntry {
            round(list_sum(list_sort(list(sape))) / count(*) * 100, 4)
              AS smape_pct
          FROM scored GROUP BY 1 ORDER BY 1""",
+
+    "q300_bpe_batched" -> bpeTrainBatchedOracle(8, 8),
   )
 }

@@ -60,6 +60,45 @@ object Watcher {
       modified = curr.collect {
         case (f, m) if prev.get(f).exists(_ != m) => f }.toSeq.sorted)
 
+  // ---- T2 at warehouse scale: the listing as a TABLE -----------------
+
+  /** Distributed (path, mtime) listing of *.pdf / *.docx under `dir` —
+    * the snapshot as a DataFrame. Spark's binaryFile source lists and
+    * shards the directory on executors; only `path` and
+    * `modificationTime` are selected, so file CONTENT is never read
+    * (BinaryFileFormat materializes `content` lazily per selected
+    * column). The faithful Map snapshot (`script.py:18-32`) is right
+    * for a hospital share and a driver OOM at 10⁸ files; this is the
+    * same relation as a 2-column frame the driver never holds. */
+  def snapshotTable(spark: SparkSession, dir: String): DataFrame =
+    if (!Files.isDirectory(Paths.get(dir)))
+      spark.range(0).select(lit("").as("path"),
+        current_timestamp().as("mtime"))
+    else
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{pdf,docx}")
+        .load(dir)
+        .select(col("path"), col("modificationTime").as("mtime"))
+
+  /** T2 diff as ONE full-outer join on path — `script.py:35-57`'s set
+    * algebra at table scale. Both inputs are (path, mtime) frames;
+    * the output is (path, change ∈ added|deleted|modified), unchanged
+    * rows filtered out, so the result is CHANGE-sized however large
+    * the listings are. Byte-identical change sets to [[diff]] on the
+    * same listings (machine-checked on a 1M-file synthetic listing in
+    * WatcherSpec). */
+  def diffTable(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val p = prev.toDF("path", "__mp")
+    val c = curr.toDF("path", "__mc")
+    p.join(c, Seq("path"), "full_outer")
+      .withColumn("change",
+        when(col("__mp").isNull, "added")
+          .when(col("__mc").isNull, "deleted")
+          .when(col("__mp") =!= col("__mc"), "modified"))
+      .filter(col("change").isNotNull)
+      .select("path", "change")
+  }
+
   /** One incremental warehouse table maintained by polling a source
     * directory. `process(files, uploadId)` turns the CURRENT full file
     * set into warehouse rows; the watcher merges them by `keys` into the
@@ -96,12 +135,18 @@ object Watcher {
       deleteMissing: Boolean = false,
       partitionCol: Option[String] = None,
       incremental: Boolean = false,
-      useTxLog: Boolean = false) {
+      useTxLog: Boolean = false,
+      tableListing: Boolean = false) {
 
     // deleteMissing compares the warehouse against the FULL current file
     // set, which both narrowed-batch modes no longer carry
     require(!(deleteMissing && (incremental || partitionCol.nonEmpty)),
       "deleteMissing requires reprocess-all semantics over the whole table")
+    // the table-backed listing keeps the reference's reprocess-all T3
+    // semantics: the fire decision needs ONE count off the diff join,
+    // never a driver-side touched-path set
+    require(!(tableListing && incremental),
+      "tableListing keeps reprocess-all semantics (no driver touched set)")
     require(!(useTxLog && deleteMissing),
       "the TxLog sink is its own transactional MERGE: no deleteMissing")
     require(!useTxLog || keys.size == 1,
@@ -135,6 +180,7 @@ object Watcher {
       * change, reprocess ALL files and merge. Returns the upload id of
       * the processed batch, or None when nothing changed. */
     def pollOnce(): Option[Long] = synchronized {
+      if (tableListing) return pollOnceTable()
       val curr = snapshot(sourceDir)
       val changes = diff(snap, curr)
       val wasFirst = firstPoll
@@ -175,35 +221,78 @@ object Watcher {
               .option("pathGlobFilter", "*.{pdf,docx}")
               .load(sourceDir)
         val incoming = process(files, nextId)
-        if (useTxLog) {
-          // exactly-once: epoch (=uploadId) rides in the manifest commit;
-          // with a partition column the merge prunes by (partition,
-          // key-range) and all touched partitions commit atomically
-          partitionCol match {
-            case Some(pc) => TxLog.mergeEpochPartitioned(
-              spark, tablePath, incoming, keys.head, pc, nextId)
-            case None =>
-              TxLog.mergeEpoch(spark, tablePath, incoming, keys.head, nextId)
-          }
-        } else partitionCol match {
-          case Some(pc) =>
-            // partition-scoped sink: only batch-affected partitions are
-            // read, merged and rewritten
-            Merge.upsertPartitioned(tablePath, incoming, keys, pc)
-          case None =>
-            val merged = currentTable() match {
-              case None => incoming
-              case Some(existing) =>
-                val base = Merge.upsert(existing, incoming, keys)
-                if (deleteMissing)
-                  base.join(incoming.select(keys.map(col): _*).distinct(),
-                    keys, "left_semi")
-                else base
-            }
-            overwriteTable(merged)
-        }
+        commitBatch(incoming, nextId)
         uploadId = nextId
         snap = curr
+        firstPoll = false
+        Some(nextId)
+      }
+    }
+
+    /** The shared sink tail of a fired poll: merge `incoming` into the
+      * warehouse under the configured mode (TxLog exactly-once /
+      * partition-pruned / plain upsert). */
+    private def commitBatch(incoming: DataFrame, nextId: Long): Unit =
+      if (useTxLog) {
+        // exactly-once: epoch (=uploadId) rides in the manifest commit;
+        // with a partition column the merge prunes by (partition,
+        // key-range) and all touched partitions commit atomically
+        partitionCol match {
+          case Some(pc) => TxLog.mergeEpochPartitioned(
+            spark, tablePath, incoming, keys.head, pc, nextId)
+          case None =>
+            TxLog.mergeEpoch(spark, tablePath, incoming, keys.head, nextId)
+        }
+      } else partitionCol match {
+        case Some(pc) =>
+          // partition-scoped sink: only batch-affected partitions are
+          // read, merged and rewritten
+          Merge.upsertPartitioned(tablePath, incoming, keys, pc)
+        case None =>
+          val merged = currentTable() match {
+            case None => incoming
+            case Some(existing) =>
+              val base = Merge.upsert(existing, incoming, keys)
+              if (deleteMissing)
+                base.join(incoming.select(keys.map(col): _*).distinct(),
+                  keys, "left_semi")
+              else base
+          }
+          overwriteTable(merged)
+      }
+
+    /** The previous poll's listing, persisted NEXT TO the warehouse —
+      * the driver never holds it (tableListing mode). */
+    private val listingPath = tablePath + "_listing"
+
+    /** T1/T3 with the DataFrame-backed listing ([[snapshotTable]] /
+      * [[diffTable]]): the fire decision collects exactly ONE number
+      * (the diff's row count); the reference's first-iteration force
+      * (T4) stays process-local, so a restarted watcher reprocesses
+      * once even against an unchanged persisted listing — the same
+      * behavior as the Map path's empty initial snapshot. */
+    private def pollOnceTable(): Option[Long] = {
+      val curr = snapshotTable(spark, sourceDir)
+      val prev =
+        if (Files.isDirectory(Paths.get(listingPath)))
+          spark.read.parquet(listingPath)
+        else curr.limit(0)
+      val changed = diffTable(prev, curr).count()
+      val wasFirst = firstPoll
+      if (!wasFirst && changed == 0L) {
+        firstPoll = false
+        None
+      } else {
+        val nextId = uploadId + 1
+        val files = spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.{pdf,docx}")
+          .load(sourceDir)
+        val incoming = process(files, nextId)
+        commitBatch(incoming, nextId)
+        // listing state commits only AFTER the merge lands (same
+        // crash-retry contract as the Map path's `snap` advance)
+        curr.write.mode("overwrite").parquet(listingPath)
+        uploadId = nextId
         firstPoll = false
         Some(nextId)
       }

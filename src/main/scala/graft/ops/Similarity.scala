@@ -283,9 +283,48 @@ object Similarity {
     * the 10× replica point once planes scale with log₂ corpus). */
   private def resolvePlanes(corpus: DataFrame, id: String,
                             planesPerTable: Int,
-                            corpusHint: Option[Long]): Int =
+                            corpusHint: Option[Long],
+                            targetBucket: Int = 125): Int =
     if (planesPerTable > 0) planesPerTable
-    else adaptivePlanes(corpusHint.getOrElse(corpus.select(col(id)).count()))
+    else adaptivePlanes(corpusHint.getOrElse(corpus.select(col(id)).count()),
+      targetBucket)
+
+  /** Shared SCORE-AT-JOIN tail for the sign-LSH pair family: vectors
+    * ride WITH the band keys into the band-key equi-join, and the
+    * cosine is projected in the SAME codegen stage the join runs in —
+    * the dims-sized array payload never crosses an exchange after the
+    * (corpus × tables)-row banded frame is partitioned. The 100×
+    * lesson (q23 539 s / q91 ENOSPC): scoring via candidate-pair →
+    * id-join pushes pairs × 2·dims·8B through every downstream
+    * exchange; scored pairs are 24 bytes. Duplicate co-bucketings
+    * re-score the same pair (≤ tables×, CPU-cheap, identical rounded
+    * value) and collapse in the 24-byte distinct. */
+  private def scoredBandPairs(corpus: DataFrame, id: String, vec: String,
+                              planes: Int, tables: Int, dims: Int,
+                              maxBucket: Int): DataFrame = {
+    val keys = lshBandKeys(corpus, id, vec, planes, tables, dims)
+    val prepped = corpus.select(col(id).as("__id"),
+      col(vec).cast("array<double>").as("__pv"),
+      sqrt(dot(col(vec), col(vec))).as("__pn"))
+    val banded0 = keys.join(prepped, Seq("__id"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else banded0.join(
+        keys.groupBy("band_key").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") <= maxBucket).select("band_key"),
+        Seq("band_key"))
+    val a = banded.select(col("band_key"), col("__id").as("id_a"),
+      col("__pv").as("va"), col("__pn").as("na"))
+    val b = banded.select(col("band_key"), col("__id").as("id_b"),
+      col("__pv").as("vb"), col("__pn").as("nb"))
+    // shuffle-hash: hash-join the banded sides (the build fits — it is
+    // corpus × tables / shuffle partitions); SMJ would sort array rows
+    a.join(b.hint("shuffle_hash"), Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(try_divide(dot(col("va"), col("vb")), col("na") * col("nb")), 4)
+          .as("cos"))
+  }
 
   def cosineNearDupPairsBucketed(corpus: DataFrame, id: String, vec: String,
                                  threshold: Double, planesPerTable: Int = 0,
@@ -293,20 +332,11 @@ object Similarity {
                                  maxBucket: Int = 0,
                                  corpusHint: Option[Long] = None): DataFrame = {
     val planes = resolvePlanes(corpus, id, planesPerTable, corpusHint)
-    // the shared LSH blocking tail (persist → cap → self-join →
-    // materialized distinct pairs) lives in DedupOps.blockedPairs
-    val cands = DedupOps.blockedPairs(
-      lshBandKeys(corpus, id, vec, planes, tables, dims), maxBucket)
-    val prepped = corpus.select(col(id),
-      col(vec).cast("array<double>").as("__pv"),
-      sqrt(dot(col(vec), col(vec))).as("__pn"))
-    cands
-      .join(prepped.toDF("id_a", "va", "na"), Seq("id_a"))
-      .join(prepped.toDF("id_b", "vb", "nb"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(try_divide(dot(col("va"), col("vb")), col("na") * col("nb")), 4)
-          .as("cos"))
+    // threshold filter BEFORE the distinct: only surviving near-dups
+    // pay the dedup shuffle
+    scoredBandPairs(corpus, id, vec, planes, tables, dims, maxBucket)
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** SemDeDup-style SEMANTIC dedup: cluster the corpus (assignment
@@ -406,21 +436,24 @@ object Similarity {
               maxBucket: Int = 0,
               corpusHint: Option[Long] = None): DataFrame = {
     // planesPerTable = 0 (the default) derives the blocking geometry
-    // from the corpus — see [[resolvePlanes]]
-    val planes = resolvePlanes(corpus, id, planesPerTable, corpusHint)
-    val cands = DedupOps.blockedPairs(
-      lshBandKeys(corpus, id, vec, planes, tables, dims), maxBucket)
-    val directed = cands.select(col("id_a").as("qid"), col("id_b").as("nid"))
-      .unionByName(cands.select(col("id_b").as("qid"), col("id_a").as("nid")))
-    val prepped = corpus.select(col(id),
-      col(vec).cast("array<double>").as("__pv"),
-      sqrt(dot(col(vec), col(vec))).as("__pn"))
-    val scored = directed
-      .join(prepped.toDF("qid", "qv", "qn"), Seq("qid"))
-      .join(prepped.toDF("nid", "nv", "nn"), Seq("nid"))
-      .select(col("qid"), col("nid"),
-        round(try_divide(dot(col("qv"), col("nv")), col("qn") * col("nn")), 4)
-          .as("cos"))
+    // from the corpus — see [[resolvePlanes]]. kNN uses a TIGHTER
+    // target bucket (32) than near-dup blocking: every co-bucketed
+    // pair becomes a SCORED candidate here (no threshold pre-filter),
+    // so per-vector candidates ≈ tables·bucket — 125-row buckets give
+    // ~500 scored neighbors per vector for a top-3 query, paying 4×
+    // the pair volume 32-row buckets already recall from. At the gate
+    // SFs (500 vectors) both targets derive the same pinned 4 planes.
+    val planes = resolvePlanes(corpus, id, planesPerTable, corpusHint,
+      targetBucket = 32)
+    // score-at-join (see [[scoredBandPairs]]): arrays never cross an
+    // exchange; the distinct + direction union + top-k window all run
+    // on 24-byte (id, id, cos) rows
+    val scored0 = scoredBandPairs(corpus, id, vec, planes, tables, dims,
+      maxBucket).distinct()
+    val scored = scored0
+      .select(col("id_a").as("qid"), col("id_b").as("nid"), col("cos"))
+      .unionByName(scored0
+        .select(col("id_b").as("qid"), col("id_a").as("nid"), col("cos")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

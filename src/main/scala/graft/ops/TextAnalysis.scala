@@ -268,6 +268,69 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "pair")
   }
 
+  /** BATCHED BPE trainer — [[bpeTrain]]'s semantics at 1/`batch` the
+    * driver round trips: each ROUND recounts pairs once, takes the
+    * top-`batch` candidates, and accepts a candidate only when BOTH its
+    * tokens are disjoint from every higher-ranked candidate of the
+    * same round (the standard batched-BPE trick, applied against ALL
+    * earlier candidates — conservative but closed-form, so the DuckDB
+    * oracle replays it without recursion). Accepted merges apply in
+    * rank order; token-disjoint merges commute on the delimited
+    * vocabulary, so the round's end state equals applying them
+    * one-by-one. Runs exactly `rounds` rounds (static unroll — the
+    * oracle's CTE count can't depend on data); the table equals
+    * [[bpeTrain]]'s prefix whenever no pair CREATED mid-round would
+    * have outranked a later acceptance — the Zipf-typical case,
+    * machine-checked on a fixture in TextAnalysisSpec.
+    *
+    * Scale: one pair-count aggregation per ROUND instead of per MERGE
+    * — at 100 TB the trainer's wall clock is driver-round-trip-bound
+    * (each round is a full vocab aggregation), so batch=8 is ~8×
+    * fewer Spark jobs for the same merge budget. */
+  def bpeTrainBatched(docs: DataFrame, text: String, rounds: Int,
+                      batch: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds > 0 && batch > 0, "rounds and batch must be positive")
+    val U = "\u001f"
+    var vocab = Caches.small(docs
+      .select(explode(tokens(col(text))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", U + "$1" + U).as("s"),
+        col("freq")))
+    val merges = scala.collection.mutable.Buffer[(Long, String)]()
+    for (_ <- 1 to rounds) {
+      val toks = split(trim(col("s"), U), U + U)
+      val pairCol = explode_outer(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+      val top = vocab.select(pairCol.as("pair"), col("freq"))
+        .filter(col("pair").isNotNull)
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(batch)
+        .collect().map(_.getString(0))
+      val accepted = top.zipWithIndex.collect {
+        case (pair, k) if {
+          val Array(a, b) = pair.split(" ", 2)
+          !top.take(k).exists { pj =>
+            val Array(c, d) = pj.split(" ", 2)
+            c == a || c == b || d == a || d == b
+          }
+        } => pair
+      }
+      for (pair <- accepted) {
+        merges += ((merges.size + 1L, pair))
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = vocab.withColumn("s",
+          replace(col("s"), lit(U + a + U + U + b + U), lit(U + a + b + U)))
+      }
+      vocab = Caches.small(vocab)
+    }
+    merges.toSeq.toDF("rank", "pair")
+  }
+
   /** Greedy BPE ENCODER — applies a learned merge table (the top-K
     * first-iteration pairs from [[bpePairCounts]], ranked by count then
     * pair) to every word, in rank order. The tokenizer-application side

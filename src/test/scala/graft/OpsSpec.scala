@@ -51,6 +51,43 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((1L, "a b"), (2L, "ab ab")))
   }
 
+  test("bpeTrainBatched == bpeTrain merge table on a disjoint-candidate " +
+    "fixture; a shared-token conflict is deferred to the next round's " +
+    "recount (hand-computed acceptance)") {
+    // EQUALITY fixture: all candidates token-disjoint with separated
+    // counts ('a b' 10 > 'd e' 6 > 'f g' 4; merging creates no new
+    // pairs) — one batched round must reproduce the sequential
+    // trainer's table exactly, in 1 pair recount instead of 4.
+    val eq = Seq((1L, ("ab " * 10) + ("de " * 6) + ("fg " * 4)))
+      .toDF("doc_id", "text")
+    val seqTab = graft.ops.TextAnalysis.bpeTrain(eq, "text", numMerges = 5)
+      .orderBy("rank").as[(Long, String)].collect().toSeq
+    val batTab = graft.ops.TextAnalysis
+      .bpeTrainBatched(eq, "text", rounds = 2, batch = 4)
+      .orderBy("rank").as[(Long, String)].collect().toSeq
+    assert(seqTab === Seq((1L, "a b"), (2L, "d e"), (3L, "f g")))
+    assert(batTab === seqTab)
+
+    // CONFLICT fixture: 'b c' (6) shares a token with the round's top
+    // candidate 'a b' (10), so it is deferred; the disjoint 'd e' (5)
+    // and 'f g' (4) are accepted in the same round, and the round-2
+    // recount picks 'b c' up — same merge SET as sequential, with the
+    // deferral visible in the rank order (the documented conservative
+    // trade for 1/batch the driver round trips).
+    val cf = Seq((1L, ("ab " * 10) + ("bc " * 6) + ("de " * 5) +
+      ("fg " * 4))).toDF("doc_id", "text")
+    val seqCf = graft.ops.TextAnalysis.bpeTrain(cf, "text", numMerges = 6)
+      .orderBy("rank").as[(Long, String)].collect().toSeq
+    val batCf = graft.ops.TextAnalysis
+      .bpeTrainBatched(cf, "text", rounds = 3, batch = 4)
+      .orderBy("rank").as[(Long, String)].collect().toSeq
+    assert(seqCf === Seq((1L, "a b"), (2L, "b c"), (3L, "d e"),
+      (4L, "f g")))
+    assert(batCf === Seq((1L, "a b"), (2L, "d e"), (3L, "f g"),
+      (4L, "b c")))
+    assert(batCf.map(_._2).toSet === seqCf.map(_._2).toSet)
+  }
+
   test("bpeEncode: rank-ordered merges apply greedily left-to-right " +
     "(hand-computed token counts)") {
     // vocab: aaab (freq 2), aab (1) -> merges rank1 ('a a', cnt 5),

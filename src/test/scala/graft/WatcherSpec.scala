@@ -447,6 +447,81 @@ class WatcherSpec extends SparkSpec {
     assert(ch.modified === Seq("c.docx"))
   }
 
+  test("T2 at warehouse scale: a synthetic 1M-file listing diffed via " +
+    "the full-outer-join path (Watcher.diffTable) yields change sets " +
+    "byte-identical to the driver-side Map path — the driver-OOM-free " +
+    "form of script.py:35-57 for 10^8-file shares") {
+    val n = 1000000L
+    // prev: f0000000.pdf..f0999999.pdf with mtime=i
+    // curr: drop i%10007==3 (deleted), bump mtime where i%9973==0
+    // (modified), append 100 new paths (added)
+    def pathOf(i: Long) = f"f$i%07d.pdf"
+    val prevMap: Map[String, Long] =
+      (0L until n).iterator.map(i => pathOf(i) -> i).toMap
+    val currMap: Map[String, Long] =
+      (0L until n).iterator.filter(_ % 10007 != 3)
+        .map(i => pathOf(i) -> (if (i % 9973 == 0) i + 1 else i)).toMap ++
+      (n until n + 100).iterator.map(i => pathOf(i) -> i).toMap
+    val inMem = Watcher.diff(prevMap, currMap)
+    assert(inMem.added.size === 100 && inMem.deleted.size === 100 &&
+      inMem.modified.size === 101) // sanity: the synthetic knobs landed
+
+    val prevDF = spark.range(n)
+      .select(format_string("f%07d.pdf", col("id")).as("path"),
+        col("id").as("mtime"))
+    val currDF = spark.range(n).filter(col("id") % 10007 =!= 3)
+      .select(format_string("f%07d.pdf", col("id")).as("path"),
+        when(col("id") % 9973 === 0, col("id") + 1)
+          .otherwise(col("id")).as("mtime"))
+      .unionByName(spark.range(n, n + 100)
+        .select(format_string("f%07d.pdf", col("id")).as("path"),
+          col("id").as("mtime")))
+    val joined = Watcher.diffTable(prevDF, currDF)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def side(k: String) =
+      joined.collect { case (p, c) if c == k => p }.sorted.toSeq
+    assert(side("added") === inMem.added)
+    assert(side("deleted") === inMem.deleted)
+    assert(side("modified") === inMem.modified)
+  }
+
+  test("tableListing loader: the DataFrame-backed listing drives the " +
+    "same fire/no-op/reprocess-all decisions and warehouse contents as " +
+    "the Map-backed loader, with the previous listing persisted next " +
+    "to the table instead of held on the driver") {
+    val src = Files.createTempDirectory("graft_src_tl").toString
+    val wh = Files.createTempDirectory("graft_wh_tl").toString + "/docs"
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    val loader = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("path"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        length(col("content")).as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID")),
+      tableListing = true)
+
+    assert(loader.pollOnce() === Some(1L)) // first-iteration force
+    assert(loader.pollOnce() === None)     // unchanged -> one count, no batch
+    assert(Files.isDirectory(Paths.get(wh + "_listing")),
+      "previous listing should persist as a table next to the warehouse")
+    writeDoc(src, "c_3.pdf", "gamma")
+    assert(loader.pollOnce() === Some(2L))
+    val t = loader.currentTable().get
+    assert(t.count() === 3)
+    // T3 reprocess-all: every row re-stamped under the firing batch's id
+    assert(t.select("UPLOAD_ID").as[Long].collect().toSet === Set(2L))
+    // parity with the Map-backed loader over the same source state
+    val wh2 = Files.createTempDirectory("graft_wh_tl2").toString + "/docs"
+    val mapLoader = mkLoader(src, wh2)
+    assert(mapLoader.pollOnce() === Some(1L))
+    val a = t.select("path", "n_bytes").orderBy("path")
+      .collect().map(_.toSeq).toSeq
+    val b = mapLoader.currentTable().get.select("path", "n_bytes")
+      .orderBy("path").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("TxLog sink under accidental DOUBLE DEPLOYMENT with the " +
     "ConditionalPut (object-store) commit primitive: two concurrent " +
     "watcher instances on the same source+table, each running its own " +
