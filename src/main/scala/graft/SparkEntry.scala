@@ -7594,6 +7594,217 @@ object SparkEntry {
           batch = 8)
         .orderBy("rank")
     }),
+
+    // FELLEGI–SUNTER record-linkage weights (the probabilistic model
+    // behind the reference's intended-scope recordlinkage library,
+    // requirements.txt:25): two sources (customer + a deterministically
+    // perturbed copy), candidate pairs from SORTED-NEIGHBORHOOD
+    // blocking (DedupOps.sortedNeighborhoodPairs — n·window pairs,
+    // linear by construction where equality blocks go density-
+    // quadratic), per-field agreement rates m = P(agree|match) /
+    // u = P(agree|non-match) with Laplace smoothing, and the FS
+    // log₂-likelihood agree/disagree weights. Truth = shared key
+    // (the perturbation generator's ground truth).
+    "q301_fellegi_sunter" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("key"), col("c_name").as("nm"),
+        col("c_nationkey").cast("long").as("nat"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("balc"),
+        col("c_mktsegment").as("seg"))
+      val a = base.withColumn("src", lit("a"))
+      val b = base.select(col("key"),
+        when(col("key") % 7 === 0, concat(col("nm"), lit("x")))
+          .otherwise(col("nm")).as("nm"),
+        when(col("key") % 5 === 0, (col("nat") + 1) % 25)
+          .otherwise(col("nat")).as("nat"),
+        when(col("key") % 3 === 0, col("balc") + 10000)
+          .otherwise(col("balc")).as("balc"),
+        when(col("key") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("seg")).as("seg"))
+        .withColumn("src", lit("b"))
+      // sort key is unique (names unique per source), so the SNM rank
+      // is deterministic; the oracle replays the same concat ordering
+      val pairs = DedupOps.sortedNeighborhoodPairs(a.unionByName(b),
+          concat(col("nm"), lit("|"), col("src")), window = 2)
+        .filter(col("a.src") =!= col("b.src"))
+        .select(
+          (col("a.key") === col("b.key")).as("mt"),
+          (col("a.nm") === col("b.nm")).as("ag_nm"),
+          (col("a.nat") === col("b.nat")).as("ag_nat"),
+          (abs(col("a.balc") - col("b.balc")) <= 5000).as("ag_bal"),
+          (col("a.seg") === col("b.seg")).as("ag_seg"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val agg = pairs.agg(count(lit(1)).as("np"), cnt(col("mt")).as("nmt"),
+        cnt(col("mt") && col("ag_nm")).as("am_nm"),
+        cnt(!col("mt") && col("ag_nm")).as("au_nm"),
+        cnt(col("mt") && col("ag_nat")).as("am_nat"),
+        cnt(!col("mt") && col("ag_nat")).as("au_nat"),
+        cnt(col("mt") && col("ag_bal")).as("am_bal"),
+        cnt(!col("mt") && col("ag_bal")).as("au_bal"),
+        cnt(col("mt") && col("ag_seg")).as("am_seg"),
+        cnt(!col("mt") && col("ag_seg")).as("au_seg"))
+      def fs(name: String) = struct(lit(name).as("field"),
+        col(s"am_$name").as("am"), col(s"au_$name").as("au"))
+      val d = (c: Column) => c.cast("double")
+      agg.select(col("np"), col("nmt"),
+          explode(array(fs("bal"), fs("nm"), fs("nat"), fs("seg")))
+            .as("f"))
+        .select(col("f.field").as("field"),
+          ((d(col("f.am")) + 0.5) / (d(col("nmt")) + 1.0)).as("m"),
+          ((d(col("f.au")) + 0.5) / (d(col("np") - col("nmt")) + 1.0))
+            .as("u"))
+        .select(col("field"),
+          round(col("m") * 1e6, 0).cast("long").as("m_micro"),
+          round(col("u") * 1e6, 0).cast("long").as("u_micro"),
+          round(log(col("m") / col("u")) / log(lit(2.0)) * 1e6, 0)
+            .cast("long").as("w_agree_micro"),
+          round(log((lit(1.0) - col("m")) / (lit(1.0) - col("u")))
+            / log(lit(2.0)) * 1e6, 0).cast("long").as("w_disagree_micro"))
+        .orderBy("field")
+    }),
+
+    // MULTI-PROBE sign-LSH (Lv et al., VLDB '07): instead of more hash
+    // tables, probe the buckets that differ from the query's bucket in
+    // ONE plane bit — 9 probes from a single 8-plane table. Recall of
+    // the true top-10 under exact-bucket vs 1-bit-probe candidate
+    // sets, measured per query against the brute-force truth. Bucket
+    // membership IS hamming distance on the bucket codes, so the
+    // probe test is bit_count(xor) ≤ 1 — no candidate join at all.
+    // The panel crossJoin rides the q232 fixed-probe-set pattern.
+    "q302_multiprobe_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val queries = emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      val truth = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q")), 6)
+            .as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id")
+      val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding",
+        planes = 8, dims = 64)
+      val qb = buckets.select(col("vec_id").as("qid"),
+        col("bucket").as("qbkt"))
+      val nb = buckets.select(col("vec_id"), col("bucket").as("nbkt"))
+      truth.join(qb, Seq("qid")).join(nb, Seq("vec_id"))
+        .withColumn("hd", expr("bit_count(qbkt ^ nbkt)"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("hd") === 0, 1L).otherwise(0L)).as("hit_exact"),
+          sum(when(col("hd") <= 1, 1L).otherwise(0L)).as("hit_probe1"))
+        .withColumn("recall_exact",
+          round(col("hit_exact").cast("double") / col("n_truth"), 4))
+        .withColumn("recall_probe1",
+          round(col("hit_probe1").cast("double") / col("n_truth"), 4))
+        .orderBy("qid")
+    }),
+
+    // HOLT LINEAR-TREND BACKTEST (double exponential smoothing,
+    // α = β = 0.5): one-step-ahead forecasts over each type's daily
+    // count series, MAPE from observation 3 on. The dyadic smoothing
+    // constants keep every level/trend update EXACT binary arithmetic
+    // on integer counts, so the sequential fold replays bit-for-bit in
+    // the oracle's list_reduce. One shuffle to the (type, day) grain,
+    // then a per-type sorted fold — no window state, no driver loop.
+    "q303_holt_backtest" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("ty"),
+          expr("datediff(to_date(ts), date'1970-01-05')").as("dd"))
+        .agg(count(lit(1)).as("n"))
+      val obs = sort_array(collect_list(array(col("dd").cast("double"),
+        col("n").cast("double"))))
+      val folded = aggregate(obs,
+        typedlit(Array(0.0, 0.0, 0.0, 0.0, 0.0)),
+        (acc, x) => {
+          val idx = element_at(acc, 1)
+          val l = element_at(acc, 2)
+          val tr = element_at(acc, 3)
+          val y = element_at(x, 2)
+          val l2 = (y + l + tr) * 0.5
+          when(idx === 0.0,
+              array(lit(1.0), y, lit(0.0), lit(0.0), lit(0.0)))
+            .when(idx === 1.0,
+              array(lit(2.0), y, y - l, lit(0.0), lit(0.0)))
+            .otherwise(array(idx + 1.0, l2,
+              (l2 - l) * 0.5 + tr * 0.5,
+              element_at(acc, 4) + abs(y - (l + tr)) / y,
+              element_at(acc, 5) + 1.0))
+        })
+      daily.groupBy("ty").agg(folded.as("st"))
+        .select(col("ty"),
+          element_at(col("st"), 5).cast("long").as("n_scored"),
+          round(element_at(col("st"), 4) / element_at(col("st"), 5)
+            * 100, 4).as("holt_mape_pct"))
+        .orderBy("ty")
+    }),
+
+    // SMALL-FILE COMPACTION PLANNING (the warehouse-maintenance pass
+    // every table format schedules): a synthetic per-partition file
+    // listing (month × orderkey-shard with byte sizes), target output
+    // size derived from the GLOBAL mean file size (one-row aggregate,
+    // broadcast), and next-fit bin assignment via an integer running
+    // sum inside each partition — (cum + target − 1) div target. The
+    // only window is partitioned by month (bounded); the plan is
+    // file-listing-sized, never row-sized.
+    "q304_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+          (col("o_orderkey") % 8).as("fid"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("bytes"))
+      val stats = files
+        .agg(sum(col("bytes")).as("tot"), count(lit(1)).as("nf"))
+        .select(expr("tot div nf").as("avg_bytes"))
+      val w = Window.partitionBy("part")
+        .orderBy(col("bytes").desc, col("fid"))
+      files.crossJoin(broadcast(stats))
+        .withColumn("target", col("avg_bytes") * 4L)
+        .filter(col("bytes") < col("target"))
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin",
+          expr("(cum + target - 1) div target").cast("long"))
+        .groupBy("part", "bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"))
+        .orderBy("part", "bin")
+    }),
+
+    // ZONE-MAP FILE-SKIPPING EFFECTIVENESS — the data-layout lesson
+    // behind every min/max-pruned scan: the SAME rows grouped into
+    // files by hash (orderkey shard) vs by price-clustered ntile give
+    // wildly different skip rates for the SAME range predicates,
+    // because clustering tightens per-file min/max zones. 20 fixed
+    // price bands × 2 layouts, skip test max < lo OR min ≥ hi —
+    // integer-exact end to end; the predicate grid explodes map-side
+    // (no join).
+    "q305_zonemap_skipping" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"),
+        col("o_orderkey").as("k"))
+      val hashF = base.withColumn("fid", col("k") % 8)
+        .withColumn("layout", lit("hash"))
+      val clustF = base.withColumn("fid",
+          ntile(8).over(Window.partitionBy("part")
+            .orderBy(col("c"), col("k"))).cast("long"))
+        .withColumn("layout", lit("clustered"))
+      hashF.unionByName(clustF)
+        .groupBy("layout", "part", "fid")
+        .agg(min(col("c")).as("zmin"), max(col("c")).as("zmax"))
+        .withColumn("pred", explode(sequence(lit(0L), lit(19L))))
+        .withColumn("lo", col("pred") * 2500000L)
+        .withColumn("hi", (col("pred") + 1L) * 2500000L)
+        .groupBy("layout", "pred")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("zmax") < col("lo") || col("zmin") >= col("hi"),
+            1L).otherwise(0L)).as("n_skipped"))
+        .withColumn("skip_pct",
+          round(col("n_skipped").cast("double") / col("n_files") * 100, 2))
+        .orderBy("layout", "pred")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -14547,5 +14758,187 @@ object SparkEntry {
          FROM scored GROUP BY 1 ORDER BY 1""",
 
     "q300_bpe_batched" -> bpeTrainBatchedOracle(8, 8),
+
+    "q301_fellegi_sunter" ->
+      """WITH base AS (
+           SELECT c_custkey AS key, c_name AS nm,
+             c_nationkey::BIGINT AS nat,
+             round(c_acctbal * 100)::BIGINT AS balc,
+             c_mktsegment AS seg
+           FROM customer),
+         u AS (
+           SELECT key, nm, nat, balc, seg, 'a' AS src FROM base
+           UNION ALL
+           SELECT key,
+             CASE WHEN key % 7 = 0 THEN nm || 'x' ELSE nm END,
+             CASE WHEN key % 5 = 0 THEN (nat + 1) % 25 ELSE nat END,
+             CASE WHEN key % 3 = 0 THEN balc + 10000 ELSE balc END,
+             CASE WHEN key % 11 = 0 THEN 'UNKNOWN' ELSE seg END,
+             'b'
+           FROM base),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY nm || '|' || src) AS rk
+           FROM u),
+         p AS (
+           SELECT a.key = b.key AS mt,
+             a.nm = b.nm AS ag_nm, a.nat = b.nat AS ag_nat,
+             abs(a.balc - b.balc) <= 5000 AS ag_bal,
+             a.seg = b.seg AS ag_seg
+           FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2
+           WHERE a.src <> b.src),
+         agg AS (
+           SELECT count(*)::BIGINT AS np,
+             sum(CASE WHEN mt THEN 1 ELSE 0 END)::BIGINT AS nmt,
+             sum(CASE WHEN mt AND ag_nm THEN 1 ELSE 0 END)::BIGINT AS am_nm,
+             sum(CASE WHEN NOT mt AND ag_nm THEN 1 ELSE 0 END)::BIGINT
+               AS au_nm,
+             sum(CASE WHEN mt AND ag_nat THEN 1 ELSE 0 END)::BIGINT
+               AS am_nat,
+             sum(CASE WHEN NOT mt AND ag_nat THEN 1 ELSE 0 END)::BIGINT
+               AS au_nat,
+             sum(CASE WHEN mt AND ag_bal THEN 1 ELSE 0 END)::BIGINT
+               AS am_bal,
+             sum(CASE WHEN NOT mt AND ag_bal THEN 1 ELSE 0 END)::BIGINT
+               AS au_bal,
+             sum(CASE WHEN mt AND ag_seg THEN 1 ELSE 0 END)::BIGINT
+               AS am_seg,
+             sum(CASE WHEN NOT mt AND ag_seg THEN 1 ELSE 0 END)::BIGINT
+               AS au_seg
+           FROM p),
+         f AS (
+           SELECT 'bal' AS field, am_bal AS am, au_bal AS au, np, nmt
+             FROM agg
+           UNION ALL SELECT 'nm', am_nm, au_nm, np, nmt FROM agg
+           UNION ALL SELECT 'nat', am_nat, au_nat, np, nmt FROM agg
+           UNION ALL SELECT 'seg', am_seg, au_seg, np, nmt FROM agg),
+         mu AS (
+           SELECT field,
+             (am::DOUBLE + 0.5) / (nmt::DOUBLE + 1.0) AS m,
+             (au::DOUBLE + 0.5) / ((np - nmt)::DOUBLE + 1.0) AS u
+           FROM f)
+         SELECT field,
+           round(m * 1e6)::BIGINT AS m_micro,
+           round(u * 1e6)::BIGINT AS u_micro,
+           round(ln(m / u) / ln(2.0) * 1e6)::BIGINT AS w_agree_micro,
+           round(ln((1.0 - m) / (1.0 - u)) / ln(2.0) * 1e6)::BIGINT
+             AS w_disagree_micro
+         FROM mu ORDER BY field""",
+
+    "q302_multiprobe_lsh" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+           FROM e),
+         qs AS (
+           SELECT vec_id AS qid, v AS q, nm AS qn FROM nr
+           WHERE vec_id % 101 = 0),
+         truth AS (
+           SELECT qid, vec_id FROM (
+             SELECT q.qid, n.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * q.q[i])) / (n.nm * q.qn), 6) DESC,
+                 n.vec_id) AS rn
+             FROM nr n CROSS JOIN qs q WHERE n.vec_id <> q.qid)
+           WHERE rn <= 10),
+         b AS (
+           SELECT vec_id, CAST(list_sum(list_transform(range(0, 8), p ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               ((((('0x' || substring(md5(CAST(p AS VARCHAR) || '_'
+                     || CAST(i - 1 AS VARCHAR)), 1, 12))::BIGINT) % 1000)
+                 / 500.0) - 1.0))) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bkt
+           FROM embeddings),
+         h AS (
+           SELECT t.qid, bit_count(xor(qb.bkt, nb.bkt)) AS hd
+           FROM truth t
+           JOIN b qb ON qb.vec_id = t.qid
+           JOIN b nb ON nb.vec_id = t.vec_id)
+         SELECT qid, count(*)::BIGINT AS n_truth,
+           sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END)::BIGINT AS hit_exact,
+           sum(CASE WHEN hd <= 1 THEN 1 ELSE 0 END)::BIGINT AS hit_probe1,
+           round(sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall_exact,
+           round(sum(CASE WHEN hd <= 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall_probe1
+         FROM h GROUP BY 1 ORDER BY 1""",
+
+    "q303_holt_backtest" ->
+      """WITH daily AS (
+           SELECT event_type AS ty,
+             datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) AS dd,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         folded AS (
+           SELECT ty, list_reduce(list_prepend(
+             CAST([0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]),
+             list_sort(list([dd::DOUBLE, n::DOUBLE]))), (acc, x) ->
+             CASE WHEN acc[1] = 0.0
+                  THEN [1.0, x[2], 0.0, 0.0, 0.0]
+                  WHEN acc[1] = 1.0
+                  THEN [2.0, x[2], x[2] - acc[2], 0.0, 0.0]
+                  ELSE [acc[1] + 1.0,
+                        (x[2] + acc[2] + acc[3]) * 0.5,
+                        ((x[2] + acc[2] + acc[3]) * 0.5 - acc[2]) * 0.5
+                          + acc[3] * 0.5,
+                        acc[4] + abs(x[2] - (acc[2] + acc[3])) / x[2],
+                        acc[5] + 1.0] END) AS st
+           FROM daily GROUP BY 1)
+         SELECT ty, st[5]::BIGINT AS n_scored,
+           round(st[4] / st[5] * 100, 4) AS holt_mape_pct
+         FROM folded ORDER BY ty""",
+
+    "q304_compaction_plan" ->
+      """WITH files AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS part,
+             o_orderkey % 8 AS fid,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS bytes
+           FROM orders GROUP BY 1, 2),
+         stats AS (
+           SELECT (sum(bytes)::BIGINT // count(*)) * 4 AS target
+           FROM files),
+         small AS (
+           SELECT f.part, f.fid, f.bytes, s.target,
+             sum(f.bytes) OVER (PARTITION BY f.part
+               ORDER BY f.bytes DESC, f.fid) AS cum
+           FROM files f CROSS JOIN stats s
+           WHERE f.bytes < s.target)
+         SELECT part, ((cum + target - 1) // target)::BIGINT AS bin,
+           count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bin_bytes
+         FROM small GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q305_zonemap_skipping" ->
+      """WITH base AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS part,
+             round(o_totalprice * 100)::BIGINT AS c,
+             o_orderkey AS k
+           FROM orders),
+         tagged AS (
+           SELECT part, c, k % 8 AS fid, 'hash' AS layout FROM base
+           UNION ALL
+           SELECT part, c,
+             ntile(8) OVER (PARTITION BY part ORDER BY c, k)::BIGINT,
+             'clustered'
+           FROM base),
+         zones AS (
+           SELECT layout, part, fid, min(c) AS zmin, max(c) AS zmax
+           FROM tagged GROUP BY 1, 2, 3),
+         z AS (
+           SELECT layout, unnest(range(0, 20)) AS pred, zmin, zmax
+           FROM zones)
+         SELECT layout, pred, count(*)::BIGINT AS n_files,
+           sum(CASE WHEN zmax < pred * 2500000
+                      OR zmin >= (pred + 1) * 2500000
+                    THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+           round(sum(CASE WHEN zmax < pred * 2500000
+                            OR zmin >= (pred + 1) * 2500000
+                          THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 100, 2) AS skip_pct
+         FROM z GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

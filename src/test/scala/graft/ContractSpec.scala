@@ -160,6 +160,7 @@ class ContractSpec extends SparkSpec {
     "q232_ann_recall" -> "fixed probe set (key-equality filter)",
     "q293_retrieval_mrr" -> "fixed probe set (q232 pattern)",
     "q297_distance_histogram" -> "fixed probe panel (q232 pattern)",
+    "q302_multiprobe_lsh" -> "fixed probe set (q232 pattern) — brute-force truth panel only; the probe test itself is joinless (bit_count on bucket codes)",
     "q244_hard_negatives" -> "anchor sample — 1/101 rate is the scale knob; cap anchors or switch to the q23 LSH-blocked path at corpus scale",
     "q246_knn_label_purity" -> "probe sample — same rate knob as q244",
     "q185_geo_hubs" -> "25-row nation dimension scan (fixed hub table)",

@@ -742,6 +742,26 @@ class OpsSpec extends SparkSpec {
     assert(zy._7 === 1.0 && math.abs(zy._8 - 4.0 / 3) < 1e-15)
   }
 
+  test("sortedNeighborhoodPairs: exactly the rank-adjacent pairs under " +
+    "the sort key (n·window pairs, equi-join plan), matching a " +
+    "brute-force rank self-join") {
+    val df = Seq((1L, "delta"), (2L, "alpha"), (3L, "charlie"),
+      (4L, "bravo"), (5L, "echo"), (6L, "apple"))
+      .toDF("id", "name")
+    val got = graft.ops.DedupOps
+      .sortedNeighborhoodPairs(df, col("name"), window = 2)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"), col("gap"))
+      .as[(Long, Long, Long)].collect().toSet
+    // sorted by name: alpha(2) apple(6) bravo(4) charlie(3) delta(1)
+    // echo(5) → ranks 1..6; pairs = (i, i+1) and (i, i+2)
+    val byRank = Seq(2L, 6L, 4L, 3L, 1L, 5L)
+    val want = (for {
+      i <- byRank.indices; d <- 1 to 2 if i + d < byRank.size
+    } yield (byRank(i), byRank(i + d), d.toLong)).toSet
+    assert(got === want)
+    assert(got.size === 2 * 6 - 3) // n·w − w(w+1)/2 boundary shortfall
+  }
+
   test("tfidfTopK: corpus-wide term gets idf 0 and never outranks a " +
     "distinctive term; k bounds per-doc rows") {
     val docs = Seq((1L, "the cat the"), (2L, "the dog"), (3L, "the"))
