@@ -145,27 +145,26 @@ class ContractSpec extends SparkSpec {
   // (q211/q225/q226's former day-pair entries are gone: their day
   // frame is Caches.small-checkpointed, so the plan now PROVES the
   // builds bounded — no exemption needed.)
-  private val bnljGrainBuilds: Map[String, String] = Map(
-    "q176_kmv_intersection" -> "two KMV bottom-64 sketch artifacts (k-capped)",
-    "q180_chisq" -> "row/col margin tables (event-type × decile grains)",
-    "q280_ewma_anomaly" -> "calendar-day grain pair build (EWMA lookback)")
+  // EMPTY since round 8: the former entries (q176 KMV sketch artifacts,
+  // q180 margin tables, q280 day-grain pair build) now wrap their build
+  // frames in Caches.small, so the plan PROVES the builds bounded
+  // (RDDScanExec) — allowlist-by-proof instead of allowlist-by-prose,
+  // with the pre-checkpoint plans still captured and audited.
+  private val bnljGrainBuilds: Map[String, String] = Map()
 
   // Unbounded-build BNLJs whose build side is a RAW-ROW FILTER the plan
   // can't see through: each entry names the filter that keeps the build
   // model-sized and the knob that holds at corpus scale. A raw build in
   // a query listed only under bnljGrainBuilds FAILS (per-instance, the
   // advisor's round-6 hole).
-  private val bnljRawBuilds: Map[String, String] = Map(
-    "q22_cosine_topk" -> "single query vector (vec_id = 0 equality filter)",
-    "q232_ann_recall" -> "fixed probe set (key-equality filter)",
-    "q293_retrieval_mrr" -> "fixed probe set (q232 pattern)",
-    "q297_distance_histogram" -> "fixed probe panel (q232 pattern)",
-    "q302_multiprobe_lsh" -> "fixed probe set (q232 pattern) — brute-force truth panel only; the probe test itself is joinless (bit_count on bucket codes)",
-    "q244_hard_negatives" -> "anchor sample — 1/101 rate is the scale knob; cap anchors or switch to the q23 LSH-blocked path at corpus scale",
-    "q246_knn_label_purity" -> "probe sample — same rate knob as q244",
-    "q185_geo_hubs" -> "25-row nation dimension scan (fixed hub table)",
-    "q24_ann_ivf" -> "IVF centroid table — k seed rows via key-range filter (vec_id < 8), k is the model-size knob",
-    "q92_semantic_dedup" -> "cluster-centroid frame — same k-seed-row key-range filter as q24")
+  // EMPTY since round 8: every former entry (q22/q232/q293/q297 probe
+  // panels, q244/q246 anchor samples, q185 hub table, q24/q92 IVF
+  // centroid seeds) now builds its panel through Caches.small, so the
+  // broadcast build side is a checkpointed scan the plan PROVES bounded
+  // — the 1/101-rate and k-seed scale knobs those entries documented
+  // are unchanged, but a silent future edit that UNbounds a build now
+  // fails the gate instead of hiding behind a stale prose entry.
+  private val bnljRawBuilds: Map[String, String] = Map()
 
   test("no scale-killer join shape in ANY query's physical plan " +
     "(object-level: CartesianProduct anywhere; every unbounded-build " +
