@@ -7931,6 +7931,124 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // FS PAIR CLASSIFICATION (the decision rule the q301 weights
+    // exist for): every SNM candidate pair scores Σ_f (agreeᶠ ?
+    // w_agreeᶠ : w_disagreeᶠ) log₂-likelihood bits and lands in the
+    // Fellegi–Sunter three-way decision — match (≥ +3 bits),
+    // non-match (≤ −3), possible (clerical review) — with per-band
+    // precision against the generator's ground truth. Weights are the
+    // q301 supervised m/u (1-row frame broadcast onto the pair
+    // stream); banding is per-pair map-side.
+    "q308_fs_classify" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("key"), col("c_name").as("nm"),
+        col("c_nationkey").cast("long").as("nat"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("balc"),
+        col("c_mktsegment").as("seg"))
+      val a = base.withColumn("src", lit("a"))
+      val b = base.select(col("key"),
+        when(col("key") % 7 === 0, concat(col("nm"), lit("x")))
+          .otherwise(col("nm")).as("nm"),
+        when(col("key") % 5 === 0, (col("nat") + 1) % 25)
+          .otherwise(col("nat")).as("nat"),
+        when(col("key") % 3 === 0, col("balc") + 10000)
+          .otherwise(col("balc")).as("balc"),
+        when(col("key") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("seg")).as("seg"))
+        .withColumn("src", lit("b"))
+      val pairs = DedupOps.sortedNeighborhoodPairs(a.unionByName(b),
+          concat(col("nm"), lit("|"), col("src")), window = 2)
+        .filter(col("a.src") =!= col("b.src"))
+        .select(
+          (col("a.key") === col("b.key")).as("mt"),
+          (col("a.nm") === col("b.nm")).as("ag_nm"),
+          (col("a.nat") === col("b.nat")).as("ag_nat"),
+          (abs(col("a.balc") - col("b.balc")) <= 5000).as("ag_bal"),
+          (col("a.seg") === col("b.seg")).as("ag_seg"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val agg = pairs.agg(count(lit(1)).as("np"), cnt(col("mt")).as("nmt"),
+        cnt(col("mt") && col("ag_nm")).as("am_nm"),
+        cnt(!col("mt") && col("ag_nm")).as("au_nm"),
+        cnt(col("mt") && col("ag_nat")).as("am_nat"),
+        cnt(!col("mt") && col("ag_nat")).as("au_nat"),
+        cnt(col("mt") && col("ag_bal")).as("am_bal"),
+        cnt(!col("mt") && col("ag_bal")).as("au_bal"),
+        cnt(col("mt") && col("ag_seg")).as("am_seg"),
+        cnt(!col("mt") && col("ag_seg")).as("au_seg"))
+      val d = (c: Column) => c.cast("double")
+      def m(f: String) = ((d(col(s"am_$f")) + 0.5)
+        / (d(col("nmt")) + 1.0)).as(s"m_$f")
+      def u(f: String) = ((d(col(s"au_$f")) + 0.5)
+        / (d(col("np") - col("nmt")) + 1.0)).as(s"u_$f")
+      val mu = agg.select(m("nm"), u("nm"), m("nat"), u("nat"),
+        m("bal"), u("bal"), m("seg"), u("seg"))
+      def w(ag: String, f: String) =
+        when(col(ag), log(col(s"m_$f") / col(s"u_$f")) / log(lit(2.0)))
+          .otherwise(log((lit(1.0) - col(s"m_$f"))
+            / (lit(1.0) - col(s"u_$f"))) / log(lit(2.0)))
+      pairs.crossJoin(broadcast(mu))
+        .withColumn("score", w("ag_nm", "nm") + w("ag_nat", "nat")
+          + w("ag_bal", "bal") + w("ag_seg", "seg"))
+        .withColumn("band",
+          when(col("score") >= 3.0, "match")
+            .when(col("score") <= -3.0, "nonmatch")
+            .otherwise("possible"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("mt"), 1L).otherwise(0L)).as("n_true"))
+        .withColumn("true_rate",
+          round(col("n_true").cast("double") / col("n_pairs"), 4))
+        .orderBy("band")
+    }),
+
+    // BPE FERTILITY BY SOURCE (the tokenizer-efficiency table every
+    // multilingual/multi-domain corpus report carries): subword tokens
+    // per word under the trained 10-merge table, per source — a high-
+    // fertility source pays more sequence length per word of content.
+    // The encoder runs over the DISTINCT vocabulary and joins back
+    // (q110 machinery), so cost scales with vocab, not corpus.
+    "q309_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TA.bpeEncode(docs, "doc_id", "text", numMerges = 10)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .withColumn("fertility", round(
+          col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+        .orderBy("source")
+    }),
+
+    // PERPLEXITY-BUCKET SPLIT (the CCNet curation move: rank documents
+    // by LM surprisal within each source, split head/middle/tail):
+    // per-doc mean unigram surprisal (q53 machinery, sorted-fold
+    // exact), ntile(3) inside each source, per-bucket doc counts and
+    // surprisal ranges. The only window is partitioned by source; the
+    // sort key (msur, doc_id) is bit-identical across engines so the
+    // tile boundaries replay exactly.
+    "q310_perplexity_buckets" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode_outer(split(TF.normalizeText(col("text")), " ")).as("w"))
+        .filter(col("w").isNotNull)
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("wc"))
+      val total = vocab.agg(sum(col("wc")).as("tot"))
+      val perDoc = words.join(vocab, Seq("w")).crossJoin(broadcast(total))
+        .select(col("doc_id"), col("source"),
+          (-log(col("wc").cast("double") / col("tot"))).as("nll"))
+        .groupBy("doc_id", "source")
+        .agg((ssum(collect_list(col("nll"))) / count(lit(1))).as("msur"))
+      perDoc
+        .withColumn("bucket", ntile(3).over(Window.partitionBy("source")
+          .orderBy(col("msur"), col("doc_id"))).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("msur")), 4).as("min_surprisal"),
+          round(max(col("msur")), 4).as("max_surprisal"))
+        .orderBy("source", "bucket")
+    }),
+
     // ZONE-MAP FILE-SKIPPING EFFECTIVENESS — the data-layout lesson
     // behind every min/max-pruned scan: the SAME rows grouped into
     // files by hash (orderkey shard) vs by price-clustered ntile give
@@ -15234,6 +15352,156 @@ object SparkEntry {
          LEFT JOIN ap1 a1 ON e.qid = a1.qid AND e.vec_id = a1.vec_id
          LEFT JOIN ap2 a2 ON e.qid = a2.qid AND e.vec_id = a2.vec_id
          GROUP BY 1 ORDER BY 1""",
+
+    "q308_fs_classify" ->
+      """WITH base AS (
+           SELECT c_custkey AS key, c_name AS nm,
+             c_nationkey::BIGINT AS nat,
+             round(c_acctbal * 100)::BIGINT AS balc,
+             c_mktsegment AS seg
+           FROM customer),
+         u AS (
+           SELECT key, nm, nat, balc, seg, 'a' AS src FROM base
+           UNION ALL
+           SELECT key,
+             CASE WHEN key % 7 = 0 THEN nm || 'x' ELSE nm END,
+             CASE WHEN key % 5 = 0 THEN (nat + 1) % 25 ELSE nat END,
+             CASE WHEN key % 3 = 0 THEN balc + 10000 ELSE balc END,
+             CASE WHEN key % 11 = 0 THEN 'UNKNOWN' ELSE seg END,
+             'b'
+           FROM base),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY nm || '|' || src) AS rk
+           FROM u),
+         p AS (
+           SELECT a.key = b.key AS mt,
+             a.nm = b.nm AS ag_nm, a.nat = b.nat AS ag_nat,
+             abs(a.balc - b.balc) <= 5000 AS ag_bal,
+             a.seg = b.seg AS ag_seg
+           FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2
+           WHERE a.src <> b.src),
+         agg AS (
+           SELECT count(*)::BIGINT AS np,
+             sum(CASE WHEN mt THEN 1 ELSE 0 END)::BIGINT AS nmt,
+             sum(CASE WHEN mt AND ag_nm THEN 1 ELSE 0 END)::BIGINT AS am_nm,
+             sum(CASE WHEN NOT mt AND ag_nm THEN 1 ELSE 0 END)::BIGINT
+               AS au_nm,
+             sum(CASE WHEN mt AND ag_nat THEN 1 ELSE 0 END)::BIGINT
+               AS am_nat,
+             sum(CASE WHEN NOT mt AND ag_nat THEN 1 ELSE 0 END)::BIGINT
+               AS au_nat,
+             sum(CASE WHEN mt AND ag_bal THEN 1 ELSE 0 END)::BIGINT
+               AS am_bal,
+             sum(CASE WHEN NOT mt AND ag_bal THEN 1 ELSE 0 END)::BIGINT
+               AS au_bal,
+             sum(CASE WHEN mt AND ag_seg THEN 1 ELSE 0 END)::BIGINT
+               AS am_seg,
+             sum(CASE WHEN NOT mt AND ag_seg THEN 1 ELSE 0 END)::BIGINT
+               AS au_seg
+           FROM p),
+         mu AS (
+           SELECT
+             (am_nm::DOUBLE + 0.5) / (nmt::DOUBLE + 1.0) AS m_nm,
+             (au_nm::DOUBLE + 0.5) / ((np - nmt)::DOUBLE + 1.0) AS u_nm,
+             (am_nat::DOUBLE + 0.5) / (nmt::DOUBLE + 1.0) AS m_nat,
+             (au_nat::DOUBLE + 0.5) / ((np - nmt)::DOUBLE + 1.0) AS u_nat,
+             (am_bal::DOUBLE + 0.5) / (nmt::DOUBLE + 1.0) AS m_bal,
+             (au_bal::DOUBLE + 0.5) / ((np - nmt)::DOUBLE + 1.0) AS u_bal,
+             (am_seg::DOUBLE + 0.5) / (nmt::DOUBLE + 1.0) AS m_seg,
+             (au_seg::DOUBLE + 0.5) / ((np - nmt)::DOUBLE + 1.0) AS u_seg
+           FROM agg),
+         scored AS (
+           SELECT mt,
+             (CASE WHEN ag_nm THEN ln(m_nm / u_nm) / ln(2.0)
+                   ELSE ln((1.0 - m_nm) / (1.0 - u_nm)) / ln(2.0) END)
+             + (CASE WHEN ag_nat THEN ln(m_nat / u_nat) / ln(2.0)
+                     ELSE ln((1.0 - m_nat) / (1.0 - u_nat)) / ln(2.0) END)
+             + (CASE WHEN ag_bal THEN ln(m_bal / u_bal) / ln(2.0)
+                     ELSE ln((1.0 - m_bal) / (1.0 - u_bal)) / ln(2.0) END)
+             + (CASE WHEN ag_seg THEN ln(m_seg / u_seg) / ln(2.0)
+                     ELSE ln((1.0 - m_seg) / (1.0 - u_seg)) / ln(2.0) END)
+               AS score
+           FROM p CROSS JOIN mu)
+         SELECT band, count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN mt THEN 1 ELSE 0 END)::BIGINT AS n_true,
+           round(sum(CASE WHEN mt THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS true_rate
+         FROM (
+           SELECT mt, CASE WHEN score >= 3.0 THEN 'match'
+                           WHEN score <= -3.0 THEN 'nonmatch'
+                           ELSE 'possible' END AS band
+           FROM scored)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q309_bpe_fertility" ->
+      """WITH RECURSIVE m AS (
+           SELECT string_split(pair, ' ')[1] AS a,
+                  string_split(pair, ' ')[2] AS b,
+                  row_number() OVER (ORDER BY cnt DESC, pair) AS r
+           FROM (
+             SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+               SELECT freq, unnest(list_transform(range(1, length(w)),
+                 i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)))
+                 AS pair
+               FROM (
+                 SELECT w, count(*) AS freq FROM (
+                   SELECT unnest(string_split(
+                     lower(trim(regexp_replace(text,'\s+',' ','g'))),' '))
+                     AS w
+                   FROM documents)
+                 WHERE length(w) >= 2 GROUP BY 1))
+             GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10)),
+         wd AS (
+           SELECT doc_id, source, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         wdne AS (SELECT doc_id, source, w FROM wd WHERE w <> ''),
+         v0 AS (
+           SELECT DISTINCT w,
+             regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS s
+           FROM wdne),
+         enc(w, s, r) AS (
+           SELECT w, s, 0 FROM v0
+           UNION ALL
+           SELECT enc.w,
+             replace(enc.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+               || chr(31), chr(31) || m.a || m.b || chr(31)),
+             enc.r + 1
+           FROM enc JOIN m ON m.r = enc.r + 1),
+         fin AS (
+           SELECT w, (length(s) - length(replace(s, chr(31), ''))) // 2
+             AS nt
+           FROM enc WHERE r = 10)
+         SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_words,
+           sum(nt)::BIGINT AS n_bpe_tokens,
+           round(sum(nt)::DOUBLE / count(*), 4) AS fertility
+         FROM wdne JOIN fin USING (w)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q310_perplexity_buckets" ->
+      """WITH w AS (
+           SELECT doc_id, source, unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         v AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+         tot AS (SELECT sum(wc) AS tot FROM v),
+         nll AS (
+           SELECT doc_id, source, -ln(CAST(wc AS DOUBLE) / tot) AS nll
+           FROM w JOIN v USING (w) CROSS JOIN tot),
+         pd AS (
+           SELECT doc_id, source,
+             list_sum(list_sort(list(nll))) / count(*) AS msur
+           FROM nll GROUP BY 1, 2),
+         td AS (
+           SELECT source, msur,
+             ntile(3) OVER (PARTITION BY source
+               ORDER BY msur, doc_id)::BIGINT AS bucket
+           FROM pd)
+         SELECT source, bucket, count(*)::BIGINT AS n_docs,
+           round(min(msur), 4) AS min_surprisal,
+           round(max(msur), 4) AS max_surprisal
+         FROM td GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q305_zonemap_skipping" ->
       """WITH base AS (
