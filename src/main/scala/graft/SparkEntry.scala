@@ -1644,12 +1644,14 @@ object SparkEntry {
           (col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
             .as("rev"))
-      val byNation = li
+      // Caches.small: the 25-row nation grain becomes a checkpointed
+      // scan the gate PROVES bounded under the global windows below
+      val byNation = Caches.small(li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sum(col("rev")).cast("double").as("rev"))
+        .agg(sum(col("rev")).cast("double").as("rev")))
       val ordered = Window.orderBy(col("rev").desc, col("n_name"))
       val cum = ordered.rowsBetween(Window.unboundedPreceding, 0)
       val all = ordered.rowsBetween(Window.unboundedPreceding,
@@ -2574,7 +2576,7 @@ object SparkEntry {
     // over the 25-row nation table, never the fact stream. Dimension
     // chain broadcast. Integer-cent revenue, shares rounded at output.
     "q147_hierarchy_rollup" -> ((s, dir) => {
-      val rev = t(s, dir, "orders")
+      val rev = Caches.small(t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
           Seq("o_custkey"))
@@ -2586,7 +2588,7 @@ object SparkEntry {
           Seq("n_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
-          .as("nation_cents"))
+          .as("nation_cents")))
       val byRegion = Window.partitionBy(col("r_name"))
       val all = Window.partitionBy()
       rev.select(col("r_name"), col("n_name"), col("nation_cents"),
@@ -3709,11 +3711,11 @@ object SparkEntry {
         .withColumn("w", expr(
           "pmod((if(rep < 24, h1, h2) div " +
             "cast(pow(3, rep % 24) as long)) , 3)"))
-      reps.groupBy("rep")
-        .agg(sum(col("w")).as("n_eff"),
-          sum(col("w") * col("cents")).as("wsum"))
-        .withColumn("mean_price", round(col("wsum").cast("double") /
-          col("n_eff").cast("double") / 100.0, 4))
+      Caches.small(reps.groupBy("rep")
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("cents")).as("wsum"))
+          .withColumn("mean_price", round(col("wsum").cast("double") /
+            col("n_eff").cast("double") / 100.0, 4)))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("mean_price"), col("rep"))))
         .select(col("rk"), col("rep"), col("n_eff"), col("mean_price"))
@@ -5097,8 +5099,11 @@ object SparkEntry {
               lit(0.356563782)) * col("tt") + lit(0.319381530)) *
               col("tt")))
         .withColumn("p", lit(2.0) * col("phi_tail"))
-      val m = zed.agg(count(lit(1)).as("m"))
-      zed.crossJoin(broadcast(m))
+      // 5-segment grain, checkpointed: the BH-rank global windows below
+      // are gate-PROVEN bounded
+      val zedCk = Caches.small(zed)
+      val m = zedCk.agg(count(lit(1)).as("m"))
+      zedCk.crossJoin(broadcast(m))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("p"), col("seg"))))
         .withColumn("bh_thresh",
@@ -6675,7 +6680,7 @@ object SparkEntry {
           count(lit(1)).as("n_values"))
         .withColumn("h_label", hTerm(col("p0")))
         .withColumn("info_gain", col("h_label") - col("h_cond"))
-      cond.withColumn("rk", row_number().over(
+      Caches.small(cond).withColumn("rk", row_number().over(
           Window.orderBy(col("info_gain").desc, col("feat"))))
         .select(col("rk"), col("feat"), col("n_values"),
           round(col("h_label"), 6).as("h_label"),

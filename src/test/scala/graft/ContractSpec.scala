@@ -72,19 +72,20 @@ class ContractSpec extends SparkSpec {
   // Dedup.numberRows/numberAndRunningSum form. Value grains that grow
   // with the data (q183 fof, q243/q268 source dimension) were converted
   // to the two-phase form in round 7 and need no entry.
+  // r08 shrink-by-proof: the FIXED grains (q126/q147 nation, q184
+  // 48 replicates, q224 five segments, q269 fixed feature list) now
+  // checkpoint the grain frame via Caches.small, so the gate PROVES
+  // the window inputs bounded — entries remain only for grains whose
+  // bound is an argument about the DATA (calendar span, Zipf cap),
+  // which a checkpoint stamp must not silently assert.
   private val globalWindowGrains: Map[String, String] = Map(
-    "q126_pareto" -> "nation grain (25 rows)",
     "q140_cumulative_users" -> "calendar-day grain (first-seen-day pre-agg)",
-    "q147_hierarchy_rollup" -> "nation grain (25 rows)",
     "q175_acf" -> "calendar-day grain",
-    "q184_bootstrap" -> "48 bootstrap-replicate grain",
     "q189_zipf_fit" -> "vocab rank grain, consumed under a ≤50k rank filter",
     "q205_kaplan_meier" -> "event-day grain (calendar-bounded)",
     "q215_lead_lag" -> "calendar-day grain",
-    "q224_ab_fdr" -> "market-segment grain (5 rows)",
     "q240_error_budget" -> "calendar-day grain",
-    "q251_decomposition" -> "calendar-day grain",
-    "q269_info_gain" -> "feature grain (fixed feature list)")
+    "q251_decomposition" -> "calendar-day grain")
 
   // Global Windows whose input is RAW rows BY DESIGN — each entry
   // documents the explicit map-side prune that keeps the window's input
