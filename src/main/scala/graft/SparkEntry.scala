@@ -8054,6 +8054,131 @@ object SparkEntry {
         .orderBy("source", "bucket")
     }),
 
+    // JOIN-SIZE ESTIMATION via Count-Min inner product (the AMS
+    // estimator every CBO wants and no per-key histogram can afford at
+    // 100 TB): |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated by the
+    // depth-wise MINIMUM of Σ_buckets cmA·cmB — two 4×256 sketches,
+    // each one groupBy, joined on (d, bucket). Exact answer from the
+    // key-frequency join for the error report. Estimate ≥ exact always
+    // (CM collisions only inflate).
+    "q311_join_size_cm" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_partkey").cast("string").as("k"))
+      val b = li.filter(col("l_shipdate") >
+          lit("2000-01-01").cast("timestamp"))
+        .select(col("l_partkey").cast("string").as("k"))
+      val skA = Sketches.countMin(a, col("k"), depth = 4, width = 256)
+      val skB = Sketches.countMin(b, col("k"), depth = 4, width = 256)
+        .withColumnRenamed("cnt", "cntb")
+      val est = skA.join(skB, Seq("d", "bucket"))
+        .groupBy("d").agg(sum(col("cnt") * col("cntb")).as("ip"))
+        .agg(min(col("ip")).as("est_pairs"))
+      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
+      est.crossJoin(exact)
+        .withColumn("inflation", round(
+          col("est_pairs").cast("double") / col("exact_pairs"), 4))
+    }),
+
+    // RANGE-SELECTIVITY ESTIMATION from a fixed-width histogram (the
+    // CBO primitive zone maps feed): 50k-cent buckets (map-side div —
+    // no global sort, unlike an equi-depth build), uniform-within-
+    // bucket interpolation for 5 deliberately bucket-misaligned
+    // predicates, estimate vs exact row count. The per-predicate error
+    // is the number a cost model's plan choice actually consumes.
+    "q312_selectivity_histogram" -> ((s, dir) => {
+      val W = 5000000L
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val o = t(s, dir, "orders").select(cents.as("c"))
+      val hist = o.groupBy(expr("c div 5000000").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val preds = Seq(
+        (0L, 1234567L, 8888888L), (1L, 7500000L, 20000000L),
+        (2L, 12345678L, 13000000L), (3L, 30000000L, 47500000L),
+        (4L, 2500000L, 52345678L))
+      val pr = preds.map { case (p, lo, hi) =>
+        struct(lit(p).as("pred"), lit(lo).as("lo"), lit(hi).as("hi")) }
+      val d = (c: Column) => c.cast("double")
+      val est = hist
+        .withColumn("pp", explode(array(pr: _*)))
+        .select(col("b"), col("cnt"), col("pp.pred").as("pred"),
+          col("pp.lo").as("lo"), col("pp.hi").as("hi"))
+        .withColumn("blo", col("b") * W)
+        .withColumn("bhi", (col("b") + 1L) * W)
+        .withColumn("frac",
+          greatest(lit(0.0), (d(least(col("hi"), col("bhi")))
+            - d(greatest(col("lo"), col("blo")))) / d(lit(W))))
+        .groupBy("pred")
+        .agg(round(ssum(collect_list(d(col("cnt")) * col("frac"))), 2)
+          .as("est_rows"))
+      val exact = o
+        .withColumn("pp", explode(array(pr: _*)))
+        .filter(col("c") >= col("pp.lo") && col("c") < col("pp.hi"))
+        .groupBy(col("pp.pred").as("pred"))
+        .agg(count(lit(1)).as("exact_rows"))
+      est.join(exact, Seq("pred"), "left")
+        .select(col("pred"), col("est_rows"),
+          coalesce(col("exact_rows"), lit(0L)).as("exact_rows"))
+        .orderBy("pred")
+    }),
+
+    // BLOCK vs ROW SAMPLING BIAS (the scan-design lesson behind
+    // TABLESAMPLE SYSTEM vs BERNOULLI): estimating mean line revenue
+    // from a ~10% sample drawn by ROWS (md5 on the line identity) vs
+    // by BLOCKS (md5 on l_orderkey — whole orders in or out, the way
+    // block sampling admits whole files). Lines within an order are
+    // correlated, so the block design pays a design effect the row
+    // design doesn't; both estimators and the truth are exact-cents
+    // sums with deterministic membership — the bias is measured, not
+    // argued.
+    "q313_sampling_design" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val tagged = li
+        .withColumn("row_in", pmod(TF.md5Hash48(concat(
+          col("ok").cast("string"), lit("_"), col("ln").cast("string"))),
+          lit(10L)) === 0)
+        .withColumn("blk_in", pmod(TF.md5Hash48(col("ok").cast("string")),
+          lit(10L)) === 0)
+      def est(flag: String, name: String) = tagged
+        .filter(col(flag))
+        .agg(lit(name).as("design"), count(lit(1)).as("n_rows"),
+          round(sum(col("cents")).cast("double") / count(lit(1)) / 100.0,
+            4).as("mean_price"))
+      val truth = tagged.agg(lit("full").as("design"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("cents")).cast("double") / count(lit(1)) / 100.0, 4)
+          .as("mean_price"))
+      est("blk_in", "block10").unionByName(est("row_in", "row10"))
+        .unionByName(truth)
+        .orderBy("design")
+    }),
+
+    // WATERMARK PLANNING TABLE (what T7's withWatermark delay should
+    // BE): deterministic per-event network lateness (md5 mod 10 min),
+    // then for each candidate watermark delay the fraction of events
+    // that would arrive later than their own event time + delay — the
+    // dropped-data/completeness trade a streaming deployment reads off
+    // before picking the delay. Map-side explode over 5 candidates;
+    // one (type, delay)-grain aggregation.
+    "q314_watermark_planning" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        col("event_type").as("ty"),
+        (pmod(TF.md5Hash48(col("event_id").cast("string")), lit(600L)))
+          .as("late_s"))
+      e.withColumn("delay_s",
+          explode(array(Seq(0L, 60L, 120L, 300L, 600L).map(lit): _*)))
+        .groupBy("ty", "delay_s")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_s") > col("delay_s"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .withColumn("dropped_pct", round(
+          col("n_dropped").cast("double") / col("n_events") * 100, 4))
+        .orderBy("ty", "delay_s")
+    }),
+
     // ZONE-MAP FILE-SKIPPING EFFECTIVENESS — the data-layout lesson
     // behind every min/max-pruned scan: the SAME rows grouped into
     // files by hash (orderkey shard) vs by price-clustered ntile give
@@ -15507,6 +15632,101 @@ object SparkEntry {
            round(min(msur), 4) AS min_surprisal,
            round(max(msur), 4) AS max_surprisal
          FROM td GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q311_join_size_cm" ->
+      """WITH a AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         b AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+           WHERE l_shipdate > TIMESTAMP '2000-01-01'),
+         ska AS (
+           SELECT d, ('0x' || substring(md5(CAST(d AS VARCHAR) || ':'
+               || k), 1, 12))::BIGINT % 256 AS bucket,
+             count(*)::BIGINT AS cnt
+           FROM a, unnest([0, 1, 2, 3]) AS t(d) GROUP BY 1, 2),
+         skb AS (
+           SELECT d, ('0x' || substring(md5(CAST(d AS VARCHAR) || ':'
+               || k), 1, 12))::BIGINT % 256 AS bucket,
+             count(*)::BIGINT AS cntb
+           FROM b, unnest([0, 1, 2, 3]) AS t(d) GROUP BY 1, 2),
+         est AS (
+           SELECT min(ip)::BIGINT AS est_pairs FROM (
+             SELECT ska.d, sum(cnt * cntb)::BIGINT AS ip
+             FROM ska JOIN skb USING (d, bucket) GROUP BY 1)),
+         ex AS (
+           SELECT sum(ca * cb)::BIGINT AS exact_pairs FROM (
+             SELECT k, count(*)::BIGINT AS ca FROM a GROUP BY 1) fa
+           JOIN (
+             SELECT k, count(*)::BIGINT AS cb FROM b GROUP BY 1) fb
+           USING (k))
+         SELECT est_pairs, exact_pairs,
+           round(est_pairs::DOUBLE / exact_pairs, 4) AS inflation
+         FROM est CROSS JOIN ex""",
+
+    "q312_selectivity_histogram" ->
+      """WITH o AS (
+           SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders),
+         hist AS (
+           SELECT c // 5000000 AS b, count(*)::BIGINT AS cnt
+           FROM o GROUP BY 1),
+         preds AS (
+           SELECT * FROM (VALUES (0::BIGINT, 1234567::BIGINT, 8888888::BIGINT),
+             (1, 7500000, 20000000), (2, 12345678, 13000000),
+             (3, 30000000, 47500000), (4, 2500000, 52345678))
+             t(pred, lo, hi)),
+         est AS (
+           SELECT pred, round(list_sum(list_sort(list(
+               cnt::DOUBLE * greatest(0.0,
+                 (least(hi, (b + 1) * 5000000)::DOUBLE
+                   - greatest(lo, b * 5000000)::DOUBLE)
+                 / CAST(5000000 AS DOUBLE))))), 2) AS est_rows
+           FROM hist CROSS JOIN preds GROUP BY 1),
+         ex AS (
+           SELECT pred, count(*)::BIGINT AS exact_rows
+           FROM o JOIN preds ON c >= lo AND c < hi GROUP BY 1)
+         SELECT pred, est_rows,
+           coalesce(exact_rows, 0::BIGINT) AS exact_rows
+         FROM est LEFT JOIN ex USING (pred) ORDER BY pred""",
+
+    "q313_sampling_design" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_linenumber AS ln,
+             round(l_extendedprice * 100)::BIGINT AS cents
+           FROM lineitem),
+         tg AS (
+           SELECT cents,
+             ('0x' || substring(md5('0:' || CAST(ok AS VARCHAR) || '_'
+               || CAST(ln AS VARCHAR)), 1, 12))::BIGINT % 10 = 0 AS row_in,
+             ('0x' || substring(md5('0:' || CAST(ok AS VARCHAR)), 1, 12))
+               ::BIGINT % 10 = 0 AS blk_in
+           FROM li)
+         SELECT * FROM (
+           SELECT 'block10' AS design, count(*)::BIGINT AS n_rows,
+             round(sum(cents)::DOUBLE / count(*) / 100.0, 4) AS mean_price
+           FROM tg WHERE blk_in
+           UNION ALL
+           SELECT 'row10', count(*)::BIGINT,
+             round(sum(cents)::DOUBLE / count(*) / 100.0, 4)
+           FROM tg WHERE row_in
+           UNION ALL
+           SELECT 'full', count(*)::BIGINT,
+             round(sum(cents)::DOUBLE / count(*) / 100.0, 4)
+           FROM tg)
+         ORDER BY design""",
+
+    "q314_watermark_planning" ->
+      """WITH e AS (
+           SELECT event_type AS ty,
+             ('0x' || substring(md5('0:' || CAST(event_id AS VARCHAR)),
+               1, 12))::BIGINT % 600 AS late_s
+           FROM events)
+         SELECT ty, delay_s, count(*)::BIGINT AS n_events,
+           sum(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped,
+           round(sum(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 100, 4) AS dropped_pct
+         FROM e, unnest([0::BIGINT, 60, 120, 300, 600]) AS t(delay_s)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q305_zonemap_skipping" ->
       """WITH base AS (
