@@ -8179,6 +8179,74 @@ object SparkEntry {
         .orderBy("ty", "delay_s")
     }),
 
+    // CURATION FUNNEL (the FineWeb-style stage-count table every
+    // dataset card publishes): raw → exact dedup (fingerprint
+    // keep-first) → Gopher quality gate → English-marker gate, with
+    // per-stage survivor counts and % of raw. Each stage is the
+    // already-gated operator (q18/q76 machinery) composed end-to-end —
+    // the funnel is what the pipeline DOES to the corpus, in one row
+    // per stage.
+    "q315_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d1 = docs.withColumn("fp", TA.fingerprint(col("text")))
+      val keep2 = d1.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val s2 = d1.join(keep2, Seq("fp", "doc_id"))
+        .select(col("doc_id"), col("text"))
+      val g = TA.gopherQuality(s2, "doc_id", "text",
+        minWords = 50, maxWords = 90)
+      val s3 = s2.join(g.filter(col("keep") === 1L).select("doc_id"),
+        Seq("doc_id"))
+      val ws = split(TF.normalizeText(col("text")), " ")
+      val en = size(filter(ws, w =>
+        w === "the" || w === "a" || w === "of" || w === "and"))
+      val s4 = s3.filter(en >= 2)
+      def stage(df: DataFrame, name: String) =
+        df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"))
+      val raw = docs.agg(count(lit(1)).as("nr"))
+      stage(docs, "1_raw").unionByName(stage(s2, "2_exact_dedup"))
+        .unionByName(stage(s3, "3_quality"))
+        .unionByName(stage(s4, "4_english"))
+        .crossJoin(broadcast(raw))
+        .withColumn("pct_of_raw",
+          round(col("n_docs").cast("double") / col("nr") * 100, 4))
+        .select("stage", "n_docs", "pct_of_raw")
+        .orderBy("stage")
+    }),
+
+    // MinHash S-CURVE, measured against itself (does the deployed LSH
+    // geometry deliver its textbook collision probability?): exact
+    // df-cut Jaccard pairs binned at 0.05 grain; per bin, the OBSERVED
+    // co-bucket rate of the production candidate generator (16 hashes,
+    // 8 bands × 2 rows, bucket cap 10) next to the THEORETICAL
+    // 1 − (1 − j²)⁸ — computed by squaring alone (no pow), so the
+    // curve replays bit-exactly. The gap between columns is the
+    // recall the bucket cap + hash family actually cost.
+    "q316_minhash_scurve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.05, maxDf = 20)
+      val cand = DedupOps.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 16, rowsPerBand = 2, maxBucket = 10)
+        .withColumn("hit", lit(1L))
+      val scored = pairs.join(cand, Seq("id_a", "id_b"), "left")
+        .withColumn("bin",
+          expr("cast(round(jaccard * 10000) as bigint) div 500"))
+        .withColumn("x", lit(1.0) - col("jaccard") * col("jaccard"))
+        .withColumn("x2", col("x") * col("x"))
+        .withColumn("x4", col("x2") * col("x2"))
+        .withColumn("p", lit(1.0) - col("x4") * col("x4"))
+      scored.groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_collided"),
+          round(ssum(collect_list(col("p"))) / count(lit(1)), 4)
+            .as("theo_rate"))
+        .withColumn("obs_rate",
+          round(col("n_collided").cast("double") / col("n_pairs"), 4))
+        .select(col("bin"), col("n_pairs"), col("n_collided"),
+          col("obs_rate"), col("theo_rate"))
+        .orderBy("bin")
+    }),
+
     // ZONE-MAP FILE-SKIPPING EFFECTIVENESS — the data-layout lesson
     // behind every min/max-pruned scan: the SAME rows grouped into
     // files by hash (orderkey shard) vs by price-clustered ntile give
@@ -15727,6 +15795,106 @@ object SparkEntry {
              / count(*) * 100, 4) AS dropped_pct
          FROM e, unnest([0::BIGINT, 60, 120, 300, 600]) AS t(delay_s)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q315_curation_funnel" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS fp,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         k2 AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY 1),
+         s2 AS (SELECT d.* FROM d JOIN k2 USING (fp, doc_id)),
+         g AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               round(CAST(list_sum(list_transform(ws, x -> len(x)))
+                 AS DOUBLE) / len(ws), 4) AS mwl,
+               CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a'))
+                 AS BIGINT) AS sc
+             FROM s2)
+           WHERE n_words >= 50 AND n_words <= 90
+             AND mwl >= 3.0 AND mwl <= 10.0 AND sc >= 2),
+         s3 AS (SELECT s2.* FROM s2 JOIN g USING (doc_id)),
+         s4 AS (
+           SELECT * FROM s3
+           WHERE len(list_filter(ws, x -> x = 'the' OR x = 'a'
+             OR x = 'of' OR x = 'and')) >= 2),
+         raw AS (SELECT count(*)::BIGINT AS nr FROM d),
+         st AS (
+           SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs FROM d
+           UNION ALL SELECT '2_exact_dedup', count(*)::BIGINT FROM s2
+           UNION ALL SELECT '3_quality', count(*)::BIGINT FROM s3
+           UNION ALL SELECT '4_english', count(*)::BIGINT FROM s4)
+         SELECT stage, n_docs,
+           round(n_docs::DOUBLE / nr * 100, 4) AS pct_of_raw
+         FROM st CROSS JOIN raw ORDER BY stage""",
+
+    "q316_minhash_scurve" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS shs
+           FROM w),
+         e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         rare AS (
+           SELECT sh FROM e0 GROUP BY 1 HAVING count(*) <= 20),
+         e AS (SELECT e0.* FROM e0 JOIN rare USING (sh)),
+         m AS (SELECT doc_id, count(*)::BIGINT AS mm FROM e GROUP BY 1),
+         em AS (SELECT e.doc_id, e.sh, m.mm FROM e JOIN m USING (doc_id)),
+         pr AS (
+           SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) AS j
+           FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.mm AS m_a, b.mm AS m_b, count(*)::BIGINT AS inter
+             FROM em a JOIN em b
+               ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4)
+             >= 0.05),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0,16), k ->
+               list_min(list_transform(shs, s ->
+                 ((2*k+1) * ((('0x' || substring(md5('0:' || s),1,12))::BIGINT)
+                             % 2147483647)
+                  + 7919*k) % 2147483647))) AS sigs
+           FROM sh),
+         banded0 AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0,8), b ->
+               CAST(b AS VARCHAR) || ':'
+               || CAST(sigs[2*b+1] AS VARCHAR) || ':'
+               || CAST(sigs[2*b+2] AS VARCHAR))) AS band_key
+           FROM sig),
+         bsz AS (SELECT band_key, count(*) AS c FROM banded0 GROUP BY 1),
+         banded AS (
+           SELECT banded0.* FROM banded0 JOIN bsz USING (band_key)
+           WHERE bsz.c <= 10),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         sc1 AS (
+           SELECT CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit,
+             round(j * 10000)::BIGINT // 500 AS bin,
+             1.0 - j * j AS x
+           FROM pr p LEFT JOIN cand c
+             ON p.id_a = c.id_a AND p.id_b = c.id_b),
+         sc2 AS (SELECT hit, bin, x * x AS x2 FROM sc1),
+         sc3 AS (SELECT hit, bin, x2 * x2 AS x4 FROM sc2),
+         sc4 AS (SELECT hit, bin, 1.0 - x4 * x4 AS p FROM sc3)
+         SELECT bin, count(*)::BIGINT AS n_pairs,
+           sum(hit)::BIGINT AS n_collided,
+           round(sum(hit)::DOUBLE / count(*), 4) AS obs_rate,
+           round(list_sum(list_sort(list(p))) / count(*), 4) AS theo_rate
+         FROM sc4 GROUP BY 1 ORDER BY 1""",
 
     "q305_zonemap_skipping" ->
       """WITH base AS (
