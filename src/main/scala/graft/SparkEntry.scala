@@ -8076,7 +8076,10 @@ object SparkEntry {
       val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
         .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
         .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
-      est.crossJoin(exact)
+      // broadcast hint is load-bearing: both sides are one-row aggs,
+      // but without it the planner may pick a shuffled CartesianProduct
+      // when a sibling suite's session conf disables auto-broadcast
+      est.crossJoin(broadcast(exact))
         .withColumn("inflation", round(
           col("est_pairs").cast("double") / col("exact_pairs"), 4))
     }),
