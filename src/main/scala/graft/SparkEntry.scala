@@ -8250,6 +8250,75 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // IVF LIST-BALANCE PROFILE (the hot-partition diagnostic for the
+    // q24/q232/q307 family): occupancy of every inverted list under
+    // 8 vs 16 seed centroids — max/mean imbalance is the factor by
+    // which the hottest list's scan cost exceeds the nprobe cost
+    // model's assumption. A 100 TB IVF with imbalance 5 reads 5× the
+    // budget on the unlucky probes; this table is what says whether
+    // the centroid count (or a re-train) is needed.
+    "q317_ivf_list_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      def occ(k: Int) = {
+        val cents = Caches.small(emb.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+        Similarity.ivfAssign(emb, "vec_id", "embedding", cents,
+            "cid", "cv")
+          .groupBy("cluster").agg(count(lit(1)).as("occ"))
+          .agg(lit(k.toLong).as("nlists"),
+            count(lit(1)).as("lists_used"),
+            min(col("occ")).as("min_occ"),
+            max(col("occ")).as("max_occ"),
+            sum(col("occ")).as("n_vectors"))
+      }
+      occ(8).unionByName(occ(16))
+        .withColumn("imbalance", round(
+          col("max_occ").cast("double") * col("nlists") / col("n_vectors"),
+          4))
+        .orderBy("nlists")
+    }),
+
+    // SHINGLE DOCUMENT-FREQUENCY PROFILE (the data behind the df-cut
+    // knob the q19/q75 pair sources rely on): 2-gram shingles banded
+    // by document frequency, with each band's share of the POSTING
+    // MASS — the Σ df² pair work a shingle self-join would pay lives
+    // in the top bands, which is exactly what maxDf = 20 removes.
+    // This is the table that justifies (or re-tunes) the cut at any
+    // corpus.
+    "q318_shingle_df_profile" -> ((s, dir) => {
+      // two-step shingling (the withShingles discipline): the words
+      // array crosses an exchange so the lambda binds an attribute —
+      // the one-expression form recomputes normalize+split per lambda
+      // element and pinned q318 to one parquet split (7.7 s → 1.3 s)
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(TF.normalizeText(col("text")), " ").as("__ws"))
+        .repartition(32)
+        .select(col("doc_id"),
+          explode(DedupOps.shinglesFromWords(col("__ws"), 2)).as("sh"))
+      val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val banded = df.withColumn("band",
+        when(col("df") === 1, "1_unique")
+          .when(col("df") === 2, "2_pair")
+          .when(col("df") <= 5, "3_to_5")
+          .when(col("df") <= 20, "6_to_20")
+          .otherwise("9_over_cut"))
+      val tot = banded.agg(sum(col("df")).as("tot_postings"),
+        sum(col("df") * col("df")).as("tot_pairwork"))
+      banded.groupBy("band")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("df")).as("postings"),
+          sum(col("df") * col("df")).as("pairwork"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_shingles"), col("postings"),
+          round(col("postings").cast("double") / col("tot_postings")
+            * 100, 4).as("posting_pct"),
+          round(col("pairwork").cast("double") / col("tot_pairwork")
+            * 100, 4).as("pairwork_pct"))
+        .orderBy("band")
+    }),
+
     // ZONE-MAP FILE-SKIPPING EFFECTIVENESS — the data-layout lesson
     // behind every min/max-pruned scan: the SAME rows grouped into
     // files by hash (orderkey shard) vs by price-clustered ntile give
@@ -15798,6 +15867,80 @@ object SparkEntry {
              / count(*) * 100, 4) AS dropped_pct
          FROM e, unnest([0::BIGINT, 60, 120, 300, 600]) AS t(delay_s)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q317_ivf_list_balance" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+           FROM e),
+         c8 AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM nr
+                WHERE vec_id < 8),
+         c16 AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM nr
+                 WHERE vec_id < 16),
+         a8 AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])) / (n.nm * c.cn), 6) DESC,
+                 c.cid) AS rn
+             FROM nr n CROSS JOIN c8 c)
+           WHERE rn = 1),
+         a16 AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])) / (n.nm * c.cn), 6) DESC,
+                 c.cid) AS rn
+             FROM nr n CROSS JOIN c16 c)
+           WHERE rn = 1),
+         s AS (
+           SELECT 8::BIGINT AS nlists, count(*)::BIGINT AS lists_used,
+             min(occ)::BIGINT AS min_occ, max(occ)::BIGINT AS max_occ,
+             sum(occ)::BIGINT AS n_vectors
+           FROM (SELECT cluster, count(*) AS occ FROM a8 GROUP BY 1)
+           UNION ALL
+           SELECT 16::BIGINT, count(*)::BIGINT, min(occ)::BIGINT,
+             max(occ)::BIGINT, sum(occ)::BIGINT
+           FROM (SELECT cluster, count(*) AS occ FROM a16 GROUP BY 1))
+         SELECT nlists, lists_used, min_occ, max_occ, n_vectors,
+           round(max_occ::DOUBLE * nlists / n_vectors, 4) AS imbalance
+         FROM s ORDER BY nlists""",
+
+    "q318_shingle_df_profile" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         shx AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1]))) AS sh
+           FROM w),
+         dfx AS (SELECT sh, count(*)::BIGINT AS df FROM shx GROUP BY 1),
+         banded AS (
+           SELECT df,
+             CASE WHEN df = 1 THEN '1_unique'
+                  WHEN df = 2 THEN '2_pair'
+                  WHEN df <= 5 THEN '3_to_5'
+                  WHEN df <= 20 THEN '6_to_20'
+                  ELSE '9_over_cut' END AS band
+           FROM dfx),
+         tot AS (
+           SELECT sum(df)::BIGINT AS tp, sum(df * df)::BIGINT AS tw
+           FROM banded)
+         SELECT band, count(*)::BIGINT AS n_shingles,
+           sum(df)::BIGINT AS postings,
+           round(sum(df)::DOUBLE / tp * 100, 4) AS posting_pct,
+           round(sum(df * df)::DOUBLE / tw * 100, 4) AS pairwork_pct
+         FROM banded CROSS JOIN tot
+         GROUP BY band, tp, tw ORDER BY band""",
 
     "q315_curation_funnel" ->
       """WITH d AS (
