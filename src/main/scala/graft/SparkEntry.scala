@@ -8319,6 +8319,59 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // DEDUP THRESHOLD SWEEP (the governance table behind "dedup at
+    // 0.8"): one verified near-dup pair computation, then for every
+    // candidate threshold the surviving pair count and the number of
+    // DOCUMENTS touched — what moving the knob actually deletes. The
+    // sweep explodes map-side over 5 thresholds; the expensive pair
+    // source runs once.
+    "q319_dedup_threshold_sweep" -> ((s, dir) => {
+      val pairs = DedupOps.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 2, threshold = 0.5, maxDf = 20)
+      val swept = pairs.withColumn("thr_pct",
+          explode(array(Seq(50L, 60L, 70L, 80L, 90L).map(lit): _*)))
+        .filter(col("jaccard") >= col("thr_pct").cast("double") / 100.0)
+      val np = swept.groupBy("thr_pct").agg(count(lit(1)).as("n_pairs"))
+      val nd = swept
+        .select(col("thr_pct"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .groupBy("thr_pct")
+        .agg(countDistinct(col("d")).as("n_docs"))
+      np.join(nd, Seq("thr_pct")).orderBy("thr_pct")
+    }),
+
+    // MinHash ESTIMATOR ACCURACY vs signature width (how many hashes
+    // does the sketch actually need?): for each df-cut exact pair,
+    // the slot-agreement estimate from the first k of 16 signature
+    // slots vs the true Jaccard, rolled to mean absolute error and
+    // bias per k ∈ {4, 8, 16}. One signature computation; the k sweep
+    // reads prefixes. The k where MAE flattens is the memory the
+    // production sketch should pay — no more.
+    "q320_minhash_estimator" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.05, maxDf = 20)
+      val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text",
+        numHashes = 16)
+      val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+      val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+      val d = (c: Column) => c.cast("double")
+      pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .withColumn("k", explode(array(Seq(4L, 8L, 16L).map(lit): _*)))
+        .withColumn("agree", expr(
+          "aggregate(sequence(1L, k), 0L, (a, i) -> a + " +
+            "IF(element_at(sa, cast(i as int)) = " +
+            "element_at(sb, cast(i as int)), 1L, 0L))"))
+        .withColumn("err", d(col("agree")) / col("k") - col("jaccard"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(ssum(collect_list(abs(col("err")))) / count(lit(1)), 6)
+            .as("mae"),
+          round(ssum(collect_list(col("err"))) / count(lit(1)), 6)
+            .as("bias"))
+        .orderBy("k")
+    }),
+
     // ZONE-MAP FILE-SKIPPING EFFECTIVENESS — the data-layout lesson
     // behind every min/max-pruned scan: the SAME rows grouped into
     // files by hash (orderkey shard) vs by price-clustered ntile give
@@ -15941,6 +15994,101 @@ object SparkEntry {
            round(sum(df * df)::DOUBLE / tw * 100, 4) AS pairwork_pct
          FROM banded CROSS JOIN tot
          GROUP BY band, tp, tw ORDER BY band""",
+
+    "q319_dedup_threshold_sweep" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS shs
+           FROM w),
+         e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         rare AS (
+           SELECT sh FROM e0 GROUP BY 1 HAVING count(*) <= 20),
+         e AS (SELECT e0.* FROM e0 JOIN rare USING (sh)),
+         m AS (SELECT doc_id, count(*)::BIGINT AS mm FROM e GROUP BY 1),
+         em AS (SELECT e.doc_id, e.sh, m.mm FROM e JOIN m USING (doc_id)),
+         pr AS (
+           SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) AS j
+           FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.mm AS m_a, b.mm AS m_b, count(*)::BIGINT AS inter
+             FROM em a JOIN em b
+               ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4)
+             >= 0.5),
+         sw AS (
+           SELECT id_a, id_b, thr_pct
+           FROM pr, unnest([50::BIGINT, 60, 70, 80, 90]) AS t(thr_pct)
+           WHERE j >= thr_pct::DOUBLE / 100.0),
+         np AS (
+           SELECT thr_pct, count(*)::BIGINT AS n_pairs
+           FROM sw GROUP BY 1),
+         nd AS (
+           SELECT thr_pct, count(DISTINCT d)::BIGINT AS n_docs FROM (
+             SELECT thr_pct, unnest([id_a, id_b]) AS d FROM sw)
+           GROUP BY 1)
+         SELECT thr_pct, n_pairs, n_docs
+         FROM np JOIN nd USING (thr_pct) ORDER BY thr_pct""",
+
+    "q320_minhash_estimator" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS shs
+           FROM w),
+         e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         rare AS (
+           SELECT sh FROM e0 GROUP BY 1 HAVING count(*) <= 20),
+         e AS (SELECT e0.* FROM e0 JOIN rare USING (sh)),
+         m AS (SELECT doc_id, count(*)::BIGINT AS mm FROM e GROUP BY 1),
+         em AS (SELECT e.doc_id, e.sh, m.mm FROM e JOIN m USING (doc_id)),
+         pr AS (
+           SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4) AS j
+           FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.mm AS m_a, b.mm AS m_b, count(*)::BIGINT AS inter
+             FROM em a JOIN em b
+               ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE round(CAST(inter AS DOUBLE)/(m_a + m_b - inter), 4)
+             >= 0.05),
+         sig AS (
+           SELECT doc_id,
+             list_transform(range(0,16), kk ->
+               list_min(list_transform(shs, s ->
+                 ((2*kk+1) * ((('0x' || substring(md5('0:' || s),1,12))::BIGINT)
+                             % 2147483647)
+                  + 7919*kk) % 2147483647))) AS sigs
+           FROM sh),
+         jj AS (
+           SELECT p.j, a.sigs AS sa, b.sigs AS sb
+           FROM pr p
+           JOIN sig a ON p.id_a = a.doc_id
+           JOIN sig b ON p.id_b = b.doc_id),
+         er AS (
+           SELECT k,
+             CAST(list_sum(list_transform(range(1, k + 1),
+               i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
+               AS DOUBLE) / k - j AS err
+           FROM jj, unnest([4::BIGINT, 8, 16]) AS t(k))
+         SELECT k, count(*)::BIGINT AS n_pairs,
+           round(list_sum(list_sort(list(abs(err)))) / count(*), 6)
+             AS mae,
+           round(list_sum(list_sort(list(err))) / count(*), 6) AS bias
+         FROM er GROUP BY 1 ORDER BY 1""",
 
     "q315_curation_funnel" ->
       """WITH d AS (
