@@ -18,6 +18,34 @@ import org.apache.spark.sql.functions._
   * excluded from `value` — never silently recorded as healthy.
   */
 object Bench {
+
+  /** Ambient-load drift of a sweep vs its committed baseline: the
+    * MEDIAN per-query sweep/baseline time ratio over queries that ran
+    * clean, have a positive baseline, and are big enough to measure
+    * (both sides >= 0.2 s — sub-scheduler-tick queries ratio as pure
+    * jitter). Median, not total: a few genuine regressions are
+    * outliers to the median but shift a total ratio, and the guardrail
+    * must not let one real 10x blowup raise every other query's bar.
+    * Clamped to [1, 3] and to 1 when fewer than 5 queries overlap (too
+    * small a panel to distinguish load from luck). Pure — unit-tested
+    * by BenchGuardrailSpec's synthetic-load / planted-regression
+    * scenarios. */
+  def driftRatio(timings: Seq[(String, Double, Boolean)],
+                 baseline: Map[String, Double]): Double = {
+    val ratios = timings.collect {
+      case (k, v, true) if baseline.get(k).exists(_ >= 0.2) && v >= 0.2 =>
+        v / baseline(k)
+    }.sorted
+    if (ratios.size < 5) 1.0
+    else math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
+  }
+
+  /** The per-query flag predicate at a given drift: >2x the committed
+    * baseline after drift normalization AND >1 s absolute (scheduler
+    * jitter alone is 2x on sub-second queries). */
+  def isOver(v: Double, base: Double, drift: Double): Boolean =
+    base > 0 && v > 2 * drift * base && v > 1.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,16 +121,33 @@ object Bench {
     // empty sweep (allRuns.head would throw after doing no work)
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(1))
-    // UNRECORDED warmup sweep of three real queries before the clock
-    // starts: the spark.range warmup above primes the JVM but not the
+    // UNRECORDED warmup sweep of real queries before the clock starts:
+    // the spark.range warmup above primes the JVM but not the
     // parquet-scan, regex and join codepaths, so sweep positions 1-6
     // (q01/q03/q06) read 2.6-3.5× their steady state every round and
     // had to be adjudicated away by the isolated re-measure. Running
     // them once untimed moves JIT/codegen warmup off the books.
-    for (w <- Seq("q01_pricing_agg", "q06_regex_date_extract",
-        "q03_antijoin_new_rows"))
+    // Warmups come from the SELECTED set (advisor r08): an isolated
+    // re-measure of other queries — possibly on a partial dataset
+    // missing q01's tables — warms up with its own first selection
+    // instead of failing q01/q03/q06 invisibly every run. Failures are
+    // REPORTED (timeOne prints FAILED; the outer guard logs too) so a
+    // warmup that consistently stops doing its job is visible.
+    val selNames = selected.map(_._1).toSet
+    val warmups = Seq("q01_pricing_agg", "q06_regex_date_extract",
+      "q03_antijoin_new_rows").filter(selNames.contains) match {
+      case Seq() => selected.take(1).map(_._1)
+      case ws    => ws
+    }
+    for (w <- warmups)
       SparkEntry.queries.get(w).foreach { fn =>
-        try timeOne(w, fn) catch { case _: Throwable => () }
+        try {
+          val (_, _, ok) = timeOne(w, fn)
+          if (!ok) System.err.println(s"[bench] warmup $w failed (see above)")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $w threw outside the timed " +
+            s"region: ${e.getMessage}")
+        }
       }
     val allRuns = (1 to runs).map { r =>
       if (runs > 1) System.err.println(s"[bench] sweep $r/$runs")
@@ -140,10 +185,26 @@ object Bench {
     // re-measured in the same JVM right after the sweep — the
     // mechanical form of the "re-run flagged queries in isolation"
     // triage that previously happened by hand. The flag stands only if
-    // the re-measure is ALSO >2x baseline; both numbers are reported so
+    // the re-measure is ALSO over the bar; both numbers are reported so
     // a drift between them reads as session pressure, not plan change.
+    //
+    // LOAD-ROBUST bar (judge r08): the raw 2x threshold fired on pure
+    // ambient load (r08 driver sweep ran 1.36x baseline overall and
+    // flagged q286/q28; judge-isolated re-runs cleared both at
+    // 1.17x/1.39x). The bar is now normalized by the sweep's own drift
+    // — the MEDIAN per-query sweep/baseline ratio, which a handful of
+    // genuine regressions cannot move (unlike the total ratio, where
+    // one 100s blowup shifts every other query's bar). Clamped to
+    // [1, 3]: never tightened below the plain 2x bar on a fast box,
+    // and a >3x-loaded box is a measurement to discard, not to
+    // normalize into. BenchGuardrailSpec proves the contract: uniform
+    // synthetic load produces zero flags, a planted 3x regression on
+    // an idle box still flags.
+    val drift = Bench.driftRatio(timings, baseline)
+    if (drift > 1.001) System.err.println(
+      f"[bench] ambient drift ${drift}%.2fx vs baseline — flag bar scaled to ${2 * drift}%.1fx")
     def over(k: String, v: Double): Boolean =
-      baseline.get(k).exists(b => b > 0 && v > 2 * b && v > 1.0)
+      baseline.get(k).exists(b => Bench.isOver(v, b, drift))
     val suspects = timings.collect { case (k, v, true) if over(k, v) => (k, v) }
     val byName = selected.toMap
     val flagged = suspects.flatMap { case (k, v0) =>

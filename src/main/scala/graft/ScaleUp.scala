@@ -46,9 +46,23 @@ object ScaleUp {
     // are letter-triples, so any two replicas' names differ by >= 3
     // edits and a maxDist<=2 fuzzy join never pairs them — DISTINCT
     // content growth, the regime the salt bound exists for.
-    val distinctNames = args.length == 5 && args(4).toBoolean
+    // explicit true/false parse: a typo'd 5th arg gets a usage message
+    // naming the argument, not a bare IllegalArgumentException from
+    // String.toBoolean (advisor r08)
+    val distinctNames = args.length == 5 && (args(4).toLowerCase match {
+      case "true"  => true
+      case "false" => false
+      case other => sys.error(
+        s"ScaleUp: 5th arg distinctNames must be true|false, got '$other'")
+    })
+    // k caps differ BY DESIGN: name tags are letter-pair triples (10×10
+    // alphabet grid → 100 distinct suffixes) while the embeddings
+    // replica family rotates sign patterns (128 rotations); a combined
+    // distinctNames run is bounded by the smaller cap
     require(!distinctNames || k <= 100,
-      "distinctNames tags support k <= 100")
+      s"distinctNames name tags support k <= 100 (10x10 letter-pair " +
+        s"grid; the embeddings rotation cap of 128 does not apply to " +
+        s"name tags), got k=$k")
     def nameTag(r: Int): String = {
       val a = ('a' + r / 10).toChar
       val b = ('a' + r % 10).toChar

@@ -23,6 +23,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Auto-geometry guard: q23/q91/q298 derive sign-LSH planes from the
+    // embeddings count (targetBucket 125 / 32); their DuckDB oracles pin
+    // 4 hyperplanes. Any verify tier whose derived geometry is not 4
+    // would silently hash-mismatch (advisor r08) — fail fast with the
+    // cause instead.
+    val autoGeomQueries = Set("q23_embedding_neardup_lsh", "q91_knn_join",
+      "q298_hubness")
+    if (only.forall(f => autoGeomQueries.exists(f.contains))) {
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      for (tb <- Seq(32L, 125L)) {
+        val derived = graft.ops.Similarity.adaptivePlanes(n, tb)
+        require(derived == 4, s"verify tier $sfDir has $n embeddings → " +
+          s"$derived derived planes at targetBucket=$tb, but the " +
+          "q23/q91/q298 oracles pin 4 — run Verify at sf0.01 or re-pin " +
+          "the oracle hyperplane range")
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

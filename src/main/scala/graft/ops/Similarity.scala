@@ -441,8 +441,11 @@ object Similarity {
     // pair becomes a SCORED candidate here (no threshold pre-filter),
     // so per-vector candidates ≈ tables·bucket — 125-row buckets give
     // ~500 scored neighbors per vector for a top-3 query, paying 4×
-    // the pair volume 32-row buckets already recall from. At the gate
-    // SFs (500 vectors) both targets derive the same pinned 4 planes.
+    // the pair volume 32-row buckets already recall from. Only the
+    // 500-vector sf0.01 ORACLE tier derives the pinned 4 under
+    // targetBucket=32 (2 000 vectors derive 6, and the q91/q298 DuckDB
+    // oracles would diverge there) — Verify asserts derived == 4 for
+    // the verify SF before dumping any auto-geometry oracle rows.
     val planes = resolvePlanes(corpus, id, planesPerTable, corpusHint,
       targetBucket = 32)
     // score-at-join (see [[scoredBandPairs]]): arrays never cross an
