@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import SqliteFile._
+
+/** DataSourceV2 connector for SQLite 3 database files —
+  * `spark.read.format("graft-sqlite").option("table", "DWH_DOCUMENT")
+  * .load("/path/to/drwh.db")` — native read of the reference's actual
+  * warehouse storage (`script.py:125`), no JDBC driver involved
+  * (sqlite-jdbc is unvendorable offline, SCALE.md §6i; the JDBC
+  * *upsert* surface is proven separately against embedded Derby).
+  *
+  * Schema comes from the file's own `sqlite_master` DDL via SQLite's
+  * documented affinity rules: INTEGER→long, TEXT (CHAR/CLOB/TEXT)→
+  * string, REAL (REAL/FLOA/DOUB)→double, BLOB→binary, NUMERIC (e.g.
+  * the reference's DATE columns, which SQLite stores as ISO text)→
+  * string. Cells are dynamically typed on disk; each value is coerced
+  * to the column's affinity type (unparseable coercions yield null,
+  * never a throw — a type-fluid SQLite file is data, not an error).
+  * An INTEGER PRIMARY KEY column is a ROWID ALIAS: the record stores
+  * NULL and the B-tree rowid carries the value — the reader
+  * substitutes it, so `DWH_PATIENT.PATIENT_NUM` reads back real keys.
+  *
+  * Scale: the table B-tree root's children become the InputPartitions
+  * (disjoint page subtrees in rowid order, ~pageSize/16 fan-out per
+  * interior level), grouped to `maxPartitions` (default 32) — a
+  * multi-GB warehouse file scans with executor parallelism and NO
+  * driver materialization; each reader positioned-reads only its
+  * subtree's pages. Column pruning reaches the record decoder: unneeded
+  * cell bodies are length-skipped, not decoded.
+  *
+  * Options: `table` (required — table name, case-insensitive),
+  * `maxPartitions` (default 32). The path must be a single .db file.
+  */
+class SqliteDataSourceV2 extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-sqlite"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SqliteDataSourceV2.sparkSchema(SqliteDataSourceV2.resolveTable(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SqliteTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object SqliteDataSourceV2 {
+
+  /** Hadoop-positioned page reader: opens the file once, `readFully`
+    * per page. Works for any Hadoop filesystem (file://, hdfs://,
+    * s3a:// …); object stores serve the positioned reads as ranged
+    * GETs. */
+  final class HadoopPageReader(path: String, conf: Configuration)
+      extends PageReader {
+    private val p = new Path(path)
+    private val fs = p.getFileSystem(conf)
+    private val in: FSDataInputStream = fs.open(p)
+    val header: Header = {
+      val h = new Array[Byte](100)
+      in.readFully(0L, h)
+      parseHeader(h)
+    }
+    def pageSize: Int = header.pageSize
+    def page(n: Int): Array[Byte] = {
+      require(n >= 1, s"sqlite: page numbers are 1-based, got $n")
+      val buf = new Array[Byte](header.pageSize)
+      in.readFully((n.toLong - 1) * header.pageSize, buf)
+      buf
+    }
+    def close(): Unit = in.close()
+  }
+
+  def openReader(path: String, conf: Configuration): HadoopPageReader =
+    new HadoopPageReader(path, conf)
+
+  /** Filesystem path of the committed read-fixture
+    * (tools/make_sqlite_fixture.py → classpath graft/fixture.db) — the
+    * q321 oracle input. Resolves in place when the classpath entry is a
+    * directory; extracts once to the JVM temp dir when jarred. */
+  lazy val fixturePath: String = {
+    val res = getClass.getClassLoader.getResource("graft/fixture.db")
+    require(res != null, "graft-sqlite: fixture graft/fixture.db not on " +
+      "classpath — run tools/make_sqlite_fixture.py")
+    if (res.getProtocol == "file")
+      java.nio.file.Paths.get(res.toURI).toString
+    else {
+      val tmp = java.nio.file.Files.createTempFile("graft-fixture", ".db")
+      val in = res.openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    }
+  }
+
+  /** All ordinary tables in a .db file (driver-side catalog listing). */
+  def listTables(path: String, conf: Configuration): Seq[SqliteTableDef] = {
+    val pr = openReader(path, conf)
+    try tables(pr, pr.header) finally pr.close()
+  }
+
+  private[sources] def resolveTable(options: CaseInsensitiveStringMap)
+      : SqliteTableDef = {
+    val path = Option(options.get("path")).getOrElse(throw
+      new IllegalArgumentException("graft-sqlite: .load(path) is required " +
+        "(a single .db file)"))
+    val tableName = Option(options.get("table")).getOrElse(throw
+      new IllegalArgumentException("graft-sqlite: option 'table' is " +
+        "required — one of: " +
+        listTables(path, XlsxDataSourceV2.sessionConf()).map(_.name)
+          .mkString(", ")))
+    val all = listTables(path, XlsxDataSourceV2.sessionConf())
+    val t = all.find(_.name.equalsIgnoreCase(tableName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sqlite: no table '$tableName' in $path — found: " +
+          all.map(_.name).mkString(", ")))
+    require(!t.withoutRowid, s"graft-sqlite: ${t.name} is WITHOUT ROWID " +
+      "(index-btree storage) — not supported by this reader")
+    t
+  }
+
+  def affinityType(c: SqliteColumn): DataType = c.affinity match {
+    case "INTEGER" => LongType
+    case "TEXT"    => StringType
+    case "REAL"    => DoubleType
+    case "BLOB"    => BinaryType
+    case "NUMERIC" => StringType // reference DATE columns: ISO text on disk
+  }
+
+  def sparkSchema(t: SqliteTableDef): StructType =
+    StructType(t.columns.map(c => StructField(c.name, affinityType(c))))
+
+  /** Affinity coercion: dynamic on-disk value → the column's static
+    * Spark type. Lossless where SQLite itself round-trips; otherwise
+    * null (documented: a TEXT cell in an INTEGER column that does not
+    * parse is null here, where SQLite would surface the raw text —
+    * Spark columns are statically typed, so the honest options are
+    * null or throw, and a reader must not throw on data). */
+  def coerce(v: Value, dt: DataType): Any = (v, dt) match {
+    case (VNull, _) => null
+    case (VInt(x), LongType) => x
+    case (VReal(x), LongType) => x.toLong
+    case (VText(s), LongType) =>
+      s.trim.toLongOption.orElse(s.trim.toDoubleOption.map(_.toLong)).orNull
+    case (VInt(x), DoubleType) => x.toDouble
+    case (VReal(x), DoubleType) => x
+    case (VText(s), DoubleType) => s.trim.toDoubleOption.orNull
+    case (VText(s), StringType) => UTF8String.fromString(s)
+    case (VInt(x), StringType) => UTF8String.fromString(x.toString)
+    case (VReal(x), StringType) => UTF8String.fromString(
+      if (x == x.floor && !x.isInfinite && math.abs(x) < 1e15)
+        f"$x%.1f" // SQLite renders integral reals with one decimal
+      else x.toString)
+    case (VBlob(b), BinaryType) => b
+    case (VText(s), BinaryType) => s.getBytes("UTF-8")
+    case _ => null
+  }
+}
+
+private[sources] class SqliteTable(tableSchema: StructType,
+                                   options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-sqlite(${Option(options.get("path")).getOrElse("?")}#" +
+      s"${Option(options.get("table")).getOrElse("?")})"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge load-time options (path/table live there) with scan options
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(o)
+    new SqliteScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class SqliteScanBuilder(fullSchema: StructType,
+                                         options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val t = SqliteDataSourceV2.resolveTable(options)
+    new SqliteScan(required, t, options.get("path"),
+      options.getInt("maxPartitions", 32),
+      new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()))
+  }
+}
+
+/** Partition planning: the root B-tree page's children, grouped into at
+  * most `maxPartitions` contiguous runs — each InputPartition owns a
+  * disjoint set of page subtrees. A leaf root (small table) is one
+  * partition scanning the root itself. */
+private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
+                                  path: String, maxPartitions: Int,
+                                  conf: SerializableHadoopConf)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-sqlite ${t.name}, columns " +
+      required.fieldNames.mkString("[", ",", "]")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pr = SqliteDataSourceV2.openReader(path, conf.value)
+    try {
+      val kids = rootChildren(pr, t.rootPage)
+      if (kids.isEmpty)
+        Array(SqlitePartition(Seq(t.rootPage)))
+      else {
+        val groups = math.max(1, math.min(maxPartitions, kids.size))
+        // contiguous grouping keeps each partition's pages clustered on
+        // disk (sequential-ish reads) and rowid-ordered within itself
+        kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
+          .map(g => SqlitePartition(g): InputPartition)
+          .toArray
+      }
+    } finally pr.close()
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // page-count geometry is in the header — free and honest enough for
+    // the broadcast-threshold decision the optimizer makes with it
+    override def sizeInBytes(): util.OptionalLong = {
+      val pr = SqliteDataSourceV2.openReader(path, conf.value)
+      try util.OptionalLong.of(pr.header.pageCount * pr.header.pageSize)
+      finally pr.close()
+    }
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqliteReaderFactory(required, t, path, conf)
+}
+
+private[sources] case class SqlitePartition(roots: Seq[Int])
+    extends InputPartition
+
+private[sources] class SqliteReaderFactory(required: StructType,
+                                           t: SqliteTableDef, path: String,
+                                           conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SqlitePartitionReader(p.asInstanceOf[SqlitePartition], required, t,
+      path, conf)
+}
+
+private[sources] class SqlitePartitionReader(part: SqlitePartition,
+                                             required: StructType,
+                                             t: SqliteTableDef, path: String,
+                                             conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val pr = SqliteDataSourceV2.openReader(path, conf.value)
+  // required field -> (table ordinal, spark type, is rowid alias)
+  private val fields: Array[(Int, DataType, Boolean)] =
+    required.fields.map { f =>
+      val ord = t.columns.indexWhere(_.name.equalsIgnoreCase(f.name))
+      require(ord >= 0, s"graft-sqlite: no column ${f.name} in ${t.name}")
+      (ord, f.dataType, t.columns(ord).rowidAlias)
+    }
+  private val wantedOrdinals = fields.collect {
+    case (ord, _, alias) if !alias => ord
+  }.toSet
+
+  private val rows: Iterator[InternalRow] =
+    part.roots.iterator.flatMap(root => scanTable(pr, pr.header, root))
+      .map { raw =>
+        val vals = decodeRecord(raw.payload, wantedOrdinals.contains)
+        InternalRow.fromSeq(fields.toIndexedSeq.map {
+          case (_, dt, true) => // rowid alias: record stores NULL
+            if (dt == LongType) raw.rowid
+            else SqliteDataSourceV2.coerce(VInt(raw.rowid), dt)
+          case (ord, dt, false) =>
+            if (ord < vals.length) SqliteDataSourceV2.coerce(vals(ord), dt)
+            else null // row predates an ALTER TABLE ADD COLUMN
+        })
+      }
+
+  private var cur: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+
+  override def get(): InternalRow = cur
+
+  override def close(): Unit = pr.close()
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
+
+import graft.sources.{SqliteDataSourceV2, SqliteFile}
+
+/** The native SQLite source against BOTH targets it exists for: the
+  * reference's actual `drwh.db` (schema golden — the true
+  * reference-parity gate) and the generated fixture
+  * (tools/make_sqlite_fixture.py), which exercises every parser
+  * feature: multi-level B-tree, overflow chains, all serial types,
+  * rowid alias, ALTER-TABLE-short records, affinity coercion, column
+  * pruning, subtree partitioning, WITHOUT ROWID rejection. */
+class SqliteSourceSpec extends SparkSpec {
+
+  private val drwh = "/root/reference/drwh.db"
+  private def fixture = SqliteDataSourceV2.fixturePath
+  private def read(path: String, table: String) =
+    spark.read.format("graft-sqlite").option("table", table).load(path)
+
+  // ---- drwh.db: the reference warehouse file ----------------------------
+
+  test("drwh.db: catalog lists the three DWH tables") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val ts = SqliteDataSourceV2.listTables(drwh, conf)
+    assert(ts.map(_.name).sorted ==
+      Seq("DWH_DOCUMENT", "DWH_PATIENT", "DWH_PATIENT_IPPHIST"))
+    assert(ts.find(_.name == "DWH_PATIENT").get.columns.size == 22)
+    assert(ts.find(_.name == "DWH_PATIENT_IPPHIST").get.columns.size == 5)
+    assert(ts.find(_.name == "DWH_DOCUMENT").get.columns.size == 19)
+  }
+
+  test("drwh.db: DWH_PATIENT schema golden — affinities and rowid alias") {
+    val df = read(drwh, "DWH_PATIENT")
+    val s = df.schema
+    assert(s.fieldNames.take(5).toSeq ==
+      Seq("PATIENT_NUM", "LASTNAME", "FIRSTNAME", "BIRTH_DATE", "SEX"))
+    assert(s("PATIENT_NUM").dataType == LongType)    // INTEGER
+    assert(s("LASTNAME").dataType == StringType)     // VARCHAR2 -> TEXT
+    assert(s("BIRTH_DATE").dataType == StringType)   // DATE -> NUMERIC -> str
+    assert(s("BIRTH_LATITUDE").dataType == DoubleType) // FLOAT(126) -> REAL
+    assert(s("UPLOAD_ID").dataType == LongType)
+    assert(df.count() == 0) // the committed reference file ships empty
+    // PRIMARY KEY (PATIENT_NUM) in table-constraint form over INTEGER:
+    // a rowid alias — the read path must source it from the rowid
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pat = SqliteDataSourceV2.listTables(drwh, conf)
+      .find(_.name == "DWH_PATIENT").get
+    assert(pat.columns.find(_.name == "PATIENT_NUM").get.rowidAlias)
+    assert(!pat.columns.find(_.name == "LASTNAME").get.rowidAlias)
+  }
+
+  test("drwh.db: DWH_DOCUMENT schema golden") {
+    val df = read(drwh, "DWH_DOCUMENT")
+    val s = df.schema
+    assert(s("DOCUMENT_NUM").dataType == LongType)
+    assert(s("DISPLAYED_TEXT").dataType == StringType) // CLOB -> TEXT
+    assert(s("ENCOUNTER_NUM").dataType == StringType)  // VARCHAR2(30)
+    assert(s("DOCUMENT_DATE").dataType == StringType)  // DATE
+    assert(s("UNIT_NUM").dataType == LongType)
+    assert(df.count() == 0)
+    assert(read(drwh, "DWH_PATIENT_IPPHIST").count() == 0)
+  }
+
+  // ---- fixture: every parser feature -------------------------------------
+
+  test("fixture docs: row count, rowid-alias ids, gaps preserved") {
+    val df = read(fixture, "docs")
+    assert(df.count() == 1501)
+    val ids = df.select("id").orderBy("id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(3L, 6L, 9L, 12L)) // i*3 — alias carries real keys
+    assert(df.agg(max("id")).head.getLong(0) == (1L << 40)) // 6-byte serial
+  }
+
+  test("fixture docs: overflow chains reassemble byte-exactly") {
+    val df = read(fixture, "docs")
+    // i=97: ("overflow-00097 " x 900) = 13.5 KB -> 3+ overflow pages
+    val big = df.filter(col("id") === 97 * 3).select("body").head.getString(0)
+    assert(big.length == 13500)
+    assert(big.startsWith("overflow-00097 overflow-00097 "))
+    assert(big.endsWith("overflow-00097 "))
+    // i=40: one overflow page
+    val mid = df.filter(col("id") === 40 * 3).select("body").head.getString(0)
+    assert(mid.length == "long-body-00040 ".length * 220)
+    // inline rows untouched
+    val small = df.filter(col("id") === 3).select("body").head.getString(0)
+    assert(small == "body of document 00001 in beta")
+  }
+
+  test("fixture docs: serial types — 0/1 constants, negatives, reals, blobs, nulls") {
+    val df = read(fixture, "docs")
+    assert(df.filter(col("flag") === 1).count() +
+      df.filter(col("flag") === 0).count() == 1500) // serials 8/9
+    val bigRow = df.filter(col("cat") === "bigint").head()
+    assert(bigRow.getAs[Long]("flag") == -(1L << 50)) // 8-byte negative
+    assert(bigRow.getAs[Double]("score") == -12345.5)
+    assert(bigRow.getAs[Array[Byte]]("payload").toSeq == Seq(0xff.toByte))
+    // score nulls every 11th i; payload null when i%5==0
+    assert(df.filter(col("score").isNull).count() == 136) // 1500/11
+    val p3 = df.filter(col("id") === 9).head.getAs[Array[Byte]]("payload")
+    assert(p3.toSeq == Seq[Byte](0, 1, 0, 1, 0, 1, 0, 1)) // i=3 -> 4 reps
+  }
+
+  test("fixture docs: rows inserted before ALTER TABLE ADD COLUMN read null note") {
+    val df = read(fixture, "docs")
+    // first 700 inserted rows predate the ADD COLUMN -> record is one
+    // column short on disk -> null; later rows carry values on i%3==0
+    assert(df.filter(col("id") <= 700 * 3 && col("note").isNotNull)
+      .count() == 0)
+    assert(df.filter(col("note").isNotNull).count() > 0)
+  }
+
+  test("fixture: non-alias TEXT-pk table and type-fluid affinity coercion") {
+    val kv = read(fixture, "kv")
+    assert(kv.count() == 200)
+    assert(kv.filter(col("k") === "key-007").head.getLong(1) == 49L)
+    // weird.x declared INTEGER: stores 42 (int), 2.75 (real -> 2),
+    // 'abc' (text -> unparseable -> null), NULL
+    val w = read(fixture, "weird").orderBy("id")
+      .select("x").collect().map(r => if (r.isNullAt(0)) null
+        else java.lang.Long.valueOf(r.getLong(0))).toSeq
+    assert(w == Seq(42L, 2L, null, null))
+  }
+
+  test("fixture: WITHOUT ROWID table rejected with the cause") {
+    val e = intercept[Exception] { read(fixture, "norowid").count() }
+    assert(e.getMessage.contains("WITHOUT ROWID"))
+    val e2 = intercept[Exception] { read(fixture, "nope").count() }
+    assert(e2.getMessage.contains("no table 'nope'"))
+  }
+
+  test("fixture docs: subtree partitioning and maxPartitions") {
+    val df = read(fixture, "docs")
+    assert(df.rdd.getNumPartitions > 1,
+      "interior root must split into parallel subtree partitions")
+    val one = spark.read.format("graft-sqlite").option("table", "docs")
+      .option("maxPartitions", 1).load(fixture)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 1501) // grouping loses no rows
+    // partition split is disjoint + complete: ids identical either way
+    assert(df.select("id").except(one.select("id")).count() == 0)
+    assert(one.select("id").except(df.select("id")).count() == 0)
+  }
+
+  test("fixture docs: column pruning reaches the scan") {
+    val df = read(fixture, "docs").select("id", "cat")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined)
+    assert(scan.get.scan.description().contains("[id,cat]"),
+      s"pruned scan should read only [id,cat]: ${scan.get.scan.description()}")
+    assert(df.count() == 1501)
+  }
+
+  test("low-level: varint and serial-type decode round corners") {
+    import SqliteFile._
+    assert(varint(Array(0x7f.toByte), 0) == (127L, 1))
+    assert(varint(Array(0x81.toByte, 0x00), 0) == (128L, 2))
+    // 9-byte varint: all-ones = -1
+    assert(varint(Array.fill(9)(0xff.toByte), 0)._1 == -1L)
+    assert(serialValue(1, Array(0x80.toByte), 0) == VInt(-128L))
+    assert(serialValue(8, Array.empty, 0) == VInt(0L))
+    assert(serialValue(9, Array.empty, 0) == VInt(1L))
+    val pi = java.lang.Double.doubleToLongBits(3.5)
+    val b = (0 until 8).map(i => ((pi >>> (56 - 8 * i)) & 0xff).toByte).toArray
+    assert(serialValue(7, b, 0) == VReal(3.5))
+  }
+}
