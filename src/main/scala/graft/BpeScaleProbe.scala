@@ -16,12 +16,17 @@ import org.apache.spark.sql.SparkSession
   * collect + one checkpoint materialization + small constants), rounds
   * ≈ merges/batch-accepted, and wall grows with ROUNDS, not MERGES —
   * the sequential trainer pays the same per-round cost per single
-  * merge. */
+  * merge. The synthetic corpus's whole vocabulary MERGES TO CLOSURE in
+  * well under 1k merges (measured: 89 at sf0.1), so the honest
+  * comparison is both trainers run to closure; the 4th arg sizes the
+  * sequential run (0 skips it — e.g. when probing a 100× corpus where
+  * only the batched scan matters). */
 object BpeScaleProbe {
   def main(args: Array[String]): Unit = {
     val target = args.headOption.map(_.toInt).getOrElse(1000)
     val batch = if (args.length > 1) args(1).toInt else 32
     val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val seqMerges = if (args.length > 3) args(3).toInt else 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,11 +52,11 @@ object BpeScaleProbe {
         f"${dj.toDouble / merges}%5.1f jobs/merge)")
     }
 
-    // sequential reference point: 64 merges (the r08-proven tier) —
-    // per-merge cost extrapolates linearly (one pair-count round trip
-    // per merge by construction)
-    run(s"sequential n=64") {
-      graft.ops.TextAnalysis.bpeTrain(docs, "text", 64).count()
+    // sequential reference point — per-merge cost extrapolates linearly
+    // (one pair-count round trip per merge by construction); at
+    // seqMerges above the closure point this measures run-to-closure
+    if (seqMerges > 0) run(s"sequential n=$seqMerges") {
+      graft.ops.TextAnalysis.bpeTrain(docs, "text", seqMerges).count()
     }
     // batched: rounds sized so accepted merges reach ~target even with
     // conflict-rejected candidates (acceptance observed ≥ batch/2)

@@ -8444,6 +8444,199 @@ object SparkEntry {
           sum(length(col("body"))).as("body_chars"))
         .orderBy("cat")
     }),
+
+    // BENFORD'S LAW SCREEN (the forensic first-digit test for synthetic
+    // or tampered monetary data — a data-quality gate for ingested
+    // training corpora): observed first-significant-digit counts of
+    // order totals vs the Benford expectation, with per-digit χ²
+    // contributions. The nine log₁₀(1+1/d) constants are IDENTICAL
+    // literals in query and oracle (no cross-engine libm), so every
+    // double op replays bit-for-bit. Map-side digit extraction, one
+    // 9-row aggregate — nothing scales beyond the scan.
+    "q322_benford_screen" -> ((s, dir) => {
+      val benford = typedlit(Array(0.3010299956639812, 0.17609125905568124,
+        0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+        0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+        0.04575749056067514))
+      val obs = t(s, dir, "orders")
+        .select(substring(expr("cast(round(o_totalprice * 100) as bigint)")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).cast("double").as("__n"))
+      obs.crossJoin(broadcast(tot))
+        .withColumn("__e", col("__n") *
+          element_at(benford, col("digit").cast("int")))
+        .select(col("digit"), col("n_obs"),
+          round(element_at(benford, col("digit").cast("int")), 6)
+            .as("p_benford"),
+          round(col("__e"), 4).as("expected"),
+          round((col("n_obs") - col("__e")) * (col("n_obs") - col("__e"))
+            / col("__e"), 6).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
+    // GROUP-WISE WINSORIZATION (the standard outlier clamp before
+    // feature scaling / reward-model stats): per market segment, clip
+    // account balances at that segment's exact type-7 p10/p90
+    // (Spark `percentile` ≡ DuckDB quantile_cont, proven bridge) and
+    // report the clip counts and the winsorized sum (sorted fold —
+    // bit-exact). Percentiles are per-group aggregates (no global
+    // sort); the clip is map-side.
+    "q323_winsorize_groups" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_mktsegment").as("seg"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+      val cuts = c.groupBy("seg").agg(
+        expr("percentile(cents, 0.1D)").as("lo"),
+        expr("percentile(cents, 0.9D)").as("hi"))
+      c.join(broadcast(cuts), Seq("seg"))
+        .withColumn("w",
+          greatest(least(col("cents").cast("double"), col("hi")), col("lo")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents").cast("double") < col("lo"), 1L)
+            .otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("cents").cast("double") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clip_hi"),
+          round(min(col("lo")), 4).as("p10"),
+          round(min(col("hi")), 4).as("p90"),
+          round(ssum(collect_list(col("w"))), 4).as("sum_winsorized"))
+        .orderBy("seg")
+    }),
+
+    // GOOD–TURING FREQUENCY SMOOTHING (Gale & Sampson '95 — the
+    // vocabulary-mass estimate behind unseen-token probability and
+    // corpus-coverage planning): frequency-of-frequencies N_r over the
+    // word counts, discounted count r* = (r+1)·N_{r+1}/N_r for the
+    // small-r head, and each r's share of the token mass. The loop
+    // state is the N_r grain (≤ max word count rows); the corpus is
+    // scanned once.
+    "q324_good_turing" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("w"))
+      val wc = words.groupBy("w").agg(count(lit(1)).as("r"))
+      val nr = wc.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val nxt = nr.select((col("r") - 1).as("r"), col("n_r").as("__n1"))
+      val tot = words.agg(count(lit(1)).cast("double").as("__N"))
+      // the 10 LOWEST occupied frequencies (not r<=10: a boilerplate-
+      // heavy corpus can have its entire rare head above any fixed
+      // cut, and the gate must exercise real rows at every SF)
+      nr.join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          round((col("r") + 1).cast("double") * col("__n1") / col("n_r"), 6)
+            .as("r_star"),
+          round(col("r").cast("double") * col("n_r") / col("__N"), 6)
+            .as("mass_share"))
+        .orderBy("r").limit(10)
+    }),
+
+    // TOKEN-BUDGET SHARDING (the curriculum/packing step that cuts a
+    // corpus into fixed-token-budget shards in a stable document
+    // order): exclusive running token count via the two-phase
+    // numberAndRunningSum (range-partitioned — no single-partition
+    // sort), shard = exclusive-prefix div budget, so a document lands
+    // in the shard where its first token falls. Per-shard row counts,
+    // token sums and id spans — the shard manifest a trainer consumes.
+    "q325_token_budget_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TA.tokens(col("text"))).cast("long").as("tok"))
+      Dedup.numberAndRunningSum(docs, col("doc_id"), "__rk",
+          Seq(("cum", col("tok"))))
+        .withColumn("shard", expr("(cum - tok) div 5000"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("shard")
+    }),
+
+    // LEAKAGE-SAFE GROUPED K-FOLD ASSIGNMENT (the split rule for
+    // behavioral data: every event of a user lands in the SAME fold,
+    // so user-level signal never leaks across train/validation): fold
+    // = deterministic md5 of the user id mod 5, rolled up to fold
+    // sizes and per-type composition. Map-side hash, one aggregate.
+    "q326_grouped_folds" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .withColumn("fold",
+          pmod(TF.md5Hash48(concat(lit("fold"), col("user_id"))), lit(5L)))
+        .groupBy("fold")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .orderBy("fold")
+    }),
+
+    // MINHASH-LSH PARAMETER PLANNER (the tuning table behind every
+    // banded-signature dedup in this repo): for each signature budget
+    // K and band split b·r = K, the candidate probability
+    // P = 1 − (1 − s^r)^b at fixed similarity points — computed with
+    // REPEATED-MULTIPLY folds (aggregate ↔ list_reduce), never libm
+    // pow, so both engines replay the same IEEE product chain. Static
+    // grid (no scan): the planner is the rule, the oracle replays it.
+    "q328_lsh_planner" -> ((s, dir) => {
+      import s.implicits._
+      val grid = for {
+        k <- Seq(16, 32, 64)
+        b <- (1 to k).filter(k % _ == 0)
+      } yield (k, b, k / b)
+      val svals = array(Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        .map(lit): _*)
+      grid.toDF("k", "b", "r")
+        .withColumn("s", explode(svals))
+        .withColumn("__sr", expr(
+          "aggregate(sequence(1, r), CAST(1.0 AS DOUBLE), (a, i) -> a * s)"))
+        .withColumn("p_candidate", round(lit(1.0) - expr(
+          "aggregate(sequence(1, b), CAST(1.0 AS DOUBLE)," +
+            " (a, i) -> a * (1.0 - __sr))"), 6))
+        .select(col("k"), col("b"), col("r"), col("s"), col("p_candidate"))
+        .orderBy("k", "b", "s")
+    }),
+
+    // DEDUP AUDIT LOG (the provenance record a curation pipeline must
+    // keep: WHAT was dropped, and where the duplicates live): per
+    // duplicate group under the BOILERPLATE-PREFIX fingerprint (md5 of
+    // the first 5 normalized words — the shared-opening screen; whole-
+    // text dedup is q18's job and this corpus has no full dupes), the
+    // kept id, the dropped count, and the dropped-id span
+    // (2nd-smallest..largest via one sorted id list per group —
+    // group-sized, bounded by the dup cluster). Groups of 1 are
+    // silent; the audit is duplicate-sized, not corpus-sized.
+    "q329_dedup_audit" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(TA.tokens(col("text")), 1, 5))).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(col("doc_id"))).as("__ids"))
+        .filter(col("n") >= 2)
+        .select(col("fp"), element_at(col("__ids"), 1).as("keeper"),
+          (col("n") - 1).as("n_dropped"),
+          element_at(col("__ids"), 2).as("dropped_lo"),
+          element_at(col("__ids"), -1).as("dropped_hi"))
+        .orderBy("fp")
+    }),
+
+    // SQLITE MULTI-TABLE JOIN (graft-sqlite reading TWO B-trees of the
+    // same .db in one plan — docs joined to the kv lookup on a derived
+    // key, per-category rollup): proves the connector composes like
+    // any other table (two scans, broadcast join, pruned columns).
+    // Oracle literals computed by sqlite3 at fixture-generation time.
+    "q330_sqlite_kv_join" -> ((s, _) => {
+      val db = graft.sources.SqliteDataSourceV2.fixturePath
+      def rd(tb: String) = s.read.format("graft-sqlite")
+        .option("table", tb).load(db)
+      val docs = rd("docs").select(col("id"), col("cat"))
+        .withColumn("k",
+          format_string("key-%03d", expr("(id div 3) % 200").cast("int")))
+      docs.join(broadcast(rd("kv")), Seq("k"))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("sum_v"))
+        .orderBy("cat")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -16273,5 +16466,133 @@ object SparkEntry {
            ('theta', 187, 187, 85758, 4485, 32735),
            ('zeta', 187, 187, 84082, 4479, 32550)
          ) AS t(cat, n_docs, n_flagged, sum_score_x8, max_id, body_chars)""",
+
+    "q322_benford_screen" ->
+      """WITH d AS (
+           SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+             AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+         o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nn FROM o),
+         p AS (SELECT [0.3010299956639812, 0.17609125905568124,
+           0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+           0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+           0.04575749056067514] AS bl)
+         SELECT digit, n_obs,
+           round(bl[digit::INT], 6) AS p_benford,
+           round(nn * bl[digit::INT], 4) AS expected,
+           round((n_obs - nn * bl[digit::INT])
+               * (n_obs - nn * bl[digit::INT])
+             / (nn * bl[digit::INT]), 6) AS chi2_term
+         FROM o, t, p ORDER BY digit""",
+
+    "q323_winsorize_groups" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         cuts AS (
+           SELECT seg, quantile_cont(cents, 0.1) AS lo,
+             quantile_cont(cents, 0.9) AS hi
+           FROM c GROUP BY 1),
+         j AS (
+           SELECT c.seg, cents, lo, hi,
+             greatest(least(CAST(cents AS DOUBLE), hi), lo) AS w
+           FROM c JOIN cuts USING (seg))
+         SELECT seg, count(*) AS n,
+           sum(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END)
+             ::BIGINT AS n_clip_lo,
+           sum(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END)
+             ::BIGINT AS n_clip_hi,
+           round(min(lo), 4) AS p10, round(min(hi), 4) AS p90,
+           round(list_sum(list_sort(list(w))), 4) AS sum_winsorized
+         FROM j GROUP BY seg ORDER BY seg""",
+
+    "q324_good_turing" ->
+      """WITH wd AS (
+           SELECT unnest(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS r FROM wd GROUP BY 1),
+         nr AS (SELECT r, count(*) AS n_r FROM wc GROUP BY 1),
+         nxt AS (SELECT r - 1 AS r, n_r AS n1 FROM nr),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM wd)
+         SELECT nr.r, nr.n_r,
+           round(CAST(nr.r + 1 AS DOUBLE) * nxt.n1 / nr.n_r, 6) AS r_star,
+           round(CAST(nr.r AS DOUBLE) * nr.n_r / tot.nn, 6) AS mass_share
+         FROM nr LEFT JOIN nxt USING (r), tot
+         ORDER BY r LIMIT 10""",
+
+    "q325_token_budget_shards" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(len(string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))), ' '))
+             AS BIGINT) AS tok
+           FROM documents),
+         r AS (
+           SELECT doc_id, tok,
+             coalesce(sum(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+           FROM d)
+         SELECT (excl // 5000)::BIGINT AS shard, count(*) AS n_docs,
+           sum(tok)::BIGINT AS sum_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM r GROUP BY 1 ORDER BY shard""",
+
+    "q326_grouped_folds" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             (('0x' || substring(md5('0:fold' || CAST(user_id AS VARCHAR)),
+               1, 12))::BIGINT) % 5 AS fold
+           FROM events)
+         SELECT fold, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             AS n_purchases
+         FROM e GROUP BY 1 ORDER BY fold""",
+
+    "q328_lsh_planner" ->
+      """WITH g AS (SELECT * FROM (VALUES
+           (16,1,16),(16,2,8),(16,4,4),(16,8,2),(16,16,1),
+           (32,1,32),(32,2,16),(32,4,8),(32,8,4),(32,16,2),(32,32,1),
+           (64,1,64),(64,2,32),(64,4,16),(64,8,8),(64,16,4),(64,32,2),
+           (64,64,1)) AS t(k, b, r)),
+         sv AS (SELECT unnest([0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS s),
+         x AS (
+           SELECT k, b, r, s,
+             list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(range(r), i -> s)), (a, v) -> a * v) AS sr
+           FROM g, sv)
+         SELECT k, b, r, s,
+           round(1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             list_transform(range(b), i -> 1.0 - sr)), (a, v) -> a * v), 6)
+             AS p_candidate
+         FROM x ORDER BY k, b, s""",
+
+    "q329_dedup_audit" ->
+      """WITH g AS (
+           SELECT md5(array_to_string((string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))), ' '))[1:5],
+               ' ')) AS fp,
+             count(*) AS n, list_sort(list(doc_id)) AS ids
+           FROM documents GROUP BY 1)
+         SELECT fp, ids[1] AS keeper, n - 1 AS n_dropped,
+           ids[2] AS dropped_lo, ids[-1] AS dropped_hi
+         FROM g WHERE n >= 2 ORDER BY fp""",
+
+    // computed by sqlite3 over the committed fixture at generation time
+    // (tools/make_sqlite_fixture.py prints this block)
+    "q330_sqlite_kv_join" ->
+      """SELECT * FROM (VALUES
+           ('alpha', 187, 2236800),
+           ('beta', 188, 2271836),
+           ('bigint', 1, 15625),
+           ('delta', 188, 2343036),
+           ('epsilon', 188, 2379200),
+           ('eta', 187, 2442252),
+           ('gamma', 188, 2307248),
+           ('theta', 187, 2479339),
+           ('zeta', 187, 2405539)
+         ) AS t(cat, n_docs, sum_v)""",
   )
 }

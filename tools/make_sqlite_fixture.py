@@ -112,6 +112,16 @@ vals = ",\n    ".join(
 print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, n_flagged, "
       "sum_score_x8, max_id, body_chars)" % vals)
 
+# q330 oracle: docs joined to kv on the derived key, computed by sqlite3
+agg330 = cur.execute("""
+  SELECT cat, count(*) AS n_docs, sum(v) AS sum_v
+  FROM (SELECT cat, printf('key-%03d', (id/3) % 200) AS k FROM docs) d
+  JOIN kv ON kv.k = d.k
+  GROUP BY cat ORDER BY cat""").fetchall()
+print("-- q330 oracle (DuckDB VALUES):")
+print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, sum_v)" %
+      ",\n    ".join("('%s', %d, %d)" % r for r in agg330))
+
 info = cur.execute(
     "SELECT name, rootpage FROM sqlite_master WHERE type='table'").fetchall()
 print("-- tables:", info)
