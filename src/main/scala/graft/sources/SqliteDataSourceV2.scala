@@ -195,18 +195,69 @@ private[sources] class SqliteTable(tableSchema: StructType,
 
 private[sources] class SqliteScanBuilder(fullSchema: StructType,
                                          options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** ROWID-RANGE pushdown: comparisons/equality/IN on the table's
+    * rowid-alias column tighten a single [lo, hi] rowid window that
+    * the B-tree scan prunes against — a key point lookup on a huge .db
+    * reads O(depth) pages instead of every page (the set-at-a-time
+    * form of the reference's per-document `WHERE HOSPITAL_PATIENT_ID
+    * = ?`, S3/`exo_2.py:204-217`). ALL filters are returned as
+    * residual: the range prune is exact by B-tree invariant, but
+    * letting Spark re-evaluate keeps the connector's correctness
+    * independent of it (belt and braces, zero extra I/O). */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val t = SqliteDataSourceV2.resolveTable(options)
+    val aliasCol = t.columns.find(_.rowidAlias).map(_.name)
+    def isAlias(attr: String) = aliasCol.exists(_.equalsIgnoreCase(attr))
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    accepted = filters.filter {
+      case EqualTo(a, v) if isAlias(a) => asLong(v).exists { l =>
+        lo = math.max(lo, l); hi = math.min(hi, l); true }
+      case GreaterThan(a, v) if isAlias(a) => asLong(v).exists { l =>
+        lo = math.max(lo, if (l == Long.MaxValue) l else l + 1); true }
+      case GreaterThanOrEqual(a, v) if isAlias(a) => asLong(v).exists { l =>
+        lo = math.max(lo, l); true }
+      case LessThan(a, v) if isAlias(a) => asLong(v).exists { l =>
+        hi = math.min(hi, if (l == Long.MinValue) l else l - 1); true }
+      case LessThanOrEqual(a, v) if isAlias(a) => asLong(v).exists { l =>
+        hi = math.min(hi, l); true }
+      case In(a, vs) if isAlias(a) && vs.nonEmpty =>
+        val ls = vs.flatMap(asLong)
+        ls.length == vs.length && {
+          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max); true }
+      case _ => false
+    }
+    filters // everything residual — Spark re-evaluates, prune is I/O-only
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted
 
   override def build(): Scan = {
     val t = SqliteDataSourceV2.resolveTable(options)
     new SqliteScan(required, t, options.get("path"),
       options.getInt("maxPartitions", 32),
-      new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()))
+      new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()), lo, hi)
   }
 }
 
@@ -216,23 +267,34 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
   * partition scanning the root itself. */
 private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
                                   path: String, maxPartitions: Int,
-                                  conf: SerializableHadoopConf)
+                                  conf: SerializableHadoopConf,
+                                  lo: Long = Long.MinValue,
+                                  hi: Long = Long.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
-  override def description(): String =
+  override def description(): String = {
+    val range =
+      if (lo == Long.MinValue && hi == Long.MaxValue) ""
+      else s", rowid in [$lo,$hi]"
     s"graft-sqlite ${t.name}, columns " +
-      required.fieldNames.mkString("[", ",", "]")
+      required.fieldNames.mkString("[", ",", "]") + range
+  }
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pr = SqliteDataSourceV2.openReader(path, conf.value)
     try {
-      val kids = rootChildren(pr, t.rootPage)
-      if (kids.isEmpty)
+      // root children pruned by the pushed rowid window FIRST — a point
+      // lookup plans exactly one single-subtree partition, and a window
+      // outside the table plans ZERO partitions
+      val all = childRanges(pr, t.rootPage)
+      val kids = all.filter(_.overlaps(lo, hi)).map(_.page)
+      if (all.isEmpty) // leaf root: the whole table is one page
         Array(SqlitePartition(Seq(t.rootPage)))
+      else if (kids.isEmpty) Array.empty[InputPartition]
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
         // contiguous grouping keeps each partition's pages clustered on
@@ -256,7 +318,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SqliteReaderFactory(required, t, path, conf)
+    new SqliteReaderFactory(required, t, path, conf, lo, hi)
 }
 
 private[sources] case class SqlitePartition(roots: Seq[Int])
@@ -264,18 +326,21 @@ private[sources] case class SqlitePartition(roots: Seq[Int])
 
 private[sources] class SqliteReaderFactory(required: StructType,
                                            t: SqliteTableDef, path: String,
-                                           conf: SerializableHadoopConf)
+                                           conf: SerializableHadoopConf,
+                                           lo: Long, hi: Long)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SqlitePartitionReader(p.asInstanceOf[SqlitePartition], required, t,
-      path, conf)
+      path, conf, lo, hi)
 }
 
 private[sources] class SqlitePartitionReader(part: SqlitePartition,
                                              required: StructType,
                                              t: SqliteTableDef, path: String,
-                                             conf: SerializableHadoopConf)
+                                             conf: SerializableHadoopConf,
+                                             lo: Long = Long.MinValue,
+                                             hi: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value)
@@ -291,7 +356,8 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
   }.toSet
 
   private val rows: Iterator[InternalRow] =
-    part.roots.iterator.flatMap(root => scanTable(pr, pr.header, root))
+    part.roots.iterator.flatMap(root =>
+      scanTable(pr, pr.header, root, lo, hi))
       .map { raw =>
         val vals = decodeRecord(raw.payload, wantedOrdinals.contains)
         InternalRow.fromSeq(fields.toIndexedSeq.map {

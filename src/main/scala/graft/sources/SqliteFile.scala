@@ -171,33 +171,61 @@ object SqliteFile {
 
   private def btreeHeaderOffset(pageNo: Int): Int = if (pageNo == 1) 100 else 0
 
-  /** Child page numbers of an INTERIOR table page (left children in
-    * cell order, then the right-most pointer) — the DSv2 split points.
-    * A LEAF root returns Nil (single-partition file). */
-  def rootChildren(pr: PageReader, rootPage: Int): Seq[Int] = {
-    val pg = pr.page(rootPage)
-    val off = btreeHeaderOffset(rootPage)
+  /** One interior-page child subtree plus its rowid bounds: the
+    * subtree holds rowids in (`minExclusive`, `maxInclusive`]
+    * (`Long.MinValue` / `Long.MaxValue` mark the open ends). The
+    * interior cell key IS the largest rowid in its left child — the
+    * property both the partition planner and the range pruner use. */
+  case class ChildRange(page: Int, minExclusive: Long, maxInclusive: Long) {
+    def overlaps(lo: Long, hi: Long): Boolean =
+      maxInclusive >= lo && minExclusive < hi
+  }
+
+  /** Child subtrees of an INTERIOR table page with their rowid bounds
+    * (left children in cell order, then the right-most pointer) — the
+    * DSv2 split points. A LEAF root returns Nil (single-partition
+    * file). */
+  def childRanges(pr: PageReader, pageNo: Int): Seq[ChildRange] = {
+    val pg = pr.page(pageNo)
+    val off = btreeHeaderOffset(pageNo)
     (pg(off) & 0xff) match {
       case 0x05 =>
         val ncells = u16(pg, off + 3)
-        val ptrs = (0 until ncells).map { i =>
+        var prev = Long.MinValue
+        val kids = (0 until ncells).map { i =>
           val cellOff = u16(pg, off + 12 + 2 * i)
-          u32(pg, cellOff).toInt
+          val child = u32(pg, cellOff).toInt
+          val (key, _) = varint(pg, cellOff + 4)
+          val r = ChildRange(child, prev, key)
+          prev = key
+          r
         }
-        ptrs :+ u32(pg, off + 8).toInt
+        kids :+ ChildRange(u32(pg, off + 8).toInt, prev, Long.MaxValue)
       case 0x0d => Nil
-      case t => sys.error(s"sqlite: page $rootPage is not a table B-tree " +
+      case t => sys.error(s"sqlite: page $pageNo is not a table B-tree " +
         f"page (type 0x$t%02x) — index B-trees and WITHOUT ROWID tables " +
         "are not supported")
     }
   }
 
+  /** Back-compat shim: child page numbers only. */
+  def rootChildren(pr: PageReader, rootPage: Int): Seq[Int] =
+    childRanges(pr, rootPage).map(_.page)
+
   /** Depth-first scan of the table B-tree rooted at `rootPage`,
     * streaming rows in rowid order. Overflowing payloads are assembled
     * by walking the overflow chain; inline payloads are sliced without
     * re-reading. Iterative explicit stack — a 100-GB table is ~4 levels
-    * deep, but recursion depth should never be data-dependent. */
-  def scanTable(pr: PageReader, header: Header, rootPage: Int)
+    * deep, but recursion depth should never be data-dependent.
+    *
+    * `lo`/`hi` bound the ROWIDs returned (inclusive): interior children
+    * whose key range cannot intersect are never read (a point lookup on
+    * a rowid-alias key touches O(depth) pages however big the table —
+    * the set-at-a-time answer to the reference's per-document
+    * `WHERE ... = ?` loop, S3), and leaf rows outside the range are
+    * skipped without decoding their payload. */
+  def scanTable(pr: PageReader, header: Header, rootPage: Int,
+                lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
       : Iterator[RawRow] = new Iterator[RawRow] {
     private val u = header.usable
     private val maxInline = u - 35
@@ -247,16 +275,32 @@ object SqliteFile {
           case 0x0d =>
             if (idx < ncells) {
               stack += ((pageNo, idx + 1))
-              nextRow = assemble(pg, u16(pg, off + 8 + 2 * idx))
+              val cellOff = u16(pg, off + 8 + 2 * idx)
+              // peek the rowid BEFORE assembling: out-of-range rows are
+              // skipped without decoding (or walking overflow chains)
+              val (p, n1) = varint(pg, cellOff)
+              val (rowid, _) = varint(pg, cellOff + n1)
+              val _ = p
+              if (rowid >= lo && rowid <= hi)
+                nextRow = assemble(pg, cellOff)
+              else if (rowid > hi) stack.remove(stack.length - 1) // sorted
             }
           case 0x05 =>
             // push right-most after the last cell, children in reverse
-            // so pop order preserves rowid order
+            // so pop order preserves rowid order; children whose rowid
+            // bounds miss [lo, hi] are pruned here, unread
             if (idx == 0) {
-              val kids = (0 until ncells).map(i =>
-                u32(pg, u16(pg, off + 12 + 2 * i)).toInt) :+
-                u32(pg, off + 8).toInt
-              kids.reverseIterator.foreach(k => stack += ((k, 0)))
+              var prev = Long.MinValue
+              val kids = (0 until ncells).map { i =>
+                val cellOff = u16(pg, off + 12 + 2 * i)
+                val child = u32(pg, cellOff).toInt
+                val (key, _) = varint(pg, cellOff + 4)
+                val r = ChildRange(child, prev, key)
+                prev = key
+                r
+              } :+ ChildRange(u32(pg, off + 8).toInt, prev, Long.MaxValue)
+              kids.reverseIterator.filter(_.overlaps(lo, hi))
+                .foreach(k => stack += ((k.page, 0)))
             }
           case t => sys.error(
             f"sqlite: unexpected page type 0x$t%02x at page $pageNo inside " +

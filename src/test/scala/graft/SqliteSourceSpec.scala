@@ -155,6 +155,71 @@ class SqliteSourceSpec extends SparkSpec {
     assert(df.count() == 1501)
   }
 
+  // ---- rowid-range pushdown ----------------------------------------------
+
+  test("pushdown: point lookup plans one pruned partition and reads O(depth) pages") {
+    import SqliteFile._
+    val df = read(fixture, "docs").filter(col("id") === 300)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("rowid in [300,300]"),
+      s"pushed range missing: ${scan.scan.description()}")
+    assert(df.rdd.getNumPartitions == 1,
+      "point lookup must prune to a single root subtree")
+    val row = df.head()
+    assert(row.getAs[String]("title") == "doc 00100") // id = i*3
+    // page-count proof on the raw B-tree: a counting reader shows the
+    // range scan touches a tiny fraction of the full-scan page set
+    class CountingReader(inner: PageReader) extends PageReader {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def pageSize: Int = inner.pageSize
+      def page(n: Int): Array[Byte] = { seen += n; inner.page(n) }
+      def close(): Unit = inner.close()
+    }
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val hdr = parseHeader(bytes.take(100))
+    def freshCounter() = new CountingReader(
+      new BytesPageReader(bytes, hdr.pageSize))
+    val full = freshCounter()
+    val docsRoot = tables(full, hdr).find(_.name == "docs").get.rootPage
+    val nFull = { scanTable(full, hdr, docsRoot).size; full.seen.size }
+    val point = freshCounter()
+    val got = scanTable(point, hdr, docsRoot, 300, 300).toSeq
+    assert(got.map(_.rowid) == Seq(300L))
+    assert(point.seen.size <= 4, // root + one leaf (+ overflow if any)
+      s"point lookup read ${point.seen.size} pages vs $nFull full-scan")
+    assert(nFull > 50, s"fixture should be multi-page, got $nFull")
+  }
+
+  test("pushdown: range results equal the unpushed filter; empty window plans zero work") {
+    val all = read(fixture, "docs").collect()
+      .filter(r => { val id = r.getAs[Long]("id"); id >= 3000 && id <= 3300 })
+    val pushed = read(fixture, "docs")
+      .filter(col("id") >= 3000 && col("id") <= 3300).collect()
+    assert(pushed.map(_.getAs[Long]("id")).sorted.toSeq ==
+      all.map(_.getAs[Long]("id")).sorted.toSeq)
+    // window entirely outside the table: zero partitions, zero rows
+    val none = read(fixture, "docs").filter(col("id") === 99999999L)
+    assert(none.count() == 0)
+    // IN-list narrows to [min,max]; values inside re-filtered by Spark
+    val in3 = read(fixture, "docs")
+      .filter(col("id").isin(30L, 3000L, 60L)).collect()
+    assert(in3.map(_.getAs[Long]("id")).sorted.toSeq == Seq(30L, 60L, 3000L))
+    // non-alias filters are untouched (kv has a TEXT pk, no alias);
+    // v = i*i, i in 0..199 -> v > 38000 keeps i in 195..199
+    assert(read(fixture, "kv").filter(col("v") > 38000).count() == 5)
+  }
+
+  test("pushdown: ChildRange overlap algebra") {
+    import SqliteFile.ChildRange
+    val c = ChildRange(100, 10, 20) // rowids in (10, 20]
+    assert(c.overlaps(20, 25) && c.overlaps(11, 11) && c.overlaps(5, 11))
+    assert(!c.overlaps(21, 30) && !c.overlaps(5, 10))
+    assert(ChildRange(1, Long.MinValue, 5).overlaps(Long.MinValue, Long.MaxValue))
+  }
+
   test("low-level: varint and serial-type decode round corners") {
     import SqliteFile._
     assert(varint(Array(0x7f.toByte), 0) == (127L, 1))
