@@ -8637,6 +8637,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("sum_v"))
         .orderBy("cat")
     }),
+
+    // SQLITE ROWID-WINDOW SCAN (the pushdown path, oracle-gated): a
+    // BETWEEN on the rowid-alias id reaches the B-tree as a [lo,hi]
+    // window — root children pruned at planning, interior children
+    // pruned unread, out-of-range leaf rows skipped undecoded
+    // (SqliteSourceSpec proves <=4 pages for a point lookup; this
+    // gates the VALUES the pruned read returns). Oracle computed by
+    // sqlite3 at fixture-generation time.
+    "q331_sqlite_rowid_window" -> ((s, _) => {
+      s.read.format("graft-sqlite").option("table", "docs")
+        .load(graft.sources.SqliteDataSourceV2.fixturePath)
+        .filter(col("id").between(900, 2400))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_id"),
+          sum(length(col("body"))).as("body_chars"))
+        .orderBy("cat")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -16594,5 +16611,19 @@ object SparkEntry {
            ('theta', 187, 2479339),
            ('zeta', 187, 2405539)
          ) AS t(cat, n_docs, sum_v)""",
+
+    // computed by sqlite3 over the committed fixture at generation time
+    // (tools/make_sqlite_fixture.py prints this block)
+    "q331_sqlite_rowid_window" ->
+      """SELECT * FROM (VALUES
+           ('alpha', 63, 104328, 60779),
+           ('beta', 62, 102114, 1860),
+           ('delta', 62, 102486, 1922),
+           ('epsilon', 63, 103572, 15546),
+           ('eta', 63, 103950, 15298),
+           ('gamma', 62, 102300, 1922),
+           ('theta', 63, 104139, 15422),
+           ('zeta', 63, 103761, 15360)
+         ) AS t(cat, n_docs, sum_id, body_chars)""",
   )
 }

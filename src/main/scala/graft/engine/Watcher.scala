@@ -136,7 +136,8 @@ object Watcher {
       partitionCol: Option[String] = None,
       incremental: Boolean = false,
       useTxLog: Boolean = false,
-      tableListing: Boolean = false) {
+      tableListing: Boolean = false,
+      listingCutover: Long = 0L) {
 
     // deleteMissing compares the warehouse against the FULL current file
     // set, which both narrowed-batch modes no longer carry
@@ -147,6 +148,19 @@ object Watcher {
     // never a driver-side touched-path set
     require(!(tableListing && incremental),
       "tableListing keeps reprocess-all semantics (no driver touched set)")
+    require(listingCutover == 0L || !incremental,
+      "listingCutover switches to the table listing, which keeps " +
+        "reprocess-all semantics")
+    /** AUTO CUTOVER to the table-backed listing (SCALE.md §6j: the
+      * driver Map wins on fixed overheads to ~1M files and loses 35×
+      * one decade later — GC on the materialized Maps, not the set
+      * algebra): once a directory listing exceeds `listingCutover`
+      * paths, the current Map snapshot is persisted as the listing
+      * table and every later poll takes the full-outer-join diff path.
+      * One-way by design — a share that crossed the line once will
+      * cross it again, and flapping between modes would re-persist the
+      * listing every poll. */
+    private var switchedToTable = false
     require(!(useTxLog && deleteMissing),
       "the TxLog sink is its own transactional MERGE: no deleteMissing")
     require(!useTxLog || keys.size == 1,
@@ -180,8 +194,21 @@ object Watcher {
       * change, reprocess ALL files and merge. Returns the upload id of
       * the processed batch, or None when nothing changed. */
     def pollOnce(): Option[Long] = synchronized {
-      if (tableListing) return pollOnceTable()
+      if (tableListing || switchedToTable) return pollOnceTable()
       val curr = snapshot(sourceDir)
+      if (listingCutover > 0L && curr.size > listingCutover) {
+        // hand the DIFFED state (snap, not curr) to the table path: it
+        // re-lists distributed and diffs against exactly what the Map
+        // path had already processed — no change is lost or re-fired
+        if (snap.nonEmpty) {
+          import spark.implicits._
+          snap.toSeq.toDF("path", "ms")
+            .select(col("path"), timestamp_millis(col("ms")).as("mtime"))
+            .write.mode("overwrite").parquet(listingPath)
+        }
+        switchedToTable = true
+        return pollOnceTable()
+      }
       val changes = diff(snap, curr)
       val wasFirst = firstPoll
       val touched = changes.added ++ changes.modified

@@ -522,6 +522,42 @@ class WatcherSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("listingCutover: the loader auto-switches from the driver Map to " +
+    "the table-backed listing when the source crosses the threshold " +
+    "(SCALE.md §6j numbers), hands over the diffed state losslessly, " +
+    "and keeps detecting changes after the switch") {
+    val src = Files.createTempDirectory("graft_src_co").toString
+    val wh = Files.createTempDirectory("graft_wh_co").toString + "/docs"
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    val loader = new Watcher.IncrementalLoader(
+      spark, src, wh, keys = Seq("path"),
+      process = (files, uploadId) => files.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        length(col("content")).as("n_bytes"),
+        lit(uploadId).as("UPLOAD_ID")),
+      listingCutover = 3L)
+    // below the threshold: Map mode, nothing persisted
+    assert(loader.pollOnce() === Some(1L))
+    assert(loader.pollOnce() === None)
+    assert(!Files.isDirectory(Paths.get(wh + "_listing")),
+      "below the cutover the listing must stay on the driver")
+    // cross the threshold: snapshot hands over, the SAME poll both
+    // switches and fires on the two new files
+    writeDoc(src, "c_3.pdf", "gamma")
+    writeDoc(src, "d_4.pdf", "delta")
+    assert(loader.pollOnce() === Some(2L))
+    assert(Files.isDirectory(Paths.get(wh + "_listing")),
+      "crossing the cutover must persist the listing table")
+    assert(loader.currentTable().get.count() === 4)
+    // post-switch: unchanged -> no-op; a modification still fires
+    assert(loader.pollOnce() === None)
+    Thread.sleep(1100) // mtime granularity
+    writeDoc(src, "a_1.pdf", "alpha-v2")
+    assert(loader.pollOnce() === Some(3L))
+    assert(loader.currentTable().get.count() === 4)
+  }
+
   test("TxLog sink under accidental DOUBLE DEPLOYMENT with the " +
     "ConditionalPut (object-store) commit primitive: two concurrent " +
     "watcher instances on the same source+table, each running its own " +

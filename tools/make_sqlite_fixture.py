@@ -112,6 +112,16 @@ vals = ",\n    ".join(
 print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, n_flagged, "
       "sum_score_x8, max_id, body_chars)" % vals)
 
+# q331 oracle: rowid-window aggregate (the pushdown-path gate)
+agg331 = cur.execute("""
+  SELECT cat, count(*) AS n_docs, sum(id) AS sum_id,
+         sum(length(body)) AS body_chars
+  FROM docs WHERE id BETWEEN 900 AND 2400
+  GROUP BY cat ORDER BY cat""").fetchall()
+print("-- q331 oracle (DuckDB VALUES):")
+print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, sum_id, "
+      "body_chars)" % ",\n    ".join("('%s', %d, %d, %d)" % r for r in agg331))
+
 # q330 oracle: docs joined to kv on the derived key, computed by sqlite3
 agg330 = cur.execute("""
   SELECT cat, count(*) AS n_docs, sum(v) AS sum_v
