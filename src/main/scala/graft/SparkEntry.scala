@@ -8654,6 +8654,35 @@ object SparkEntry {
           sum(length(col("body"))).as("body_chars"))
         .orderBy("cat")
     }),
+
+    // INCREMENTAL DEDUP ADMISSION (the nightly-crawl decision: a new
+    // batch deduped against the CORPUS FINGERPRINT STORE without
+    // touching historical text): batch docs labeled kept /
+    // dup_vs_history (fp anti-join against the store — history ships
+    // only 16-byte fingerprints, never text) / dup_in_batch
+    // (keep-first within the batch), rolled to an admission summary
+    // per source. At 100 TB the store is the only history state — the
+    // same scan-free shape as the q273 TxLog epoch check.
+    "q332_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ",
+            slice(TA.tokens(col("text")), 1, 5))).as("fp"))
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val histFps = history.select(col("fp")).distinct()
+      val firstInBatch = batch.groupBy("fp")
+        .agg(min(col("doc_id")).as("__keep"))
+      batch.join(histFps.withColumn("__inHist", lit(1)), Seq("fp"), "left")
+        .join(firstInBatch, Seq("fp"))
+        .withColumn("decision",
+          when(col("__inHist").isNotNull, "dup_vs_history")
+            .when(col("doc_id") =!= col("__keep"), "dup_in_batch")
+            .otherwise("kept"))
+        .groupBy("source", "decision")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "decision")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -16625,5 +16654,23 @@ object SparkEntry {
            ('theta', 63, 104139, 15422),
            ('zeta', 63, 103761, 15360)
          ) AS t(cat, n_docs, sum_id, body_chars)""",
+
+    "q332_incremental_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             md5(array_to_string((string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))), ' '))[1:5],
+               ' ')) AS fp
+           FROM documents),
+         h AS (SELECT DISTINCT fp FROM d WHERE doc_id % 4 <> 0),
+         b AS (SELECT * FROM d WHERE doc_id % 4 = 0),
+         k AS (SELECT fp, min(doc_id) AS keep FROM b GROUP BY 1)
+         SELECT source,
+           CASE WHEN b.fp IN (SELECT fp FROM h) THEN 'dup_vs_history'
+                WHEN b.doc_id <> k.keep THEN 'dup_in_batch'
+                ELSE 'kept' END AS decision,
+           count(*) AS n_docs
+         FROM b JOIN k USING (fp)
+         GROUP BY 1, 2 ORDER BY source, decision""",
   )
 }
