@@ -8596,6 +8596,27 @@ object SparkEntry {
         .orderBy("k", "b", "s")
     }),
 
+    // REFERENCE WAREHOUSE CATALOG (graft-sqlite against the reference's
+    // OWN drwh.db, read natively): every table with its DDL column
+    // count, rowid-alias key, and row count through the B-tree scan —
+    // the "switch your warehouse to this engine" smoke over the real
+    // file (`script.py:125`). Catalog-sized by definition (3 rows);
+    // the oracle pins the shipped snapshot's shape (22/5/19 cols,
+    // empty tables, alias on both INTEGER PKs).
+    "q327_sqlite_warehouse_catalog" -> ((s, _) => {
+      import s.implicits._
+      val db = "/root/reference/drwh.db"
+      val conf = new org.apache.hadoop.conf.Configuration()
+      graft.sources.SqliteDataSourceV2.listTables(db, conf).map { t =>
+        val rows = s.read.format("graft-sqlite")
+          .option("table", t.name).load(db).count()
+        (t.name, t.columns.size.toLong,
+          t.columns.find(_.rowidAlias).map(_.name).getOrElse(""),
+          rows)
+      }.toDF("table_name", "n_cols", "rowid_alias", "n_rows")
+        .orderBy("table_name")
+    }),
+
     // DEDUP AUDIT LOG (the provenance record a curation pipeline must
     // keep: WHAT was dropped, and where the duplicates live): per
     // duplicate group under the BOILERPLATE-PREFIX fingerprint (md5 of
@@ -16614,6 +16635,16 @@ object SparkEntry {
              list_transform(range(b), i -> 1.0 - sr)), (a, v) -> a * v), 6)
              AS p_candidate
          FROM x ORDER BY k, b, s""",
+
+    // the shipped reference snapshot's shape: 22/5/19 DDL columns,
+    // INTEGER-PK rowid aliases, all tables empty (SqliteSourceSpec
+    // re-derives the same facts from the DDL goldens)
+    "q327_sqlite_warehouse_catalog" ->
+      """SELECT * FROM (VALUES
+           ('DWH_DOCUMENT', 19, 'DOCUMENT_NUM', 0),
+           ('DWH_PATIENT', 22, 'PATIENT_NUM', 0),
+           ('DWH_PATIENT_IPPHIST', 5, '', 0)
+         ) AS t(table_name, n_cols, rowid_alias, n_rows)""",
 
     "q329_dedup_audit" ->
       """WITH g AS (
