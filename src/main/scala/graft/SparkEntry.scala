@@ -8704,6 +8704,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "decision")
     }),
+
+    // RENDEZVOUS (highest-random-weight) SHARDING — the stable shard
+    // assignment for growing a cluster: each key goes to the shard
+    // with the max deterministic hash(key, shard), so growing N=8 to
+    // N=9 moves only the keys whose NEW shard wins (~1/9 in
+    // expectation), vs mod-hashing's ~8/9 reshuffle. Map-side hashes,
+    // two keyed aggregations; md5 arithmetic replays in the oracle.
+    // Output: per old shard, the measured movement to the new ring.
+    "q333_rendezvous_sharding" -> ((s, dir) => {
+      val keys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      def assign(n: Int, as: String) = keys
+        .withColumn("s", explode(sequence(lit(0), lit(n - 1))))
+        .withColumn("h",
+          TF.md5Hash48(concat(col("k"), lit(":"), col("s"))))
+        .groupBy("k").agg(expr("max_by(s, h)").cast("long").as(as))
+      assign(8, "shard").join(assign(9, "shard9"), Seq("k"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .withColumn("pct_moved",
+          round(col("n_moved").cast("double") / col("n_keys") * 100, 4))
+        .orderBy("shard")
+    }),
+
+    // CONTENT-DEFINED CHUNKING dedup (the rolling-boundary chunker —
+    // FastCDC/rsync's trick at word grain): a chunk boundary opens at
+    // every word whose hash lands in 1/8 of the space, so boundaries
+    // are CONTENT-anchored and survive insertions/deletions that shift
+    // absolute positions — the failure mode of q56's fixed-span
+    // chunks. Per-doc chunking is one partitioned prefix-sum window;
+    // cross-doc dedup is one fingerprint aggregation. Output: the
+    // corpus-wide chunk-duplication histogram.
+    "q334_cdc_chunking" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+        .withColumn("flag",
+          when(pmod(TF.md5Hash48(col("w")), lit(8L)) === 0, 1L)
+            .otherwise(0L))
+      val chunked = words.withColumn("chunk",
+        sum(col("flag")).over(Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val chunks = chunked.groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("n_words"),
+          md5(concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(p, w))), x -> x.w)")))
+            .as("fp"))
+      chunks.groupBy("fp")
+        .agg(count(lit(1)).as("occ"), min(col("n_words")).as("n_words"))
+        .groupBy("occ")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_words")).as("sum_words"))
+        .orderBy("occ")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -16703,5 +16757,49 @@ object SparkEntry {
            count(*) AS n_docs
          FROM b JOIN k USING (fp)
          GROUP BY 1, 2 ORDER BY source, decision""",
+
+    "q333_rendezvous_sharding" ->
+      """WITH k AS (SELECT c_custkey AS k FROM customer),
+         h8 AS (
+           SELECT k.k, t.s,
+             ('0x' || substring(md5('0:' || CAST(k.k AS VARCHAR) || ':' ||
+               CAST(t.s AS VARCHAR)), 1, 12))::BIGINT AS h
+           FROM k, unnest(range(8)) AS t(s)),
+         a8 AS (SELECT k, arg_max(s, h)::BIGINT AS shard FROM h8 GROUP BY k),
+         h9 AS (
+           SELECT k.k, t.s,
+             ('0x' || substring(md5('0:' || CAST(k.k AS VARCHAR) || ':' ||
+               CAST(t.s AS VARCHAR)), 1, 12))::BIGINT AS h
+           FROM k, unnest(range(9)) AS t(s)),
+         a9 AS (SELECT k, arg_max(s, h)::BIGINT AS shard9 FROM h9 GROUP BY k)
+         SELECT shard, count(*) AS n_keys,
+           sum(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END)::BIGINT
+             AS n_moved,
+           round(sum(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 100, 4) AS pct_moved
+         FROM a8 JOIN a9 USING (k)
+         GROUP BY shard ORDER BY shard""",
+
+    "q334_cdc_chunking" ->
+      """WITH wd AS (
+           SELECT doc_id, d.ws[t.p] AS w, t.p,
+             CASE WHEN (('0x' || substring(md5('0:' || d.ws[t.p]), 1, 12))
+               ::BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS flag
+           FROM (SELECT doc_id, string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS ws
+             FROM documents) d,
+             unnest(range(1, len(d.ws) + 1)) AS t(p)),
+         ch AS (
+           SELECT doc_id, w, p,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS chunk
+           FROM wd),
+         cs AS (
+           SELECT doc_id, chunk, count(*) AS n_words,
+             md5(string_agg(w, ' ' ORDER BY p)) AS fp
+           FROM ch GROUP BY doc_id, chunk),
+         f AS (SELECT fp, count(*) AS occ, min(n_words) AS n_words
+               FROM cs GROUP BY fp)
+         SELECT occ, count(*) AS n_chunks, sum(n_words)::BIGINT AS sum_words
+         FROM f GROUP BY occ ORDER BY occ""",
   )
 }

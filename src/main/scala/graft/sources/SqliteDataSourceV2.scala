@@ -72,7 +72,23 @@ object SqliteDataSourceV2 {
     val header: Header = {
       val h = new Array[Byte](100)
       in.readFully(0L, h)
-      parseHeader(h)
+      val parsed = parseHeader(h)
+      // WAL safety: a journal_mode=WAL database (read/write version 2,
+      // header bytes 18/19) keeps committed transactions in a -wal
+      // sidecar until checkpoint — reading ONLY the main file would
+      // silently return stale/partial data. A clean close checkpoints
+      // and truncates the -wal, so refuse only when a NON-EMPTY -wal
+      // is actually present (the case where data would be missing).
+      if ((h(18) & 0xff) == 2 || (h(19) & 0xff) == 2) {
+        val wal = new Path(path + "-wal")
+        val pending = try fs.exists(wal) && fs.getFileStatus(wal).getLen > 0
+        catch { case _: Exception => false }
+        require(!pending, s"sqlite: $path is in WAL mode with a non-empty " +
+          "-wal sidecar — un-checkpointed transactions would be invisible " +
+          "to this reader; checkpoint the database (PRAGMA " +
+          "wal_checkpoint(TRUNCATE)) or close it cleanly first")
+      }
+      parsed
     }
     def pageSize: Int = header.pageSize
     def page(n: Int): Array[Byte] = {

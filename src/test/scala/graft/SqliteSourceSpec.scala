@@ -220,6 +220,36 @@ class SqliteSourceSpec extends SparkSpec {
     assert(ChildRange(1, Long.MinValue, 5).overlaps(Long.MinValue, Long.MaxValue))
   }
 
+  test("WAL mode: non-empty -wal sidecar is refused with the cause; a " +
+    "checkpointed (empty/absent -wal) WAL db reads fine") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal")
+    val db = dir.resolve("w.db")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), db)
+    // flip the header's read/write version bytes to 2 (WAL)
+    val ch = java.nio.channels.FileChannel.open(db,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.write(java.nio.ByteBuffer.wrap(Array[Byte](2, 2)), 18L)
+    finally ch.close()
+    // absent -wal: fully checkpointed, reads normally
+    assert(read(db.toString, "kv").count() == 200)
+    // non-empty -wal: pending transactions invisible to us -> refuse
+    java.nio.file.Files.write(dir.resolve("w.db-wal"),
+      Array.fill[Byte](64)(1))
+    val e = intercept[Exception] { read(db.toString, "kv").count() }
+    assert(e.getMessage.contains("WAL"))
+  }
+
+  test("SQL DDL surface: CREATE TABLE ... USING graft-sqlite composes with spark.sql") {
+    spark.sql("DROP TABLE IF EXISTS sqlite_docs_sql")
+    spark.sql(s"""CREATE TABLE sqlite_docs_sql USING `graft-sqlite`
+      OPTIONS (path '$fixture', table 'docs')""")
+    val n = spark.sql(
+      "SELECT count(*) FROM sqlite_docs_sql WHERE id BETWEEN 900 AND 2400")
+      .head.getLong(0)
+    assert(n == 501) // ids 900..2400 step 3
+    spark.sql("DROP TABLE sqlite_docs_sql")
+  }
+
   test("low-level: varint and serial-type decode round corners") {
     import SqliteFile._
     assert(varint(Array(0x7f.toByte), 0) == (127L, 1))
