@@ -8705,6 +8705,24 @@ object SparkEntry {
         .orderBy("source", "decision")
     }),
 
+    // WITHOUT ROWID TABLE SCAN (the index-B-tree storage class: rows
+    // ARE the key records, PK columns stored first, entries in
+    // interior pages too): per-group aggregate over the composite-PK
+    // fixture table, proving the stored→declared un-permutation and
+    // the index-overflow reassembly under the oracle gate. sum(val)
+    // stays exact (dyadic k/4 values). Oracle computed by sqlite3 at
+    // fixture-generation time.
+    "q335_sqlite_without_rowid" -> ((s, _) => {
+      s.read.format("graft-sqlite").option("table", "wr_metrics")
+        .load(graft.sources.SqliteDataSourceV2.fixturePath)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("val")) * 4, 0).cast("long").as("sum_val_x4"),
+          max(col("id")).as("max_id"),
+          sum(length(col("note"))).as("note_chars"))
+        .orderBy("grp")
+    }),
+
     // RENDEZVOUS (highest-random-weight) SHARDING — the stable shard
     // assignment for growing a cluster: each key goes to the shard
     // with the max deterministic hash(key, shard), so growing N=8 to
@@ -16757,6 +16775,17 @@ object SparkEntry {
            count(*) AS n_docs
          FROM b JOIN k USING (fp)
          GROUP BY 1, 2 ORDER BY source, decision""",
+
+    // computed by sqlite3 over the committed fixture at generation time
+    // (tools/make_sqlite_fixture.py prints this block)
+    "q335_sqlite_without_rowid" ->
+      """SELECT * FROM (VALUES
+           ('g0', 72, 14140, 355, 936),
+           ('g1', 72, 14276, 356, 936),
+           ('g2', 72, 14012, 357, 7423),
+           ('g3', 72, 14148, 358, 936),
+           ('g4', 72, 13884, 359, 936)
+         ) AS t(grp, n_rows, sum_val_x4, max_id, note_chars)""",
 
     "q333_rendezvous_sharding" ->
       """WITH k AS (SELECT c_custkey AS k FROM customer),

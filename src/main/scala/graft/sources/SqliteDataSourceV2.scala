@@ -145,8 +145,6 @@ object SqliteDataSourceV2 {
       throw new IllegalArgumentException(
         s"graft-sqlite: no table '$tableName' in $path — found: " +
           all.map(_.name).mkString(", ")))
-    require(!t.withoutRowid, s"graft-sqlite: ${t.name} is WITHOUT ROWID " +
-      "(index-btree storage) — not supported by this reader")
     t
   }
 
@@ -303,6 +301,12 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
   override def planInputPartitions(): Array[InputPartition] = {
     val pr = SqliteDataSourceV2.openReader(path, conf.value)
     try {
+      // WITHOUT ROWID rows live in an index B-tree whose interior pages
+      // carry entries; subtree splits would drop them — one in-order
+      // partition (these are PK-lookup tables; the parallel-scan story
+      // belongs to the rowid tables)
+      if (t.withoutRowid)
+        return Array(SqlitePartition(Seq(t.rootPage)))
       // root children pruned by the pushed rowid window FIRST — a point
       // lookup plans exactly one single-subtree partition, and a window
       // outside the table plans ZERO partitions
@@ -372,7 +376,21 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
   }.toSet
 
   private val rows: Iterator[InternalRow] =
-    part.roots.iterator.flatMap(root =>
+    if (t.withoutRowid) {
+      // index-btree storage: record columns are PK-first — map each
+      // required DECLARED ordinal to its stored position
+      val storedPos = t.storedOrder.zipWithIndex.toMap // declared -> stored
+      val wantedStored = fields.map(f => storedPos(f._1)).toSet
+      part.roots.iterator.flatMap(root => scanIndex(pr, pr.header, root))
+        .map { payload =>
+          val vals = decodeRecord(payload, wantedStored.contains)
+          InternalRow.fromSeq(fields.toIndexedSeq.map { case (ord, dt, _) =>
+            val sp = storedPos(ord)
+            if (sp < vals.length) SqliteDataSourceV2.coerce(vals(sp), dt)
+            else null
+          })
+        }
+    } else part.roots.iterator.flatMap(root =>
       scanTable(pr, pr.header, root, lo, hi))
       .map { raw =>
         val vals = decodeRecord(raw.payload, wantedOrdinals.contains)

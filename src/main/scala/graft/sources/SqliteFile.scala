@@ -24,11 +24,12 @@ import scala.collection.mutable.ArrayBuffer
   * splits into root-fanout ≈ pageSize/16 parallel scans, no driver
   * materialization).
   *
-  * Out of scope, checked and rejected loudly: UTF-16 encodings, WAL
-  * files with un-checkpointed frames (the main file is still read —
-  * SQLite checkpoints on clean close; we cannot see a hot -wal),
-  * WITHOUT ROWID tables (index-btree storage), and index B-trees
-  * (full scans never need them).
+  * Out of scope, checked and rejected loudly: UTF-16 encodings and WAL
+  * files with un-checkpointed -wal frames (reading only the main file
+  * would silently miss committed transactions). WITHOUT ROWID tables
+  * ARE supported: their rows live in an index B-tree ([[scanIndex]],
+  * entries in interior pages too, index overflow geometry) with PK
+  * columns stored first ([[SqliteTableDef.storedOrder]] un-permutes).
   */
 object SqliteFile {
 
@@ -316,6 +317,91 @@ object SqliteFile {
     }
   }
 
+  /** In-order scan of an INDEX B-tree (page types 0x02/0x0a) — the
+    * storage of WITHOUT ROWID tables, whose rows live as key records
+    * (PK columns first; see [[SqliteTableDef.storedOrder]]). Unlike
+    * table B-trees, index INTERIOR pages carry entries too: traversal
+    * is child₀, entry₀, child₁, entry₁, …, right-most. Overflow uses
+    * the index inline-max X = 64·(U−12)/255 − 23 (vs U−35 for table
+    * leaves). Emits raw record payloads in key order. */
+  def scanIndex(pr: PageReader, header: Header, rootPage: Int)
+      : Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private val u = header.usable
+    private val maxInline = (u - 12) * 64 / 255 - 23
+    private val minInline = (u - 12) * 32 / 255 - 23
+
+    private sealed trait Task
+    private case class VisitPage(pageNo: Int) extends Task
+    private case class EmitCell(pg: Array[Byte], cellOff: Int,
+                                interior: Boolean) extends Task
+
+    private val stack = ArrayBuffer[Task](VisitPage(rootPage))
+    private var nextPayload: Array[Byte] = _
+
+    private def assemble(pg: Array[Byte], cellOff0: Int,
+                         interior: Boolean): Array[Byte] = {
+      val cellOff = if (interior) cellOff0 + 4 else cellOff0 // skip child
+      val (p, n1) = varint(pg, cellOff)
+      val bodyOff = cellOff + n1
+      val payloadLen = p.toInt
+      if (payloadLen <= maxInline)
+        java.util.Arrays.copyOfRange(pg, bodyOff, bodyOff + payloadLen)
+      else {
+        val k0 = minInline + (payloadLen - minInline) % (u - 4)
+        val inline = if (k0 <= maxInline) k0 else minInline
+        val buf = new Array[Byte](payloadLen)
+        System.arraycopy(pg, bodyOff, buf, 0, inline)
+        var written = inline
+        var next = u32(pg, bodyOff + inline).toInt
+        while (next != 0 && written < payloadLen) {
+          val op = pr.page(next)
+          val take = math.min(u - 4, payloadLen - written)
+          System.arraycopy(op, 4, buf, written, take)
+          written += take
+          next = u32(op, 0).toInt
+        }
+        require(written == payloadLen,
+          s"sqlite: truncated index overflow chain " +
+            s"($written of $payloadLen bytes)")
+        buf
+      }
+    }
+
+    private def advance(): Unit = {
+      nextPayload = null
+      while (nextPayload == null && stack.nonEmpty) {
+        stack.remove(stack.length - 1) match {
+          case EmitCell(pg, off, interior) =>
+            nextPayload = assemble(pg, off, interior)
+          case VisitPage(pageNo) =>
+            val pg = pr.page(pageNo)
+            val off = btreeHeaderOffset(pageNo)
+            val ncells = u16(pg, off + 3)
+            (pg(off) & 0xff) match {
+              case 0x0a =>
+                (ncells - 1 to 0 by -1).foreach(i => stack += EmitCell(pg,
+                  u16(pg, off + 8 + 2 * i), interior = false))
+              case 0x02 =>
+                // in-order: child_i before entry_i; push reversed
+                stack += VisitPage(u32(pg, off + 8).toInt) // right-most last
+                (ncells - 1 to 0 by -1).foreach { i =>
+                  val cellOff = u16(pg, off + 12 + 2 * i)
+                  stack += EmitCell(pg, cellOff, interior = true)
+                  stack += VisitPage(u32(pg, cellOff).toInt)
+                }
+              case t => sys.error(
+                f"sqlite: unexpected page type 0x$t%02x at page $pageNo " +
+                  "inside an index B-tree")
+            }
+        }
+      }
+    }
+
+    advance()
+    def hasNext: Boolean = nextPayload != null
+    def next(): Array[Byte] = { val r = nextPayload; advance(); r }
+  }
+
   // ---- schema (sqlite_master + CREATE TABLE parsing) ---------------------
 
   case class SqliteColumn(name: String, declaredType: String,
@@ -334,8 +420,23 @@ object SqliteFile {
     }
   }
 
+  /** `pkCols`: the PRIMARY KEY columns in KEY ORDER (needed to un-permute
+    * WITHOUT ROWID records, whose on-disk column order is PK columns
+    * first, then the remaining declared columns). */
   case class SqliteTableDef(name: String, rootPage: Int,
-                            columns: Seq[SqliteColumn], withoutRowid: Boolean)
+                            columns: Seq[SqliteColumn], withoutRowid: Boolean,
+                            pkCols: Seq[String] = Nil) {
+    /** On-disk column order of a WITHOUT ROWID record, as DECLARED
+      * column ordinals: PK columns (key order) then the rest
+      * (declared order). Identity for rowid tables. */
+    def storedOrder: Seq[Int] =
+      if (!withoutRowid) columns.indices
+      else {
+        val pkIdx = pkCols.map(pk =>
+          columns.indexWhere(_.name.equalsIgnoreCase(pk)))
+        pkIdx ++ columns.indices.filterNot(pkIdx.contains)
+      }
+  }
 
   /** All ordinary tables in the file, read from the `sqlite_master`
     * catalog B-tree at page 1 (columns: type, name, tbl_name, rootpage,
@@ -436,20 +537,20 @@ object SqliteFile {
       tableConstraintStart.contains(
         d.trim.split("\\s+|\\(").headOption.getOrElse("").toUpperCase)
     }
-    // table-level single-column PRIMARY KEY (col) — candidate rowid alias
-    val tablePkCol: Option[String] = constraintDefs.iterator
+    // table-level PRIMARY KEY (col, ...) — ordered key columns; a
+    // single INTEGER key is the rowid-alias candidate, multi-column
+    // keys matter for WITHOUT ROWID record un-permutation
+    val tablePkCols: Seq[String] = constraintDefs.iterator
       .map(_.trim)
       .filter(_.toUpperCase.matches("(?s)PRIMARY\\s+KEY\\s*\\(.*"))
       .flatMap { d =>
         val inner = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
-        val cols = topLevelSplit(inner)
-        if (cols.size == 1) {
-          // strip a trailing ASC (alias) — DESC in table-constraint form
-          // still aliases per the documented quirk, so strip it too
-          val c = cols.head.trim.split("\\s+").head
-          Some(unquoteIdent(c).toUpperCase)
-        } else None
-      }.toSeq.headOption
+        // strip trailing ASC/DESC/COLLATE per key part
+        topLevelSplit(inner).map(c =>
+          unquoteIdent(c.trim.split("\\s+").head))
+      }.toSeq
+    val tablePkCol: Option[String] =
+      if (tablePkCols.size == 1) Some(tablePkCols.head.toUpperCase) else None
     val cols = columnDefs.map { d =>
       val trimmed = d.trim
       // identifier: quoted run or bare token
@@ -501,11 +602,16 @@ object SqliteFile {
       val upperRest = rest.toUpperCase
       val inlinePk = upperRest.contains("PRIMARY KEY")
       val inlineDesc = upperRest.matches("(?s).*PRIMARY\\s+KEY\\s+DESC.*")
-      val isAlias = declared.equalsIgnoreCase("INTEGER") &&
+      // WITHOUT ROWID tables have no rowid to alias: the PK columns are
+      // stored as real record values (in key order, up front)
+      val isAlias = !withoutRowid && declared.equalsIgnoreCase("INTEGER") &&
         ((inlinePk && !inlineDesc) ||
           tablePkCol.contains(colName.toUpperCase))
-      SqliteColumn(colName, declared, isAlias)
+      (SqliteColumn(colName, declared, isAlias), inlinePk)
     }
-    SqliteTableDef(name, rootPage, cols, withoutRowid)
+    val pkCols =
+      if (tablePkCols.nonEmpty) tablePkCols
+      else cols.collect { case (c, true) => c.name }.toSeq
+    SqliteTableDef(name, rootPage, cols.map(_._1), withoutRowid, pkCols)
   }
 }

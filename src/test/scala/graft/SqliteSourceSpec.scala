@@ -124,9 +124,27 @@ class SqliteSourceSpec extends SparkSpec {
     assert(w == Seq(42L, 2L, null, null))
   }
 
-  test("fixture: WITHOUT ROWID table rejected with the cause") {
-    val e = intercept[Exception] { read(fixture, "norowid").count() }
-    assert(e.getMessage.contains("WITHOUT ROWID"))
+  test("fixture: WITHOUT ROWID tables read through the index B-tree") {
+    // simple TEXT-pk WITHOUT ROWID (single leaf)
+    val nr = read(fixture, "norowid").collect()
+    assert(nr.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 1L)))
+    // composite-PK, multi-level index B-tree, PK columns NOT declared
+    // first: stored order is (grp, id, val, note) but the reader must
+    // return DECLARED order (val, grp, note, id)
+    val wr = read(fixture, "wr_metrics")
+    assert(wr.schema.fieldNames.toSeq == Seq("val", "grp", "note", "id"))
+    assert(wr.count() == 360)
+    val r137 = wr.filter(col("id") === 137).head()
+    assert(r137.getAs[String]("grp") == "g2")
+    assert(r137.getAs[Double]("val") == (137 * 13 % 400) / 4.0)
+    // index-overflow row: note = "wr-note-0137 " x 500 = 6.5 KB
+    assert(r137.getAs[String]("note").length == "wr-note-0137 ".length * 500)
+    assert(r137.getAs[String]("note").startsWith("wr-note-0137 wr-note-"))
+    // interior index pages carry ENTRIES: no row may be lost or doubled
+    assert(wr.select("id", "grp").distinct().count() == 360)
+    assert(wr.agg(sum(col("id"))).head.getLong(0) == (0L until 360L).sum)
+    // single-partition contract for index-btree storage
+    assert(wr.rdd.getNumPartitions == 1)
     val e2 = intercept[Exception] { read(fixture, "nope").count() }
     assert(e2.getMessage.contains("no table 'nope'"))
   }

@@ -89,6 +89,27 @@ cur.execute("CREATE TABLE norowid (a TEXT PRIMARY KEY, b INTEGER) "
             "WITHOUT ROWID")
 cur.execute("INSERT INTO norowid VALUES ('x', 1)")
 
+# composite-PK WITHOUT ROWID table: enough rows for interior index
+# pages (entries live in interior pages too), PK columns NOT declared
+# first (stored order is PK-first -> exercises the un-permutation),
+# plus an overflowing note (index overflow geometry differs from table
+# leaves: X = 64*(U-12)/255 - 23)
+cur.execute("""
+CREATE TABLE wr_metrics (
+  val   FLOAT(126),
+  grp   VARCHAR2(10),
+  note  TEXT,
+  id    INTEGER,
+  PRIMARY KEY (grp, id)
+) WITHOUT ROWID""")
+cur.executemany(
+    "INSERT INTO wr_metrics (val, grp, note, id) VALUES (?,?,?,?)",
+    [((i * 13 % 400) / 4.0,                      # dyadic-exact
+      "g%d" % (i % 5),
+      ("wr-note-%04d " % i) * (500 if i == 137 else 1),  # one overflow row
+      i)
+     for i in range(360)])
+
 # type-fluid column: declared INTEGER, stores an int, a real, numeric
 # text, and non-numeric text (affinity keeps text that parses as a
 # number numeric; 'abc' stays TEXT on disk)
@@ -111,6 +132,17 @@ vals = ",\n    ".join(
     "('%s', %d, %d, %d, %d, %d)" % r for r in agg)
 print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, n_flagged, "
       "sum_score_x8, max_id, body_chars)" % vals)
+
+# q335 oracle: WITHOUT ROWID composite-PK table aggregate
+agg335 = cur.execute("""
+  SELECT grp, count(*) AS n_rows,
+         CAST(round(sum(val) * 4) AS INTEGER) AS sum_val_x4,
+         max(id) AS max_id, sum(length(note)) AS note_chars
+  FROM wr_metrics GROUP BY grp ORDER BY grp""").fetchall()
+print("-- q335 oracle (DuckDB VALUES):")
+print("SELECT * FROM (VALUES\n    %s\n) AS t(grp, n_rows, sum_val_x4, "
+      "max_id, note_chars)" % ",\n    ".join(
+          "('%s', %d, %d, %d, %d)" % r for r in agg335))
 
 # q331 oracle: rowid-window aggregate (the pushdown-path gate)
 agg331 = cur.execute("""
