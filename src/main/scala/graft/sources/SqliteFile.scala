@@ -234,6 +234,18 @@ object SqliteFile {
     // stack of (pageNo, nextCellIndex); interior pages push children lazily
     private val stack = ArrayBuffer[(Int, Int)]((rootPage, 0))
     private var nextRow: RawRow = _
+    // corruption guard: a valid tree visits each page at most once; a
+    // cyclic child pointer (corrupt/malicious file) must fail fast, not
+    // hang an executor. pageCount==0 (legacy header) disables the cap.
+    private var pagesVisited = 0L
+    private def notePage(pageNo: Int): Unit = {
+      pagesVisited += 1
+      require(header.pageCount == 0L || pagesVisited <= header.pageCount,
+        s"sqlite: table B-tree at page $rootPage visits more pages than " +
+          s"the file holds (${header.pageCount}) — cyclic page pointers " +
+          "(corrupt file)")
+      val _ = pageNo
+    }
 
     private def assemble(pg: Array[Byte], cellOff: Int): RawRow = {
       val (p, n1) = varint(pg, cellOff)
@@ -291,6 +303,7 @@ object SqliteFile {
             // so pop order preserves rowid order; children whose rowid
             // bounds miss [lo, hi] are pruned here, unread
             if (idx == 0) {
+              notePage(pageNo)
               var prev = Long.MinValue
               val kids = (0 until ncells).map { i =>
                 val cellOff = u16(pg, off + 12 + 2 * i)
@@ -337,6 +350,8 @@ object SqliteFile {
 
     private val stack = ArrayBuffer[Task](VisitPage(rootPage))
     private var nextPayload: Array[Byte] = _
+    // corruption guard (see scanTable): cyclic pointers fail fast
+    private var pagesVisited = 0L
 
     private def assemble(pg: Array[Byte], cellOff0: Int,
                          interior: Boolean): Array[Byte] = {
@@ -374,6 +389,12 @@ object SqliteFile {
           case EmitCell(pg, off, interior) =>
             nextPayload = assemble(pg, off, interior)
           case VisitPage(pageNo) =>
+            pagesVisited += 1
+            require(header.pageCount == 0L ||
+              pagesVisited <= header.pageCount,
+              s"sqlite: index B-tree at page $rootPage visits more pages " +
+                s"than the file holds (${header.pageCount}) — cyclic page " +
+                "pointers (corrupt file)")
             val pg = pr.page(pageNo)
             val off = btreeHeaderOffset(pageNo)
             val ncells = u16(pg, off + 3)

@@ -268,6 +268,35 @@ class SqliteSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE sqlite_docs_sql")
   }
 
+  test("corruption guard: a cyclic child pointer fails fast instead of hanging") {
+    import SqliteFile._
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val hdr = parseHeader(bytes.take(100))
+    val pr = new BytesPageReader(bytes, hdr.pageSize)
+    val docsRoot = tables(pr, hdr).find(_.name == "docs").get.rootPage
+    // fabricate an interior page whose first child points BACK AT the
+    // root: traversal must trip the visited-pages cap, not loop forever
+    val rootBytes = pr.page(docsRoot)
+    assert((rootBytes(0) & 0xff) == 0x05, "docs root should be interior")
+    val cellOff = ((rootBytes(12) & 0xff) << 8) | (rootBytes(13) & 0xff)
+    val evil = rootBytes.clone()
+    evil(cellOff) = ((docsRoot >> 24) & 0xff).toByte
+    evil(cellOff + 1) = ((docsRoot >> 16) & 0xff).toByte
+    evil(cellOff + 2) = ((docsRoot >> 8) & 0xff).toByte
+    evil(cellOff + 3) = (docsRoot & 0xff).toByte
+    val evilReader = new PageReader {
+      def pageSize: Int = pr.pageSize
+      def page(n: Int): Array[Byte] =
+        if (n == docsRoot) evil.clone() else pr.page(n)
+      def close(): Unit = ()
+    }
+    val e = intercept[Exception] {
+      scanTable(evilReader, hdr, docsRoot).size
+    }
+    assert(e.getMessage.contains("cyclic"))
+  }
+
   test("low-level: varint and serial-type decode round corners") {
     import SqliteFile._
     assert(varint(Array(0x7f.toByte), 0) == (127L, 1))
