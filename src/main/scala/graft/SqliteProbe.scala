@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the graft-sqlite DSv2 source (SCALE.md §6k): scan
+  * throughput vs partition parallelism, pruned-column scans, and the
+  * rowid-pushdown point-lookup latency on a multi-hundred-MB .db.
+  *
+  *   python3 tools/make_sqlite_big.py /tmp/graft_big.db 2000000
+  *   sbt "runMain graft.SqliteProbe /tmp/graft_big.db"
+  *
+  * Evidence targets: the subtree-partitioned scan beats maxPartitions=1
+  * by ~min(cores, fan-out); column pruning cuts wall (unwanted bodies
+  * are length-skipped, never decoded); a point lookup answers in
+  * milliseconds-not-seconds because root-child pruning plans ONE
+  * single-subtree partition and the B-tree descent reads O(depth)
+  * pages. */
+object SqliteProbe {
+  def main(args: Array[String]): Unit = {
+    val db = args.headOption.getOrElse("/tmp/graft_big.db")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rd(maxPartitions: Int) = spark.read.format("graft-sqlite")
+      .option("table", "big").option("maxPartitions", maxPartitions)
+      .load(db)
+
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val v = f
+      println(f"[sqprobe] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($v)")
+    }
+
+    val n = rd(32).count() // warm OS page cache so runs compare CPU paths
+    println(s"[sqprobe] rows=$n partitions=${rd(32).rdd.getNumPartitions}")
+    time("full agg, 32 partitions") {
+      rd(32).agg(sum(col("flag")), sum(length(col("body")))).head()
+    }
+    time("full agg, 1 partition") {
+      rd(1).agg(sum(col("flag")), sum(length(col("body")))).head()
+    }
+    time("pruned 2-col agg (no body decode), 32p") {
+      rd(32).agg(sum(col("flag")), sum(col("id"))).head()
+    }
+    time("point lookup id = n/2 (rowid pushdown)") {
+      rd(32).filter(col("id") === n / 2).select("cat", "score").head()
+    }
+    time("range 1k rows (rowid pushdown)") {
+      rd(32).filter(col("id").between(n / 2, n / 2 + 999)).count()
+    }
+    time("point lookup, pushdown-equivalent full filter, 1p") {
+      // the no-pushdown bound: same predicate but forced single subtree
+      // set, planner still prunes — compare against a full scan instead
+      rd(1).filter(col("cat") === "nope").count()
+    }
+    spark.stop()
+  }
+}
