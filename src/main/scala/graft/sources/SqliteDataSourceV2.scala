@@ -159,6 +159,61 @@ object SqliteDataSourceV2 {
   def sparkSchema(t: SqliteTableDef): StructType =
     StructType(t.columns.map(c => StructField(c.name, affinityType(c))))
 
+  /** One-pass record decode straight to Spark internal values for the
+    * requested stored positions — the reader hot path. The record
+    * header is walked once (serial type + body offset per column, two
+    * int arrays, no boxing); matched-affinity cells convert DIRECTLY
+    * (TEXT→`UTF8String.fromBytes` with NO intermediate `String`,
+    * ints/reals from the wire bytes). Mismatched-affinity cells take
+    * the [[coerce]] slow path, so dynamic-typing semantics are
+    * IDENTICAL to the boxed decoder — this is an allocation cut, not a
+    * semantics fork (measured 2M-row scan: see SCALE.md §6k).
+    * `out(i)` is null when the record is shorter than the schema. */
+  def decodeSpark(payload: Array[Byte], positions: Array[Int],
+                  dts: Array[DataType]): Array[Any] = {
+    val (hdrLen, n0) = varint(payload, 0)
+    val maxOrd = if (positions.isEmpty) -1 else positions.max
+    val sts = new Array[Long](maxOrd + 1)
+    val offs = new Array[Int](maxOrd + 1)
+    java.util.Arrays.fill(sts, -1L)
+    var ho = n0
+    var bo = hdrLen.toInt
+    var i = 0
+    while (ho < hdrLen && i <= maxOrd) {
+      val (t, n) = varint(payload, ho)
+      ho += n
+      sts(i) = t
+      offs(i) = bo
+      bo += serialLen(t)
+      i += 1
+    }
+    val out = new Array[Any](positions.length)
+    var j = 0
+    while (j < positions.length) {
+      val p = positions(j)
+      val st = if (p <= maxOrd) sts(p) else -1L
+      out(j) =
+        if (st < 0) null // record predates an ALTER TABLE ADD COLUMN
+        else (st, dts(j)) match {
+          case (0, _) => null
+          case (8, LongType) => 0L
+          case (9, LongType) => 1L
+          case (t0, LongType) if t0 >= 1 && t0 <= 6 =>
+            serialValue(t0, payload, offs(p)).asInstanceOf[VInt].v
+          case (7, DoubleType) =>
+            serialValue(7, payload, offs(p)).asInstanceOf[VReal].v
+          case (t0, StringType) if t0 >= 13 && t0 % 2 == 1 =>
+            UTF8String.fromBytes(payload, offs(p), serialLen(t0))
+          case (t0, BinaryType) if t0 >= 12 && t0 % 2 == 0 =>
+            java.util.Arrays.copyOfRange(payload, offs(p),
+              offs(p) + serialLen(t0))
+          case (t0, dt) => coerce(serialValue(t0, payload, offs(p)), dt)
+        }
+      j += 1
+    }
+    out
+  }
+
   /** Affinity coercion: dynamic on-disk value → the column's static
     * Spark type. Lossless where SQLite itself round-trips; otherwise
     * null (documented: a TEXT cell in an INTEGER column that does not
@@ -371,38 +426,47 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
       require(ord >= 0, s"graft-sqlite: no column ${f.name} in ${t.name}")
       (ord, f.dataType, t.columns(ord).rowidAlias)
     }
-  private val wantedOrdinals = fields.collect {
-    case (ord, _, alias) if !alias => ord
-  }.toSet
-
   private val rows: Iterator[InternalRow] =
     if (t.withoutRowid) {
       // index-btree storage: record columns are PK-first — map each
       // required DECLARED ordinal to its stored position
       val storedPos = t.storedOrder.zipWithIndex.toMap // declared -> stored
-      val wantedStored = fields.map(f => storedPos(f._1)).toSet
+      val positions = fields.map(f => storedPos(f._1))
+      val dts = fields.map(_._2)
       part.roots.iterator.flatMap(root => scanIndex(pr, pr.header, root))
         .map { payload =>
-          val vals = decodeRecord(payload, wantedStored.contains)
-          InternalRow.fromSeq(fields.toIndexedSeq.map { case (ord, dt, _) =>
-            val sp = storedPos(ord)
-            if (sp < vals.length) SqliteDataSourceV2.coerce(vals(sp), dt)
-            else null
-          })
+          InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(
+              SqliteDataSourceV2.decodeSpark(payload, positions, dts)))
         }
-    } else part.roots.iterator.flatMap(root =>
-      scanTable(pr, pr.header, root, lo, hi))
-      .map { raw =>
-        val vals = decodeRecord(raw.payload, wantedOrdinals.contains)
-        InternalRow.fromSeq(fields.toIndexedSeq.map {
-          case (_, dt, true) => // rowid alias: record stores NULL
-            if (dt == LongType) raw.rowid
-            else SqliteDataSourceV2.coerce(VInt(raw.rowid), dt)
-          case (ord, dt, false) =>
-            if (ord < vals.length) SqliteDataSourceV2.coerce(vals(ord), dt)
-            else null // row predates an ALTER TABLE ADD COLUMN
-        })
-      }
+    } else {
+      // rowid aliases come from the rowid, not the record: split the
+      // required fields into decoded positions and alias slots
+      val decIdx = fields.zipWithIndex.collect {
+        case ((_, _, false), fi) => fi }
+      val positions = decIdx.map(fi => fields(fi)._1)
+      val dts = decIdx.map(fi => fields(fi)._2)
+      part.roots.iterator.flatMap(root =>
+        scanTable(pr, pr.header, root, lo, hi))
+        .map { raw =>
+          val dec = SqliteDataSourceV2.decodeSpark(raw.payload, positions,
+            dts)
+          val all = new Array[Any](fields.length)
+          var k = 0
+          while (k < decIdx.length) { all(decIdx(k)) = dec(k); k += 1 }
+          var fi = 0
+          while (fi < fields.length) {
+            if (fields(fi)._3) // rowid alias
+              all(fi) =
+                if (fields(fi)._2 == LongType) raw.rowid
+                else SqliteDataSourceV2.coerce(VInt(raw.rowid),
+                  fields(fi)._2)
+            fi += 1
+          }
+          InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(all))
+        }
+    }
 
   private var cur: InternalRow = _
 
