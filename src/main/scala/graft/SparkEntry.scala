@@ -8705,6 +8705,46 @@ object SparkEntry {
         .orderBy("source", "decision")
     }),
 
+    // LEGACY-WAREHOUSE MIGRATION round trip (the end-to-end "switch
+    // your warehouse" story): the SQLite fixture is scanned through
+    // graft-sqlite, landed into a TxLog transactional table with an
+    // exactly-once epoch merge, a REPLAYED epoch is proven skipped,
+    // and the aggregate reads back from the TxLog — sqlite B-tree →
+    // parquet+manifest in one plan family. At 100 TB this is the
+    // intended shape for legacy .db files: one parallel migration
+    // scan, then query the columnar table. Eager sink (see
+    // [[eagerSinks]]): building the frame runs the migration.
+    "q336_sqlite_migration" -> ((s, dir) => {
+      val root = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_q336_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        if (java.nio.file.Files.exists(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally st.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
+      val legacy = s.read.format("graft-sqlite").option("table", "docs")
+        .load(graft.sources.SqliteDataSourceV2.fixturePath)
+        .select(col("id"), col("cat"), col("flag"), length(col("body"))
+          .as("body_chars"))
+      TxLog.mergeEpoch(s, root, legacy.withColumn("upload_id", lit(1L)),
+        "id", epochId = 1L)
+      // restart replay: the same epoch must be SKIPPED, not re-applied
+      TxLog.mergeEpoch(s, root, legacy.withColumn("upload_id", lit(1L)),
+        "id", epochId = 1L)
+      TxLog.read(s, root)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_docs"), sum(col("flag")).as("n_flagged"),
+          sum(col("body_chars")).as("body_chars"))
+        .orderBy("cat")
+    }),
+
     // WITHOUT ROWID TABLE SCAN (the index-B-tree storage class: rows
     // ARE the key records, PK columns stored first, entries in
     // interior pages too): per-group aggregate over the composite-PK
@@ -8787,7 +8827,8 @@ object SparkEntry {
     * side-effect-free. The skipped queries' scale shape is audited by
     * their own specs (TxLogSpec races the commit path; the read-back
     * plan is a plain parquet scan + keyed agg). */
-  val eagerSinks: Set[String] = Set("q273_txlog_exactly_once")
+  val eagerSinks: Set[String] = Set("q273_txlog_exactly_once",
+    "q336_sqlite_migration")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
@@ -16778,6 +16819,21 @@ object SparkEntry {
 
     // computed by sqlite3 over the committed fixture at generation time
     // (tools/make_sqlite_fixture.py prints this block)
+    // the q321 projection of the fixture (sqlite3-computed) — the
+    // migration read-back must equal the legacy source exactly
+    "q336_sqlite_migration" ->
+      """SELECT * FROM (VALUES
+           ('alpha', 187, 0, 148359),
+           ('beta', 188, 188, 32580),
+           ('bigint', 1, -1125899906842624, 3),
+           ('delta', 188, 188, 32766),
+           ('epsilon', 188, 0, 33138),
+           ('eta', 187, 0, 32365),
+           ('gamma', 188, 0, 32766),
+           ('theta', 187, 187, 32735),
+           ('zeta', 187, 187, 32550)
+         ) AS t(cat, n_docs, n_flagged, body_chars)""",
+
     "q335_sqlite_without_rowid" ->
       """SELECT * FROM (VALUES
            ('g0', 72, 14140, 355, 936),
