@@ -8745,6 +8745,34 @@ object SparkEntry {
         .orderBy("cat")
     }),
 
+    // NATIVE SQLITE EXPORT round trip (the WRITE half of warehouse
+    // parity: the reference WRITES drwh.db, so must we): a parquet
+    // projection exports through SqliteWriter (hand-rolled B-tree
+    // builder, python-sqlite3-validated in tools/
+    // check_sqlite_roundtrip.py), reads back through graft-sqlite, and
+    // aggregates — the oracle computes the SAME aggregate from parquet
+    // directly, so any write/read corruption hash-mismatches. Eager
+    // sink (the export runs at build). Export-sized by contract, like
+    // the reference's own single-connection sqlite sink.
+    "q337_sqlite_export_roundtrip" -> ((s, dir) => {
+      val db = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_q337_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + ".db")
+      java.nio.file.Files.deleteIfExists(db)
+      graft.sources.SqliteWriter.export(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("cents")),
+        db.toString, "cust_export", rowidCol = Some("c_custkey"))
+      s.read.format("graft-sqlite").option("table", "cust_export")
+        .load(db.toString)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("seg")
+    }),
+
     // WITHOUT ROWID TABLE SCAN (the index-B-tree storage class: rows
     // ARE the key records, PK columns stored first, entries in
     // interior pages too): per-group aggregate over the composite-PK
@@ -8828,7 +8856,7 @@ object SparkEntry {
     * their own specs (TxLogSpec races the commit path; the read-back
     * plan is a plain parquet scan + keyed agg). */
   val eagerSinks: Set[String] = Set("q273_txlog_exactly_once",
-    "q336_sqlite_migration")
+    "q336_sqlite_migration", "q337_sqlite_export_roundtrip")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
@@ -16819,6 +16847,14 @@ object SparkEntry {
 
     // computed by sqlite3 over the committed fixture at generation time
     // (tools/make_sqlite_fixture.py prints this block)
+    // the STRONG oracle shape: DuckDB computes from parquet what Spark
+    // routes through the written .db — corruption anywhere mismatches
+    "q337_sqlite_export_roundtrip" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS sum_cents,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM customer GROUP BY 1 ORDER BY seg""",
+
     // the q321 projection of the fixture (sqlite3-computed) — the
     // migration read-back must equal the legacy source exactly
     "q336_sqlite_migration" ->
