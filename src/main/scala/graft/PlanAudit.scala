@@ -32,9 +32,10 @@ object PlanAudit {
         // an eager-sink query's BUILDER executes DML — a plan-only
         // audit must not run it; the line keeps the committed artifact
         // at one row per query so round-over-round diffs stay aligned
-        println(s"[plan] $q SKIPPED eager-sink (builder executes TxLog " +
-          "DML; commit path audited by TxLogSpec, read-back is a " +
-          "parquet scan + keyed agg)")
+        println(s"[plan] $q SKIPPED eager-sink (builder executes sink " +
+          "DML — TxLog merges / SqliteWriter export; sink paths audited " +
+          "by TxLogSpec/SqliteWriterSpec, read-back is a plain scan + " +
+          "keyed agg)")
       } else try {
         // capture the plans Caches.small materializes too: lineage
         // truncation otherwise hides the LSH pipelines' expensive
