@@ -82,6 +82,60 @@ class SqliteWriterSpec extends SparkSpec {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  test("TRUE warehouse parity: graft writes a drwh.db with the reference's " +
+    "verbatim DDL whose schemas the reader cannot tell apart from the " +
+    "reference file's") {
+    val refConf = new org.apache.hadoop.conf.Configuration()
+    val refTables = graft.sources.SqliteDataSourceV2
+      .listTables("/root/reference/drwh.db", refConf)
+    val db = tmpDb()
+    // re-emit the reference's own CREATE TABLE statements (read from
+    // its sqlite_master via our parser's source file) with a few rows
+    val refSql = {
+      // pull the verbatim DDL strings back out of the reference file
+      val pr = graft.sources.SqliteDataSourceV2.openReader(
+        "/root/reference/drwh.db", refConf)
+      try scanTable(pr, pr.header, 1).map { row =>
+        val v = decodeRecord(row.payload, _ => true)
+        (v(1).asInstanceOf[VText].v, v(4).asInstanceOf[VText].v)
+      }.toMap finally pr.close()
+    }
+    val patientRows = (1 to 40).map { i =>
+      (i.toLong, VNull +: Seq.tabulate(21) {
+        case 0 => VText(s"LAST$i")
+        case 1 => VText(s"FIRST$i")
+        case 18 => VReal(48.0 + i / 100.0) // BIRTH_LATITUDE
+        case 20 => VInt(1L)                // UPLOAD_ID
+        case _ => VNull
+      })
+    }
+    SqliteWriter.write(db, Seq(
+      SqliteWriter.TableSpec("DWH_PATIENT", refSql("DWH_PATIENT"),
+        patientRows),
+      SqliteWriter.TableSpec("DWH_PATIENT_IPPHIST",
+        refSql("DWH_PATIENT_IPPHIST"), Nil),
+      SqliteWriter.TableSpec("DWH_DOCUMENT", refSql("DWH_DOCUMENT"), Nil)))
+    val mine = graft.sources.SqliteDataSourceV2.listTables(db, refConf)
+    // schema identity table-by-table: names, declared types, alias flags
+    for (rt <- refTables) {
+      val mt = mine.find(_.name == rt.name).get
+      assert(mt.columns == rt.columns, s"${rt.name} schema must be " +
+        "indistinguishable from the reference file's")
+      assert(mt.withoutRowid == rt.withoutRowid)
+    }
+    val pat = spark.read.format("graft-sqlite")
+      .option("table", "DWH_PATIENT").load(db)
+    assert(pat.count() == 40)
+    assert(pat.agg(sum(col("PATIENT_NUM"))).head.getLong(0) == (1 to 40).sum)
+    assert(pat.filter(col("LASTNAME") === "LAST7").head()
+      .getAs[Double]("BIRTH_LATITUDE") == 48.07)
+    // leave a copy for the python cross-check (validated per round)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(db),
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_drwh_written.db"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   test("DataFrame export: engine table -> .db -> engine table equality") {
     import spark.implicits._
     val src = (1 to 300).map(i => (i.toLong, s"row $i", i * 0.25,
