@@ -70,4 +70,41 @@ object GraftProps extends Properties("graft") {
         case None => false
       }
     }
+
+  // ---- SQLite codec round trips (writer must invert reader) -----------
+
+  private val genValue: Gen[graft.sources.SqliteFile.Value] = {
+    import graft.sources.SqliteFile._
+    Gen.oneOf(
+      Gen.const(VNull),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(VInt),
+      // avoid NaN: SQLite stores NaN as NULL and == fails on it anyway
+      Gen.choose(-1e300, 1e300).map(VReal),
+      Gen.asciiPrintableStr.map(VText(_)),
+      // multi-byte UTF-8 incl. a surrogate-pair emoji (as a String)
+      Gen.listOf(Gen.oneOf("é", "ü", "語", "😀", "a"))
+        .map(parts => VText(parts.mkString)),
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(bs => VBlob(bs.toArray)))
+  }
+
+  property("sqlite varint encode/decode round-trips all 64-bit values") =
+    forAll(Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(0L, 300L), Gen.oneOf(0L, 127L, 128L, 16383L, 16384L,
+        (1L << 56) - 1, 1L << 56, -1L, Long.MinValue, Long.MaxValue))) { v =>
+      import graft.sources.SqliteFile.varint
+      val b = graft.sources.SqliteWriter.varintBytes(v)
+      b.length >= 1 && b.length <= 9 && varint(b, 0) == ((v, b.length))
+    }
+
+  property("sqlite record encode/decode round-trips every value class") =
+    forAll(Gen.listOfN(6, genValue)) { vals =>
+      import graft.sources.SqliteFile._
+      val back = decodeRecord(
+        graft.sources.SqliteWriter.encodeRecord(vals), _ => true).toList
+      back.length == vals.length && back.zip(vals).forall {
+        case (VBlob(a), VBlob(b)) => a.sameElements(b)
+        case (a, b) => a == b
+      }
+    }
 }
