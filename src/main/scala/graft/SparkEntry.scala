@@ -8844,6 +8844,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_words")).as("sum_words"))
         .orderBy("occ")
     }),
+
+    // WAL-MODE NATIVE SQLITE SCAN (sources.SqliteWal overlaying
+    // SqliteDataSourceV2): a LIVE warehouse — the reference keeps one
+    // long-lived connection open (`script.py:123-126`), so its .db is
+    // typically journal_mode=WAL with committed transactions sitting
+    // un-checkpointed in the -wal sidecar. The fixture's main file is
+    // frozen at the WAL switch (800 rows, no alerts); the committed
+    // truth (updates, growth to 1200 ids, deletes) exists ONLY as WAL
+    // frames, so this query returns the oracle's numbers IFF the
+    // salt/checksum-verified newest-committed-frame overlay works.
+    // Oracle: ENGINE-INDEPENDENT — sqlite3 computed the VALUES over
+    // the same pair at fixture time (tools/make_sqlite_wal_fixture.py).
+    // temp values are dyadic (k/4, k/8, +100) → sum*8 is exact.
+    "q338_sqlite_wal_scan" -> ((s, _) => {
+      s.read.format("graft-sqlite").option("table", "readings")
+        .load(graft.sources.SqliteDataSourceV2.fixtureWalPath)
+        .groupBy("sensor")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("temp")) * 8, 0).cast("long").as("sum_temp_x8"),
+          sum(when(col("status").startsWith("alert"), 1L).otherwise(0L))
+            .as("n_alert"),
+          max(col("id")).as("max_id"))
+        .orderBy("sensor")
+    }),
+
+    // SECONDARY-INDEX EQ LOOKUP (SqliteFile.searchIndexEq via the DSv2
+    // filter pushdown): the reference's hot path is `WHERE
+    // HOSPITAL_PATIENT_ID = ?` on a TEXT column (`exo_2.py:204-217`) —
+    // a real legacy warehouse indexes such keys. The IN list routes
+    // through idx_docs_cat: an O(depth+matches) index descent resolves
+    // the rowid set, partitions carry coalesced rowid ranges, and the
+    // table B-tree is point-descended — pages touched scale with
+    // matches, not table size (spec-measured: SqliteSourceSpec's
+    // CountingReader probe). Oracle: sqlite3-computed VALUES; sqlite3
+    // itself routes the same predicate through the same index.
+    "q339_sqlite_index_lookup" -> ((s, _) => {
+      s.read.format("graft-sqlite").option("table", "docs")
+        .load(graft.sources.SqliteDataSourceV2.fixturePath)
+        .filter(col("cat").isin("delta", "zeta"))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_id"),
+          sum(length(col("body"))).as("body_chars"))
+        .orderBy("cat")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -16922,5 +16966,28 @@ object SparkEntry {
                FROM cs GROUP BY fp)
          SELECT occ, count(*) AS n_chunks, sum(n_words)::BIGINT AS sum_words
          FROM f GROUP BY occ ORDER BY occ""",
+
+    // computed by sqlite3 over the committed WAL fixture pair at
+    // generation time (tools/make_sqlite_wal_fixture.py prints this
+    // block after validating the normalized sidecar with a fresh
+    // sqlite3 connection) — a main-file-only read would return 800
+    // stale rows and zero alerts, nothing close to these numbers
+    "q338_sqlite_wal_scan" ->
+      """SELECT * FROM (VALUES
+           ('s-core', 237, 61454, 0, 1199),
+           ('s-east', 237, 60917, 0, 1197),
+           ('s-north', 238, 73900, 20, 1200),
+           ('s-south', 238, 60502, 0, 1196),
+           ('s-west', 238, 60685, 0, 1198)
+         ) AS t(sensor, n, sum_temp_x8, n_alert, max_id)""",
+
+    // computed by sqlite3 over the committed fixture at generation time
+    // (tools/make_sqlite_fixture.py prints this block); sqlite3 routes
+    // the same IN predicate through the same idx_docs_cat index
+    "q339_sqlite_index_lookup" ->
+      """SELECT * FROM (VALUES
+           ('delta', 188, 423564, 32766),
+           ('zeta', 187, 420189, 32550)
+         ) AS t(cat, n_docs, sum_id, body_chars)""",
   )
 }

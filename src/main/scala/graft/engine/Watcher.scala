@@ -199,10 +199,21 @@ object Watcher {
       if (listingCutover > 0L && curr.size > listingCutover) {
         // hand the DIFFED state (snap, not curr) to the table path: it
         // re-lists distributed and diffs against exactly what the Map
-        // path had already processed — no change is lost or re-fired
+        // path had already processed — no change is lost or re-fired.
+        // PATH-FORM NORMALIZATION (advisor r09): the Map snapshot keys
+        // local path strings (Files.list().toString) while
+        // snapshotTable emits the Hadoop URI form ('file:/abs/path') —
+        // persisting the raw keys would make the first table-mode diff
+        // mark every file added+deleted. Convert through Hadoop's own
+        // Path so both sides of the handoff join byte-identically.
         if (snap.nonEmpty) {
           import spark.implicits._
-          snap.toSeq.toDF("path", "ms")
+          snap.toSeq
+            .map { case (p, ms) =>
+              (new org.apache.hadoop.fs.Path(Paths.get(p).toUri).toString,
+                ms)
+            }
+            .toDF("path", "ms")
             .select(col("path"), timestamp_millis(col("ms")).as("mtime"))
             .write.mode("overwrite").parquet(listingPath)
         }

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -63,45 +65,99 @@ object SqliteDataSourceV2 {
   /** Hadoop-positioned page reader: opens the file once, `readFully`
     * per page. Works for any Hadoop filesystem (file://, hdfs://,
     * s3a:// …); object stores serve the positioned reads as ranged
-    * GETs. */
+    * GETs.
+    *
+    * WAL-AWARE: a journal_mode=WAL database (read/write version 2,
+    * header bytes 18/19) keeps committed transactions as page images in
+    * a `-wal` sidecar until checkpoint — a LIVE warehouse (the
+    * reference keeps one long-lived connection open, `script.py:123`)
+    * is exactly this shape. When a non-empty sidecar is present its
+    * committed frames are parsed ([[SqliteWal]], salt+checksum chain
+    * respected, torn tails dropped like sqlite's own recovery) and
+    * OVERLAY the main file: `page(n)` serves the newest committed WAL
+    * image when one exists, the main-file page otherwise. The header
+    * itself is re-read through the overlay (page 1 may live in the
+    * WAL) and the page count comes from the last commit frame's dbSize
+    * (the database may have GROWN inside the WAL). A checkpointed or
+    * absent sidecar degrades to a plain main-file read. */
   final class HadoopPageReader(path: String, conf: Configuration)
       extends PageReader {
     private val p = new Path(path)
     private val fs = p.getFileSystem(conf)
     private val in: FSDataInputStream = fs.open(p)
-    val header: Header = {
+    private var walIn: FSDataInputStream = _
+    private val wal: SqliteWal.WalMap = {
       val h = new Array[Byte](100)
       in.readFully(0L, h)
-      val parsed = parseHeader(h)
-      // WAL safety: a journal_mode=WAL database (read/write version 2,
-      // header bytes 18/19) keeps committed transactions in a -wal
-      // sidecar until checkpoint — reading ONLY the main file would
-      // silently return stale/partial data. A clean close checkpoints
-      // and truncates the -wal, so refuse only when a NON-EMPTY -wal
-      // is actually present (the case where data would be missing).
-      if ((h(18) & 0xff) == 2 || (h(19) & 0xff) == 2) {
-        val wal = new Path(path + "-wal")
-        val pending = try fs.exists(wal) && fs.getFileStatus(wal).getLen > 0
-        catch { case _: Exception => false }
-        require(!pending, s"sqlite: $path is in WAL mode with a non-empty " +
-          "-wal sidecar — un-checkpointed transactions would be invisible " +
-          "to this reader; checkpoint the database (PRAGMA " +
-          "wal_checkpoint(TRUNCATE)) or close it cleanly first")
+      val raw = parseHeader(h) // page size is fixed at creation: safe
+      val isWal = (h(18) & 0xff) == 2 || (h(19) & 0xff) == 2
+      val walPath = new Path(path + "-wal")
+      val walLen =
+        if (!isWal) 0L
+        else try {
+          if (fs.exists(walPath)) fs.getFileStatus(walPath).getLen else 0L
+        } catch { case _: Exception => 0L }
+      if (walLen < SqliteWal.HeaderSize) SqliteWal.WalMap(Map.empty, 0, 0, 0)
+      else {
+        walIn = fs.open(walPath)
+        SqliteWal.parse((pos, buf) => walIn.readFully(pos, buf), walLen,
+          raw.pageSize)
       }
-      parsed
+    }
+    val header: Header = {
+      // the EFFECTIVE page 1: the file header travels on it, and a
+      // schema change since the last checkpoint lives in the WAL
+      val h = java.util.Arrays.copyOf(page1ViaOverlay(), 100)
+      val parsed0 = parseHeader(h)
+      if (!wal.isEmpty)
+        parsed0.copy(pageCount = wal.dbSizePages) // commit-frame size wins
+      else if (parsed0.pageCount != 0L) parsed0
+      // legacy/stale in-header size (parseHeader zeroes it): recover the
+      // page count from the file length so the cycle guard and the
+      // statistics estimate both keep working
+      else parsed0.copy(pageCount =
+        fs.getFileStatus(p).getLen / parsed0.pageSize)
+    }
+    private def page1ViaOverlay(): Array[Byte] = {
+      val h = new Array[Byte](100)
+      in.readFully(0L, h)
+      val ps = parseHeader(h).pageSize
+      wal.frameOffsets.get(1) match {
+        case Some(off) =>
+          val buf = new Array[Byte](ps)
+          walIn.readFully(off, buf)
+          buf
+        case None =>
+          val buf = new Array[Byte](ps)
+          in.readFully(0L, buf)
+          buf
+      }
     }
     def pageSize: Int = header.pageSize
     def page(n: Int): Array[Byte] = {
       require(n >= 1, s"sqlite: page numbers are 1-based, got $n")
       val buf = new Array[Byte](header.pageSize)
-      in.readFully((n.toLong - 1) * header.pageSize, buf)
+      wal.frameOffsets.get(n) match {
+        case Some(off) => walIn.readFully(off, buf)
+        case None => in.readFully((n.toLong - 1) * header.pageSize, buf)
+      }
       buf
     }
-    def close(): Unit = in.close()
+    def close(): Unit = {
+      in.close()
+      if (walIn != null) walIn.close()
+    }
   }
 
   def openReader(path: String, conf: Configuration): HadoopPageReader =
     new HadoopPageReader(path, conf)
+
+  /** Driver-side observability: the last successful index-eq
+    * resolution as (indexName, nRowids) — written by
+    * [[SqliteScan.planInputPartitions]], read by specs to prove a
+    * query took the index path rather than silently falling back to
+    * the (equally correct) parallel scan. */
+  @volatile var lastIndexProbe: Option[(String, Int)] = None
 
   /** Filesystem path of the committed read-fixture
     * (tools/make_sqlite_fixture.py → classpath graft/fixture.db) — the
@@ -121,6 +177,36 @@ object SqliteDataSourceV2 {
       finally in.close()
       tmp.toFile.deleteOnExit()
       tmp.toString
+    }
+  }
+
+  /** Filesystem path of the committed WAL-mode fixture
+    * (tools/make_sqlite_wal_fixture.py → classpath
+    * graft/fixture_wal.db + graft/fixture_wal.db-wal) — the q338
+    * oracle input. The -wal sidecar must sit NEXT TO the main file, so
+    * when the classpath entry is jarred BOTH are extracted into one
+    * temp directory. */
+  lazy val fixtureWalPath: String = {
+    val cl = getClass.getClassLoader
+    val res = cl.getResource("graft/fixture_wal.db")
+    require(res != null, "graft-sqlite: fixture graft/fixture_wal.db not " +
+      "on classpath — run tools/make_sqlite_wal_fixture.py")
+    if (res.getProtocol == "file")
+      java.nio.file.Paths.get(res.toURI).toString
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-walfix")
+      dir.toFile.deleteOnExit()
+      for (name <- Seq("fixture_wal.db", "fixture_wal.db-wal")) {
+        val r = cl.getResource(s"graft/$name")
+        require(r != null, s"graft-sqlite: classpath missing graft/$name")
+        val in = r.openStream()
+        val tgt = dir.resolve(name)
+        try java.nio.file.Files.copy(in, tgt,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        tgt.toFile.deleteOnExit()
+      }
+      dir.resolve("fixture_wal.db").toString
     }
   }
 
@@ -170,7 +256,9 @@ object SqliteDataSourceV2 {
     * semantics fork (measured 2M-row scan: see SCALE.md §6k).
     * `out(i)` is null when the record is shorter than the schema. */
   def decodeSpark(payload: Array[Byte], positions: Array[Int],
-                  dts: Array[DataType]): Array[Any] = {
+                  dts: Array[DataType],
+                  charset: String = "UTF-8"): Array[Any] = {
+    val utf8 = charset == "UTF-8"
     val (hdrLen, n0) = varint(payload, 0)
     val maxOrd = if (positions.isEmpty) -1 else positions.max
     val sts = new Array[Long](maxOrd + 1)
@@ -203,11 +291,14 @@ object SqliteDataSourceV2 {
           case (7, DoubleType) =>
             serialValue(7, payload, offs(p)).asInstanceOf[VReal].v
           case (t0, StringType) if t0 >= 13 && t0 % 2 == 1 =>
-            UTF8String.fromBytes(payload, offs(p), serialLen(t0))
+            if (utf8) UTF8String.fromBytes(payload, offs(p), serialLen(t0))
+            else UTF8String.fromString(
+              new String(payload, offs(p), serialLen(t0), charset))
           case (t0, BinaryType) if t0 >= 12 && t0 % 2 == 0 =>
             java.util.Arrays.copyOfRange(payload, offs(p),
               offs(p) + serialLen(t0))
-          case (t0, dt) => coerce(serialValue(t0, payload, offs(p)), dt)
+          case (t0, dt) =>
+            coerce(serialValue(t0, payload, offs(p), charset), dt)
         }
       j += 1
     }
@@ -272,6 +363,9 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
     Array.empty
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
+  // eq/IN literals on NON-rowid columns — resolved against a usable
+  // secondary index at plan time (column name -> probe literals)
+  private var eqCandidates: Map[String, Seq[Any]] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -314,6 +408,15 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
         val ls = vs.flatMap(asLong)
         ls.length == vs.length && {
           lo = math.max(lo, ls.min); hi = math.min(hi, ls.max); true }
+      // SECONDARY-INDEX eq pushdown: remember the literal(s); build()
+      // routes them through a usable index B-tree to a rowid set (the
+      // reference's own hot lookup is `WHERE HOSPITAL_PATIENT_ID = ?`,
+      // a TEXT column — exo_2.py:204-217). Null literals match nothing
+      // under Spark's EqualTo, so they are simply not candidates.
+      case EqualTo(a, v) if !isAlias(a) && v != null =>
+        eqCandidates += (a -> Seq(v)); true
+      case In(a, vs) if !isAlias(a) && vs.nonEmpty =>
+        eqCandidates += (a -> vs.toSeq.filter(_ != null)); true
       case _ => false
     }
     filters // everything residual — Spark re-evaluates, prune is I/O-only
@@ -326,7 +429,9 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
     val t = SqliteDataSourceV2.resolveTable(options)
     new SqliteScan(required, t, options.get("path"),
       options.getInt("maxPartitions", 32),
-      new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()), lo, hi)
+      new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()), lo, hi,
+      eqCandidates,
+      options.getLong("maxIndexLookupRows", 1000000L))
   }
 }
 
@@ -338,7 +443,10 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
                                   path: String, maxPartitions: Int,
                                   conf: SerializableHadoopConf,
                                   lo: Long = Long.MinValue,
-                                  hi: Long = Long.MaxValue)
+                                  hi: Long = Long.MaxValue,
+                                  eqCandidates: Map[String, Seq[Any]] =
+                                    Map.empty,
+                                  maxIndexLookupRows: Long = 1000000L)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -347,11 +455,72 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
     val range =
       if (lo == Long.MinValue && hi == Long.MaxValue) ""
       else s", rowid in [$lo,$hi]"
+    val idx = if (eqCandidates.isEmpty) ""
+      else eqCandidates.keys.toSeq.sorted
+        .mkString(", indexable eq on [", ",", "]")
     s"graft-sqlite ${t.name}, columns " +
-      required.fieldNames.mkString("[", ",", "]") + range
+      required.fieldNames.mkString("[", ",", "]") + range + idx
   }
 
   override def toBatch: Batch = this
+
+  /** Spark literal -> sqlite stored-value probe. The probe is in the
+    * column's AFFINITY class (the filter value's Spark type IS the
+    * affinity type), and sqlite's INSERT-time affinity conversion makes
+    * stored values canonical in that class — so one probe per class is
+    * complete for sqlite-written files (cmpValues already treats
+    * VInt/VReal as one numeric class). */
+  private def asValue(v: Any): Option[Value] = v match {
+    case s: String => Some(VText(s))
+    case s: UTF8String => Some(VText(s.toString))
+    case l: Long => Some(VInt(l))
+    case i: Int => Some(VInt(i.toLong))
+    case s: Short => Some(VInt(s.toLong))
+    case b: Byte => Some(VInt(b.toLong))
+    case d: Double => Some(VReal(d))
+    case f: Float => Some(VReal(f.toDouble))
+    case _ => None
+  }
+
+  /** Resolve the eq candidates through a usable secondary index to a
+    * sorted rowid list: None = no usable index matched (fall back to
+    * the subtree scan), Some(rowids) = scan exactly these (possibly
+    * none). Unique indexes win ties; the probe respects the pushed
+    * rowid window. A probe that explodes past `maxIndexLookupRows`
+    * falls back — point descents on a near-unselective key would be
+    * slower than the parallel scan. */
+  private def resolveIndexRowids(pr: SqliteDataSourceV2.HadoopPageReader)
+      : Option[Seq[Long]] = {
+    if (eqCandidates.isEmpty || t.withoutRowid) return None
+    val usable = indexes(pr, pr.header)
+      .filter(ix => ix.usable && ix.table.equalsIgnoreCase(t.name))
+    val hit = eqCandidates.iterator.flatMap { case (col, vals) =>
+      usable.filter(_.columns.headOption.exists(_.equalsIgnoreCase(col)))
+        .sortBy(ix => !ix.unique) // prefer unique
+        .headOption.map(ix => (ix, vals))
+    }.toSeq.sortBy { case (ix, _) => !ix.unique }
+    hit.headOption.flatMap { case (ix, vals) =>
+      val probes = vals.map(asValue)
+      // TEXT probes only on UTF-8 files: sqlite's BINARY collation is
+      // memcmp over the STORED encoding, and UTF-16(LE) byte order is
+      // not UTF-8/code-point order — descending with the wrong order
+      // could miss rows. Numeric probes are encoding-independent.
+      val textProbeOnUtf16 = pr.header.textEncoding > 1 &&
+        probes.exists(_.exists(_.isInstanceOf[VText]))
+      if (probes.exists(_.isEmpty) || textProbeOnUtf16) None
+      else {
+        val rowids = probes.flatten
+          .flatMap(v => indexRowidsEq(pr, pr.header, ix, v))
+          .filter(r => r >= lo && r <= hi)
+          .distinct.sorted
+        if (rowids.length > maxIndexLookupRows) None
+        else {
+          SqliteDataSourceV2.lastIndexProbe = Some((ix.name, rowids.length))
+          Some(rowids)
+        }
+      }
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pr = SqliteDataSourceV2.openReader(path, conf.value)
@@ -362,6 +531,28 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       // belongs to the rowid tables)
       if (t.withoutRowid)
         return Array(SqlitePartition(Seq(t.rootPage)))
+      // an indexed eq filter resolves to explicit rowids: partitions
+      // carry coalesced rowid RANGES (adjacent ids merge), each read by
+      // an O(depth) B-tree descent — pages touched scale with matches,
+      // not table size
+      resolveIndexRowids(pr) match {
+        case Some(rowids) =>
+          if (rowids.isEmpty) return Array.empty[InputPartition]
+          val ranges = ArrayBuffer.empty[(Long, Long)]
+          for (r <- rowids) ranges.lastOption match {
+            case Some((a, b)) if r == b + 1 =>
+              ranges(ranges.length - 1) = (a, r)
+            case _ => ranges += ((r, r))
+          }
+          val groups = math.max(1,
+            math.min(maxPartitions, ranges.length))
+          return ranges.grouped(
+            math.ceil(ranges.length.toDouble / groups).toInt)
+            .map(g => SqlitePartition(Seq(t.rootPage),
+              rowidRanges = Some(g.toSeq)): InputPartition)
+            .toArray
+        case None =>
+      }
       // root children pruned by the pushed rowid window FIRST — a point
       // lookup plans exactly one single-subtree partition, and a window
       // outside the table plans ZERO partitions
@@ -396,7 +587,12 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
     new SqliteReaderFactory(required, t, path, conf, lo, hi)
 }
 
-private[sources] case class SqlitePartition(roots: Seq[Int])
+/** Either a set of disjoint page subtrees (`roots`, the parallel-scan
+  * path) or, when `rowidRanges` is set, a list of coalesced rowid
+  * ranges point-descended from the table root (the index-lookup
+  * path — `roots` then holds just the table root page). */
+private[sources] case class SqlitePartition(roots: Seq[Int],
+    rowidRanges: Option[Seq[(Long, Long)]] = None)
     extends InputPartition
 
 private[sources] class SqliteReaderFactory(required: StructType,
@@ -419,6 +615,7 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value)
+  private val charset = textCharset(pr.header.textEncoding)
   // required field -> (table ordinal, spark type, is rowid alias)
   private val fields: Array[(Int, DataType, Boolean)] =
     required.fields.map { f =>
@@ -436,8 +633,8 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
       part.roots.iterator.flatMap(root => scanIndex(pr, pr.header, root))
         .map { payload =>
           InternalRow.fromSeq(scala.collection.immutable.ArraySeq
-            .unsafeWrapArray(
-              SqliteDataSourceV2.decodeSpark(payload, positions, dts)))
+            .unsafeWrapArray(SqliteDataSourceV2.decodeSpark(payload,
+              positions, dts, charset)))
         }
     } else {
       // rowid aliases come from the rowid, not the record: split the
@@ -446,11 +643,17 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
         case ((_, _, false), fi) => fi }
       val positions = decIdx.map(fi => fields(fi)._1)
       val dts = decIdx.map(fi => fields(fi)._2)
-      part.roots.iterator.flatMap(root =>
-        scanTable(pr, pr.header, root, lo, hi))
+      val raws: Iterator[RawRow] = part.rowidRanges match {
+        // index-lookup path: one O(depth) descent per coalesced range
+        case Some(ranges) => ranges.iterator.flatMap { case (a, b) =>
+          scanTable(pr, pr.header, part.roots.head, a, b) }
+        case None => part.roots.iterator.flatMap(root =>
+          scanTable(pr, pr.header, root, lo, hi))
+      }
+      raws
         .map { raw =>
           val dec = SqliteDataSourceV2.decodeSpark(raw.payload, positions,
-            dts)
+            dts, charset)
           val all = new Array[Any](fields.length)
           var k = 0
           while (k < decIdx.length) { all(decIdx(k)) = dec(k); k += 1 }

@@ -80,10 +80,27 @@ object SqliteFile {
       s"sqlite: invalid page size $pageSize")
     val enc = u32(h, 56).toInt
     // encoding 0 appears only in a zero-schema file created and never
-    // written; treat as UTF-8 (there is no text to decode anyway)
-    require(enc == 1 || enc == 0,
-      s"sqlite: only UTF-8 text encoding supported, file declares $enc")
-    Header(pageSize, h(20) & 0xff, u32(h, 28), enc)
+    // written; treat as UTF-8 (there is no text to decode anyway).
+    // 2/3 are UTF-16le/be — decoded via [[textCharset]].
+    require(enc >= 0 && enc <= 3,
+      s"sqlite: unknown text encoding $enc (1=UTF-8, 2=UTF-16le, " +
+        "3=UTF-16be)")
+    // a read-version above 2 means the file uses a format this reader
+    // (and released sqlite3 libraries) cannot decode — reject loudly
+    val readVersion = h(19) & 0xff
+    require(readVersion <= 2,
+      s"sqlite: file read version $readVersion is newer than this reader " +
+        "understands (1=legacy, 2=WAL)")
+    // the in-header database size (offset 28) is only trustworthy when
+    // the change counter (24) matches version-valid-for (92) — a legacy
+    // writer that predates the size field leaves it stale. A stale
+    // SMALLER count would falsely trip the cycle guard on a valid file;
+    // treat it like the pageCount==0 legacy case (callers fall back to
+    // fileLen/pageSize or disable the cap). In WAL mode (read version
+    // 2) sqlite keeps the size field current, so it stays trusted.
+    val sizeValid = readVersion == 2 || u32(h, 24) == u32(h, 92)
+    val pageCount = if (sizeValid) u32(h, 28) else 0L
+    Header(pageSize, h(20) & 0xff, pageCount, enc)
   }
 
   // ---- varints and serial values ----------------------------------------
@@ -119,9 +136,20 @@ object SqliteFile {
     case n => sys.error(s"sqlite: reserved serial type $n")
   }
 
+  /** Charset name for the header's text-encoding code. */
+  def textCharset(enc: Int): String = enc match {
+    case 0 | 1 => "UTF-8"
+    case 2 => "UTF-16LE"
+    case 3 => "UTF-16BE"
+    case n => sys.error(s"sqlite: unknown text encoding $n")
+  }
+
   /** Decode the value of serial type `t` at `off` (caller guarantees
-    * `serialLen(t)` bytes are available). */
-  def serialValue(t: Long, b: Array[Byte], off: Int): Value = t match {
+    * `serialLen(t)` bytes are available). `charset` is the FILE's text
+    * encoding ([[Header.textEncoding]] via [[textCharset]]) — UTF-16
+    * databases store text serials as UTF-16 code units. */
+  def serialValue(t: Long, b: Array[Byte], off: Int,
+                  charset: String = "UTF-8"): Value = t match {
     case 0 => VNull
     case 8 => VInt(0L)
     case 9 => VInt(1L)
@@ -138,7 +166,7 @@ object SqliteFile {
     case n if n >= 12 && n % 2 == 0 =>
       VBlob(java.util.Arrays.copyOfRange(b, off, off + serialLen(n)))
     case n if n >= 13 =>
-      VText(new String(b, off, serialLen(n), "UTF-8"))
+      VText(new String(b, off, serialLen(n), charset))
     case n => sys.error(s"sqlite: reserved serial type $n")
   }
 
@@ -148,8 +176,8 @@ object SqliteFile {
     * (schema shrank; callers ignore the tail). `wanted(i)` gates
     * materialization: unwanted bodies are length-skipped, not decoded
     * (the DSv2 column-pruning hook lands here). */
-  def decodeRecord(payload: Array[Byte], wanted: Int => Boolean)
-      : ArrayBuffer[Value] = {
+  def decodeRecord(payload: Array[Byte], wanted: Int => Boolean,
+                   charset: String = "UTF-8"): ArrayBuffer[Value] = {
     val (hdrLen, n0) = varint(payload, 0)
     var ho = n0
     var bo = hdrLen.toInt
@@ -158,7 +186,7 @@ object SqliteFile {
     while (ho < hdrLen) {
       val (t, n) = varint(payload, ho)
       ho += n
-      out += (if (wanted(i)) serialValue(t, payload, bo) else VNull)
+      out += (if (wanted(i)) serialValue(t, payload, bo, charset) else VNull)
       bo += serialLen(t)
       i += 1
     }
@@ -423,6 +451,247 @@ object SqliteFile {
     def next(): Array[Byte] = { val r = nextPayload; advance(); r }
   }
 
+  // ---- index search (secondary-index eq lookups) -------------------------
+
+  /** Total order of two decoded values per the sqlite record-comparison
+    * rules under BINARY collation: NULL < numerics (INTEGER and REAL
+    * compare numerically, cross-type) < TEXT (unsigned byte order of
+    * the UTF-8 encoding) < BLOB (unsigned byte order). This is the
+    * order index B-trees are sorted in, so a descent can prune subtrees
+    * against it. Mixed int/real comparisons go through BigDecimal —
+    * a long above 2^53 must not collapse into its neighbors. */
+  def cmpValues(a: Value, b: Value): Int = {
+    def rank(v: Value): Int = v match {
+      case VNull => 0
+      case _: VInt | _: VReal => 1
+      case _: VText => 2
+      case _: VBlob => 3
+    }
+    val (ra, rb) = (rank(a), rank(b))
+    if (ra != rb) ra - rb
+    else (a, b) match {
+      case (VNull, VNull) => 0
+      case (VInt(x), VInt(y)) => java.lang.Long.compare(x, y)
+      case (VReal(x), VReal(y)) => java.lang.Double.compare(x, y)
+      case (VInt(x), VReal(y)) =>
+        if (y.isInfinite) { if (y > 0) -1 else 1 }
+        else java.math.BigDecimal.valueOf(x).compareTo(
+          new java.math.BigDecimal(y))
+      case (VReal(x), VInt(y)) =>
+        if (x.isInfinite) { if (x > 0) 1 else -1 }
+        else new java.math.BigDecimal(x).compareTo(
+          java.math.BigDecimal.valueOf(y))
+      case (VText(x), VText(y)) =>
+        java.util.Arrays.compareUnsigned(x.getBytes("UTF-8"),
+          y.getBytes("UTF-8"))
+      case (VBlob(x), VBlob(y)) => java.util.Arrays.compareUnsigned(x, y)
+      case _ => 0 // unreachable: ranks differ
+    }
+  }
+
+  /** One secondary index: name, owning table, root page, leading
+    * column names (declared order), and whether this parser may USE it
+    * for lookups (`usable=false` for partial indexes, DESC or COLLATE
+    * or expression keys — shapes whose order this reader does not
+    * replicate; they are listed but never probed). */
+  case class SqliteIndexDef(name: String, table: String, rootPage: Int,
+                            columns: Seq[String], unique: Boolean,
+                            usable: Boolean)
+
+  /** All indexes in the file, from `sqlite_master` rows of
+    * type='index'. Two sources: explicit `CREATE INDEX` DDL, and the
+    * DDL-less `sqlite_autoindex_<table>_1` that a non-alias PRIMARY
+    * KEY on a rowid table creates (its columns are the table's PK
+    * columns — the reference-shaped `HOSPITAL_PATIENT_ID` unique-key
+    * lookup lands exactly there). Later autoindexes (UNIQUE
+    * constraints) are skipped: recovering their column lists needs
+    * constraint-order bookkeeping this reader doesn't claim. */
+  def indexes(pr: PageReader, header: Header): Seq[SqliteIndexDef] = {
+    val tableDefs = tables(pr, header).map(t => t.name -> t).toMap
+    scanTable(pr, header, 1).flatMap { row =>
+      val vals = decodeRecord(row.payload, _ => true,
+        textCharset(header.textEncoding))
+      (vals.lift(0), vals.lift(1), vals.lift(2), vals.lift(3),
+        vals.lift(4)) match {
+        case (Some(VText("index")), Some(VText(name)), Some(VText(tbl)),
+              Some(VInt(root)), sqlv) =>
+          sqlv match {
+            case Some(VText(sql)) =>
+              parseCreateIndex(name, tbl, root.toInt, sql)
+            case _ => // DDL-less autoindex: PK autoindex is index 1
+              tableDefs.get(tbl) match {
+                case Some(t) if name == s"sqlite_autoindex_${tbl}_1" &&
+                    !t.withoutRowid && t.pkCols.nonEmpty &&
+                    !t.columns.exists(_.rowidAlias) =>
+                  Some(SqliteIndexDef(name, tbl, root.toInt, t.pkCols,
+                    unique = true, usable = true))
+                case _ => None
+              }
+          }
+        case _ => None
+      }
+    }.toSeq
+  }
+
+  /** Parse `CREATE [UNIQUE] INDEX name ON table (cols...) [WHERE ...]`.
+    * Expression keys, DESC order, COLLATE clauses and partial (WHERE)
+    * indexes come back `usable=false` — still cataloged, never
+    * probed. */
+  def parseCreateIndex(name: String, table: String, rootPage: Int,
+                       sql: String): Option[SqliteIndexDef] = {
+    val open = sql.indexOf('(')
+    if (open < 0) return None
+    // match the closing paren of the column list (quote-aware)
+    var depth = 0; var i = open; var close = -1; var quote: Char = 0
+    while (i < sql.length && close < 0) {
+      val c = sql(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '[' => quote = ']'
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return None
+    val unique = stripLiterals(sql.substring(0, open)).toUpperCase
+      .matches("(?s).*\\bUNIQUE\\b.*")
+    val partial = stripLiterals(sql.substring(close + 1)).toUpperCase
+      .matches("(?s).*\\bWHERE\\b.*")
+    val parts = topLevelSplit(sql.substring(open + 1, close))
+    var usable = !partial
+    val cols = parts.map { p =>
+      val stripped = stripLiterals(p).toUpperCase
+      if (stripped.matches("(?s).*\\b(DESC|COLLATE)\\b.*")) usable = false
+      val trimmed = p.trim
+      // a usable key part is a bare (possibly quoted) identifier,
+      // optionally followed by ASC
+      val ident = trimmed.split("\\s+").headOption.getOrElse("")
+      val rest = trimmed.drop(ident.length).trim.toUpperCase
+      if (rest.nonEmpty && rest != "ASC") usable = false
+      if (ident.exists(c => "()+-*/%|'\"".contains(c)) &&
+          !(ident.headOption.exists(h => h == '"' || h == '`' ||
+            h == '[' || h == '\'')))
+        usable = false // expression key
+      unquoteIdent(ident)
+    }
+    Some(SqliteIndexDef(name, table, rootPage, cols, unique, usable))
+  }
+
+  /** Targeted descent of an index B-tree: emit the raw key records
+    * whose FIRST column equals `target` (cmpValues order). Interior
+    * pages prune children whose key range cannot contain the target,
+    * so cost is O(depth + matches) pages however large the index —
+    * the set-at-a-time form of sqlite's own `WHERE indexed_col = ?`
+    * probe. Duplicate keys spanning several children are handled by
+    * descending every child whose (prevKey, cellKey] range overlaps
+    * the point. */
+  def searchIndexEq(pr: PageReader, header: Header, rootPage: Int,
+                    target: Value): Iterator[Array[Byte]] = {
+    val u = header.usable
+    val maxInline = (u - 12) * 64 / 255 - 23
+    val minInline = (u - 12) * 32 / 255 - 23
+
+    def assemble(pg: Array[Byte], cellOff0: Int, interior: Boolean)
+        : Array[Byte] = {
+      val cellOff = if (interior) cellOff0 + 4 else cellOff0
+      val (p, n1) = varint(pg, cellOff)
+      val bodyOff = cellOff + n1
+      val payloadLen = p.toInt
+      if (payloadLen <= maxInline)
+        java.util.Arrays.copyOfRange(pg, bodyOff, bodyOff + payloadLen)
+      else {
+        val k0 = minInline + (payloadLen - minInline) % (u - 4)
+        val inline = if (k0 <= maxInline) k0 else minInline
+        val buf = new Array[Byte](payloadLen)
+        System.arraycopy(pg, bodyOff, buf, 0, inline)
+        var written = inline
+        var next = u32(pg, bodyOff + inline).toInt
+        while (next != 0 && written < payloadLen) {
+          val op = pr.page(next)
+          val take = math.min(u - 4, payloadLen - written)
+          System.arraycopy(op, 4, buf, written, take)
+          written += take
+          next = u32(op, 0).toInt
+        }
+        require(written == payloadLen,
+          s"sqlite: truncated index overflow chain " +
+            s"($written of $payloadLen bytes)")
+        buf
+      }
+    }
+
+    def firstCol(payload: Array[Byte]): Value = {
+      val (hdrLen, n0) = varint(payload, 0)
+      val (t, _) = varint(payload, n0)
+      serialValue(t, payload, hdrLen.toInt,
+        textCharset(header.textEncoding))
+    }
+
+    val out = ArrayBuffer.empty[Array[Byte]]
+    var pagesVisited = 0L
+    def visit(pageNo: Int): Unit = {
+      pagesVisited += 1
+      require(header.pageCount == 0L || pagesVisited <= header.pageCount,
+        s"sqlite: index eq-search at page $rootPage visits more pages " +
+          s"than the file holds — cyclic page pointers (corrupt file)")
+      val pg = pr.page(pageNo)
+      val off = btreeHeaderOffset(pageNo)
+      val ncells = u16(pg, off + 3)
+      (pg(off) & 0xff) match {
+        case 0x0a =>
+          var i = 0
+          var stop = false
+          while (i < ncells && !stop) {
+            val payload = assemble(pg, u16(pg, off + 8 + 2 * i),
+              interior = false)
+            val c = cmpValues(firstCol(payload), target)
+            if (c == 0) out += payload
+            else if (c > 0) stop = true // sorted: nothing further matches
+            i += 1
+          }
+        case 0x02 =>
+          // children delimited by entry keys: child_i holds keys in
+          // (entry_{i-1}, entry_i]; descend those overlapping the point
+          var prevCmp = -1 // cmp(prevKey, target); open start = below
+          var i = 0
+          var stop = false
+          while (i < ncells && !stop) {
+            val cellOff = u16(pg, off + 12 + 2 * i)
+            val payload = assemble(pg, cellOff, interior = true)
+            val c = cmpValues(firstCol(payload), target)
+            if (prevCmp <= 0 && c >= 0)
+              visit(u32(pg, cellOff).toInt)
+            if (c == 0) out += payload
+            if (c > 0) stop = true
+            prevCmp = c
+            i += 1
+          }
+          if (!stop && prevCmp <= 0)
+            visit(u32(pg, off + 8).toInt) // right-most child
+        case t => sys.error(
+          f"sqlite: unexpected page type 0x$t%02x at page $pageNo inside " +
+            "an index B-tree")
+      }
+    }
+    visit(rootPage)
+    out.iterator
+  }
+
+  /** The rowids of the table rows whose `idx`-leading column equals
+    * `target` — an index record on a rowid table is (key cols…, rowid),
+    * so the LAST record column carries the rowid. */
+  def indexRowidsEq(pr: PageReader, header: Header, idx: SqliteIndexDef,
+                    target: Value): Seq[Long] =
+    searchIndexEq(pr, header, idx.rootPage, target).flatMap { payload =>
+      decodeRecord(payload, _ => true).lastOption match {
+        case Some(VInt(r)) => Some(r)
+        case _ => None
+      }
+    }.toSeq
+
   // ---- schema (sqlite_master + CREATE TABLE parsing) ---------------------
 
   case class SqliteColumn(name: String, declaredType: String,
@@ -465,7 +734,8 @@ object SqliteFile {
     * skipped. */
   def tables(pr: PageReader, header: Header): Seq[SqliteTableDef] =
     scanTable(pr, header, 1).flatMap { row =>
-      val vals = decodeRecord(row.payload, _ => true)
+      val vals = decodeRecord(row.payload, _ => true,
+        textCharset(header.textEncoding))
       (vals.lift(0), vals.lift(1), vals.lift(3), vals.lift(4)) match {
         case (Some(VText("table")), Some(VText(name)), Some(VInt(root)),
               Some(VText(sql))) if !name.startsWith("sqlite_") =>
@@ -502,6 +772,40 @@ object SqliteFile {
     }
     if (cur.nonEmpty) out += cur.result()
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Replace quoted literals/identifiers ('', "", ``, []) and SQL
+    * comments (double-dash to end-of-line, and slash-star block form)
+    * with spaces, so keyword searches over a column definition cannot
+    * false-positive on text inside a DEFAULT string or a comment.
+    * Lengths are not preserved; only keyword PRESENCE checks may use
+    * the result. */
+  private def stripLiterals(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'' || c == '"' || c == '`' || c == '[') {
+        val q = if (c == '[') ']' else c
+        out += ' '
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s(i) == q) {
+            // '' / "" / `` escapes stay inside the literal ([] has none)
+            if (q != ']' && i + 1 < s.length && s(i + 1) == q) i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
+        while (i < s.length && s(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) s.length else end + 2
+        out += ' '
+      } else { out += c; i += 1 }
+    }
+    out.result()
   }
 
   private def unquoteIdent(raw: String): String = {
@@ -551,8 +855,8 @@ object SqliteFile {
       i += 1
     }
     require(close > open, s"sqlite: unbalanced CREATE TABLE for $name")
-    val withoutRowid =
-      sql.substring(close + 1).toUpperCase.contains("WITHOUT ROWID")
+    val withoutRowid = stripLiterals(sql.substring(close + 1))
+      .toUpperCase.matches("(?s).*WITHOUT\\s+ROWID.*")
     val defs = topLevelSplit(sql.substring(open + 1, close))
     val (constraintDefs, columnDefs) = defs.partition { d =>
       tableConstraintStart.contains(
@@ -620,8 +924,12 @@ object SqliteFile {
       }
       val colName = unquoteIdent(rawName)
       val declared = typeTokens.mkString(" ")
-      val upperRest = rest.toUpperCase
-      val inlinePk = upperRest.contains("PRIMARY KEY")
+      // keyword checks run over the LITERAL-STRIPPED text (a DEFAULT
+      // 'primary key' string or a comment must not set the flag) and
+      // match PRIMARY\s+KEY so newline/multi-space spellings — which
+      // sqlite itself accepts — are seen (advisor r09)
+      val upperRest = stripLiterals(rest).toUpperCase
+      val inlinePk = upperRest.matches("(?s).*PRIMARY\\s+KEY.*")
       val inlineDesc = upperRest.matches("(?s).*PRIMARY\\s+KEY\\s+DESC.*")
       // WITHOUT ROWID tables have no rowid to alias: the PK columns are
       // stored as real record values (in key order, up front)

@@ -198,6 +198,18 @@ object SqliteWriter {
     val cells = cells0.toIndexedSeq
     val keys = keys0.toIndexedSeq
     require(cells.length == keys.length)
+    // B-tree invariant: interior keys are the max rowid of their left
+    // subtree, so leaf rowids MUST be strictly increasing — a violated
+    // order would silently build non-monotonic interior keys (wrong
+    // range pruning in this repo's reader AND in real sqlite3)
+    var ki = 1
+    while (ki < keys.length) {
+      require(keys(ki - 1) < keys(ki),
+        s"sqlite-writer: rowids must be strictly increasing; " +
+          s"row ${ki} has rowid ${keys(ki)} after ${keys(ki - 1)} " +
+          "(duplicate or unsorted keys)")
+      ki += 1
+    }
     val leafHeader = 8
     val leaves = ArrayBuffer.empty[(Int, Long)]
     var i = 0
@@ -232,8 +244,14 @@ object SqliteWriter {
         val ptrs = ArrayBuffer.empty[Int]
         var content = PageSize
         // bounded fan-out keeps the packing loop trivial; 200 children
-        // of ≤13-byte cells always fit a 4 KB interior page
-        val groupEnd = math.min(j + 200, level.length)
+        // of ≤13-byte cells always fit a 4 KB interior page. When the
+        // level is ≡1 mod 200 the naive split would leave a final group
+        // of ONE child — a zero-cell interior page holding only the
+        // right-most pointer, a shape sqlite itself never produces —
+        // so the last two groups rebalance (e.g. 201 → 100 + 101)
+        val rawEnd = math.min(j + 200, level.length)
+        val groupEnd = if (level.length - rawEnd == 1) rawEnd - 100
+                       else rawEnd
         while (j < groupEnd - 1) {
           val cell = new ArrayBuffer[Byte](13)
           val head = new Array[Byte](4)
@@ -265,7 +283,8 @@ object SqliteWriter {
     * the reference's own single-connection sqlite sink. Rows are
     * written in rowidCol order (the B-tree invariant). */
   def export(df: org.apache.spark.sql.DataFrame, path: String,
-             table: String, rowidCol: Option[String] = None): Unit = {
+             table: String, rowidCol: Option[String] = None,
+             maxExportRows: Long = 50000000L): Unit = {
     import org.apache.spark.sql.types._
     val fields = df.schema.fields
     val ddlCols = fields.map { f =>
@@ -291,6 +310,17 @@ object SqliteWriter {
         .col(fields(i).name))
       case None => df
     }
+    // DRIVER-COLLECT GUARD: export is a single-writer page-image sink
+    // by contract (the whole file is buffered before the first byte is
+    // written), so an unbounded frame would OOM the driver with an
+    // opaque error. The cap is caller-overridable; the big-data path is
+    // deliberately the other direction (parquet / TxLog).
+    val exportCount = ordered.count()
+    require(exportCount <= maxExportRows,
+      s"sqlite-writer: export of $exportCount rows exceeds maxExportRows=" +
+        s"$maxExportRows — a .db file is a driver-buffered single-writer " +
+        "export; for datasets this size write parquet or a TxLog table " +
+        "instead (or raise maxExportRows explicitly)")
     var seq = 0L
     // one collect, not toLocalIterator: the page builder buffers every
     // encoded row anyway (a .db file is written back-to-front per
@@ -300,6 +330,9 @@ object SqliteWriter {
     val buf = ArrayBuffer.empty[(Long, Seq[Value])]
     rows.foreach { r =>
       seq += 1
+      aliasIdx.foreach(i => require(!r.isNullAt(i),
+        s"sqlite-writer: rowidCol ${fields(i).name} is NULL in row $seq — " +
+          "rowids must be non-null unique integers"))
       val rowid = aliasIdx.map(i => r.getLong(i)).getOrElse(seq)
       val vals = fields.indices.map { i =>
         if (aliasIdx.contains(i)) VNull // alias value rides in the rowid

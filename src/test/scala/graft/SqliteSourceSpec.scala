@@ -238,8 +238,119 @@ class SqliteSourceSpec extends SparkSpec {
     assert(ChildRange(1, Long.MinValue, 5).overlaps(Long.MinValue, Long.MaxValue))
   }
 
-  test("WAL mode: non-empty -wal sidecar is refused with the cause; a " +
-    "checkpointed (empty/absent -wal) WAL db reads fine") {
+  // ---- secondary-index eq pushdown ---------------------------------
+
+  test("index catalog: CREATE INDEX and autoindex rows parse; DESC / " +
+    "partial / expression shapes are cataloged but unusable") {
+    import SqliteFile._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pr = SqliteDataSourceV2.openReader(fixture, conf)
+    try {
+      val ix = indexes(pr, pr.header)
+      val byName = ix.map(i => i.name -> i).toMap
+      assert(byName("idx_docs_cat").usable &&
+        byName("idx_docs_cat").columns == Seq("cat"))
+      assert(byName("idx_docs_flag_score").usable &&
+        byName("idx_docs_flag_score").columns == Seq("flag", "score"))
+      assert(!byName("idx_docs_score_desc").usable, "DESC key: no probes")
+      assert(!byName("idx_docs_partial").usable, "partial index: no probes")
+      // kv's TEXT PRIMARY KEY autoindex (DDL-less) is recovered
+      val auto = byName("sqlite_autoindex_kv_1")
+      assert(auto.usable && auto.unique && auto.columns == Seq("k") &&
+        auto.table == "kv")
+      // parse unit: expression keys are unusable
+      assert(!parseCreateIndex("e", "t", 9,
+        "CREATE INDEX e ON t (lower(cat))").get.usable)
+      assert(parseCreateIndex("u", "t", 9,
+        "CREATE UNIQUE INDEX u ON t (a ASC, b)").get.unique)
+    } finally pr.close()
+  }
+
+  test("index eq lookup: results equal the unpushed filter, for TEXT " +
+    "(explicit index), TEXT pk (autoindex), and the numeric leading " +
+    "column of a composite index") {
+    // explicit index on cat — and PROOF the index path (not the
+    // equally-correct scan fallback) served it
+    SqliteDataSourceV2.lastIndexProbe = None
+    val viaIdx = read(fixture, "docs").filter(col("cat") === "delta")
+      .agg(count(lit(1)), sum(col("id"))).head
+    val all = read(fixture, "docs").collect()
+      .filter(r => r.getAs[String]("cat") == "delta")
+    assert(viaIdx.getLong(0) == all.length)
+    assert(viaIdx.getLong(1) == all.map(_.getAs[Long]("id")).sum)
+    assert(SqliteDataSourceV2.lastIndexProbe ==
+      Some(("idx_docs_cat", all.length)),
+      s"expected an idx_docs_cat probe, got " +
+        s"${SqliteDataSourceV2.lastIndexProbe}")
+    // IN list
+    val inRows = read(fixture, "docs")
+      .filter(col("cat").isin("alpha", "theta")).count()
+    assert(inRows == read(fixture, "docs").collect()
+      .count(r => Set("alpha", "theta")(r.getAs[String]("cat"))))
+    // autoindex on kv's TEXT pk: v = i*i for key-%03d
+    val kvRow = read(fixture, "kv").filter(col("k") === "key-017").head
+    assert(kvRow.getAs[Long]("v") == 289L)
+    // composite index leading column (flag INTEGER)
+    val flag1 = read(fixture, "docs").filter(col("flag") === 1L).count()
+    assert(flag1 == read(fixture, "docs").collect()
+      .count(r => !r.isNullAt(r.fieldIndex("flag")) &&
+        r.getAs[Long]("flag") == 1L))
+    // no matching rows: zero partitions, zero rows, no error
+    assert(read(fixture, "docs").filter(col("cat") === "nope").count() == 0)
+  }
+
+  test("index eq lookup: pages touched scale with matches, not table " +
+    "size (CountingReader proof on the raw B-trees)") {
+    import SqliteFile._
+    class CountingReader(inner: PageReader) extends PageReader {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def pageSize: Int = inner.pageSize
+      def page(n: Int): Array[Byte] = { seen += n; inner.page(n) }
+      def close(): Unit = inner.close()
+    }
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val hdr = parseHeader(bytes.take(100))
+    def freshCounter() = new CountingReader(
+      new BytesPageReader(bytes, hdr.pageSize))
+    val full = freshCounter()
+    val docsRoot = tables(full, hdr).find(_.name == "docs").get.rootPage
+    val nFull = { scanTable(full, hdr, docsRoot).size; full.seen.size }
+    // kv pk probe: unique key -> O(depth_index + depth_table) pages
+    val c1 = freshCounter()
+    val kvIdx = indexes(c1, hdr).find(_.name == "sqlite_autoindex_kv_1").get
+    c1.seen.clear()
+    val rowids = indexRowidsEq(c1, hdr, kvIdx, VText("key-017"))
+    assert(rowids.length == 1)
+    assert(c1.seen.size <= 3,
+      s"unique index probe read ${c1.seen.size} pages")
+    // docs cat probe: ~187 matches out of 1501 rows; the index descent
+    // must touch far fewer pages than the full table scan
+    val c2 = freshCounter()
+    val catIdx = indexes(c2, hdr).find(_.name == "idx_docs_cat").get
+    c2.seen.clear()
+    val catRowids = indexRowidsEq(c2, hdr, catIdx, VText("zeta"))
+    assert(catRowids.length == 187)
+    assert(c2.seen.size * 5 < nFull,
+      s"index probe read ${c2.seen.size} pages vs $nFull full-scan")
+    // cmpValues ordering unit: class ranks and numeric cross-type
+    assert(cmpValues(VNull, VInt(-999)) < 0)
+    assert(cmpValues(VInt(5), VReal(5.0)) == 0)
+    assert(cmpValues(VInt(5), VReal(5.5)) < 0)
+    assert(cmpValues(VReal(6.1), VInt(6)) > 0)
+    assert(cmpValues(VText("abc"), VBlob(Array[Byte](0))) < 0)
+    assert(cmpValues(VText("ab"), VText("abc")) < 0)
+    // above 2^53 the comparison must stay exact (ulp at 2^60 is 256)
+    assert(cmpValues(VInt(1L << 60), VReal((1L << 60).toDouble + 512)) < 0)
+    assert(cmpValues(VInt((1L << 60) + 1), VReal((1L << 60).toDouble)) > 0)
+  }
+
+  // ---- WAL mode: live-database reads through the sidecar overlay -----
+
+  private def walFixture = SqliteDataSourceV2.fixtureWalPath
+
+  test("WAL mode: absent/empty -wal (fully checkpointed) reads the main " +
+    "file normally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wal")
     val db = dir.resolve("w.db")
     java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), db)
@@ -248,13 +359,146 @@ class SqliteSourceSpec extends SparkSpec {
       java.nio.file.StandardOpenOption.WRITE)
     try ch.write(java.nio.ByteBuffer.wrap(Array[Byte](2, 2)), 18L)
     finally ch.close()
-    // absent -wal: fully checkpointed, reads normally
     assert(read(db.toString, "kv").count() == 200)
-    // non-empty -wal: pending transactions invisible to us -> refuse
-    java.nio.file.Files.write(dir.resolve("w.db-wal"),
-      Array.fill[Byte](64)(1))
-    val e = intercept[Exception] { read(db.toString, "kv").count() }
-    assert(e.getMessage.contains("WAL"))
+    // an empty sidecar (header-less) is a checkpointed WAL: same reads
+    java.nio.file.Files.write(dir.resolve("w.db-wal"), Array.empty[Byte])
+    assert(read(db.toString, "kv").count() == 200)
+  }
+
+  test("WAL fixture: committed transactions in the un-checkpointed -wal " +
+    "are visible — updates, growth past the main file, deletes — and a " +
+    "main-file-only read WOULD have returned the stale pre-WAL state") {
+    val readings = read(walFixture, "readings")
+    // committed view (sqlite3-computed at fixture time): 1200 rows
+    // inserted minus the id%97 deletes
+    val expectTotal = 1200 - (1 to 1200).count(_ % 97 == 0)
+    assert(readings.count() == expectTotal)
+    // txn-1/4 updates are visible, newest wins (alert2 over alert).
+    // txn 1 ran BEFORE the inserts (alerts only on id<=800); txn 4's
+    // alert2 ran after (ids to 1200) — matching sqlite3's own view
+    assert(readings.filter(col("status").startsWith("alert")).count() ==
+      ((1 to 800).count(i => i % 50 == 0 && i % 97 != 0) +
+        (801 to 1200).count(i => i % 100 == 0 && i % 97 != 0)))
+    assert(readings.filter(col("status") === "alert2").count() ==
+      (1 to 1200).count(i => i % 100 == 0 && i % 97 != 0))
+    // growth: rows 801+ live on pages past the main file's last page
+    assert(readings.agg(max(col("id"))).head.getLong(0) == 1200L)
+    // THE STALE-READ PROOF: the same main file WITHOUT the overlay (a
+    // BytesPageReader sees no sidecar) returns the frozen pre-WAL state
+    import SqliteFile._
+    val mainBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(walFixture))
+    val hdr = parseHeader(mainBytes.take(100))
+    val pr = new BytesPageReader(mainBytes, hdr.pageSize)
+    val staleDocs = tables(pr, hdr).find(_.name == "readings").get
+    val staleRows = scanTable(pr, hdr, staleDocs.rootPage).size
+    assert(staleRows == 800, "main-file-only read must see the stale " +
+      s"pre-WAL 800 rows, got $staleRows")
+    assert(staleRows != expectTotal)
+  }
+
+  test("WAL fixture: a table CREATED after the WAL switch is visible " +
+    "(page-1/sqlite_master override) and fully readable") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val names = SqliteDataSourceV2.listTables(walFixture, conf).map(_.name)
+    assert(names.contains("wal_only"),
+      s"catalog through the overlay must list wal_only, got $names")
+    val wo = read(walFixture, "wal_only")
+    assert(wo.count() == 120)
+    assert(wo.agg(sum(col("n"))).head.getLong(0) ==
+      (0 until 120).map(i => i.toLong * i).sum)
+    // ... while the main-file-only catalog does NOT know the table
+    import SqliteFile._
+    val mainBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(walFixture))
+    val hdr = parseHeader(mainBytes.take(100))
+    val pr = new BytesPageReader(mainBytes, hdr.pageSize)
+    assert(!tables(pr, hdr).map(_.name).contains("wal_only"))
+  }
+
+  test("WAL torn tail: frames after the last valid commit — bad salts, " +
+    "bad checksum, or a truncated frame — are dropped like sqlite's own " +
+    "recovery; the committed prefix still reads") {
+    val walBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(walFixture + "-wal"))
+    val mainBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(walFixture))
+    val ps = SqliteFile.parseHeader(mainBytes.take(100)).pageSize
+    val clean = graft.sources.SqliteWal.parse(walBytes, ps)
+    assert(!clean.isEmpty && clean.framesCommitted == clean.framesSeen)
+    // torn tail: append a full frame of garbage (salt mismatch)
+    val torn = walBytes ++ Array.fill[Byte](24 + ps)(0x5a)
+    val t = graft.sources.SqliteWal.parse(torn, ps)
+    assert(t.frameOffsets == clean.frameOffsets && t.dbSizePages ==
+      clean.dbSizePages, "garbage tail must not change the committed view")
+    // truncated mid-frame: same committed view
+    val trunc = walBytes.take(walBytes.length - ps / 2)
+    val tr = graft.sources.SqliteWal.parse(trunc, ps)
+    assert(tr.dbSizePages == clean.dbSizePages)
+    // a VALID-looking frame with corrupted content fails the checksum
+    // chain and is dropped along with everything after it
+    val corrupt = walBytes.clone()
+    val lastFrameContent = 32 + (clean.framesSeen - 1) * (24 + ps) + 24
+    corrupt(lastFrameContent + 100) =
+      (corrupt(lastFrameContent + 100) ^ 0xff).toByte
+    val c = graft.sources.SqliteWal.parse(corrupt, ps)
+    assert(c.framesCommitted < clean.framesCommitted,
+      "a corrupted final commit must fall back to the previous commit")
+    // the whole-file reads still work end-to-end on the torn sidecar
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal_torn")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(walFixture),
+      dir.resolve("t.db"))
+    java.nio.file.Files.write(dir.resolve("t.db-wal"), torn)
+    assert(read(dir.resolve("t.db").toString, "readings").count() ==
+      1200 - (1 to 1200).count(_ % 97 == 0))
+  }
+
+  test("UTF-16 files (both byte orders): text serials, non-ASCII DDL, " +
+    "surrogate pairs and overflow bodies read identically to sqlite3's " +
+    "view") {
+    val expect = Seq(
+      (1L, "plain ascii", 10L),
+      (2L, "café naïve résumé", 20L),
+      (3L, "日本語テスト", 30L),
+      (4L, "emoji 😀🚀 pair", 40L),
+      (5L, "mixed é日😀z", 50L),
+      (6L, "", 60L))
+    for (name <- Seq("fixture_utf16le.db", "fixture_utf16be.db")) {
+      val res = getClass.getClassLoader.getResource(s"graft/$name")
+      assert(res != null, s"missing test resource graft/$name — run " +
+        "tools/make_sqlite_utf16_fixture.py")
+      val path = java.nio.file.Paths.get(res.toURI).toString
+      val df = read(path, "msgs")
+      // the DDL itself is UTF-16: the accented column name must parse
+      assert(df.schema.fieldNames.toSeq == Seq("id", "téxt", "n"),
+        s"$name schema: ${df.schema.fieldNames.toSeq}")
+      val got = df.filter(col("id") <= 6)
+        .select(col("id"), col("téxt"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"$name rows mismatch")
+      // the overflowing UTF-16 body reassembles to the exact string
+      val ov = df.filter(col("id") === 7).head.getString(1)
+      assert(ov == "ovérflow " * 700, s"$name overflow length " +
+        ov.length)
+      assert(df.count() == 7)
+    }
+  }
+
+  test("WAL checksum unit: both word orders round-trip the spec algebra") {
+    import graft.sources.SqliteWal
+    val data = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    val (a0, a1) = SqliteWal.checksum(0, 0, data, 0, 16,
+      bigEndianWords = true)
+    val (b0, b1) = SqliteWal.checksum(0, 0, data, 0, 16,
+      bigEndianWords = false)
+    assert((a0, a1) != (b0, b1), "word order must matter")
+    // cumulative = one pass over the concatenation
+    val (c0, c1) = SqliteWal.checksum(0, 0, data, 0, 8,
+      bigEndianWords = true)
+    val (d0, d1) = SqliteWal.checksum(c0, c1, data, 8, 8,
+      bigEndianWords = true)
+    assert((d0, d1) == ((a0, a1)), "chained == single-pass")
   }
 
   test("SQL DDL surface: CREATE TABLE ... USING graft-sqlite composes with spark.sql") {
@@ -295,6 +539,66 @@ class SqliteSourceSpec extends SparkSpec {
       scanTable(evilReader, hdr, docsRoot).size
     }
     assert(e.getMessage.contains("cyclic"))
+  }
+
+  test("DDL parsing: PRIMARY\\s+KEY spellings set the rowid alias; " +
+    "the keyword inside a DEFAULT literal or comment does not " +
+    "(advisor r09)") {
+    import SqliteFile._
+    // newline/multi-space spellings sqlite itself accepts
+    val nl = parseCreateTable("t", 2,
+      "CREATE TABLE t (id INTEGER PRIMARY\n  KEY, v TEXT)")
+    assert(nl.columns.head.rowidAlias, "PRIMARY\\nKEY must set the alias")
+    val ms = parseCreateTable("t", 2,
+      "CREATE TABLE t (id INTEGER  PRIMARY   KEY, v TEXT)")
+    assert(ms.columns.head.rowidAlias)
+    // DESC with newline still disables the alias (descending-key rule)
+    val desc = parseCreateTable("t", 2,
+      "CREATE TABLE t (id INTEGER PRIMARY\nKEY\nDESC, v TEXT)")
+    assert(!desc.columns.head.rowidAlias)
+    // the words inside a DEFAULT string literal must NOT set the flag
+    val lit = parseCreateTable("t", 2,
+      "CREATE TABLE t (id INTEGER DEFAULT 'primary key stuff', v TEXT)")
+    assert(!lit.columns.head.rowidAlias)
+    // ... nor inside a comment
+    val cmt = parseCreateTable("t", 2,
+      "CREATE TABLE t (id INTEGER /* primary key? no */, v TEXT)")
+    assert(!cmt.columns.head.rowidAlias)
+    val dash = parseCreateTable("t", 2,
+      "CREATE TABLE t (id INTEGER -- primary key\n, v TEXT)")
+    assert(!dash.columns.head.rowidAlias)
+    // WITHOUT ROWID with embedded newline is still recognized
+    val wr = parseCreateTable("t", 2,
+      "CREATE TABLE t (k TEXT PRIMARY KEY, v INTEGER) WITHOUT\nROWID")
+    assert(wr.withoutRowid)
+  }
+
+  test("header validation: stale in-header size (change counter != " +
+    "version-valid-for, legacy mode) is distrusted instead of tripping " +
+    "the cycle guard; read-version > 2 is rejected (advisor r09)") {
+    import SqliteFile._
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val good = parseHeader(bytes.take(100))
+    assert(good.pageCount > 0)
+    // stale legacy size: bump the change counter so it no longer
+    // matches version-valid-for, and shrink the declared size to 1 page
+    // — a valid multi-page file a pre-size-field writer touched last
+    val stale = bytes.take(100).clone()
+    stale(24) = 0x7f; stale(25) = 0; stale(26) = 0; stale(27) = 9
+    stale(28) = 0; stale(29) = 0; stale(30) = 0; stale(31) = 1
+    val h = parseHeader(stale)
+    assert(h.pageCount == 0L,
+      "mismatched counters must zero the size (legacy fallback)")
+    // the full file still scans fine with the cap disabled
+    val pr = new BytesPageReader(bytes, h.pageSize)
+    val docs = tables(pr, h).find(_.name == "docs").get
+    assert(scanTable(pr, h, docs.rootPage).size > 0)
+    // read-version above 2: reject loudly
+    val rv = bytes.take(100).clone()
+    rv(19) = 3
+    val e = intercept[IllegalArgumentException](parseHeader(rv))
+    assert(e.getMessage.contains("read version"))
   }
 
   test("low-level: varint and serial-type decode round corners") {

@@ -136,6 +136,80 @@ class SqliteWriterSpec extends SparkSpec {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  test("interior packing at the 1-mod-200 boundary: 201 one-cell leaves " +
+    "rebalance into 100+101 children — no zero-cell interior page " +
+    "(advisor r09)") {
+    val db = tmpDb()
+    // ~2500-byte cells: exactly one per 4 KB leaf, so 201 rows = 201
+    // leaves = the exact boundary where the naive 200-grouping would
+    // emit an interior page holding ONLY the right-most pointer
+    val rows = (1 to 201).map(i =>
+      (i.toLong, Seq(VText(("x%04d " format i) * 416), VInt(i.toLong))))
+    SqliteWriter.write(db, Seq(SqliteWriter.TableSpec("b",
+      "CREATE TABLE b (t TEXT, n INTEGER)", rows)))
+    val back = spark.read.format("graft-sqlite").option("table", "b").load(db)
+    assert(back.count() == 201)
+    assert(back.agg(sum(col("n"))).head.getLong(0) == (1 to 201).sum.toLong)
+    // structural assertion: every interior page in the file carries at
+    // least one cell (the shape sqlite itself always produces)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(db))
+    val pr = new BytesPageReader(bytes, SqliteWriter.PageSize)
+    val pages = bytes.length / SqliteWriter.PageSize
+    for (p <- 1 to pages) {
+      val pg = pr.page(p)
+      val off = if (p == 1) 100 else 0
+      if ((pg(off) & 0xff) == 0x05) {
+        val ncells = ((pg(off + 3) & 0xff) << 8) | (pg(off + 4) & 0xff)
+        assert(ncells >= 1, s"interior page $p has zero cells")
+      }
+    }
+    // leave a copy for the python integrity_check cross-validation
+    java.nio.file.Files.copy(java.nio.file.Paths.get(db),
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_writer_boundary.db"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("writer guards: unsorted/duplicate rowids and null export keys " +
+    "fail fast; oversized exports point at the parquet path (advisor r09)") {
+    import spark.implicits._
+    val db = tmpDb()
+    // duplicate rowids through the low-level writer
+    val dup = intercept[IllegalArgumentException] {
+      SqliteWriter.write(db, Seq(SqliteWriter.TableSpec("d",
+        "CREATE TABLE d (n INTEGER)",
+        Seq((1L, Seq(VInt(1))), (1L, Seq(VInt(2)))))))
+    }
+    assert(dup.getMessage.contains("strictly increasing"))
+    // unsorted rowids
+    val uns = intercept[IllegalArgumentException] {
+      SqliteWriter.write(db, Seq(SqliteWriter.TableSpec("d",
+        "CREATE TABLE d (n INTEGER)",
+        Seq((5L, Seq(VInt(1))), (2L, Seq(VInt(2)))))))
+    }
+    assert(uns.getMessage.contains("strictly increasing"))
+    // null rowid column in export
+    val withNull = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"))
+      .toDF("id", "v")
+    val nul = intercept[IllegalArgumentException] {
+      SqliteWriter.export(withNull, db, "e", rowidCol = Some("id"))
+    }
+    assert(nul.getMessage.contains("non-null"))
+    // duplicate rowid column in export (sorted, so buildTree catches it)
+    val withDup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    val dup2 = intercept[IllegalArgumentException] {
+      SqliteWriter.export(withDup, db, "e", rowidCol = Some("id"))
+    }
+    assert(dup2.getMessage.contains("strictly increasing"))
+    // export size guard names the override and the scale path
+    val big = intercept[IllegalArgumentException] {
+      SqliteWriter.export(spark.range(100).toDF("id"), db, "e",
+        maxExportRows = 10L)
+    }
+    assert(big.getMessage.contains("maxExportRows") &&
+      big.getMessage.contains("parquet"))
+  }
+
   test("DataFrame export: engine table -> .db -> engine table equality") {
     import spark.implicits._
     val src = (1 to 300).map(i => (i.toLong, s"row $i", i * 0.25,

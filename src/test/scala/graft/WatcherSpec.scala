@@ -558,6 +558,28 @@ class WatcherSpec extends SparkSpec {
     assert(loader.currentTable().get.count() === 4)
   }
 
+  test("cutover handoff path form: the persisted Map snapshot joins " +
+    "byte-identically with snapshotTable's listing — same URI form, " +
+    "same mtimes, zero-row diff for unchanged files (advisor r09)") {
+    val src = Files.createTempDirectory("graft_src_pf").toString
+    writeDoc(src, "a_1.pdf", "alpha")
+    writeDoc(src, "b_2.docx", "beta")
+    // the Map snapshot keyed by local path strings, normalized exactly
+    // the way the cutover write does it
+    val snapNorm = Watcher.snapshot(src).toSeq.map { case (p, ms) =>
+      (new org.apache.hadoop.fs.Path(Paths.get(p).toUri).toString, ms)
+    }
+    val persisted = snapNorm.toDF("path", "ms")
+      .select(col("path"), timestamp_millis(col("ms")).as("mtime"))
+    val table = Watcher.snapshotTable(spark, src)
+    assert(persisted.select("path").as[String].collect().sorted.toSeq ===
+      table.select("path").as[String].collect().sorted.toSeq,
+      "cutover-persisted paths must match the binaryFile URI form")
+    // the load-bearing claim: the first table-mode diff after an
+    // unchanged cutover sees NO phantom added+deleted rows
+    assert(Watcher.diffTable(persisted, table).count() === 0L)
+  }
+
   test("TxLog sink under accidental DOUBLE DEPLOYMENT with the " +
     "ConditionalPut (object-store) commit primitive: two concurrent " +
     "watcher instances on the same source+table, each running its own " +

@@ -53,6 +53,19 @@ if nulls != 5000 // 7 or list(blob) != [9] * 5:
 if con.execute("SELECT count(*) FROM t2").fetchone()[0] != 0:
     fails.append("t2 not empty")
 
+# 201-leaf interior-packing boundary file (SqliteWriterSpec leaves it):
+# the 1-mod-200 rebalance must still be a standard file per sqlite3
+bdb = os.path.join(tempfile.gettempdir(), "graft_writer_boundary.db")
+if os.path.exists(bdb):
+    bcon = sqlite3.connect(f"file:{bdb}?mode=ro", uri=True)
+    bic = bcon.execute("PRAGMA integrity_check").fetchall()
+    bn = bcon.execute("SELECT count(*), sum(n) FROM b").fetchone()
+    print("boundary integrity_check:", bic, "rows/sum:", bn)
+    if bic != [("ok",)] or bn != (201, sum(range(1, 202))):
+        fails.append("boundary-201")
+else:
+    print(f"note: {bdb} absent — run SqliteWriterSpec first")
+
 print("FAIL: " + ", ".join(fails) if fails else "OK — python sqlite3 "
       "reads the graft-written file cleanly")
 sys.exit(1 if fails else 0)

@@ -119,6 +119,16 @@ cur.execute("INSERT INTO weird VALUES (2, 2.75)")
 cur.execute("INSERT INTO weird VALUES (3, 'abc')")
 cur.execute("INSERT INTO weird VALUES (4, NULL)")
 
+# secondary indexes (the eq-pushdown surface): a plain usable index, a
+# multi-column one (leading column usable), and two deliberately
+# UNUSABLE shapes (DESC key, partial) the parser must catalog but
+# never probe. kv's TEXT PRIMARY KEY also creates the DDL-less
+# sqlite_autoindex_kv_1 the autoindex path must recover.
+cur.execute("CREATE INDEX idx_docs_cat ON docs (cat)")
+cur.execute("CREATE INDEX idx_docs_flag_score ON docs (flag, score)")
+cur.execute("CREATE INDEX idx_docs_score_desc ON docs (score DESC)")
+cur.execute("CREATE INDEX idx_docs_partial ON docs (title) WHERE flag = 1")
+
 con.commit()
 
 # q321 oracle: computed by sqlite3 itself over the fixture
@@ -163,6 +173,17 @@ agg330 = cur.execute("""
 print("-- q330 oracle (DuckDB VALUES):")
 print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, sum_v)" %
       ",\n    ".join("('%s', %d, %d)" % r for r in agg330))
+
+# q339 oracle: eq lookups on the indexed cat column (sqlite3 itself
+# routes these through idx_docs_cat — as must graft's eq-pushdown)
+agg339 = cur.execute("""
+  SELECT cat, count(*) AS n_docs, sum(id) AS sum_id,
+         sum(length(body)) AS body_chars
+  FROM docs WHERE cat IN ('delta', 'zeta')
+  GROUP BY cat ORDER BY cat""").fetchall()
+print("-- q339 oracle (DuckDB VALUES):")
+print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, sum_id, "
+      "body_chars)" % ",\n    ".join("('%s', %d, %d, %d)" % r for r in agg339))
 
 info = cur.execute(
     "SELECT name, rootpage FROM sqlite_master WHERE type='table'").fetchall()
