@@ -4026,16 +4026,24 @@ object SparkEntry {
     // bit-exactly with `//`. 3 unrolled rounds over the symmetric
     // supplier↔part graph (suppliers even ids, parts odd); one
     // edge-join + one sum-groupBy per round — the q78 plan shape.
+    // CHECKPOINTED-GRAIN iteration (the graph-family idiom,
+    // ops/Graph.scala): edges/deg materialize ONCE and every round's
+    // node-grain mass is checkpointed, so round N+1's plan starts from
+    // an RDD scan instead of re-expanding N rounds of lineage — the
+    // same change that cut q220's 84 scans to 2 (r09); the 100 TB form
+    // is the Pregel contract (edge relation persisted across
+    // supersteps, vertex state materialized per superstep).
     "q194_ppr" -> ((s, dir) => {
       val e0 = t(s, dir, "lineitem")
         .select((col("l_suppkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst")).distinct()
-      val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val seeds = t(s, dir, "supplier")
+      val edges = Caches.small(e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))))
+      val deg = Caches.small(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      val seeds = Caches.small(t(s, dir, "supplier")
         .filter(col("s_suppkey") % 10 === 0)
-        .select((col("s_suppkey") * 2).as("node"))
+        .select((col("s_suppkey") * 2).as("node")))
       val restart = seeds.select(col("node"),
         lit(150000000000L).as("r"))
       var mass = seeds.select(col("node"), lit(1000000000000L).as("m"))
@@ -4044,9 +4052,9 @@ object SparkEntry {
           .join(deg, Seq("src"))
           .select(col("dst").as("node"),
             expr("(m * 85) div 100 div deg").as("c"))
-        mass = spread.unionByName(restart.select(col("node"),
+        mass = Caches.small(spread.unionByName(restart.select(col("node"),
             col("r").as("c")))
-          .groupBy("node").agg(sum(col("c")).as("m"))
+          .groupBy("node").agg(sum(col("c")).as("m")))
       }
       mass.withColumn("rk", row_number().over(
           Window.orderBy(col("m").desc, col("node"))))
