@@ -58,6 +58,42 @@ object SqliteProbe {
       // set, planner still prunes — compare against a full scan instead
       rd(1).filter(col("cat") === "nope").count()
     }
+    // ---- secondary-index eq pushdown (round 10) ----------------------
+    // tag is selective (~n/100k rows per value): the index descent
+    // resolves the rowid set in O(depth+matches) pages, vs decoding
+    // every record under the filter fallback
+    if (rd(32).columns.contains("tag")) {
+      time("indexed eq lookup tag (selective)") {
+        rd(32).filter(col("tag") === "t-012345")
+          .agg(count(lit(1)), sum(col("id"))).head()
+      }
+      time("same predicate, index disabled (full scan)") {
+        spark.read.format("graft-sqlite").option("table", "big")
+          .option("maxPartitions", 32).option("maxIndexLookupRows", 0)
+          .load(db).filter(col("tag") === "t-012345")
+          .agg(count(lit(1)), sum(col("id"))).head()
+      }
+      time("indexed eq lookup cat (UNselective, n/8 matches)") {
+        // near-unselective: the honest comparison point for the
+        // maxIndexLookupRows fallback default
+        rd(32).filter(col("cat") === "zeta")
+          .agg(count(lit(1))).head()
+      }
+    }
+    // ---- WAL overlay overhead (round 10): pass the WAL variant as
+    // arg 2 (make_sqlite_big.py ... walpct>0) ------------------------
+    args.lift(1).foreach { walDb =>
+      def rdw(mp: Int) = spark.read.format("graft-sqlite")
+        .option("table", "big").option("maxPartitions", mp).load(walDb)
+      val wn = rdw(32).count()
+      println(s"[sqprobe] wal variant rows=$wn")
+      time("full agg through the WAL overlay, 32p") {
+        rdw(32).agg(sum(col("flag")), sum(length(col("body")))).head()
+      }
+      time("point lookup through the WAL overlay") {
+        rdw(32).filter(col("id") === wn / 2).select("cat", "score").head()
+      }
+    }
     spark.stop()
   }
 }

@@ -100,8 +100,17 @@ object SqliteDataSourceV2 {
       if (walLen < SqliteWal.HeaderSize) SqliteWal.WalMap(Map.empty, 0, 0, 0)
       else {
         walIn = fs.open(walPath)
-        SqliteWal.parse((pos, buf) => walIn.readFully(pos, buf), walLen,
-          raw.pageSize)
+        // the committed-frame map is checksum-verified over the WHOLE
+        // sidecar — an O(walLen) cost per reader open that a 32-reader
+        // scan would pay 32×. Cache per (path, length, mtime): every
+        // commit changes the length, every checkpoint truncates it, so
+        // the key changes whenever the committed view can.
+        val mtime = try fs.getFileStatus(walPath).getModificationTime
+          catch { case _: Exception => 0L }
+        SqliteDataSourceV2.walMapCache.computeIfAbsent(
+          (path, walLen, mtime),
+          _ => SqliteWal.parse((pos, buf) => walIn.readFully(pos, buf),
+            walLen, raw.pageSize))
       }
     }
     val header: Header = {
@@ -151,6 +160,22 @@ object SqliteDataSourceV2 {
 
   def openReader(path: String, conf: Configuration): HadoopPageReader =
     new HadoopPageReader(path, conf)
+
+  /** Per-JVM cache of parsed WAL committed-frame maps, keyed by
+    * (db path, -wal length, -wal mtime) — see HadoopPageReader. Bounded:
+    * cleared wholesale past 64 entries (maps are offsets-only, small;
+    * a long-lived executor reading many different live .db files is
+    * the only way to grow it). */
+  private[sources] val walMapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      SqliteWal.WalMap]() {
+      override def computeIfAbsent(k: (String, Long, Long),
+          f: java.util.function.Function[_ >: (String, Long, Long),
+            _ <: SqliteWal.WalMap]): SqliteWal.WalMap = {
+        if (size() > 64) clear()
+        super.computeIfAbsent(k, f)
+      }
+    }
 
   /** Driver-side observability: the last successful index-eq
     * resolution as (indexName, nRowids) — written by
@@ -482,16 +507,28 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
     case _ => None
   }
 
-  /** Resolve the eq candidates through a usable secondary index to a
-    * sorted rowid list: None = no usable index matched (fall back to
-    * the subtree scan), Some(rowids) = scan exactly these (possibly
-    * none). Unique indexes win ties; the probe respects the pushed
-    * rowid window. A probe that explodes past `maxIndexLookupRows`
-    * falls back — point descents on a near-unselective key would be
-    * slower than the parallel scan. */
-  private def resolveIndexRowids(pr: SqliteDataSourceV2.HadoopPageReader)
-      : Option[Seq[Long]] = {
-    if (eqCandidates.isEmpty || t.withoutRowid) return None
+  /** How an indexed eq filter resolved. */
+  private sealed trait IndexResolution
+  private case object NoIndexPath extends IndexResolution
+  private case class SparseRowids(rowids: Seq[Long]) extends IndexResolution
+  /** Matches are DENSE in rowid space: per-rowid point descents would
+    * re-read the same leaf/interior pages over and over (measured: a
+    * 250k-match probe on a 2M-row file took 45 s of point descents vs
+    * 12 s scanned) — so the resolution degrades to the [min,max] rowid
+    * WINDOW over the ordinary subtree scan, which still prunes
+    * everything outside the matched span. */
+  private case class DenseWindow(min: Long, max: Long)
+      extends IndexResolution
+
+  /** Resolve the eq candidates through a usable secondary index.
+    * Unique indexes win ties; the probe respects the pushed rowid
+    * window. Sparse matches (average rowid gap above ~a leaf's worth
+    * of rows) become explicit rowid ranges; dense matches degrade to a
+    * window scan; a probe past `maxIndexLookupRows` or with no usable
+    * index falls back entirely. */
+  private def resolveIndex(pr: SqliteDataSourceV2.HadoopPageReader)
+      : IndexResolution = {
+    if (eqCandidates.isEmpty || t.withoutRowid) return NoIndexPath
     val usable = indexes(pr, pr.header)
       .filter(ix => ix.usable && ix.table.equalsIgnoreCase(t.name))
     val hit = eqCandidates.iterator.flatMap { case (col, vals) =>
@@ -499,7 +536,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
         .sortBy(ix => !ix.unique) // prefer unique
         .headOption.map(ix => (ix, vals))
     }.toSeq.sortBy { case (ix, _) => !ix.unique }
-    hit.headOption.flatMap { case (ix, vals) =>
+    hit.headOption.map { case (ix, vals) =>
       val probes = vals.map(asValue)
       // TEXT probes only on UTF-8 files: sqlite's BINARY collation is
       // memcmp over the STORED encoding, and UTF-16(LE) byte order is
@@ -507,19 +544,27 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       // could miss rows. Numeric probes are encoding-independent.
       val textProbeOnUtf16 = pr.header.textEncoding > 1 &&
         probes.exists(_.exists(_.isInstanceOf[VText]))
-      if (probes.exists(_.isEmpty) || textProbeOnUtf16) None
+      if (probes.exists(_.isEmpty) || textProbeOnUtf16) NoIndexPath
       else {
         val rowids = probes.flatten
           .flatMap(v => indexRowidsEq(pr, pr.header, ix, v))
           .filter(r => r >= lo && r <= hi)
           .distinct.sorted
-        if (rowids.length > maxIndexLookupRows) None
-        else {
+        if (rowids.length > maxIndexLookupRows) NoIndexPath
+        else if (rowids.isEmpty) {
+          SqliteDataSourceV2.lastIndexProbe = Some((ix.name, 0))
+          SparseRowids(Nil)
+        } else {
           SqliteDataSourceV2.lastIndexProbe = Some((ix.name, rowids.length))
-          Some(rowids)
+          val span = rowids.last - rowids.head + 1
+          // ~16 rows share a leaf on typical row shapes: below that
+          // average gap, neighboring descents hit the same pages
+          if (rowids.length > 64 && rowids.length * 16 >= span)
+            DenseWindow(rowids.head, rowids.last)
+          else SparseRowids(rowids)
         }
       }
-    }
+    }.getOrElse(NoIndexPath)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -534,9 +579,10 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       // an indexed eq filter resolves to explicit rowids: partitions
       // carry coalesced rowid RANGES (adjacent ids merge), each read by
       // an O(depth) B-tree descent — pages touched scale with matches,
-      // not table size
-      resolveIndexRowids(pr) match {
-        case Some(rowids) =>
+      // not table size. Dense matches tighten the window instead.
+      var (effLo, effHi) = (lo, hi)
+      resolveIndex(pr) match {
+        case SparseRowids(rowids) =>
           if (rowids.isEmpty) return Array.empty[InputPartition]
           val ranges = ArrayBuffer.empty[(Long, Long)]
           for (r <- rowids) ranges.lastOption match {
@@ -551,13 +597,15 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
             .map(g => SqlitePartition(Seq(t.rootPage),
               rowidRanges = Some(g.toSeq)): InputPartition)
             .toArray
-        case None =>
+        case DenseWindow(mn, mx) =>
+          effLo = math.max(effLo, mn); effHi = math.min(effHi, mx)
+        case NoIndexPath =>
       }
       // root children pruned by the pushed rowid window FIRST — a point
       // lookup plans exactly one single-subtree partition, and a window
       // outside the table plans ZERO partitions
       val all = childRanges(pr, t.rootPage)
-      val kids = all.filter(_.overlaps(lo, hi)).map(_.page)
+      val kids = all.filter(_.overlaps(effLo, effHi)).map(_.page)
       if (all.isEmpty) // leaf root: the whole table is one page
         Array(SqlitePartition(Seq(t.rootPage)))
       else if (kids.isEmpty) Array.empty[InputPartition]
