@@ -8896,6 +8896,157 @@ object SparkEntry {
           sum(length(col("body"))).as("body_chars"))
         .orderBy("cat")
     }),
+
+    // MULTI-WORD PHRASE TAGGING (the dictionary-tagging pass every
+    // curation pipeline runs — blocklists, topic tags, PII terms; the
+    // set-at-a-time form of FlashText/Aho-Corasick for a bounded
+    // phrase dictionary): one lead() pass per doc materializes the 2-
+    // and 3-gram at each position, then ONE broadcast equi-join against
+    // the dictionary — no per-phrase scans, no OR-join (an OR of gram
+    // columns would plan a nested loop; the unpivot keeps it hash).
+    "q340_phrase_tagging" -> ((s, dir) => {
+      val phrases = Seq("table scan", "hash join", "key agg",
+        "window table", "slow filter value", "fast merge batch")
+      val dict = broadcast(s.createDataFrame(
+        phrases.map(Tuple1(_))).toDF("phrase"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val grams = toks
+        .withColumn("w1", lead(col("w"), 1).over(byDoc))
+        .withColumn("w2", lead(col("w"), 2).over(byDoc))
+        .select(col("doc_id"), col("source"), explode(array(
+          when(col("w1").isNotNull,
+            concat_ws(" ", col("w"), col("w1"))),
+          when(col("w2").isNotNull,
+            concat_ws(" ", col("w"), col("w1"), col("w2")))))
+          .as("gram"))
+        .filter(col("gram").isNotNull)
+      grams.join(dict, col("gram") === col("phrase"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("phrase")
+    }),
+
+    // ISOTONIC CALIBRATION (PAVA fit — the standard monotone
+    // recalibration of a quality/reward score against labels; q198's
+    // ECE table DIAGNOSES miscalibration, this FITS the correction).
+    // Exact minimax form on a fixed score-bucket grain: fit(i) =
+    // max_{j<=i} min_{k>=i} avg(pos, j..k), with every average in
+    // fixed-point 1e9 integer floor-division so both engines replay
+    // bit-for-bit. The corpus contributes ONE bucket aggregation; the
+    // minimax runs on the <=100-bucket grain (pairs, two windows) —
+    // model-sized however big the corpus.
+    "q341_isotonic_pava" -> ((s, dir) => {
+      val buckets = t(s, dir, "orders")
+        .select((round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("y"))
+        .select(least(lit(99L), expr("cents div 600000")).as("b"),
+          col("y"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      val g = Caches.small(buckets) // fixed <=100-bucket grain
+      val cum = g.withColumn("cn",
+          sum(col("n")).over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cp", sum(col("pos")).over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val c = Caches.small(cum.select(col("b"), col("n"), col("pos"),
+        col("cn"), col("cp")))
+      val jk = c.select(col("b").as("j"), (col("cn") - col("n")).as("cnj"),
+          (col("cp") - col("pos")).as("cpj"))
+        .join(c.select(col("b").as("k"), col("cn").as("cnk"),
+          col("cp").as("cpk")), col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          expr("(1000000000 * (cpk - cpj)) div (cnk - cnj)").as("avg_e9"))
+      // m(j,i) = min over k>=i of avg(j,k): reverse running min per j
+      val m = jk.withColumn("m", min(col("avg_e9")).over(
+          Window.partitionBy("j").orderBy(col("k").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("j"), col("k").as("i"), col("m"))
+        .filter(col("j") <= col("i"))
+      // fit(i) = max over j<=i of m(j,i): running max per i, row j==i
+      val fit = m.withColumn("f", max(col("m")).over(
+          Window.partitionBy("i").orderBy("j")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("j") === col("i"))
+        .select(col("i").as("b"), col("f").as("fit_e9"))
+      c.join(fit, Seq("b"))
+        .select(col("b"), col("n"), col("pos"),
+          expr("(1000000000 * pos) div n").as("rate_e9"), col("fit_e9"))
+        .orderBy("b")
+    }),
+
+    // WEIGHTED-FAIR-QUEUING DATA-MIXING SCHEDULE (deterministic
+    // interleaving of domains at token-share weights — the "data
+    // ordering" step between mixing weights (q69/q233/q243) and the
+    // training loader): source s's k-th document gets virtual finish
+    // time k·10⁹ div w_s (w_s = the source's token count), and the
+    // global order is (finish, source, doc) — integer WFQ, no floats.
+    // Per-source ranks are partitioned windows; only the 40 emitted
+    // slots rank globally, on a checkpointed 40-row frame.
+    "q342_wfq_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TA.tokens(col("text"))).as("ntok"))
+      val w = docs.groupBy("source").agg(sum(col("ntok")).as("wtok"))
+      val ranked = docs.join(broadcast(w), Seq("source"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .withColumn("finish", expr("(k * 1000000000L) div wtok"))
+      val top = Caches.small(ranked
+        .orderBy(col("finish"), col("source"), col("doc_id")).limit(40))
+      top.withColumn("slot", row_number().over(
+          Window.orderBy(col("finish"), col("source"), col("doc_id"))))
+        .select(col("slot"), col("source"), col("doc_id"), col("k"),
+          col("finish"))
+        .orderBy("slot")
+    }),
+
+    // WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    // — the MOSS local fingerprinting scheme: hash every k-gram, keep
+    // the MINIMUM hash of each w-window of consecutive grams; any
+    // shared run of >= w+k-1 tokens between two documents is
+    // GUARANTEED to share a fingerprint, at ~2/(w+1) storage). k=3
+    // tokens, w=4. One lead() pass + one windowed min per doc, then
+    // keyed aggs — per-doc work is linear, the cross-doc signal is a
+    // fingerprint-key join, never a pair scan.
+    "q343_winnowing" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val grams = toks
+        .withColumn("w1", lead(col("w"), 1).over(byDoc))
+        .withColumn("w2", lead(col("w"), 2).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("source"), col("p"),
+          TF.md5Hash48(concat_ws(" ", col("w"), col("w1"), col("w2")))
+            .as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, 3)
+      val fps = grams
+        .withColumn("mh", min(col("h")).over(win))
+        .withColumn("wlen", count(lit(1)).over(win))
+        .filter(col("wlen") === 4) // full windows only (strict winnowing)
+        .select(col("doc_id"), col("source"), col("mh")).distinct()
+      val global = fps.groupBy("mh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      fps.join(global, Seq("mh"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_fps"),
+          countDistinct(col("mh")).as("n_distinct_fps"),
+          countDistinct(when(col("nd") >= 2, col("mh"))).as("n_shared_fps"))
+        .orderBy("source")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -16997,5 +17148,117 @@ object SparkEntry {
            ('delta', 188, 423564, 32766),
            ('zeta', 187, 420189, 32550)
          ) AS t(cat, n_docs, sum_id, body_chars)""",
+
+    "q340_phrase_tagging" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, source,
+             ws[i] || ' ' || ws[i+1] AS g2,
+             CASE WHEN i + 2 <= len(ws)
+               THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS g3
+           FROM tk, unnest(range(1, len(ws))) AS t(i)),
+         u AS (
+           SELECT doc_id, source, g2 AS gram FROM g
+           UNION ALL
+           SELECT doc_id, source, g3 FROM g WHERE g3 IS NOT NULL),
+         d AS (SELECT * FROM (VALUES ('table scan'), ('hash join'),
+           ('key agg'), ('window table'), ('slow filter value'),
+           ('fast merge batch')) AS p(phrase))
+         SELECT phrase, count(*) AS n_hits,
+           count(DISTINCT doc_id) AS n_docs,
+           count(DISTINCT source) AS n_sources
+         FROM u JOIN d ON u.gram = d.phrase
+         GROUP BY 1 ORDER BY phrase""",
+
+    "q341_isotonic_pava" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS y
+           FROM orders),
+         b AS (
+           SELECT least(99, cents // 600000) AS b, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos
+           FROM o GROUP BY 1),
+         c AS (
+           SELECT b, n, pos,
+             sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cn,
+             sum(pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cp
+           FROM b),
+         jk AS (
+           SELECT j.b AS j, k.b AS k,
+             ((1000000000 * (k.cp - (j.cp - j.pos)))
+               // (k.cn - (j.cn - j.n)))::BIGINT AS avg_e9
+           FROM c j JOIN c k ON j.b <= k.b),
+         m AS (
+           SELECT j, k AS i,
+             min(avg_e9) OVER (PARTITION BY j ORDER BY k DESC
+               ROWS UNBOUNDED PRECEDING) AS m
+           FROM jk),
+         f AS (
+           SELECT j, i,
+             max(m) OVER (PARTITION BY i ORDER BY j
+               ROWS UNBOUNDED PRECEDING) AS fit_e9
+           FROM m WHERE j <= i)
+         SELECT c.b, c.n, c.pos,
+           ((1000000000 * c.pos) // c.n)::BIGINT AS rate_e9,
+           ff.fit_e9
+         FROM c JOIN (SELECT i AS b, fit_e9 FROM f WHERE j = i) ff
+           ON c.b = ff.b
+         ORDER BY c.b""",
+
+    "q342_wfq_schedule" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             len(string_split(lower(trim(regexp_replace(text,'\s+',' ',
+               'g'))), ' '))::BIGINT AS ntok
+           FROM documents),
+         w AS (SELECT source, sum(ntok)::BIGINT AS wtok FROM d GROUP BY 1),
+         r AS (
+           SELECT d.doc_id, d.source, wtok,
+             row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+               AS k
+           FROM d JOIN w USING (source)),
+         t AS (
+           SELECT doc_id, source, k, (k * 1000000000) // wtok AS finish
+           FROM r ORDER BY finish, source, doc_id LIMIT 40)
+         SELECT row_number() OVER (ORDER BY finish, source, doc_id)
+             AS slot,
+           source, doc_id, k, finish
+         FROM t ORDER BY slot""",
+
+    "q343_winnowing" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         gr AS (
+           SELECT doc_id, source, i AS p,
+             ('0x' || substring(md5('0:' || ws[i] || ' ' || ws[i+1] ||
+               ' ' || ws[i+2]), 1, 12))::BIGINT AS h
+           FROM tk, unnest(range(1, len(ws) - 1)) AS t(i)),
+         wm AS (
+           SELECT doc_id, source,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+           FROM gr),
+         fp AS (SELECT DISTINCT doc_id, source, mh
+                FROM wm WHERE wlen = 4),
+         g2 AS (SELECT mh, count(DISTINCT doc_id) AS nd
+                FROM fp GROUP BY 1)
+         SELECT source, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_fps,
+           count(DISTINCT mh) AS n_distinct_fps,
+           count(DISTINCT CASE WHEN nd >= 2 THEN mh END) AS n_shared_fps
+         FROM fp JOIN g2 USING (mh)
+         GROUP BY 1 ORDER BY source""",
   )
 }
