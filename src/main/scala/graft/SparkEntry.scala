@@ -9047,6 +9047,28 @@ object SparkEntry {
           countDistinct(when(col("nd") >= 2, col("mh"))).as("n_shared_fps"))
         .orderBy("source")
     }),
+
+    // SQLITE AGGREGATE PUSHDOWN (SupportsPushDownAggregates): the
+    // catalog questions a migration runs first — how many rows, what
+    // key range — answer INSIDE the source: count(*) walks leaf-page
+    // headers without decoding one record (25x over the decode scan,
+    // SCALE.md §6k) and min/max of the rowid alias are O(depth)
+    // leftmost/rightmost descents. Oracle: sqlite3-computed VALUES
+    // (sqlite answers the same count from its own B-tree the same
+    // way). The WITHOUT ROWID count proves interior index entries are
+    // counted as rows.
+    "q344_sqlite_agg_pushdown" -> ((s, _) => {
+      val fx = graft.sources.SqliteDataSourceV2.fixturePath
+      val docs = s.read.format("graft-sqlite").option("table", "docs")
+        .load(fx).agg(count(lit(1)).as("docs_n"),
+          min(col("id")).as("docs_min_id"),
+          max(col("id")).as("docs_max_id"))
+      val wr = s.read.format("graft-sqlite").option("table", "wr_metrics")
+        .load(fx).agg(count(lit(1)).as("wr_n"))
+      val kv = s.read.format("graft-sqlite").option("table", "kv")
+        .load(fx).agg(count(lit(1)).as("kv_n"))
+      docs.crossJoin(broadcast(wr)).crossJoin(broadcast(kv))
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -17260,5 +17282,13 @@ object SparkEntry {
            count(DISTINCT CASE WHEN nd >= 2 THEN mh END) AS n_shared_fps
          FROM fp JOIN g2 USING (mh)
          GROUP BY 1 ORDER BY source""",
+
+    // sqlite3's own answers over the committed fixture (count/min/max
+    // are schema facts of the generator: 1500 docs + the bigint row,
+    // ids i*3 with the 2^40 outlier, 360 wr_metrics, 200 kv)
+    "q344_sqlite_agg_pushdown" ->
+      """SELECT * FROM (VALUES
+           (1501, 3, 1099511627776, 360, 200)
+         ) AS t(docs_n, docs_min_id, docs_max_id, wr_n, kv_n)""",
   )
 }

@@ -80,6 +80,14 @@ object SqliteProbe {
           .agg(count(lit(1))).head()
       }
     }
+    // ---- aggregate pushdown (round 10): decode-free count, O(depth)
+    // min/max of the rowid alias -------------------------------------
+    time("count(*) via aggregate pushdown (decode-free)") {
+      rd(32).agg(count(lit(1))).head()
+    }
+    time("min/max rowid via aggregate pushdown") {
+      rd(32).agg(min(col("id")), max(col("id"))).head()
+    }
     // ---- WAL overlay overhead (round 10): pass the WAL variant as
     // arg 2 (make_sqlite_big.py ... walpct>0) ------------------------
     args.lift(1).foreach { walDb =>

@@ -381,7 +381,8 @@ private[sources] class SqliteTable(tableSchema: StructType,
 private[sources] class SqliteScanBuilder(fullSchema: StructType,
                                          options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] =
@@ -450,14 +451,152 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
 
+  /** AGGREGATE PUSHDOWN (partial — Spark merges per-partition rows):
+    * ungrouped, unfiltered COUNT(*) walks the B-tree counting leaf
+    * cells straight from page headers (same pages, NONE of the record
+    * decode — the dominant cost of a count over a wide table), and
+    * MIN/MAX of the rowid-alias column become O(depth) leftmost/
+    * rightmost descents. Anything else — group-bys, other columns,
+    * filtered plans (Spark only offers aggregates when no residual
+    * filters remain, and this source keeps every filter residual) —
+    * declines, and the ordinary scan path answers it. */
+  private var pushedAggSpecs: Option[Seq[SqliteAggSpec]] = None
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty) return false
+    if (lo != Long.MinValue || hi != Long.MaxValue || eqCandidates.nonEmpty)
+      return false
+    val t = SqliteDataSourceV2.resolveTable(options)
+    val alias = t.columns.find(_.rowidAlias).map(_.name)
+    def isAliasRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.length == 1 &&
+        alias.exists(_.equalsIgnoreCase(nr.fieldNames()(0)))
+      case _ => false
+    }
+    val specs: Seq[Option[SqliteAggSpec]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(SqliteAggSpec.CountStar)
+        case m: Min if !t.withoutRowid && isAliasRef(m.column) =>
+          Some(SqliteAggSpec.MinAlias)
+        case m: Max if !t.withoutRowid && isAliasRef(m.column) =>
+          Some(SqliteAggSpec.MaxAlias)
+        case _ => None
+      }
+    if (specs.exists(_.isEmpty)) false
+    else { pushedAggSpecs = Some(specs.flatten); true }
+  }
+
   override def build(): Scan = {
     val t = SqliteDataSourceV2.resolveTable(options)
-    new SqliteScan(required, t, options.get("path"),
-      options.getInt("maxPartitions", 32),
-      new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()), lo, hi,
-      eqCandidates,
-      options.getLong("maxIndexLookupRows", 1000000L))
+    pushedAggSpecs match {
+      case Some(specs) =>
+        new SqliteAggScan(specs, t, options.get("path"),
+          options.getInt("maxPartitions", 32),
+          new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()))
+      case None =>
+        new SqliteScan(required, t, options.get("path"),
+          options.getInt("maxPartitions", 32),
+          new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()), lo, hi,
+          eqCandidates,
+          options.getLong("maxIndexLookupRows", 1000000L))
+    }
   }
+}
+
+/** The three aggregate shapes the source computes natively. */
+private[sources] sealed trait SqliteAggSpec
+private[sources] object SqliteAggSpec {
+  case object CountStar extends SqliteAggSpec
+  case object MinAlias extends SqliteAggSpec
+  case object MaxAlias extends SqliteAggSpec
+}
+
+/** Pushed-aggregate scan: each partition emits ONE row of partial
+  * values over its page subtrees (decode-free counts from leaf
+  * headers, O(depth) min/max descents); Spark's final aggregation
+  * merges the partials. */
+private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
+                                     t: SqliteTableDef, path: String,
+                                     maxPartitions: Int,
+                                     conf: SerializableHadoopConf)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    specs.zipWithIndex.map {
+      case (SqliteAggSpec.CountStar, i) =>
+        StructField(s"count_star_$i", LongType, nullable = false)
+      case (SqliteAggSpec.MinAlias, i) =>
+        StructField(s"min_rowid_$i", LongType)
+      case (SqliteAggSpec.MaxAlias, i) =>
+        StructField(s"max_rowid_$i", LongType)
+    })
+
+  override def description(): String =
+    s"graft-sqlite ${t.name}, pushed aggregates " +
+      specs.mkString("[", ",", "]")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pr = SqliteDataSourceV2.openReader(path, conf.value)
+    try {
+      if (t.withoutRowid) return Array(SqlitePartition(Seq(t.rootPage)))
+      val kids = childRanges(pr, t.rootPage).map(_.page)
+      if (kids.isEmpty) Array(SqlitePartition(Seq(t.rootPage)))
+      else {
+        val groups = math.max(1, math.min(maxPartitions, kids.size))
+        kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
+          .map(g => SqlitePartition(g): InputPartition).toArray
+      }
+    } finally pr.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqliteAggReaderFactory(specs, path, conf)
+}
+
+private[sources] class SqliteAggReaderFactory(specs: Seq[SqliteAggSpec],
+                                              path: String,
+                                              conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] =
+    new SqliteAggPartitionReader(p.asInstanceOf[SqlitePartition],
+      specs, path, conf)
+}
+
+private[sources] class SqliteAggPartitionReader(part: SqlitePartition,
+                                                specs: Seq[SqliteAggSpec],
+                                                path: String,
+                                                conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val pr = SqliteDataSourceV2.openReader(path, conf.value)
+  private var emitted = false
+
+  override def next(): Boolean = !emitted
+
+  override def get(): InternalRow = {
+    emitted = true
+    lazy val count = part.roots.map(r =>
+      countTable(pr, pr.header, r)).sum
+    // roots are in rowid order: the partition min lives under the
+    // first subtree, the max under the last
+    lazy val mn = minRowid(pr, pr.header, part.roots.head)
+    lazy val mx = maxRowid(pr, pr.header, part.roots.last)
+    InternalRow.fromSeq(specs.map {
+      case SqliteAggSpec.CountStar => count
+      case SqliteAggSpec.MinAlias => mn.map(Long.box).orNull
+      case SqliteAggSpec.MaxAlias => mx.map(Long.box).orNull
+    })
+  }
+
+  override def close(): Unit = pr.close()
 }
 
 /** Partition planning: the root B-tree page's children, grouped into at

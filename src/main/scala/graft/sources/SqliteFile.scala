@@ -358,6 +358,102 @@ object SqliteFile {
     }
   }
 
+  /** Row count of the table B-tree under `rootPage` WITHOUT decoding a
+    * single record: leaf pages contribute their cell count straight
+    * from the page header; interior pages only push children. The
+    * decode-free form of `SELECT count(*)` — same pages read, none of
+    * the payload/varint work (the aggregate-pushdown fast path). */
+  def countTable(pr: PageReader, header: Header, rootPage: Int): Long = {
+    var total = 0L
+    val stack = ArrayBuffer[Int](rootPage)
+    var pagesVisited = 0L
+    while (stack.nonEmpty) {
+      val pageNo = stack.remove(stack.length - 1)
+      pagesVisited += 1
+      require(header.pageCount == 0L || pagesVisited <= header.pageCount,
+        s"sqlite: count at page $rootPage visits more pages than the " +
+          "file holds — cyclic page pointers (corrupt file)")
+      val pg = pr.page(pageNo)
+      val off = btreeHeaderOffset(pageNo)
+      val ncells = u16(pg, off + 3)
+      (pg(off) & 0xff) match {
+        case 0x0d => total += ncells
+        case 0x05 =>
+          var i = 0
+          while (i < ncells) {
+            stack += u32(pg, u16(pg, off + 12 + 2 * i)).toInt; i += 1
+          }
+          stack += u32(pg, off + 8).toInt
+        // index trees (WITHOUT ROWID storage): interior entries are
+        // rows too
+        case 0x0a => total += ncells
+        case 0x02 =>
+          total += ncells
+          var i = 0
+          while (i < ncells) {
+            stack += u32(pg, u16(pg, off + 12 + 2 * i)).toInt; i += 1
+          }
+          stack += u32(pg, off + 8).toInt
+        case t => sys.error(
+          f"sqlite: unexpected page type 0x$t%02x at page $pageNo")
+      }
+    }
+    total
+  }
+
+  /** Smallest rowid under a table-B-tree subtree: descend the LEFTMOST
+    * child chain, read the first leaf cell's rowid — O(depth) pages.
+    * None for an empty subtree. */
+  def minRowid(pr: PageReader, header: Header, rootPage: Int)
+      : Option[Long] = {
+    var pageNo = rootPage
+    var guard = 0
+    while (guard < 64) { // trees are ~4 levels; 64 = corruption stop
+      guard += 1
+      val pg = pr.page(pageNo)
+      val off = btreeHeaderOffset(pageNo)
+      val ncells = u16(pg, off + 3)
+      (pg(off) & 0xff) match {
+        case 0x0d =>
+          if (ncells == 0) return None
+          val cellOff = u16(pg, off + 8)
+          val (_, n1) = varint(pg, cellOff)
+          return Some(varint(pg, cellOff + n1)._1)
+        case 0x05 =>
+          pageNo = if (ncells == 0) u32(pg, off + 8).toInt
+            else u32(pg, u16(pg, off + 12)).toInt
+        case t => sys.error(
+          f"sqlite: unexpected page type 0x$t%02x in minRowid")
+      }
+    }
+    sys.error("sqlite: minRowid descent exceeded 64 levels (corrupt file)")
+  }
+
+  /** Largest rowid under a table-B-tree subtree: descend the RIGHT-MOST
+    * pointer chain, read the last leaf cell's rowid — O(depth) pages. */
+  def maxRowid(pr: PageReader, header: Header, rootPage: Int)
+      : Option[Long] = {
+    var pageNo = rootPage
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val pg = pr.page(pageNo)
+      val off = btreeHeaderOffset(pageNo)
+      val ncells = u16(pg, off + 3)
+      (pg(off) & 0xff) match {
+        case 0x0d =>
+          if (ncells == 0) return None
+          val cellOff = u16(pg, off + 8 + 2 * (ncells - 1))
+          val (_, n1) = varint(pg, cellOff)
+          return Some(varint(pg, cellOff + n1)._1)
+        case 0x05 => pageNo = u32(pg, off + 8).toInt
+        case t => sys.error(
+          f"sqlite: unexpected page type 0x$t%02x in maxRowid")
+      }
+    }
+    sys.error("sqlite: maxRowid descent exceeded 64 levels (corrupt file)")
+  }
+
   /** In-order scan of an INDEX B-tree (page types 0x02/0x0a) — the
     * storage of WITHOUT ROWID tables, whose rows live as key records
     * (PK columns first; see [[SqliteTableDef.storedOrder]]). Unlike

@@ -345,6 +345,43 @@ class SqliteSourceSpec extends SparkSpec {
     assert(cmpValues(VInt((1L << 60) + 1), VReal((1L << 60).toDouble)) > 0)
   }
 
+  test("aggregate pushdown: ungrouped unfiltered count(*)/min/max of the " +
+    "rowid alias compute inside the source (decode-free leaf counts, " +
+    "O(depth) descents); grouped/filtered/other-column shapes fall back") {
+    val docs = read(fixture, "docs")
+    val pushed = docs.agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("pushed aggregates"),
+      "count/min/max on the alias must push")
+    val r = pushed.head
+    assert(r.getLong(0) == 1501L)
+    assert(r.getLong(1) == 3L)            // smallest id (i=1 -> 3)
+    assert(r.getLong(2) == (1L << 40))    // the bigint row
+    // WITHOUT ROWID count: interior index entries are rows too
+    val wr = read(fixture, "wr_metrics").agg(count(lit(1)))
+    assert(wr.queryExecution.executedPlan.toString
+      .contains("pushed aggregates"))
+    assert(wr.head.getLong(0) == 360L)
+    // fallbacks: grouped, filtered, and non-alias min must NOT push
+    for (df <- Seq(
+        docs.groupBy("cat").agg(count(lit(1))),
+        docs.filter(col("cat") === "delta").agg(count(lit(1))),
+        docs.agg(min(col("score"))))) {
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("pushed aggregates"), df.queryExecution.toString)
+    }
+    assert(docs.filter(col("cat") === "delta").agg(count(lit(1)))
+      .head.getLong(0) == 188L)
+    // empty table: count 0, min/max null (writer-made empty table)
+    val db = java.nio.file.Files.createTempDirectory("graft_aggp")
+      .resolve("e.db").toString
+    graft.sources.SqliteWriter.write(db, Seq(graft.sources.SqliteWriter
+      .TableSpec("e", "CREATE TABLE e (id INTEGER PRIMARY KEY, v TEXT)",
+        Nil)))
+    val er = read(db, "e").agg(count(lit(1)), min(col("id"))).head
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+  }
+
   // ---- WAL mode: live-database reads through the sidecar overlay -----
 
   private def walFixture = SqliteDataSourceV2.fixtureWalPath
