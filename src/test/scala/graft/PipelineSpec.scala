@@ -498,4 +498,68 @@ class PipelineSpec extends SparkSpec {
     // nothing; undecodable id 5 drops out silently
     assert(pairs === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
+
+  test("streaming dedup admission: per-fingerprint keeper state persists " +
+    "across micro-batches AND a checkpoint restart — decisions match the " +
+    "q332 batch vocabulary (kept / dup_in_batch / dup_vs_history)") {
+    import graft.streaming.Admission
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_admission_ck").toString
+    val ms = MemoryStream[Admission.DocIn]
+    // foreachBatch sink: the memory sink cannot recover from a
+    // checkpoint (the restart is the point of this test)
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[Admission.Decision] // all access under sunk.synchronized
+    def start() =
+      Admission.admissionStream(ms.toDS())
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Admission.Decision], _: Long) =>
+            sunk.synchronized { sunk ++= b.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    val q = start()
+    try {
+      // batch 1: fp A twice (in-batch race), fp B once
+      ms.addData(Admission.DocIn(10L, "A"), Admission.DocIn(11L, "A"),
+        Admission.DocIn(12L, "B"))
+      q.processAllAvailable()
+      // batch 2: fp A again (history dup), fp C new
+      ms.addData(Admission.DocIn(20L, "A"), Admission.DocIn(21L, "C"))
+      q.processAllAvailable()
+      val got = sunk.synchronized(sunk.sortBy(_.doc_id).toSeq)
+      assert(got === Seq(
+        Admission.Decision(10L, "A", "kept", 10L),
+        Admission.Decision(11L, "A", "dup_in_batch", 10L),
+        Admission.Decision(12L, "B", "kept", 12L),
+        Admission.Decision(20L, "A", "dup_vs_history", 10L),
+        Admission.Decision(21L, "C", "kept", 21L)))
+    } finally q.stop()
+    // RESTART from the checkpoint: a new query over the same source
+    // must still know A/B/C were admitted
+    sunk.synchronized(sunk.clear())
+    val q2 = start()
+    try {
+      ms.addData(Admission.DocIn(30L, "B"), Admission.DocIn(31L, "D"))
+      q2.processAllAvailable()
+      val got2 = sunk.synchronized(sunk.sortBy(_.doc_id).toSeq)
+      assert(got2 === Seq(
+        Admission.Decision(30L, "B", "dup_vs_history", 12L),
+        Admission.Decision(31L, "D", "kept", 31L)),
+        "state must survive the restart (B admitted before it)")
+    } finally q2.stop()
+    // batch parity: the same operator over a batch frame reproduces
+    // the q332 single-batch decisions
+    val batch = Seq(Admission.DocIn(1L, "X"), Admission.DocIn(2L, "X"),
+      Admission.DocIn(3L, "Y")).toDS()
+    val bd = Admission.admissionStream(batch)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(bd === Seq(
+      Admission.Decision(1L, "X", "kept", 1L),
+      Admission.Decision(2L, "X", "dup_in_batch", 1L),
+      Admission.Decision(3L, "Y", "kept", 3L)))
+  }
 }
