@@ -9069,6 +9069,105 @@ object SparkEntry {
         .load(fx).agg(count(lit(1)).as("kv_n"))
       docs.crossJoin(broadcast(wr)).crossJoin(broadcast(kv))
     }),
+
+    // SOURCE-OVERLAP CONTAINMENT MATRIX ("which sources copy from
+    // which" — the corpus-level reading of winnowing fingerprints):
+    // per source the distinct fingerprint set, then directed
+    // containment C(a→b) = |fp(a) ∩ fp(b)| / |fp(a)| in 1e6 fixed
+    // point. The intersection is a fingerprint-KEY self-join: pair
+    // volume per fingerprint is (#sources sharing it)² ≤ 20² here —
+    // at open-web scale the same df-cut that bounds q19 applies (drop
+    // fingerprints shared by more sources than the cut). Top-20 most
+    // contained pairs, deterministic order.
+    "q345_source_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val grams = toks
+        .withColumn("w1", lead(col("w"), 1).over(byDoc))
+        .withColumn("w2", lead(col("w"), 2).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("source"), col("p"),
+          TF.md5Hash48(concat_ws(" ", col("w"), col("w1"), col("w2")))
+            .as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, 3)
+      val srcFps = grams
+        .withColumn("mh", min(col("h")).over(win))
+        .withColumn("wlen", count(lit(1)).over(win))
+        .filter(col("wlen") === 4)
+        .select(col("source"), col("mh")).distinct()
+      val sizes = srcFps.groupBy("source")
+        .agg(count(lit(1)).as("n_fp"))
+      val inter = srcFps.join(
+          srcFps.select(col("source").as("src_b"), col("mh")), Seq("mh"))
+        .filter(col("source") =!= col("src_b"))
+        .groupBy(col("source").as("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      val scored = inter
+        .join(broadcast(sizes).withColumnRenamed("source", "src_a"),
+          Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("inter"), col("n_fp"),
+          expr("(1000000 * inter) div n_fp").as("containment_e6"))
+      val top = Caches.small(scored.orderBy(col("containment_e6").desc,
+        col("src_a"), col("src_b")).limit(20))
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("containment_e6").desc, col("src_a"),
+            col("src_b"))))
+        .select(col("rk"), col("src_a"), col("src_b"), col("inter"),
+          col("n_fp"), col("containment_e6"))
+        .orderBy("rk")
+    }),
+
+    // KNESER-NEY SMOOTHED BIGRAM LM (the KenLM-style model behind
+    // CCNet/CC-Net-family perplexity filtering — q98's MLE bigram LM
+    // with the absolute-discount + continuation-probability correction
+    // that makes it usable on held-out text): d = 0.75 (dyadic, exact
+    // in doubles), P(w2|w1) = max(c12−d,0)/c1 + d·N1+(w1·)/c1 ·
+    // Pcont(w2), Pcont(w2) = N1+(·w2)/N1+(··). Every per-bigram term
+    // is a fixed-order IEEE expression (bit-identical across engines);
+    // the per-w1 mass sum crosses engines through the sorted-fold
+    // bridge. Output: the 20 most frequent contexts, each with its
+    // smoothed probability mass over OBSERVED continuations (the
+    // 1−mass remainder is what KN reserves for unseen words — the
+    // whole point of the smoothing).
+    "q346_kneser_ney" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val bi = toks
+        .withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val big = Caches.small(bi) // vocab² grain: model-sized
+      val byW1 = big.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_follow"))
+      val byW2 = big.groupBy("w2")
+        .agg(count(lit(1)).as("n_precede"))
+      val totBi = big.agg(count(lit(1)).as("n_bigrams"))
+      val terms = big
+        .join(broadcast(byW1), Seq("w1"))
+        .join(broadcast(byW2), Seq("w2"))
+        .crossJoin(broadcast(totBi))
+        .withColumn("pkn",
+          greatest(col("c12").cast("double") - lit(0.75), lit(0.0))
+            / col("c1").cast("double")
+          + lit(0.75) * col("n_follow").cast("double")
+            / col("c1").cast("double")
+            * (col("n_precede").cast("double")
+              / col("n_bigrams").cast("double")))
+      val mass = terms.groupBy("w1")
+        .agg(ssum(collect_list(col("pkn"))).as("m"))
+      val out = byW1.join(mass, Seq("w1"))
+        .select(col("w1"), col("c1"), col("n_follow"),
+          round(col("m") * 1e9, 0).cast("long").as("mass_e9"))
+      Caches.small(out.orderBy(col("c1").desc, col("w1")).limit(20))
+        .orderBy(col("c1").desc, col("w1"))
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -17290,5 +17389,70 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            (1501, 3, 1099511627776, 360, 200)
          ) AS t(docs_n, docs_min_id, docs_max_id, wr_n, kv_n)""",
+
+    "q345_source_overlap" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         gr AS (
+           SELECT doc_id, source, i AS p,
+             ('0x' || substring(md5('0:' || ws[i] || ' ' || ws[i+1] ||
+               ' ' || ws[i+2]), 1, 12))::BIGINT AS h
+           FROM tk, unnest(range(1, len(ws) - 1)) AS t(i)),
+         wm AS (
+           SELECT doc_id, source,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+           FROM gr),
+         fp AS MATERIALIZED (
+           SELECT DISTINCT source, mh FROM wm WHERE wlen = 4),
+         sz AS (SELECT source, count(*) AS n_fp FROM fp GROUP BY 1),
+         iv AS (
+           SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+           FROM fp a JOIN fp b USING (mh)
+           WHERE a.source <> b.source GROUP BY 1, 2),
+         sc AS (
+           SELECT src_a, src_b, inter, n_fp,
+             ((1000000 * inter) // n_fp)::BIGINT AS containment_e6
+           FROM iv JOIN sz ON sz.source = iv.src_a),
+         top AS (
+           SELECT * FROM sc
+           ORDER BY containment_e6 DESC, src_a, src_b LIMIT 20)
+         SELECT row_number() OVER (ORDER BY containment_e6 DESC, src_a,
+             src_b) AS rk,
+           src_a, src_b, inter, n_fp, containment_e6
+         FROM top ORDER BY rk""",
+
+    "q346_kneser_ney" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         bi AS MATERIALIZED (
+           SELECT ws[i] AS w1, ws[i+1] AS w2, count(*)::BIGINT AS c12
+           FROM tk, unnest(range(1, len(ws))) AS t(i)
+           GROUP BY 1, 2),
+         b1 AS (SELECT w1, sum(c12)::BIGINT AS c1,
+             count(*)::BIGINT AS n_follow
+           FROM bi GROUP BY 1),
+         b2 AS (SELECT w2, count(*)::BIGINT AS n_precede FROM bi GROUP BY 1),
+         tb AS (SELECT count(*)::BIGINT AS n_bigrams FROM bi),
+         tm AS (
+           SELECT w1,
+             greatest(c12 - 0.75, 0.0) / c1::DOUBLE
+               + 0.75 * n_follow::DOUBLE / c1::DOUBLE
+                 * (n_precede::DOUBLE / n_bigrams::DOUBLE) AS pkn
+           FROM bi JOIN b1 USING (w1) JOIN b2 USING (w2) CROSS JOIN tb),
+         ms AS (SELECT w1, list_sum(list_sort(list(pkn))) AS m
+                FROM tm GROUP BY 1)
+         SELECT w1, c1, n_follow,
+           CAST(round(m * 1e9) AS BIGINT) AS mass_e9
+         FROM b1 JOIN ms USING (w1)
+         ORDER BY c1 DESC, w1 LIMIT 20""",
   )
 }
