@@ -8959,10 +8959,14 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, 0)))
       val c = Caches.small(cum.select(col("b"), col("n"), col("pos"),
         col("cn"), col("cp")))
+      // the <=100-row grain side broadcasts EXPLICITLY: a non-equi
+      // join on two stat-less RDD scans would otherwise plan a
+      // shuffled CartesianProduct (both sides are the same
+      // checkpointed grain — the broadcast BNLJ build is proof-bounded)
       val jk = c.select(col("b").as("j"), (col("cn") - col("n")).as("cnj"),
           (col("cp") - col("pos")).as("cpj"))
-        .join(c.select(col("b").as("k"), col("cn").as("cnk"),
-          col("cp").as("cpk")), col("j") <= col("k"))
+        .join(broadcast(c.select(col("b").as("k"), col("cn").as("cnk"),
+          col("cp").as("cpk"))), col("j") <= col("k"))
         .select(col("j"), col("k"),
           expr("(1000000000 * (cpk - cpj)) div (cnk - cnj)").as("avg_e9"))
       // m(j,i) = min over k>=i of avg(j,k): reverse running min per j
