@@ -80,13 +80,19 @@ object SqliteDataSourceV2 {
     * WAL) and the page count comes from the last commit frame's dbSize
     * (the database may have GROWN inside the WAL). A checkpointed or
     * absent sidecar degrades to a plain main-file read. */
-  final class HadoopPageReader(path: String, conf: Configuration)
+  final class HadoopPageReader(path: String, conf: Configuration,
+                               walFrameLimit: Int = -1)
       extends PageReader {
     private val p = new Path(path)
     private val fs = p.getFileSystem(conf)
     private val in: FSDataInputStream = fs.open(p)
     private var walIn: FSDataInputStream = _
-    private val wal: SqliteWal.WalMap = {
+    /** The committed WAL view this reader serves. Executors receive
+      * `walFrameLimit` pinned at PLAN time, so a live writer appending
+      * frames mid-query cannot give two partitions different views
+      * (the already-written prefix is immutable until a checkpoint —
+      * which changes the salts and fails loudly, never misreads). */
+    val wal: SqliteWal.WalMap = {
       val h = new Array[Byte](100)
       in.readFully(0L, h)
       val raw = parseHeader(h) // page size is fixed at creation: safe
@@ -108,9 +114,9 @@ object SqliteDataSourceV2 {
         val mtime = try fs.getFileStatus(walPath).getModificationTime
           catch { case _: Exception => 0L }
         SqliteDataSourceV2.walMapCache.computeIfAbsent(
-          (path, walLen, mtime),
+          (s"$path#$walFrameLimit", walLen, mtime),
           _ => SqliteWal.parse((pos, buf) => walIn.readFully(pos, buf),
-            walLen, raw.pageSize))
+            walLen, raw.pageSize, walFrameLimit))
       }
     }
     val header: Header = {
@@ -158,8 +164,9 @@ object SqliteDataSourceV2 {
     }
   }
 
-  def openReader(path: String, conf: Configuration): HadoopPageReader =
-    new HadoopPageReader(path, conf)
+  def openReader(path: String, conf: Configuration,
+                 walFrameLimit: Int = -1): HadoopPageReader =
+    new HadoopPageReader(path, conf, walFrameLimit)
 
   /** Per-JVM cache of parsed WAL committed-frame maps, keyed by
     * (db path, -wal length, -wal mtime) — see HadoopPageReader. Bounded:
@@ -545,13 +552,17 @@ private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
   override def planInputPartitions(): Array[InputPartition] = {
     val pr = SqliteDataSourceV2.openReader(path, conf.value)
     try {
-      if (t.withoutRowid) return Array(SqlitePartition(Seq(t.rootPage)))
+      val pin = pr.wal.framesCommitted // same snapshot pin as SqliteScan
+      if (t.withoutRowid)
+        return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
       val kids = childRanges(pr, t.rootPage).map(_.page)
-      if (kids.isEmpty) Array(SqlitePartition(Seq(t.rootPage)))
+      if (kids.isEmpty)
+        Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
-          .map(g => SqlitePartition(g): InputPartition).toArray
+          .map(g => SqlitePartition(g, walFrames = pin): InputPartition)
+          .toArray
       }
     } finally pr.close()
   }
@@ -576,7 +587,8 @@ private[sources] class SqliteAggPartitionReader(part: SqlitePartition,
                                                 conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val pr = SqliteDataSourceV2.openReader(path, conf.value)
+  private val pr = SqliteDataSourceV2.openReader(path, conf.value,
+    part.walFrames)
   private var emitted = false
 
   override def next(): Boolean = !emitted
@@ -709,12 +721,19 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
   override def planInputPartitions(): Array[InputPartition] = {
     val pr = SqliteDataSourceV2.openReader(path, conf.value)
     try {
+      // SNAPSHOT PIN: every partition reader re-parses the -wal, so a
+      // live writer committing mid-query could otherwise give two
+      // partitions different views — pin the committed frame count
+      // seen HERE, at plan time (the written prefix is immutable).
+      // 0 when no sidecar exists yet: a -wal APPEARING mid-query is
+      // ignored just like frames appended to one.
+      val pin = pr.wal.framesCommitted
       // WITHOUT ROWID rows live in an index B-tree whose interior pages
       // carry entries; subtree splits would drop them — one in-order
       // partition (these are PK-lookup tables; the parallel-scan story
       // belongs to the rowid tables)
       if (t.withoutRowid)
-        return Array(SqlitePartition(Seq(t.rootPage)))
+        return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
       // an indexed eq filter resolves to explicit rowids: partitions
       // carry coalesced rowid RANGES (adjacent ids merge), each read by
       // an O(depth) B-tree descent — pages touched scale with matches,
@@ -734,7 +753,8 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
           return ranges.grouped(
             math.ceil(ranges.length.toDouble / groups).toInt)
             .map(g => SqlitePartition(Seq(t.rootPage),
-              rowidRanges = Some(g.toSeq)): InputPartition)
+              rowidRanges = Some(g.toSeq),
+              walFrames = pin): InputPartition)
             .toArray
         case DenseWindow(mn, mx) =>
           effLo = math.max(effLo, mn); effHi = math.min(effHi, mx)
@@ -746,14 +766,14 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       val all = childRanges(pr, t.rootPage)
       val kids = all.filter(_.overlaps(effLo, effHi)).map(_.page)
       if (all.isEmpty) // leaf root: the whole table is one page
-        Array(SqlitePartition(Seq(t.rootPage)))
+        Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
       else if (kids.isEmpty) Array.empty[InputPartition]
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
         // contiguous grouping keeps each partition's pages clustered on
         // disk (sequential-ish reads) and rowid-ordered within itself
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
-          .map(g => SqlitePartition(g): InputPartition)
+          .map(g => SqlitePartition(g, walFrames = pin): InputPartition)
           .toArray
       }
     } finally pr.close()
@@ -777,9 +797,12 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
 /** Either a set of disjoint page subtrees (`roots`, the parallel-scan
   * path) or, when `rowidRanges` is set, a list of coalesced rowid
   * ranges point-descended from the table root (the index-lookup
-  * path — `roots` then holds just the table root page). */
+  * path — `roots` then holds just the table root page). `walFrames`
+  * pins the WAL snapshot every reader of this scan must serve
+  * (committed frame count at plan time; -1 = no sidecar). */
 private[sources] case class SqlitePartition(roots: Seq[Int],
-    rowidRanges: Option[Seq[(Long, Long)]] = None)
+    rowidRanges: Option[Seq[(Long, Long)]] = None,
+    walFrames: Int = -1)
     extends InputPartition
 
 private[sources] class SqliteReaderFactory(required: StructType,
@@ -801,7 +824,8 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
                                              hi: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
-  private val pr = SqliteDataSourceV2.openReader(path, conf.value)
+  private val pr = SqliteDataSourceV2.openReader(path, conf.value,
+    part.walFrames)
   private val charset = textCharset(pr.header.textEncoding)
   // required field -> (table ordinal, spark type, is rowid alias)
   private val fields: Array[(Int, DataType, Boolean)] =

@@ -81,9 +81,17 @@ object SqliteWal {
     * `walLen` is the sidecar's byte length. `expectPageSize` is the
     * main file's page size — a mismatched WAL (stale sidecar from a
     * different database) is rejected loudly, because silently ignoring
-    * it and a torn tail are different things. */
+    * it and a torn tail are different things.
+    *
+    * `maxFrames` (>0) stops after that many valid frames — the
+    * SNAPSHOT-PINNING hook: a live writer may append frames while a
+    * distributed scan runs, but the already-written prefix of a -wal
+    * is immutable until a checkpoint rewinds it (which changes the
+    * salts and is detected, not silently misread), so every partition
+    * parsing the same frame-count prefix sees the same committed
+    * view. */
   def parse(read: (Long, Array[Byte]) => Unit, walLen: Long,
-            expectPageSize: Int): WalMap = {
+            expectPageSize: Int, maxFrames: Int): WalMap = {
     if (walLen < HeaderSize) return WalMap(Map.empty, 0L, 0, 0)
     val hdr = new Array[Byte](HeaderSize)
     read(0L, hdr)
@@ -117,7 +125,8 @@ object SqliteWal {
     var n = 0
     var valid = true
     val buf = new Array[Byte](frameSize)
-    while (valid && pos + frameSize <= walLen) {
+    while (valid && pos + frameSize <= walLen &&
+        (maxFrames < 0 || n < maxFrames)) {
       read(pos, buf)
       val pageNo = u32(buf, 0).toInt
       val commitSize = u32(buf, 4)
@@ -149,7 +158,8 @@ object SqliteWal {
   }
 
   /** Array-backed convenience for tests. */
-  def parse(walBytes: Array[Byte], expectPageSize: Int): WalMap =
+  def parse(walBytes: Array[Byte], expectPageSize: Int,
+            maxFrames: Int = -1): WalMap =
     parse((pos, buf) => System.arraycopy(walBytes, pos.toInt, buf, 0,
-      buf.length), walBytes.length.toLong, expectPageSize)
+      buf.length), walBytes.length.toLong, expectPageSize, maxFrames)
 }

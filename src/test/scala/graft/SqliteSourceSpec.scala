@@ -522,6 +522,58 @@ class SqliteSourceSpec extends SparkSpec {
     }
   }
 
+  test("WAL snapshot pinning: a frame-count prefix parses identically to " +
+    "the physically truncated sidecar, and a reader pinned at an earlier " +
+    "commit serves exactly that commit's view (live-writer consistency: " +
+    "partitions planned together read the same snapshot)") {
+    import SqliteFile._
+    val walBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(walFixture + "-wal"))
+    val mainBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(walFixture))
+    val ps = parseHeader(mainBytes.take(100)).pageSize
+    val full = graft.sources.SqliteWal.parse(walBytes, ps)
+    // the fixture has 4 committed transactions: find their boundaries
+    val boundaries = (1 to full.framesSeen)
+      .map(k => graft.sources.SqliteWal.parse(walBytes, ps, k)
+        .framesCommitted)
+      .distinct.filter(_ > 0)
+    // 4 scripted transactions; python's sqlite3 may auto-commit before
+    // the DDL, splitting txn 3 — at least 4 boundaries either way
+    assert(boundaries.length >= 4, s"expected >=4 commits, $boundaries")
+    for (b <- boundaries) {
+      val viaLimit = graft.sources.SqliteWal.parse(walBytes, ps, b)
+      val viaTrunc = graft.sources.SqliteWal.parse(
+        walBytes.take(32 + b * (24 + ps)), ps)
+      assert(viaLimit.frameOffsets == viaTrunc.frameOffsets &&
+        viaLimit.dbSizePages == viaTrunc.dbSizePages,
+        s"prefix-pin at $b frames must equal the truncated sidecar")
+    }
+    // end-to-end: pinned at the FIRST commit = txn 1's view — still
+    // 800 rows (updates only), 16 alerts, and wal_only doesn't exist
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pr1 = SqliteDataSourceV2.openReader(walFixture, conf,
+      boundaries.head)
+    try {
+      val names = tables(pr1, pr1.header).map(_.name)
+      assert(!names.contains("wal_only"), "txn-3's table is the future")
+      val rt = tables(pr1, pr1.header).find(_.name == "readings").get
+      val rows = scanTable(pr1, pr1.header, rt.rootPage)
+        .map(r => decodeRecord(r.payload, _ => true)).toSeq
+      assert(rows.size == 800)
+      assert(rows.count(_.lift(3).contains(VText("alert"))) == 16)
+    } finally pr1.close()
+    // pinned at 0 = the pre-WAL main file: 800 rows, NO alerts
+    val pr0 = SqliteDataSourceV2.openReader(walFixture, conf, 0)
+    try {
+      val rt = tables(pr0, pr0.header).find(_.name == "readings").get
+      val rows = scanTable(pr0, pr0.header, rt.rootPage)
+        .map(r => decodeRecord(r.payload, _ => true)).toSeq
+      assert(rows.size == 800)
+      assert(rows.count(_.lift(3).contains(VText("alert"))) == 0)
+    } finally pr0.close()
+  }
+
   test("WAL checksum unit: both word orders round-trip the spec algebra") {
     import graft.sources.SqliteWal
     val data = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
