@@ -81,42 +81,93 @@ object SqliteDataSourceV2 {
     * (the database may have GROWN inside the WAL). A checkpointed or
     * absent sidecar degrades to a plain main-file read. */
   final class HadoopPageReader(path: String, conf: Configuration,
-                               walFrameLimit: Int = -1)
+                               walFrameLimit: Int = -1,
+                               walSalts: Option[(Long, Long)] = None)
       extends PageReader {
     private val p = new Path(path)
     private val fs = p.getFileSystem(conf)
     private val in: FSDataInputStream = fs.open(p)
     private var walIn: FSDataInputStream = _
     /** The committed WAL view this reader serves. Executors receive
-      * `walFrameLimit` pinned at PLAN time, so a live writer appending
-      * frames mid-query cannot give two partitions different views
-      * (the already-written prefix is immutable until a checkpoint —
-      * which changes the salts and fails loudly, never misreads). */
+      * `walFrameLimit` AND the plan-time generation salts pinned by
+      * the scan, so a live writer appending frames mid-query cannot
+      * give two partitions different views (the written prefix is
+      * immutable within a generation), and a checkpoint RESTART /
+      * TRUNCATE between planning and execution — which re-salts or
+      * removes the sidecar — fails LOUDLY instead of silently serving
+      * frames from a different generation. */
+    private val mainLen: Long = fs.getFileStatus(p).getLen
+    // the page size every read needs: from the main header when one
+    // exists; a database BORN in WAL mode (sqlite materializes the
+    // main file lazily — page 1 and everything else live only in the
+    // sidecar until the first checkpoint) carries it in the WAL header
+    private var rawPageSize: Int = 0
     val wal: SqliteWal.WalMap = {
-      val h = new Array[Byte](100)
-      in.readFully(0L, h)
-      val raw = parseHeader(h) // page size is fixed at creation: safe
-      val isWal = (h(18) & 0xff) == 2 || (h(19) & 0xff) == 2
       val walPath = new Path(path + "-wal")
-      val walLen =
-        if (!isWal) 0L
-        else try {
-          if (fs.exists(walPath)) fs.getFileStatus(walPath).getLen else 0L
-        } catch { case _: Exception => 0L }
-      if (walLen < SqliteWal.HeaderSize) SqliteWal.WalMap(Map.empty, 0, 0, 0)
-      else {
+      val walLen0 = try {
+        if (fs.exists(walPath)) fs.getFileStatus(walPath).getLen else 0L
+      } catch { case _: Exception => 0L }
+      val isWal =
+        if (mainLen >= 100) {
+          val h = new Array[Byte](100)
+          in.readFully(0L, h)
+          rawPageSize = parseHeader(h).pageSize // fixed at creation: safe
+          (h(18) & 0xff) == 2 || (h(19) & 0xff) == 2
+        } else {
+          require(walLen0 >= SqliteWal.HeaderSize,
+            s"sqlite: $path is only $mainLen bytes and has no usable " +
+              "-wal sidecar — not a readable database (a WAL-born " +
+              "database keeps every page in the -wal until its first " +
+              "checkpoint; is the sidecar missing?)")
+          true
+        }
+      val walLen = if (!isWal) 0L else walLen0
+      if (walLen < SqliteWal.HeaderSize) {
+        require(walFrameLimit <= 0 || walSalts.isEmpty,
+          s"sqlite: the -wal sidecar of $path vanished mid-query (the " +
+            s"plan pinned a $walFrameLimit-frame snapshot) — a " +
+            "checkpoint TRUNCATE ran between planning and execution; " +
+            "re-run the query")
+        SqliteWal.WalMap(Map.empty, 0, 0, 0)
+      } else {
         walIn = fs.open(walPath)
         // the committed-frame map is checksum-verified over the WHOLE
         // sidecar — an O(walLen) cost per reader open that a 32-reader
-        // scan would pay 32×. Cache per (path, length, mtime): every
-        // commit changes the length, every checkpoint truncates it, so
-        // the key changes whenever the committed view can.
+        // scan would pay 32×. Cached; the GENERATION SALTS are part of
+        // the key (read cheaply from the 32-byte header first): a
+        // checkpoint RESTART can refill the sidecar to the same length
+        // within mtime granularity, and serving the old generation's
+        // offsets against the new bytes would silently corrupt rows.
         val mtime = try fs.getFileStatus(walPath).getModificationTime
           catch { case _: Exception => 0L }
-        SqliteDataSourceV2.walMapCache.computeIfAbsent(
-          (s"$path#$walFrameLimit", walLen, mtime),
+        val wh = new Array[Byte](SqliteWal.HeaderSize)
+        walIn.readFully(0L, wh)
+        def u32(o: Int): Long =
+          ((wh(o) & 0xffL) << 24) | ((wh(o + 1) & 0xffL) << 16) |
+            ((wh(o + 2) & 0xffL) << 8) | (wh(o + 3) & 0xffL)
+        if (rawPageSize == 0) rawPageSize = u32(8).toInt // WAL-born
+        val (s1, s2) = (u32(16), u32(20))
+        val parsed = SqliteDataSourceV2.walMapCache.computeIfAbsent(
+          (s"$path#$walFrameLimit#$s1#$s2", walLen, mtime),
           _ => SqliteWal.parse((pos, buf) => walIn.readFully(pos, buf),
-            walLen, raw.pageSize, walFrameLimit))
+            walLen, rawPageSize, walFrameLimit))
+        walSalts.foreach { case (e1, e2) =>
+          require(parsed.salt1 == e1 && parsed.salt2 == e2,
+            s"sqlite: the -wal of $path was checkpointed mid-query " +
+              "(generation salts changed since the scan was planned) " +
+              "— re-run the query")
+          require(walFrameLimit < 0 ||
+            parsed.framesCommitted == walFrameLimit,
+            s"sqlite: pinned WAL snapshot of $path no longer parses to " +
+              s"$walFrameLimit committed frames " +
+              s"(got ${parsed.framesCommitted}) — sidecar rewritten " +
+              "mid-query; re-run the query")
+        }
+        require(mainLen >= 100 || parsed.frameOffsets.contains(1),
+          s"sqlite: $path is WAL-born ($mainLen-byte main file) but the " +
+            "sidecar holds no committed page 1 — no committed " +
+            "transactions to read yet")
+        parsed
       }
     }
     val header: Header = {
@@ -134,19 +185,12 @@ object SqliteDataSourceV2 {
         fs.getFileStatus(p).getLen / parsed0.pageSize)
     }
     private def page1ViaOverlay(): Array[Byte] = {
-      val h = new Array[Byte](100)
-      in.readFully(0L, h)
-      val ps = parseHeader(h).pageSize
+      val buf = new Array[Byte](rawPageSize)
       wal.frameOffsets.get(1) match {
-        case Some(off) =>
-          val buf = new Array[Byte](ps)
-          walIn.readFully(off, buf)
-          buf
-        case None =>
-          val buf = new Array[Byte](ps)
-          in.readFully(0L, buf)
-          buf
+        case Some(off) => walIn.readFully(off, buf)
+        case None => in.readFully(0L, buf)
       }
+      buf
     }
     def pageSize: Int = header.pageSize
     def page(n: Int): Array[Byte] = {
@@ -165,8 +209,9 @@ object SqliteDataSourceV2 {
   }
 
   def openReader(path: String, conf: Configuration,
-                 walFrameLimit: Int = -1): HadoopPageReader =
-    new HadoopPageReader(path, conf, walFrameLimit)
+                 walFrameLimit: Int = -1,
+                 walSalts: Option[(Long, Long)] = None): HadoopPageReader =
+    new HadoopPageReader(path, conf, walFrameLimit, walSalts)
 
   /** Per-JVM cache of parsed WAL committed-frame maps, keyed by
     * (db path, -wal length, -wal mtime) — see HadoopPageReader. Bounded:
@@ -391,6 +436,12 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  // resolved ONCE per builder: each resolveTable opens the file and
+  // scans the sqlite_master catalog (ranged GETs on an object store),
+  // and pushFilters/pushAggregation/build would otherwise each pay it
+  private lazy val resolved: SqliteTableDef =
+    SqliteDataSourceV2.resolveTable(options)
+
   private var required: StructType = fullSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
@@ -416,7 +467,7 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
-    val t = SqliteDataSourceV2.resolveTable(options)
+    val t = resolved
     val aliasCol = t.columns.find(_.rowidAlias).map(_.name)
     def isAlias(attr: String) = aliasCol.exists(_.equalsIgnoreCase(attr))
     def asLong(v: Any): Option[Long] = v match {
@@ -477,7 +528,7 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
     if (agg.groupByExpressions.nonEmpty) return false
     if (lo != Long.MinValue || hi != Long.MaxValue || eqCandidates.nonEmpty)
       return false
-    val t = SqliteDataSourceV2.resolveTable(options)
+    val t = resolved
     val alias = t.columns.find(_.rowidAlias).map(_.name)
     def isAliasRef(e: org.apache.spark.sql.connector.expressions.Expression)
         : Boolean = e match {
@@ -499,7 +550,7 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
   }
 
   override def build(): Scan = {
-    val t = SqliteDataSourceV2.resolveTable(options)
+    val t = resolved
     pushedAggSpecs match {
       case Some(specs) =>
         new SqliteAggScan(specs, t, options.get("path"),
@@ -553,15 +604,19 @@ private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
     val pr = SqliteDataSourceV2.openReader(path, conf.value)
     try {
       val pin = pr.wal.framesCommitted // same snapshot pin as SqliteScan
+      val salts = if (pin > 0) Some((pr.wal.salt1, pr.wal.salt2)) else None
       if (t.withoutRowid)
-        return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
+        return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
+          walSalts = salts))
       val kids = childRanges(pr, t.rootPage).map(_.page)
       if (kids.isEmpty)
-        Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
+        Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
+          walSalts = salts))
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
-          .map(g => SqlitePartition(g, walFrames = pin): InputPartition)
+          .map(g => SqlitePartition(g, walFrames = pin,
+            walSalts = salts): InputPartition)
           .toArray
       }
     } finally pr.close()
@@ -588,7 +643,7 @@ private[sources] class SqliteAggPartitionReader(part: SqlitePartition,
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value,
-    part.walFrames)
+    part.walFrames, part.walSalts)
   private var emitted = false
 
   override def next(): Boolean = !emitted
@@ -653,8 +708,12 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
     case i: Int => Some(VInt(i.toLong))
     case s: Short => Some(VInt(s.toLong))
     case b: Byte => Some(VInt(b.toLong))
-    case d: Double => Some(VReal(d))
-    case f: Float => Some(VReal(f.toDouble))
+    // NaN is unprobeable: sqlite stores NaN as NULL so no key equals
+    // it under record order, but Spark's EqualTo treats NaN = NaN as
+    // TRUE — only the scan fallback preserves those semantics (and
+    // cmpValues' BigDecimal branch would throw on it)
+    case d: Double => if (d.isNaN) None else Some(VReal(d))
+    case f: Float => if (f.isNaN) None else Some(VReal(f.toDouble))
     case _ => None
   }
 
@@ -726,14 +785,18 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       // partitions different views — pin the committed frame count
       // seen HERE, at plan time (the written prefix is immutable).
       // 0 when no sidecar exists yet: a -wal APPEARING mid-query is
-      // ignored just like frames appended to one.
+      // ignored just like frames appended to one. The generation
+      // salts travel with the pin so a mid-query checkpoint fails
+      // loudly on the executors.
       val pin = pr.wal.framesCommitted
+      val salts = if (pin > 0) Some((pr.wal.salt1, pr.wal.salt2)) else None
       // WITHOUT ROWID rows live in an index B-tree whose interior pages
       // carry entries; subtree splits would drop them — one in-order
       // partition (these are PK-lookup tables; the parallel-scan story
       // belongs to the rowid tables)
       if (t.withoutRowid)
-        return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
+        return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
+          walSalts = salts))
       // an indexed eq filter resolves to explicit rowids: partitions
       // carry coalesced rowid RANGES (adjacent ids merge), each read by
       // an O(depth) B-tree descent — pages touched scale with matches,
@@ -754,7 +817,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
             math.ceil(ranges.length.toDouble / groups).toInt)
             .map(g => SqlitePartition(Seq(t.rootPage),
               rowidRanges = Some(g.toSeq),
-              walFrames = pin): InputPartition)
+              walFrames = pin, walSalts = salts): InputPartition)
             .toArray
         case DenseWindow(mn, mx) =>
           effLo = math.max(effLo, mn); effHi = math.min(effHi, mx)
@@ -766,14 +829,16 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       val all = childRanges(pr, t.rootPage)
       val kids = all.filter(_.overlaps(effLo, effHi)).map(_.page)
       if (all.isEmpty) // leaf root: the whole table is one page
-        Array(SqlitePartition(Seq(t.rootPage), walFrames = pin))
+        Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
+          walSalts = salts))
       else if (kids.isEmpty) Array.empty[InputPartition]
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
         // contiguous grouping keeps each partition's pages clustered on
         // disk (sequential-ish reads) and rowid-ordered within itself
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
-          .map(g => SqlitePartition(g, walFrames = pin): InputPartition)
+          .map(g => SqlitePartition(g, walFrames = pin,
+            walSalts = salts): InputPartition)
           .toArray
       }
     } finally pr.close()
@@ -802,7 +867,8 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
   * (committed frame count at plan time; -1 = no sidecar). */
 private[sources] case class SqlitePartition(roots: Seq[Int],
     rowidRanges: Option[Seq[(Long, Long)]] = None,
-    walFrames: Int = -1)
+    walFrames: Int = -1,
+    walSalts: Option[(Long, Long)] = None)
     extends InputPartition
 
 private[sources] class SqliteReaderFactory(required: StructType,
@@ -825,7 +891,7 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value,
-    part.walFrames)
+    part.walFrames, part.walSalts)
   private val charset = textCharset(pr.header.textEncoding)
   // required field -> (table ordinal, spark type, is rowid alias)
   private val fields: Array[(Int, DataType, Boolean)] =

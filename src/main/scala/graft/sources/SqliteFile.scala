@@ -569,12 +569,17 @@ object SqliteFile {
       case (VNull, VNull) => 0
       case (VInt(x), VInt(y)) => java.lang.Long.compare(x, y)
       case (VReal(x), VReal(y)) => java.lang.Double.compare(x, y)
+      // sqlite cannot store NaN (it becomes NULL), so a NaN here can
+      // only be a caller-supplied probe — ordered above all numerics
+      // (an arbitrary but total order; eq probes filter NaN earlier)
       case (VInt(x), VReal(y)) =>
-        if (y.isInfinite) { if (y > 0) -1 else 1 }
+        if (y.isNaN) -1
+        else if (y.isInfinite) { if (y > 0) -1 else 1 }
         else java.math.BigDecimal.valueOf(x).compareTo(
           new java.math.BigDecimal(y))
       case (VReal(x), VInt(y)) =>
-        if (x.isInfinite) { if (x > 0) 1 else -1 }
+        if (x.isNaN) 1
+        else if (x.isInfinite) { if (x > 0) 1 else -1 }
         else new java.math.BigDecimal(x).compareTo(
           java.math.BigDecimal.valueOf(y))
       case (VText(x), VText(y)) =>
@@ -611,16 +616,32 @@ object SqliteFile {
         vals.lift(4)) match {
         case (Some(VText("index")), Some(VText(name)), Some(VText(tbl)),
               Some(VInt(root)), sqlv) =>
+          // a column-level COLLATE in the TABLE DDL changes the sort
+          // order of every index over that column — the probe's
+          // BINARY-order descent must not use it (the scan fallback
+          // serves those filters correctly)
+          def colCollated(t: SqliteTableDef, colName: String): Boolean =
+            t.columns.exists(c =>
+              c.name.equalsIgnoreCase(colName) && c.collated)
           sqlv match {
             case Some(VText(sql)) =>
-              parseCreateIndex(name, tbl, root.toInt, sql)
+              parseCreateIndex(name, tbl, root.toInt, sql).map { ix =>
+                val anyCollated = tableDefs.get(tbl).exists(t =>
+                  ix.columns.exists(cn => colCollated(t, cn)))
+                if (anyCollated) ix.copy(usable = false) else ix
+              }
             case _ => // DDL-less autoindex: PK autoindex is index 1
               tableDefs.get(tbl) match {
                 case Some(t) if name == s"sqlite_autoindex_${tbl}_1" &&
                     !t.withoutRowid && t.pkCols.nonEmpty &&
                     !t.columns.exists(_.rowidAlias) =>
+                  // probeable only when the PK is plain BINARY asc:
+                  // no DESC/COLLATE on a key part, no column-level
+                  // COLLATE on a key column
+                  val plain = t.pkPlain &&
+                    !t.pkCols.exists(cn => colCollated(t, cn))
                   Some(SqliteIndexDef(name, tbl, root.toInt, t.pkCols,
-                    unique = true, usable = true))
+                    unique = true, usable = plain))
                 case _ => None
               }
           }
@@ -790,8 +811,13 @@ object SqliteFile {
 
   // ---- schema (sqlite_master + CREATE TABLE parsing) ---------------------
 
+  /** `collated` marks a column-level COLLATE clause in the table DDL:
+    * indexes over such a column sort by that collation, not BINARY —
+    * the eq-pushdown descent must not use them (reads stay correct:
+    * the scan fallback serves those filters). */
   case class SqliteColumn(name: String, declaredType: String,
-                          rowidAlias: Boolean) {
+                          rowidAlias: Boolean,
+                          collated: Boolean = false) {
     /** SQLite type affinity of the declared type (the documented
       * substring rules, applied in order). */
     def affinity: String = {
@@ -808,10 +834,13 @@ object SqliteFile {
 
   /** `pkCols`: the PRIMARY KEY columns in KEY ORDER (needed to un-permute
     * WITHOUT ROWID records, whose on-disk column order is PK columns
-    * first, then the remaining declared columns). */
+    * first, then the remaining declared columns). `pkPlain`: no DESC /
+    * COLLATE on any PK part — the condition for the PK's autoindex to
+    * be BINARY-ascending and therefore probeable. */
   case class SqliteTableDef(name: String, rootPage: Int,
                             columns: Seq[SqliteColumn], withoutRowid: Boolean,
-                            pkCols: Seq[String] = Nil) {
+                            pkCols: Seq[String] = Nil,
+                            pkPlain: Boolean = true) {
     /** On-disk column order of a WITHOUT ROWID record, as DECLARED
       * column ordinals: PK columns (key order) then the rest
       * (declared order). Identity for rowid tables. */
@@ -960,15 +989,22 @@ object SqliteFile {
     }
     // table-level PRIMARY KEY (col, ...) — ordered key columns; a
     // single INTEGER key is the rowid-alias candidate, multi-column
-    // keys matter for WITHOUT ROWID record un-permutation
+    // keys matter for WITHOUT ROWID record un-permutation. Any DESC /
+    // COLLATE on a key part flips the PK autoindex out of plain
+    // BINARY-ascending order (pkPlain=false → never probed).
+    var tablePkPlain = true
     val tablePkCols: Seq[String] = constraintDefs.iterator
       .map(_.trim)
       .filter(_.toUpperCase.matches("(?s)PRIMARY\\s+KEY\\s*\\(.*"))
       .flatMap { d =>
         val inner = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
         // strip trailing ASC/DESC/COLLATE per key part
-        topLevelSplit(inner).map(c =>
-          unquoteIdent(c.trim.split("\\s+").head))
+        topLevelSplit(inner).map { c =>
+          val parts = c.trim.split("\\s+")
+          if (!parts.drop(1).forall(_.equalsIgnoreCase("ASC")))
+            tablePkPlain = false
+          unquoteIdent(parts.head)
+        }
       }.toSeq
     val tablePkCol: Option[String] =
       if (tablePkCols.size == 1) Some(tablePkCols.head.toUpperCase) else None
@@ -1027,16 +1063,22 @@ object SqliteFile {
       val upperRest = stripLiterals(rest).toUpperCase
       val inlinePk = upperRest.matches("(?s).*PRIMARY\\s+KEY.*")
       val inlineDesc = upperRest.matches("(?s).*PRIMARY\\s+KEY\\s+DESC.*")
+      val collated = upperRest.matches("(?s).*\\bCOLLATE\\b.*")
       // WITHOUT ROWID tables have no rowid to alias: the PK columns are
       // stored as real record values (in key order, up front)
       val isAlias = !withoutRowid && declared.equalsIgnoreCase("INTEGER") &&
         ((inlinePk && !inlineDesc) ||
           tablePkCol.contains(colName.toUpperCase))
-      (SqliteColumn(colName, declared, isAlias), inlinePk)
+      // an inline PK with DESC or COLLATE is not BINARY-ascending
+      val pkPartPlain = !inlinePk || (!inlineDesc && !collated)
+      (SqliteColumn(colName, declared, isAlias, collated), inlinePk,
+        pkPartPlain)
     }
     val pkCols =
       if (tablePkCols.nonEmpty) tablePkCols
-      else cols.collect { case (c, true) => c.name }.toSeq
-    SqliteTableDef(name, rootPage, cols.map(_._1), withoutRowid, pkCols)
+      else cols.collect { case (c, true, _) => c.name }.toSeq
+    val pkPlain = tablePkPlain && cols.forall(_._3)
+    SqliteTableDef(name, rootPage, cols.map(_._1), withoutRowid, pkCols,
+      pkPlain)
   }
 }

@@ -35,9 +35,14 @@ object SqliteWal {
   /** The committed view of a -wal: byte offset of the newest committed
     * page image per page number, and the database size in pages as of
     * the last commit (authoritative over the main-file header — the
-    * database may have GROWN inside the WAL). */
+    * database may have GROWN inside the WAL). `salt1`/`salt2` identify
+    * the WAL GENERATION (a checkpoint RESTART/TRUNCATE re-salts): the
+    * snapshot pin carries them so an executor that opens the sidecar
+    * after a mid-query checkpoint fails loudly instead of silently
+    * serving frames from a different generation. */
   case class WalMap(frameOffsets: Map[Int, Long], dbSizePages: Long,
-                    framesSeen: Int, framesCommitted: Int) {
+                    framesSeen: Int, framesCommitted: Int,
+                    salt1: Long = 0L, salt2: Long = 0L) {
     def isEmpty: Boolean = frameOffsets.isEmpty
   }
 
@@ -154,7 +159,7 @@ object SqliteWal {
     // frames past the last commit (still in `pending`) or past the
     // first invalid frame are an uncommitted/torn tail — dropped,
     // exactly like sqlite recovery
-    WalMap(latest.toMap, dbSize, n, nCommitted)
+    WalMap(latest.toMap, dbSize, n, nCommitted, salt1, salt2)
   }
 
   /** Array-backed convenience for tests. */

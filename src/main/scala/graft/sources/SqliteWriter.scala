@@ -313,23 +313,21 @@ object SqliteWriter {
     // DRIVER-COLLECT GUARD: export is a single-writer page-image sink
     // by contract (the whole file is buffered before the first byte is
     // written), so an unbounded frame would OOM the driver with an
-    // opaque error. The cap is caller-overridable; the big-data path is
-    // deliberately the other direction (parquet / TxLog).
-    val exportCount = ordered.count()
-    require(exportCount <= maxExportRows,
-      s"sqlite-writer: export of $exportCount rows exceeds maxExportRows=" +
-        s"$maxExportRows — a .db file is a driver-buffered single-writer " +
-        "export; for datasets this size write parquet or a TxLog table " +
-        "instead (or raise maxExportRows explicitly)")
+    // opaque error. Guarded via toLocalIterator with an EARLY ABORT at
+    // maxExportRows — not a separate count() (that would execute the
+    // whole upstream plan twice, and a non-deterministic upstream
+    // could disagree between the count and the collect). The buffer at
+    // the cap holds no more than a collect within the cap would have.
     var seq = 0L
-    // one collect, not toLocalIterator: the page builder buffers every
-    // encoded row anyway (a .db file is written back-to-front per
-    // tree), so per-partition streaming saves no memory and costs one
-    // Spark job per partition
-    val rows = ordered.collect().iterator
+    val rows = ordered.toLocalIterator()
     val buf = ArrayBuffer.empty[(Long, Seq[Value])]
-    rows.foreach { r =>
+    rows.forEachRemaining { r =>
       seq += 1
+      require(seq <= maxExportRows,
+        s"sqlite-writer: export exceeds maxExportRows=$maxExportRows — " +
+          "a .db file is a driver-buffered single-writer export; for " +
+          "datasets this size write parquet or a TxLog table instead " +
+          "(or raise maxExportRows explicitly)")
       aliasIdx.foreach(i => require(!r.isNullAt(i),
         s"sqlite-writer: rowidCol ${fields(i).name} is NULL in row $seq — " +
           "rowids must be non-null unique integers"))

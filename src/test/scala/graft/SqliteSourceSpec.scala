@@ -266,6 +266,104 @@ class SqliteSourceSpec extends SparkSpec {
     } finally pr.close()
   }
 
+  test("collation safety: an index over a COLLATE NOCASE column is " +
+    "cataloged but never probed (its B-tree is not BINARY-ordered); a " +
+    "filter on it falls back to the scan and returns exactly the rows " +
+    "sqlite returns; DESC/COLLATE primary keys disable the autoindex") {
+    import SqliteFile._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pr = SqliteDataSourceV2.openReader(fixture, conf)
+    try {
+      val ix = indexes(pr, pr.header).map(i => i.name -> i).toMap
+      assert(!ix("idx_ci_name").usable,
+        "a NOCASE-collated column's index must not be probed")
+    } finally pr.close()
+    // parse units: the collated flag and PK plainness
+    val ct = parseCreateTable("t", 2,
+      "CREATE TABLE t (name TEXT COLLATE NOCASE, v INT)")
+    assert(ct.columns.head.collated && !ct.columns(1).collated)
+    assert(!parseCreateTable("t", 2,
+      "CREATE TABLE t (k TEXT PRIMARY KEY DESC, v INT)").pkPlain)
+    assert(!parseCreateTable("t", 2,
+      "CREATE TABLE t (k TEXT PRIMARY KEY COLLATE NOCASE, v INT)").pkPlain)
+    assert(!parseCreateTable("t", 2,
+      "CREATE TABLE t (a TEXT, b INT, PRIMARY KEY (a DESC, b))").pkPlain)
+    assert(parseCreateTable("t", 2,
+      "CREATE TABLE t (a TEXT, b INT, PRIMARY KEY (a ASC, b))").pkPlain)
+    // end-to-end: the filter still answers CORRECTLY via the scan path
+    SqliteDataSourceV2.lastIndexProbe = None
+    val got = read(fixture, "ci").filter(col("name") === "banana")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(got == Seq(2L), s"binary equality keeps exactly 'banana': $got")
+    assert(SqliteDataSourceV2.lastIndexProbe == None,
+      "no probe may run against a collated index")
+    // and the mixed-case family is all there via the scan
+    assert(read(fixture, "ci").count() == 5)
+  }
+
+  test("probe edge cases: a NaN literal falls back to the scan with " +
+    "Spark's NaN==NaN semantics intact; a REAL-column index probes " +
+    "normally; a sub-header main file without a sidecar fails loudly") {
+    // NaN: sqlite stores none, Spark's EqualTo(NaN, NaN) is TRUE — only
+    // the scan fallback preserves that; must not throw at plan time
+    SqliteDataSourceV2.lastIndexProbe = None
+    assert(read(fixture, "docs")
+      .filter(col("score") === Double.NaN).count() == 0)
+    assert(SqliteDataSourceV2.lastIndexProbe == None,
+      "NaN must not be probed through the index")
+    // a normal REAL probe through idx_docs_score: exact dyadic match
+    val viaIdx = read(fixture, "docs").filter(col("score") === 2.25)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    val viaScan = read(fixture, "docs").collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("score")) &&
+        r.getAs[Double]("score") == 2.25)
+      .map(_.getAs[Long]("id")).sorted.toSeq
+    assert(viaIdx == viaScan && viaIdx.nonEmpty)
+    assert(SqliteDataSourceV2.lastIndexProbe.exists(_._1 ==
+      "idx_docs_score"))
+    // short main file, no sidecar: a specific message, not a bare EOF
+    val dir = java.nio.file.Files.createTempDirectory("graft_short")
+    val stub = dir.resolve("s.db")
+    java.nio.file.Files.write(stub, Array.fill[Byte](50)(0))
+    val e = intercept[IllegalArgumentException] {
+      SqliteDataSourceV2.openReader(stub.toString,
+        new org.apache.hadoop.conf.Configuration())
+    }
+    assert(e.getMessage.contains("-wal sidecar"))
+  }
+
+  test("mid-query checkpoint detection: a reader pinned to plan-time " +
+    "generation salts fails loudly when the sidecar was re-salted " +
+    "(RESTART) or vanished (TRUNCATE), never silently serves a " +
+    "different generation") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // the true salts of the committed fixture
+    val pr = SqliteDataSourceV2.openReader(walFixture, conf)
+    val (s1, s2, frames) = (pr.wal.salt1, pr.wal.salt2,
+      pr.wal.framesCommitted)
+    pr.close()
+    assert(frames > 0)
+    // correct pin: reads fine
+    val ok = SqliteDataSourceV2.openReader(walFixture, conf, frames,
+      Some((s1, s2)))
+    try assert(ok.wal.framesCommitted == frames) finally ok.close()
+    // RESTART simulation: pin salts that do not match the sidecar's
+    val e1 = intercept[IllegalArgumentException] {
+      SqliteDataSourceV2.openReader(walFixture, conf, frames,
+        Some((s1 + 1, s2)))
+    }
+    assert(e1.getMessage.contains("checkpointed mid-query"))
+    // TRUNCATE simulation: pinned snapshot but the sidecar is gone
+    val dir = java.nio.file.Files.createTempDirectory("graft_trunc")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(walFixture),
+      dir.resolve("t.db"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqliteDataSourceV2.openReader(dir.resolve("t.db").toString, conf,
+        frames, Some((s1, s2)))
+    }
+    assert(e2.getMessage.contains("vanished mid-query"))
+  }
+
   test("index eq lookup: results equal the unpushed filter, for TEXT " +
     "(explicit index), TEXT pk (autoindex), and the numeric leading " +
     "column of a composite index") {

@@ -128,6 +128,17 @@ cur.execute("CREATE INDEX idx_docs_cat ON docs (cat)")
 cur.execute("CREATE INDEX idx_docs_flag_score ON docs (flag, score)")
 cur.execute("CREATE INDEX idx_docs_score_desc ON docs (score DESC)")
 cur.execute("CREATE INDEX idx_docs_partial ON docs (title) WHERE flag = 1")
+cur.execute("CREATE INDEX idx_docs_score ON docs (score)")
+
+# a COLUMN-level collation: its index sorts NOCASE, not BINARY — the
+# eq-pushdown must catalog idx_ci_name as unusable (probing it with a
+# binary-order descent would silently miss rows)
+cur.execute("CREATE TABLE ci (id INTEGER PRIMARY KEY, "
+            "name TEXT COLLATE NOCASE)")
+cur.executemany("INSERT INTO ci VALUES (?,?)",
+                [(1, "Apple"), (2, "banana"), (3, "Cherry"),
+                 (4, "apple"), (5, "BANANA")])
+cur.execute("CREATE INDEX idx_ci_name ON ci (name)")
 
 con.commit()
 
