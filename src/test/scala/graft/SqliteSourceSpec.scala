@@ -672,6 +672,22 @@ class SqliteSourceSpec extends SparkSpec {
     } finally pr0.close()
   }
 
+  test("index probe THROUGH the WAL overlay: wal_only's PK autoindex " +
+    "pages exist only as WAL frames, and the eq lookup descends them " +
+    "correctly") {
+    SqliteDataSourceV2.lastIndexProbe = None
+    val row = read(walFixture, "wal_only").filter(col("k") === "wk-050")
+      .head
+    assert(row.getAs[Long]("n") == 2500L) // n = i*i at i=50
+    assert(SqliteDataSourceV2.lastIndexProbe.exists(_._1 ==
+      "sqlite_autoindex_wal_only_1"),
+      s"expected an autoindex probe, got " +
+        s"${SqliteDataSourceV2.lastIndexProbe}")
+    // no match: zero partitions through the overlay too
+    assert(read(walFixture, "wal_only").filter(col("k") === "zz").count()
+      == 0)
+  }
+
   test("WAL checksum unit: both word orders round-trip the spec algebra") {
     import graft.sources.SqliteWal
     val data = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
