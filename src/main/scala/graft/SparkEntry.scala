@@ -9172,6 +9172,202 @@ object SparkEntry {
       Caches.small(out.orderBy(col("c1").desc, col("w1")).limit(20))
         .orderBy(col("c1").desc, col("w1"))
     }),
+
+    // SECONDARY-INDEX RANGE PUSHDOWN (SqliteFile.searchIndexRowids via
+    // the DSv2 comparison-filter pushdown): `score >= ? AND score < ?`
+    // walks idx_docs_score as a B-tree range — O(depth + matches)
+    // pages — instead of scanning the table; the resolved rowids then
+    // point-descend the table tree (coalesced ranges). The range pull
+    // is the second-most-common legacy-warehouse predicate (the
+    // reference's own watcher gate `script.py:74-95` is an mtime `>=`
+    // pull — this is its storage-side form). Oracle: sqlite3-computed
+    // VALUES; sqlite3 routes the same predicate through the same
+    // index (EXPLAIN QUERY PLAN verified at generation time).
+    "q347_sqlite_index_range" -> ((s, _) => {
+      s.read.format("graft-sqlite").option("table", "docs")
+        .load(graft.sources.SqliteDataSourceV2.fixturePath)
+        .filter(col("score") >= 100.0 && col("score") < 110.0)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_id"),
+          round(sum(col("score")) * 8, 0).cast("long").as("sum_score_x8"))
+        .orderBy("cat")
+    }),
+
+    // COMPOSITE-PREFIX INDEX PUSHDOWN: eq on the leading column of
+    // idx_docs_flag_score (flag) plus a range on the next key column
+    // (score) — one descent bounded by the full compound key, the
+    // classic `(tenant, updated_at)` incremental-pull shape. Oracle:
+    // sqlite3-computed VALUES over the same fixture + index.
+    "q348_sqlite_index_prefix" -> ((s, _) => {
+      s.read.format("graft-sqlite").option("table", "docs")
+        .load(graft.sources.SqliteDataSourceV2.fixturePath)
+        .filter(col("flag") === 0 && col("score") > 20.0 &&
+          col("score") <= 30.0)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_id"),
+          round(sum(col("score")) * 8, 0).cast("long").as("sum_score_x8"))
+        .orderBy("cat")
+    }),
+
+    // PARTIAL-INDEX USE UNDER PREDICATE IMPLICATION: idx_docs_partial
+    // is `ON docs (title) WHERE flag = 1` — normally never probed
+    // (it omits flag<>1 rows), but when the query itself pushes the
+    // SAME `flag = 1` conjunct the index provably covers every
+    // qualifying row and the title probe descends it. Anything not
+    // trivially implied stays on the scan path. Oracle:
+    // sqlite3-computed VALUES.
+    "q349_sqlite_partial_index" -> ((s, _) => {
+      s.read.format("graft-sqlite").option("table", "docs")
+        .load(graft.sources.SqliteDataSourceV2.fixturePath)
+        .filter(col("flag") === 1 &&
+          col("title").isin("doc 00123", "doc 00457", "doc 00999"))
+        .select(col("id"), col("cat"), col("title"),
+          round(col("score") * 8, 0).cast("long").as("score_x8"))
+        .orderBy("id")
+    }),
+
+    // WAL-TAIL CDC (SqliteCdc): from a cursor pinned at the fixture's
+    // FIRST commit boundary, the newly committed -wal frames name the
+    // changed pages and a per-page cell diff between the two pinned
+    // snapshots yields the EXACT inserted/updated/deleted rowids —
+    // the storage-level form of the reference watcher's "modified"
+    // detection (`script.py:35-57` diffs mtimes then reprocesses
+    // everything; this reads only the WAL-bounded change set). Driver-
+    // side by design: the change feed is bounded by checkpoint
+    // cadence (~MBs), not db size — the distributed path is the scan.
+    // Oracle: VALUES computed by replaying the fixture with sqlite3
+    // at both cursors (truncated-WAL view vs head view) — engine-
+    // independent and regenerable (tools/make_wal_cdc_oracle.py).
+    "q350_sqlite_wal_cdc" -> ((s, _) => {
+      import graft.sources.SqliteCdc
+      val path = graft.sources.SqliteDataSourceV2.fixtureWalPath
+      val conf = s.sparkContext.hadoopConfiguration
+      val head = SqliteCdc.currentCursor(path, conf)
+      val cur = head.copy(
+        frames = SqliteCdc.commitBoundaries(path, conf).head)
+      val rows = SqliteCdc.changesSince(path, conf, "readings", cur) match {
+        case SqliteCdc.Changes(_, ins, upd, del) =>
+          Seq(("delete", del), ("insert", ins), ("update", upd))
+        case SqliteCdc.ResyncRequired(r) =>
+          sys.error(s"unexpected resync on a static fixture: $r")
+      }
+      s.createDataFrame(rows.map { case (op, ks) =>
+        (op, ks.length.toLong, ks.sum, ks.headOption.getOrElse(0L))
+      }).toDF("op", "n", "sum_rowid", "min_rowid").orderBy("op")
+    }),
+
+    // EXACT SUBSTRING DEDUP (the deterministic counterpart of q343's
+    // winnowing): every duplicated token run of length >= 8 across the
+    // corpus, found EXACTLY — a substring of length >= L is duplicated
+    // iff each of its L-grams is, so the stride-1 L-gram key group
+    // (one corpus-wide groupBy, never pairs) marks the duplicated
+    // positions and a per-doc interval merge recovers maximal spans
+    // (the map-side form of Lee et al. 2021's suffix-array dedup).
+    // Scale: shuffle is O(corpus tokens) gram keys — linear, like any
+    // tokenize+groupBy; at open-web scale substitute a 128-bit gram
+    // hash for the string key (collision odds ~2^-128 per pair), the
+    // string form here keeps the oracle exact.
+    "q351_exact_substring_dedup" -> ((s, dir) => {
+      val W = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val leads = (1 until W).foldLeft(toks) { (df, k) =>
+        df.withColumn(s"w$k", lead(col("w"), k).over(byDoc))
+      }
+      val grams = leads
+        .filter(col(s"w${W - 1}").isNotNull) // no short tail grams
+        .select(col("doc_id"), col("p"),
+          concat_ws(" ",
+            col("w") +: (1 until W).map(k => col(s"w$k")): _*).as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select("gram")
+      val hits = grams.join(dup, "gram").select("doc_id", "p")
+      // merge overlapping/adjacent [p, p+W) intervals per doc: a gap
+      // appears when consecutive duplicated starts are > W apart
+      val brk = hits.withColumn("b",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= W, lit(0L))
+          .otherwise(lit(1L)))
+      val sid = brk.withColumn("span_id", sum(col("b")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sp = sid.groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("p")).as("st"), (max(col("p")) + W).as("en"))
+      sp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st")).as("dup_tokens"),
+          max(col("en") - col("st")).as("max_span"))
+        .orderBy("doc_id")
+    }),
+
+    // CDC-DRIVEN INCREMENTAL WAREHOUSE SYNC (composition of q336's
+    // migration, the pinned-snapshot read, and SqliteCdc): migrate the
+    // table AS OF a cursor into a TxLog table (epoch 1), pull the
+    // exact changed rowids from the newly committed WAL frames, apply
+    // them — upserts re-read DISTRIBUTED through the rowid-window
+    // pushdown (epoch 2), deletes through TxLog.delete — and the
+    // synced table must reproduce the full head view BIT-EXACTLY: the
+    // oracle is q338's sqlite3-computed VALUES, verbatim. This is the
+    // reference watcher's reprocess-all (`script.py:60-117`) replaced
+    // by a change-bounded pull: cost scales with the -wal (checkpoint
+    // cadence), not the warehouse.
+    "q352_sqlite_cdc_sync" -> ((s, dir) => {
+      import graft.sources.SqliteCdc
+      val path = graft.sources.SqliteDataSourceV2.fixtureWalPath
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_q352_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        if (java.nio.file.Files.exists(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally st.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
+      val head = SqliteCdc.currentCursor(path, conf)
+      val c0 = head.copy(
+        frames = SqliteCdc.commitBoundaries(path, conf).head)
+      // 1) initial migration: the table AS OF the cursor, read through
+      // the pinned-snapshot options (generation-verified)
+      val base = s.read.format("graft-sqlite").option("table", "readings")
+        .option("walFrames", c0.frames.toString)
+        .option("walSalt1", c0.salt1.toString)
+        .option("walSalt2", c0.salt2.toString)
+        .load(path)
+      TxLog.mergeEpoch(s, root, base.withColumn("upload_id", lit(1L)),
+        "id", epochId = 1L)
+      // 2) the change-bounded pull
+      val (ins, upd, del) =
+        SqliteCdc.changesSince(path, conf, "readings", c0) match {
+          case SqliteCdc.Changes(_, i, u, d) => (i, u, d)
+          case SqliteCdc.ResyncRequired(r) =>
+            sys.error(s"unexpected resync on a static fixture: $r")
+        }
+      // 3) apply: changed rows re-read from the head (rowid-window
+      // pushdown bounds the scan to the touched span), then upsert
+      val upserts = s.read.format("graft-sqlite")
+        .option("table", "readings").load(path)
+        .filter(col("id").isin((ins ++ upd).map(Long.box): _*))
+        .withColumn("upload_id", lit(2L))
+      TxLog.mergeEpoch(s, root, upserts, "id", epochId = 2L)
+      if (del.nonEmpty)
+        TxLog.delete(s, root, "id", col("id").isin(del.map(Long.box): _*))
+      // 4) the synced table must equal the full head view (q338 agg)
+      TxLog.read(s, root)
+        .groupBy("sensor")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("temp")) * 8, 0).cast("long").as("sum_temp_x8"),
+          sum(when(col("status").startsWith("alert"), 1L).otherwise(0L))
+            .as("n_alert"),
+          max(col("id")).as("max_id"))
+        .orderBy("sensor")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -9184,7 +9380,8 @@ object SparkEntry {
     * their own specs (TxLogSpec races the commit path; the read-back
     * plan is a plain parquet scan + keyed agg). */
   val eagerSinks: Set[String] = Set("q273_txlog_exactly_once",
-    "q336_sqlite_migration", "q337_sqlite_export_roundtrip")
+    "q336_sqlite_migration", "q337_sqlite_export_roundtrip",
+    "q352_sqlite_cdc_sync")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
@@ -17458,5 +17655,84 @@ object SparkEntry {
            CAST(round(m * 1e9) AS BIGINT) AS mass_e9
          FROM b1 JOIN ms USING (w1)
          ORDER BY c1 DESC, w1 LIMIT 20""",
+
+    // computed by sqlite3 over the committed fixture (the generator
+    // prints these blocks; EXPLAIN QUERY PLAN confirms sqlite itself
+    // serves each predicate from the same index)
+    "q347_sqlite_index_range" ->
+      """SELECT * FROM (VALUES
+           ('alpha', 13, 28368, 10872),
+           ('beta', 14, 29658, 11782),
+           ('delta', 15, 35487, 12673),
+           ('epsilon', 15, 34668, 12572),
+           ('eta', 12, 28872, 10088),
+           ('gamma', 16, 37248, 13392),
+           ('theta', 12, 25788, 10052),
+           ('zeta', 13, 32499, 10821)
+         ) AS t(cat, n_docs, sum_id, sum_score_x8)""",
+
+    "q348_sqlite_index_prefix" ->
+      """SELECT * FROM (VALUES
+           ('alpha', 15, 33648, 2992),
+           ('epsilon', 12, 25656, 2424),
+           ('eta', 15, 31542, 3018),
+           ('gamma', 12, 28728, 2312)
+         ) AS t(cat, n_docs, sum_id, sum_score_x8)""",
+
+    "q349_sqlite_partial_index" ->
+      """SELECT * FROM (VALUES
+           (369, 'delta', 'doc 00123', 551),
+           (1371, 'beta', 'doc 00457', 909),
+           (2997, 'theta', 'doc 00999', 963)
+         ) AS t(id, cat, title, score_x8)""",
+
+    // computed by replaying the committed WAL fixture with sqlite3 at
+    // both cursors — head view vs the WAL truncated at the first
+    // commit boundary (tools/make_wal_cdc_oracle.py)
+    "q350_sqlite_wal_cdc" ->
+      """SELECT * FROM (VALUES
+           ('delete', 8, 3492, 97),
+           ('insert', 396, 396126, 801),
+           ('update', 8, 3600, 100)
+         ) AS t(op, n, sum_rowid, min_rowid)""",
+
+    "q351_exact_substring_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS p,
+             list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           FROM tk, unnest(range(1, len(ws)-6)) AS t(i)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+         brk AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+               THEN 0 ELSE 1 END AS b
+           FROM hits),
+         sid AS (
+           SELECT doc_id, p,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+           FROM brk),
+         sp AS (
+           SELECT doc_id, span_id, min(p) AS s, max(p) + 8 AS e
+           FROM sid GROUP BY doc_id, span_id)
+         SELECT doc_id, count(*)::BIGINT AS n_spans,
+           sum(e - s)::BIGINT AS dup_tokens, max(e - s)::BIGINT AS max_span
+         FROM sp GROUP BY doc_id ORDER BY doc_id""",
+
+    // the q338 head-view oracle VERBATIM: the CDC-synced TxLog table
+    // must reproduce the full re-read bit-exactly
+    "q352_sqlite_cdc_sync" ->
+      """SELECT * FROM (VALUES
+           ('s-core', 237, 61454, 0, 1199),
+           ('s-east', 237, 60917, 0, 1197),
+           ('s-north', 238, 73900, 20, 1200),
+           ('s-south', 238, 60502, 0, 1196),
+           ('s-west', 238, 60685, 0, 1198)
+         ) AS t(sensor, n, sum_temp_x8, n_alert, max_id)""",
   )
 }

@@ -80,6 +80,33 @@ object SqliteProbe {
           .agg(count(lit(1))).head()
       }
     }
+    // ---- index RANGE / composite-prefix pushdown (round 11) ----------
+    if (rd(32).columns.contains("tag")) {
+      // text range on idx_big_tag: 15 tag values ≈ 300 of 2M rows
+      time("indexed RANGE on tag (15 values, ~300 rows)") {
+        rd(32).filter(col("tag") >= "t-012345" && col("tag") < "t-012360")
+          .agg(count(lit(1)), sum(col("id"))).head()
+      }
+      time("same range, index disabled (full scan)") {
+        spark.read.format("graft-sqlite").option("table", "big")
+          .option("maxPartitions", 32).option("maxIndexLookupRows", 0)
+          .load(db)
+          .filter(col("tag") >= "t-012345" && col("tag") < "t-012360")
+          .agg(count(lit(1)), sum(col("id"))).head()
+      }
+      // composite prefix (idx_big_cat_score): eq on an unselective
+      // leading column + range on the next = selective compound probe
+      time("composite prefix cat eq + score range (~2k rows)") {
+        rd(32).filter(col("cat") === "zeta" && col("score") >= 124.0)
+          .agg(count(lit(1)), sum(col("id"))).head()
+      }
+      // unselective range (every row matches tag >= "t-"): the
+      // in-descent budget abort must fall back to the scan instead of
+      // buffering 2M rowids on the driver
+      time("unselective range (tag >= t-, budget abort -> scan)") {
+        rd(32).filter(col("tag") >= "t-").agg(count(lit(1))).head()
+      }
+    }
     // ---- aggregate pushdown (round 10): decode-free count, O(depth)
     // min/max of the rowid alias -------------------------------------
     time("count(*) via aggregate pushdown (decode-free)") {

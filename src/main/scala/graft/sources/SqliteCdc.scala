@@ -1,0 +1,197 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+
+import SqliteFile._
+
+/** WAL-TAIL CHANGE DATA CAPTURE over a live SQLite warehouse: from a
+  * stored cursor (WAL generation salts + committed frame count + raw
+  * main-file state), the newly committed -wal frames name the CHANGED
+  * PAGES, and diffing each changed table-leaf page's cells between the
+  * two pinned snapshots yields the EXACT inserted/updated/deleted
+  * rowids — the storage-level form of the reference watcher's
+  * "modified" detection (`script.py:35-57` diffs file mtimes and then
+  * reprocesses everything; this reads only what changed).
+  *
+  * Exactness at page granularity is refined to ROW granularity: a row
+  * whose leaf page was rewritten only because a NEIGHBOR changed
+  * compares payload-equal across the snapshots and is not reported; a
+  * row migrated between pages by a B-tree rebalance appears in both
+  * sides with equal payload and cancels (every page a balance touches
+  * gets a WAL frame, so both its old and new homes are in the changed
+  * set).
+  *
+  * Scale: cost is bounded by the WAL, not the database — the changed
+  * page set is at most the sidecar's frame count (checkpoint cadence,
+  * ~MBs), each changed page costs O(depth) attribution descents plus
+  * two page decodes. The full-table reprocess this replaces is O(db).
+  *
+  * LOUD DEGRADES (never a silent wrong answer): a checkpoint
+  * RESTART/TRUNCATE re-salts the sidecar, a PASSIVE/FULL checkpoint
+  * backfills the main file (detected via the cursor's main-file pin —
+  * same triple as [[SqliteDataSourceV2.HadoopPageReader.mainPinState]]),
+  * and a dropped table all return [[SqliteCdc.ResyncRequired]]: the
+  * caller re-reads the table in full and takes a fresh cursor, which
+  * is exactly what the reference's reprocess-all semantics do on every
+  * poll (T3).
+  */
+object SqliteCdc {
+
+  /** A consistent point to tail from: the WAL generation (salts), the
+    * committed frame count within it, and the raw main-file state
+    * (change counter, byte length, mtime) that proves no checkpoint
+    * backfilled frames into the main file since. (0,0,0,c,l,m) is the
+    * no-sidecar baseline: everything committed lives in the main
+    * file. */
+  case class Cursor(salt1: Long, salt2: Long, frames: Int,
+                    mainCounter: Long, mainLen: Long, mainMtime: Long)
+
+  sealed trait CdcResult
+  /** The incremental path cannot prove exactness — re-read in full and
+    * take a fresh cursor. */
+  case class ResyncRequired(reason: String) extends CdcResult
+  /** Exact row-level changes between the cursor and `cursor` (the new
+    * head to store). Rowid lists are sorted and disjoint. */
+  case class Changes(cursor: Cursor, inserted: Seq[Long],
+                     updated: Seq[Long], deleted: Seq[Long])
+      extends CdcResult
+
+  /** The current head cursor of `path` — store it, poll
+    * [[changesSince]] with it. */
+  def currentCursor(path: String, conf: Configuration): Cursor = {
+    val pr = SqliteDataSourceV2.openReader(path, conf)
+    try {
+      val (c, l, m) = pr.mainPinState
+      Cursor(pr.wal.salt1, pr.wal.salt2, pr.wal.framesCommitted, c, l, m)
+    } finally pr.close()
+  }
+
+  /** Committed-transaction boundaries (frame counts) of the current
+    * WAL generation — each is a valid `frames` value for a Cursor. */
+  def commitBoundaries(path: String, conf: Configuration): Seq[Int] = {
+    val pr = SqliteDataSourceV2.openReader(path, conf)
+    try pr.wal.commitFrames finally pr.close()
+  }
+
+  /** Exact changed rowids of `table` between `cursor` and the current
+    * head. See the object doc for the loud-degrade contract. */
+  def changesSince(path: String, conf: Configuration, table: String,
+                   cursor: Cursor): CdcResult = {
+    val newPr = SqliteDataSourceV2.openReader(path, conf)
+    try {
+      val head = newPr.wal
+      if (cursor.frames > 0 && head.isEmpty)
+        return ResyncRequired("the -wal sidecar was checkpointed or " +
+          "removed since the cursor (TRUNCATE/close)")
+      if (cursor.frames > 0 &&
+          (head.salt1 != cursor.salt1 || head.salt2 != cursor.salt2))
+        return ResyncRequired("WAL generation salts changed since the " +
+          "cursor — a checkpoint RESTART/TRUNCATE rewound the sidecar")
+      if (head.framesCommitted < cursor.frames)
+        return ResyncRequired(s"WAL shrank within a generation " +
+          s"(${head.framesCommitted} < ${cursor.frames} committed " +
+          "frames) — sidecar rewritten")
+      // the main-file pin: a PASSIVE/FULL checkpoint backfills frames
+      // into the main file without re-salting — the old snapshot's
+      // overlay would silently read post-cursor content for pages
+      // outside its pinned frame prefix
+      val (c, l, m) = newPr.mainPinState
+      if ((c, l, m) != ((cursor.mainCounter, cursor.mainLen,
+          cursor.mainMtime)))
+        return ResyncRequired("the main file changed since the cursor " +
+          "(checkpoint backfill or external write) — the old snapshot " +
+          "cannot be reconstructed")
+      val newCursor = Cursor(head.salt1, head.salt2, head.framesCommitted,
+        c, l, m)
+      if (head.framesCommitted == cursor.frames)
+        return Changes(newCursor, Nil, Nil, Nil)
+
+      // pages whose NEWEST committed frame is past the cursor
+      val frameSize = SqliteWal.FrameHeaderSize + newPr.header.pageSize
+      def frameIndexOf(pageOffset: Long): Int =
+        (((pageOffset - SqliteWal.FrameHeaderSize - SqliteWal.HeaderSize)
+          / frameSize) + 1).toInt
+      val changedPages = head.frameOffsets.collect {
+        case (page, off) if frameIndexOf(off) > cursor.frames => page
+      }.toSeq.sorted
+
+      val oldPr = SqliteDataSourceV2.openReader(path, conf,
+        walFrameLimit = cursor.frames,
+        walSalts = if (cursor.frames > 0)
+          Some((cursor.salt1, cursor.salt2)) else None)
+      try {
+        val newRoot = tables(newPr, newPr.header)
+          .find(_.name.equalsIgnoreCase(table))
+          .getOrElse(return ResyncRequired(s"table $table not in the " +
+            "current snapshot (dropped/renamed)")).rootPage
+        val oldRootOpt = tables(oldPr, oldPr.header)
+          .find(_.name.equalsIgnoreCase(table)).map(_.rootPage)
+
+        // rowid -> payload for the changed pages ATTRIBUTED to the
+        // table at the given snapshot: a candidate page is ours iff it
+        // parses as a table leaf and an O(depth) descent for its first
+        // rowid lands back on it (exact — overflow pages, freelist
+        // pages, other tables' leaves and interior pages all fail)
+        def rowsOnChanged(pr: SqliteDataSourceV2.HadoopPageReader,
+                          root: Int): mutable.Map[Long, Array[Byte]] = {
+          val out = mutable.Map.empty[Long, Array[Byte]]
+          val pageCount = pr.header.pageCount
+          for (p <- changedPages if pageCount == 0L || p <= pageCount) {
+            val attributed = Try {
+              val pg = pr.page(p)
+              val off = if (p == 1) 100 else 0
+              (pg(off) & 0xff) == 0x0d && {
+                val it = scanTable(pr, pr.header, p)
+                it.hasNext && {
+                  val first = it.next().rowid
+                  leafFor(pr, pr.header, root, first) == p
+                }
+              }
+            }.getOrElse(false)
+            if (attributed)
+              scanTable(pr, pr.header, p)
+                .foreach(r => out(r.rowid) = r.payload)
+          }
+          out
+        }
+        val newRows = rowsOnChanged(newPr, newRoot)
+        val oldRows = oldRootOpt match {
+          case Some(r) => rowsOnChanged(oldPr, r)
+          case None => mutable.Map.empty[Long, Array[Byte]]
+        }
+        val inserted = newRows.keysIterator
+          .filterNot(oldRows.contains).toSeq.sorted
+        val deleted = oldRows.keysIterator
+          .filterNot(newRows.contains).toSeq.sorted
+        val updated = newRows.keysIterator
+          .filter(k => oldRows.get(k).exists(
+            old => !java.util.Arrays.equals(old, newRows(k))))
+          .toSeq.sorted
+        Changes(newCursor, inserted, updated, deleted)
+      } finally oldPr.close()
+    } finally newPr.close()
+  }
+
+  /** Leaf page holding `rowid` under the table B-tree at `root` —
+    * O(depth) interior reads; -1 when the rowid falls outside every
+    * child range. */
+  private def leafFor(pr: SqliteFile.PageReader, header: Header,
+                      root: Int, rowid: Long): Int = {
+    var page = root
+    var guard = 0
+    while (guard < 64) { // ~4 levels real; 64 = corruption stop
+      guard += 1
+      val kids = childRanges(pr, page)
+      if (kids.isEmpty) return page
+      kids.find(k => k.minExclusive < rowid && rowid <= k.maxInclusive)
+        match {
+        case Some(k) => page = k.page
+        case None => return -1
+      }
+    }
+    -1
+  }
+}

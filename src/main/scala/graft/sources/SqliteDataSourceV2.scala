@@ -82,7 +82,8 @@ object SqliteDataSourceV2 {
     * absent sidecar degrades to a plain main-file read. */
   final class HadoopPageReader(path: String, conf: Configuration,
                                walFrameLimit: Int = -1,
-                               walSalts: Option[(Long, Long)] = None)
+                               walSalts: Option[(Long, Long)] = None,
+                               mainPin: Option[(Long, Long, Long)] = None)
       extends PageReader {
     private val p = new Path(path)
     private val fs = p.getFileSystem(conf)
@@ -96,7 +97,42 @@ object SqliteDataSourceV2 {
       * TRUNCATE between planning and execution — which re-salts or
       * removes the sidecar — fails LOUDLY instead of silently serving
       * frames from a different generation. */
-    private val mainLen: Long = fs.getFileStatus(p).getLen
+    private val mainStatus = fs.getFileStatus(p)
+    private val mainLen: Long = mainStatus.getLen
+    /** Raw main-file state for MID-QUERY BACKFILL detection: (change
+      * counter at header bytes 24-27 read from the RAW main file — not
+      * the overlay — or -1 for a WAL-born db with no main header yet;
+      * main byte length; main mtime). A PASSIVE/FULL checkpoint —
+      * what the default wal_autocheckpoint runs — backfills committed
+      * frames into the main file WITHOUT re-salting the sidecar, so an
+      * executor pinned at frame count N could read post-pin pages from
+      * the backfilled main file while serving others from the pinned
+      * WAL prefix: a torn snapshot. The salts pin cannot see it
+      * (advisor r10); this triple can — any backfill rewrites main
+      * pages (mtime), usually page 1 (counter), and a grown db (len).
+      * Executors verify it at open. Residual risk, documented: a
+      * backfill that lands within the filesystem's mtime granularity
+      * without touching page 1 or the length is still undetected —
+      * local/HDFS mtimes are millisecond-grained, so in practice this
+      * needs a sub-ms plan-to-execute window. */
+    val mainPinState: (Long, Long, Long) = {
+      val counter =
+        if (mainLen >= 100) {
+          val hb = new Array[Byte](4)
+          in.readFully(24L, hb)
+          ((hb(0) & 0xffL) << 24) | ((hb(1) & 0xffL) << 16) |
+            ((hb(2) & 0xffL) << 8) | (hb(3) & 0xffL)
+        } else -1L
+      (counter, mainLen, mainStatus.getModificationTime)
+    }
+    mainPin.foreach { case (c, l, m) =>
+      require(mainPinState == ((c, l, m)),
+        s"sqlite: the main file of $path changed since the scan was " +
+          s"planned (counter/len/mtime $mainPinState vs pinned " +
+          s"($c,$l,$m)) — a checkpoint backfilled WAL frames " +
+          "mid-query (PASSIVE/FULL checkpoints do not re-salt the " +
+          "sidecar); re-run the query")
+    }
     // the page size every read needs: from the main header when one
     // exists; a database BORN in WAL mode (sqlite materializes the
     // main file lazily — page 1 and everything else live only in the
@@ -210,8 +246,32 @@ object SqliteDataSourceV2 {
 
   def openReader(path: String, conf: Configuration,
                  walFrameLimit: Int = -1,
-                 walSalts: Option[(Long, Long)] = None): HadoopPageReader =
-    new HadoopPageReader(path, conf, walFrameLimit, walSalts)
+                 walSalts: Option[(Long, Long)] = None,
+                 mainPin: Option[(Long, Long, Long)] = None)
+      : HadoopPageReader =
+    new HadoopPageReader(path, conf, walFrameLimit, walSalts, mainPin)
+
+  /** Spark literal -> sqlite stored-value probe. The probe is in the
+    * column's AFFINITY class (the filter value's Spark type IS the
+    * affinity type), and sqlite's INSERT-time affinity conversion makes
+    * stored values canonical in that class — so one probe per class is
+    * complete for sqlite-written files (cmpValues already treats
+    * VInt/VReal as one numeric class). */
+  private[sources] def asProbeValue(v: Any): Option[Value] = v match {
+    case s: String => Some(VText(s))
+    case s: UTF8String => Some(VText(s.toString))
+    case l: Long => Some(VInt(l))
+    case i: Int => Some(VInt(i.toLong))
+    case s: Short => Some(VInt(s.toLong))
+    case b: Byte => Some(VInt(b.toLong))
+    // NaN is unprobeable: sqlite stores NaN as NULL so no key equals
+    // it under record order, but Spark's EqualTo treats NaN = NaN as
+    // TRUE — only the scan fallback preserves those semantics (and
+    // cmpValues' BigDecimal branch would throw on it)
+    case d: Double => if (d.isNaN) None else Some(VReal(d))
+    case f: Float => if (f.isNaN) None else Some(VReal(f.toDouble))
+    case _ => None
+  }
 
   /** Per-JVM cache of parsed WAL committed-frame maps, keyed by
     * (db path, -wal length, -wal mtime) — see HadoopPageReader. Bounded:
@@ -450,6 +510,10 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
   // eq/IN literals on NON-rowid columns — resolved against a usable
   // secondary index at plan time (column name -> probe literals)
   private var eqCandidates: Map[String, Seq[Any]] = Map.empty
+  // range comparisons on NON-rowid columns (column -> (op, literal)):
+  // resolved at plan time to an index RANGE walk when a usable index
+  // leads with that column (ops: "gt"/"ge"/"lt"/"le")
+  private var rangeCandidates: Map[String, Seq[(String, Any)]] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -501,6 +565,25 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
         eqCandidates += (a -> Seq(v)); true
       case In(a, vs) if !isAlias(a) && vs.nonEmpty =>
         eqCandidates += (a -> vs.toSeq.filter(_ != null)); true
+      // SECONDARY-INDEX range pushdown: remember comparison bounds on
+      // non-rowid columns; build() routes them through a usable index
+      // as a B-tree RANGE WALK when one leads with the column (the
+      // `WHERE UPDATE_DATE >= ?` incremental-pull shape — the
+      // reference's watcher mtime gate, script.py:74-95, done
+      // storage-side). Null bounds match nothing under Spark's
+      // comparison semantics, so they are not candidates.
+      case GreaterThan(a, v) if !isAlias(a) && v != null =>
+        rangeCandidates += (a ->
+          (rangeCandidates.getOrElse(a, Nil) :+ ("gt", v))); true
+      case GreaterThanOrEqual(a, v) if !isAlias(a) && v != null =>
+        rangeCandidates += (a ->
+          (rangeCandidates.getOrElse(a, Nil) :+ ("ge", v))); true
+      case LessThan(a, v) if !isAlias(a) && v != null =>
+        rangeCandidates += (a ->
+          (rangeCandidates.getOrElse(a, Nil) :+ ("lt", v))); true
+      case LessThanOrEqual(a, v) if !isAlias(a) && v != null =>
+        rangeCandidates += (a ->
+          (rangeCandidates.getOrElse(a, Nil) :+ ("le", v))); true
       case _ => false
     }
     filters // everything residual — Spark re-evaluates, prune is I/O-only
@@ -526,7 +609,8 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (agg.groupByExpressions.nonEmpty) return false
-    if (lo != Long.MinValue || hi != Long.MaxValue || eqCandidates.nonEmpty)
+    if (lo != Long.MinValue || hi != Long.MaxValue ||
+        eqCandidates.nonEmpty || rangeCandidates.nonEmpty)
       return false
     val t = resolved
     val alias = t.columns.find(_.rowidAlias).map(_.name)
@@ -551,17 +635,30 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
 
   override def build(): Scan = {
     val t = resolved
+    // PINNED-SNAPSHOT READ (time travel to a WAL point): options
+    // `walFrames` (committed-frame cursor, e.g. a SqliteCdc.Cursor's
+    // `frames`) + `walSalt1`/`walSalt2` (its generation) read the
+    // table AS OF that snapshot — the written prefix of a -wal is
+    // immutable within a generation, and the existing pin machinery
+    // verifies the salts loudly. Default (-1) reads the head.
+    val reqFrames = options.getInt("walFrames", -1)
+    val reqSalts =
+      if (options.containsKey("walSalt1") && options.containsKey("walSalt2"))
+        Some((options.getLong("walSalt1", 0L), options.getLong("walSalt2", 0L)))
+      else None
     pushedAggSpecs match {
       case Some(specs) =>
         new SqliteAggScan(specs, t, options.get("path"),
           options.getInt("maxPartitions", 32),
-          new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()))
+          new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()),
+          reqFrames, reqSalts)
       case None =>
         new SqliteScan(required, t, options.get("path"),
           options.getInt("maxPartitions", 32),
           new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()), lo, hi,
-          eqCandidates,
-          options.getLong("maxIndexLookupRows", 1000000L))
+          eqCandidates, rangeCandidates,
+          options.getLong("maxIndexLookupRows", 1000000L),
+          reqFrames, reqSalts)
     }
   }
 }
@@ -581,7 +678,9 @@ private[sources] object SqliteAggSpec {
 private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
                                      t: SqliteTableDef, path: String,
                                      maxPartitions: Int,
-                                     conf: SerializableHadoopConf)
+                                     conf: SerializableHadoopConf,
+                                     reqFrames: Int = -1,
+                                     reqSalts: Option[(Long, Long)] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(
@@ -601,22 +700,27 @@ private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val pr = SqliteDataSourceV2.openReader(path, conf.value)
+    val pr = SqliteDataSourceV2.openReader(path, conf.value, reqFrames,
+      reqSalts)
     try {
       val pin = pr.wal.framesCommitted // same snapshot pin as SqliteScan
       val salts = if (pin > 0) Some((pr.wal.salt1, pr.wal.salt2)) else None
+      // backfill pin: only meaningful while a WAL snapshot is pinned —
+      // without a sidecar the main file is assumed static, like any
+      // file-based source (advisor r10)
+      val mpin = if (pin > 0) Some(pr.mainPinState) else None
       if (t.withoutRowid)
         return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts))
+          walSalts = salts, mainPin = mpin))
       val kids = childRanges(pr, t.rootPage).map(_.page)
       if (kids.isEmpty)
         Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts))
+          walSalts = salts, mainPin = mpin))
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
           .map(g => SqlitePartition(g, walFrames = pin,
-            walSalts = salts): InputPartition)
+            walSalts = salts, mainPin = mpin): InputPartition)
           .toArray
       }
     } finally pr.close()
@@ -643,7 +747,7 @@ private[sources] class SqliteAggPartitionReader(part: SqlitePartition,
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value,
-    part.walFrames, part.walSalts)
+    part.walFrames, part.walSalts, part.mainPin)
   private var emitted = false
 
   override def next(): Boolean = !emitted
@@ -677,7 +781,12 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
                                   hi: Long = Long.MaxValue,
                                   eqCandidates: Map[String, Seq[Any]] =
                                     Map.empty,
-                                  maxIndexLookupRows: Long = 1000000L)
+                                  rangeCandidates:
+                                    Map[String, Seq[(String, Any)]] =
+                                    Map.empty,
+                                  maxIndexLookupRows: Long = 1000000L,
+                                  reqFrames: Int = -1,
+                                  reqSalts: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -689,35 +798,19 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
     val idx = if (eqCandidates.isEmpty) ""
       else eqCandidates.keys.toSeq.sorted
         .mkString(", indexable eq on [", ",", "]")
+    val rng = if (rangeCandidates.isEmpty) ""
+      else rangeCandidates.keys.toSeq.sorted
+        .mkString(", indexable range on [", ",", "]")
     s"graft-sqlite ${t.name}, columns " +
-      required.fieldNames.mkString("[", ",", "]") + range + idx
+      required.fieldNames.mkString("[", ",", "]") + range + idx + rng
   }
 
   override def toBatch: Batch = this
 
-  /** Spark literal -> sqlite stored-value probe. The probe is in the
-    * column's AFFINITY class (the filter value's Spark type IS the
-    * affinity type), and sqlite's INSERT-time affinity conversion makes
-    * stored values canonical in that class — so one probe per class is
-    * complete for sqlite-written files (cmpValues already treats
-    * VInt/VReal as one numeric class). */
-  private def asValue(v: Any): Option[Value] = v match {
-    case s: String => Some(VText(s))
-    case s: UTF8String => Some(VText(s.toString))
-    case l: Long => Some(VInt(l))
-    case i: Int => Some(VInt(i.toLong))
-    case s: Short => Some(VInt(s.toLong))
-    case b: Byte => Some(VInt(b.toLong))
-    // NaN is unprobeable: sqlite stores NaN as NULL so no key equals
-    // it under record order, but Spark's EqualTo treats NaN = NaN as
-    // TRUE — only the scan fallback preserves those semantics (and
-    // cmpValues' BigDecimal branch would throw on it)
-    case d: Double => if (d.isNaN) None else Some(VReal(d))
-    case f: Float => if (f.isNaN) None else Some(VReal(f.toDouble))
-    case _ => None
-  }
+  private def asValue(v: Any): Option[Value] =
+    SqliteDataSourceV2.asProbeValue(v)
 
-  /** How an indexed eq filter resolved. */
+  /** How an indexed eq/range filter resolved. */
   private sealed trait IndexResolution
   private case object NoIndexPath extends IndexResolution
   private case class SparseRowids(rowids: Seq[Long]) extends IndexResolution
@@ -730,55 +823,154 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
   private case class DenseWindow(min: Long, max: Long)
       extends IndexResolution
 
-  /** Resolve the eq candidates through a usable secondary index.
-    * Unique indexes win ties; the probe respects the pushed rowid
-    * window. Sparse matches (average rowid gap above ~a leaf's worth
-    * of rows) become explicit rowid ranges; dense matches degrade to a
-    * window scan; a probe past `maxIndexLookupRows` or with no usable
-    * index falls back entirely. */
-  private def resolveIndex(pr: SqliteDataSourceV2.HadoopPageReader)
-      : IndexResolution = {
-    if (eqCandidates.isEmpty || t.withoutRowid) return NoIndexPath
-    val usable = indexes(pr, pr.header)
-      .filter(ix => ix.usable && ix.table.equalsIgnoreCase(t.name))
-    val hit = eqCandidates.iterator.flatMap { case (col, vals) =>
-      usable.filter(_.columns.headOption.exists(_.equalsIgnoreCase(col)))
-        .sortBy(ix => !ix.unique) // prefer unique
-        .headOption.map(ix => (ix, vals))
-    }.toSeq.sortBy { case (ix, _) => !ix.unique }
-    hit.headOption.map { case (ix, vals) =>
-      val probes = vals.map(asValue)
+  /** Case-insensitive candidate lookup (sqlite identifiers are). */
+  private def eqOn(col: String): Option[Seq[Any]] =
+    eqCandidates.collectFirst {
+      case (c, vs) if c.equalsIgnoreCase(col) => vs }
+  private def rangeOn(col: String): Option[Seq[(String, Any)]] =
+    rangeCandidates.collectFirst {
+      case (c, vs) if c.equalsIgnoreCase(col) => vs }
+
+  /** Fold a column's pushed comparison bounds into the TIGHTEST
+    * (lo, hi) pair under sqlite record order. None when any bound is
+    * unconvertible (the scan fallback serves it). */
+  private def foldBounds(ops: Seq[(String, Any)])
+      : Option[(Option[(Value, Boolean)], Option[(Value, Boolean)])] = {
+    var lob: Option[(Value, Boolean)] = None
+    var hib: Option[(Value, Boolean)] = None
+    for ((op, raw) <- ops) {
+      val v = asValue(raw).getOrElse(return None)
+      op match {
+        case "gt" | "ge" =>
+          val inc = op == "ge"
+          lob = lob match {
+            case Some((cur, curInc)) =>
+              val c = cmpValues(v, cur)
+              if (c > 0 || (c == 0 && !inc)) Some((v, inc))
+              else Some((cur, curInc))
+            case None => Some((v, inc))
+          }
+        case _ =>
+          val inc = op == "le"
+          hib = hib match {
+            case Some((cur, curInc)) =>
+              val c = cmpValues(v, cur)
+              if (c < 0 || (c == 0 && !inc)) Some((v, inc))
+              else Some((cur, curInc))
+            case None => Some((v, inc))
+          }
+      }
+    }
+    Some((lob, hib))
+  }
+
+  /** The probes a given index can serve, or None when it serves
+    * nothing: consume single-value eq candidates down the index's
+    * leading columns (an IN fans out — one probe per value, capped),
+    * then an optional RANGE on the next column. Partial indexes
+    * qualify only under predicate implication (`usableIf` conjunct
+    * present verbatim among the pushed eq filters). */
+  private def probesFor(ix: SqliteIndexDef): Option[Seq[IndexProbe]] = {
+    val impliedOk = ix.usable || ix.usableIf.exists { case (c, v) =>
+      eqOn(c).exists(vs => vs.length == 1 &&
+        asValue(vs.head).exists(pv => cmpValues(pv, v) == 0))
+    }
+    if (!impliedOk) return None
+    var prefixes: Seq[Seq[Value]] = Seq(Nil)
+    var k = 0
+    var halted = false
+    while (!halted && k < ix.columns.length) {
+      eqOn(ix.columns(k)) match {
+        case Some(vals) if vals.nonEmpty =>
+          val conv = vals.map(asValue)
+          if (conv.exists(_.isEmpty) ||
+              prefixes.length * conv.length > 64) halted = true
+          else {
+            prefixes = for (p <- prefixes; v <- conv.flatten) yield p :+ v
+            k += 1
+          }
+        case _ => halted = true
+      }
+    }
+    val bounds =
+      if (k < ix.columns.length)
+        rangeOn(ix.columns(k)).flatMap(foldBounds)
+      else None
+    val (lob, hib) = bounds.getOrElse((None, None))
+    if (k == 0 && lob.isEmpty && hib.isEmpty) None
+    else {
       // TEXT probes only on UTF-8 files: sqlite's BINARY collation is
       // memcmp over the STORED encoding, and UTF-16(LE) byte order is
       // not UTF-8/code-point order — descending with the wrong order
       // could miss rows. Numeric probes are encoding-independent.
-      val textProbeOnUtf16 = pr.header.textEncoding > 1 &&
-        probes.exists(_.exists(_.isInstanceOf[VText]))
-      if (probes.exists(_.isEmpty) || textProbeOnUtf16) NoIndexPath
-      else {
-        val rowids = probes.flatten
-          .flatMap(v => indexRowidsEq(pr, pr.header, ix, v))
-          .filter(r => r >= lo && r <= hi)
-          .distinct.sorted
-        if (rowids.length > maxIndexLookupRows) NoIndexPath
-        else if (rowids.isEmpty) {
-          SqliteDataSourceV2.lastIndexProbe = Some((ix.name, 0))
-          SparseRowids(Nil)
-        } else {
-          SqliteDataSourceV2.lastIndexProbe = Some((ix.name, rowids.length))
-          val span = rowids.last - rowids.head + 1
-          // ~16 rows share a leaf on typical row shapes: below that
-          // average gap, neighboring descents hit the same pages
-          if (rowids.length > 64 && rowids.length * 16 >= span)
-            DenseWindow(rowids.head, rowids.last)
-          else SparseRowids(rowids)
-        }
+      val anyText = (prefixes.flatten ++ lob.map(_._1) ++ hib.map(_._1))
+        .exists(_.isInstanceOf[VText])
+      if (anyText && textEnc > 1) None
+      else Some(prefixes.map(p => IndexProbe(p, lob, hib)))
+    }
+  }
+  private var textEnc = 1
+
+  /** Resolve the pushed eq/range candidates through a usable secondary
+    * index. Preference: longest consumed eq prefix, then a range
+    * bound, then unique. Sparse matches (average rowid gap above ~a
+    * leaf's worth of rows) become explicit rowid ranges; dense matches
+    * degrade to a window scan; a probe past `maxIndexLookupRows`
+    * ABORTS DURING THE DESCENT (searchIndexRowids buffers rowids only,
+    * advisor r10) and falls back entirely. */
+  private def resolveIndex(pr: SqliteDataSourceV2.HadoopPageReader)
+      : IndexResolution = {
+    if ((eqCandidates.isEmpty && rangeCandidates.isEmpty) || t.withoutRowid)
+      return NoIndexPath
+    textEnc = pr.header.textEncoding
+    val candidates = indexes(pr, pr.header)
+      .filter(_.table.equalsIgnoreCase(t.name))
+      .flatMap(ix => probesFor(ix).map(ps => (ix, ps)))
+    if (candidates.isEmpty) return NoIndexPath
+    // selectivity proxy: how many pushed filter columns the index
+    // consumes — eq prefix columns, a range bound, AND a partial
+    // index's implied WHERE conjunct (idx_docs_partial consuming
+    // flag=1 + title=? must beat idx_docs_flag_score consuming only
+    // the unselective flag=1)
+    val (ix, probes) = candidates.maxBy { case (i, ps) =>
+      (ps.headOption.map(_.prefix.length).getOrElse(0) +
+        (if (ps.exists(p => p.lo.isDefined || p.hi.isDefined)) 1 else 0) +
+        (if (!i.usable) 1 else 0), // usableIf path: implication consumed
+        i.unique)
+    }
+    // the per-probe limit is a shared budget: the UNION must stay
+    // within maxIndexLookupRows, and each descent aborts in-flight
+    // the moment its share of the budget is exhausted
+    val collected = ArrayBuffer.empty[Long]
+    var aborted = false
+    for (p <- probes if !aborted) {
+      searchIndexRowids(pr, pr.header, ix.rootPage, p,
+        maxIndexLookupRows - collected.length) match {
+        case Some(rs) => collected ++= rs
+        case None => aborted = true
       }
-    }.getOrElse(NoIndexPath)
+    }
+    if (aborted) return NoIndexPath
+    val rowids = collected.toSeq
+      .filter(r => r >= lo && r <= hi)
+      .distinct.sorted
+    if (rowids.isEmpty) {
+      SqliteDataSourceV2.lastIndexProbe = Some((ix.name, 0))
+      SparseRowids(Nil)
+    } else {
+      SqliteDataSourceV2.lastIndexProbe = Some((ix.name, rowids.length))
+      val span = rowids.last - rowids.head + 1
+      // ~16 rows share a leaf on typical row shapes: below that
+      // average gap, neighboring descents hit the same pages
+      if (rowids.length > 64 && rowids.length * 16 >= span)
+        DenseWindow(rowids.head, rowids.last)
+      else SparseRowids(rowids)
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val pr = SqliteDataSourceV2.openReader(path, conf.value)
+    val pr = SqliteDataSourceV2.openReader(path, conf.value, reqFrames,
+      reqSalts)
     try {
       // SNAPSHOT PIN: every partition reader re-parses the -wal, so a
       // live writer committing mid-query could otherwise give two
@@ -790,13 +982,17 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       // loudly on the executors.
       val pin = pr.wal.framesCommitted
       val salts = if (pin > 0) Some((pr.wal.salt1, pr.wal.salt2)) else None
+      // backfill pin: only meaningful while a WAL snapshot is pinned —
+      // without a sidecar the main file is assumed static, like any
+      // file-based source (advisor r10)
+      val mpin = if (pin > 0) Some(pr.mainPinState) else None
       // WITHOUT ROWID rows live in an index B-tree whose interior pages
       // carry entries; subtree splits would drop them — one in-order
       // partition (these are PK-lookup tables; the parallel-scan story
       // belongs to the rowid tables)
       if (t.withoutRowid)
         return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts))
+          walSalts = salts, mainPin = mpin))
       // an indexed eq filter resolves to explicit rowids: partitions
       // carry coalesced rowid RANGES (adjacent ids merge), each read by
       // an O(depth) B-tree descent — pages touched scale with matches,
@@ -817,7 +1013,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
             math.ceil(ranges.length.toDouble / groups).toInt)
             .map(g => SqlitePartition(Seq(t.rootPage),
               rowidRanges = Some(g.toSeq),
-              walFrames = pin, walSalts = salts): InputPartition)
+              walFrames = pin, walSalts = salts, mainPin = mpin): InputPartition)
             .toArray
         case DenseWindow(mn, mx) =>
           effLo = math.max(effLo, mn); effHi = math.min(effHi, mx)
@@ -830,7 +1026,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       val kids = all.filter(_.overlaps(effLo, effHi)).map(_.page)
       if (all.isEmpty) // leaf root: the whole table is one page
         Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts))
+          walSalts = salts, mainPin = mpin))
       else if (kids.isEmpty) Array.empty[InputPartition]
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
@@ -838,7 +1034,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
         // disk (sequential-ish reads) and rowid-ordered within itself
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
           .map(g => SqlitePartition(g, walFrames = pin,
-            walSalts = salts): InputPartition)
+            walSalts = salts, mainPin = mpin): InputPartition)
           .toArray
       }
     } finally pr.close()
@@ -864,11 +1060,15 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
   * ranges point-descended from the table root (the index-lookup
   * path — `roots` then holds just the table root page). `walFrames`
   * pins the WAL snapshot every reader of this scan must serve
-  * (committed frame count at plan time; -1 = no sidecar). */
+  * (committed frame count at plan time; -1 = no sidecar); `mainPin`
+  * pins the raw MAIN-file state (change counter, length, mtime) so a
+  * non-resetting checkpoint backfilling frames mid-query fails loudly
+  * (see [[SqliteDataSourceV2.HadoopPageReader.mainPinState]]). */
 private[sources] case class SqlitePartition(roots: Seq[Int],
     rowidRanges: Option[Seq[(Long, Long)]] = None,
     walFrames: Int = -1,
-    walSalts: Option[(Long, Long)] = None)
+    walSalts: Option[(Long, Long)] = None,
+    mainPin: Option[(Long, Long, Long)] = None)
     extends InputPartition
 
 private[sources] class SqliteReaderFactory(required: StructType,
@@ -891,7 +1091,7 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value,
-    part.walFrames, part.walSalts)
+    part.walFrames, part.walSalts, part.mainPin)
   private val charset = textCharset(pr.header.textEncoding)
   // required field -> (table ordinal, spark type, is rowid alias)
   private val fields: Array[(Int, DataType, Boolean)] =

@@ -463,10 +463,6 @@ object SqliteFile {
     * leaves). Emits raw record payloads in key order. */
   def scanIndex(pr: PageReader, header: Header, rootPage: Int)
       : Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
-    private val u = header.usable
-    private val maxInline = (u - 12) * 64 / 255 - 23
-    private val minInline = (u - 12) * 32 / 255 - 23
-
     private sealed trait Task
     private case class VisitPage(pageNo: Int) extends Task
     private case class EmitCell(pg: Array[Byte], cellOff: Int,
@@ -478,33 +474,8 @@ object SqliteFile {
     private var pagesVisited = 0L
 
     private def assemble(pg: Array[Byte], cellOff0: Int,
-                         interior: Boolean): Array[Byte] = {
-      val cellOff = if (interior) cellOff0 + 4 else cellOff0 // skip child
-      val (p, n1) = varint(pg, cellOff)
-      val bodyOff = cellOff + n1
-      val payloadLen = p.toInt
-      if (payloadLen <= maxInline)
-        java.util.Arrays.copyOfRange(pg, bodyOff, bodyOff + payloadLen)
-      else {
-        val k0 = minInline + (payloadLen - minInline) % (u - 4)
-        val inline = if (k0 <= maxInline) k0 else minInline
-        val buf = new Array[Byte](payloadLen)
-        System.arraycopy(pg, bodyOff, buf, 0, inline)
-        var written = inline
-        var next = u32(pg, bodyOff + inline).toInt
-        while (next != 0 && written < payloadLen) {
-          val op = pr.page(next)
-          val take = math.min(u - 4, payloadLen - written)
-          System.arraycopy(op, 4, buf, written, take)
-          written += take
-          next = u32(op, 0).toInt
-        }
-        require(written == payloadLen,
-          s"sqlite: truncated index overflow chain " +
-            s"($written of $payloadLen bytes)")
-        buf
-      }
-    }
+                         interior: Boolean): Array[Byte] =
+      assembleIndexCell(pr, header, pg, cellOff0, interior)
 
     private def advance(): Unit = {
       nextPayload = null
@@ -594,10 +565,17 @@ object SqliteFile {
     * column names (declared order), and whether this parser may USE it
     * for lookups (`usable=false` for partial indexes, DESC or COLLATE
     * or expression keys — shapes whose order this reader does not
-    * replicate; they are listed but never probed). */
+    * replicate; they are listed but never probed). `usableIf` carries
+    * the PARTIAL-index escape hatch: a partial index whose key shape is
+    * otherwise probeable and whose WHERE clause is the simple
+    * `col = literal` form is usable exactly when the query's pushed
+    * filters contain that same conjunct (predicate implication — the
+    * index then covers every qualifying row). Anything not provably
+    * implied stays scan. */
   case class SqliteIndexDef(name: String, table: String, rootPage: Int,
                             columns: Seq[String], unique: Boolean,
-                            usable: Boolean)
+                            usable: Boolean,
+                            usableIf: Option[(String, Value)] = None)
 
   /** All indexes in the file, from `sqlite_master` rows of
     * type='index'. Two sources: explicit `CREATE INDEX` DDL, and the
@@ -628,7 +606,10 @@ object SqliteFile {
               parseCreateIndex(name, tbl, root.toInt, sql).map { ix =>
                 val anyCollated = tableDefs.get(tbl).exists(t =>
                   ix.columns.exists(cn => colCollated(t, cn)))
-                if (anyCollated) ix.copy(usable = false) else ix
+                // a collated key column breaks BINARY order for the
+                // partial-implication path too — clear BOTH flags
+                if (anyCollated) ix.copy(usable = false, usableIf = None)
+                else ix
               }
             case _ => // DDL-less autoindex: PK autoindex is index 1
               tableDefs.get(tbl) match {
@@ -650,13 +631,36 @@ object SqliteFile {
     }.toSeq
   }
 
+  /** First top-level '(' OUTSIDE any quoted identifier/literal — a
+    * quoted index or table name containing '(' must not be mistaken
+    * for the column-list opener (advisor r10; same quote set as
+    * [[topLevelSplit]]). */
+  private def findTopLevelOpenParen(sql: String): Int = {
+    var i = 0; var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '[' => quote = ']'
+        case '(' => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Parse `CREATE [UNIQUE] INDEX name ON table (cols...) [WHERE ...]`.
     * Expression keys, DESC order, COLLATE clauses and partial (WHERE)
-    * indexes come back `usable=false` — still cataloged, never
-    * probed. */
+    * indexes come back `usable=false` — still cataloged, never probed
+    * unconditionally. A partial index whose key shape is otherwise
+    * clean and whose WHERE clause is exactly `col = literal` carries
+    * that conjunct in `usableIf`: probeable only under predicate
+    * implication (the query must push the same `col = literal`). */
   def parseCreateIndex(name: String, table: String, rootPage: Int,
                        sql: String): Option[SqliteIndexDef] = {
-    val open = sql.indexOf('(')
+    val open = findTopLevelOpenParen(sql)
     if (open < 0) return None
     // match the closing paren of the column list (quote-aware)
     var depth = 0; var i = open; var close = -1; var quote: Char = 0
@@ -675,77 +679,297 @@ object SqliteFile {
     if (close < 0) return None
     val unique = stripLiterals(sql.substring(0, open)).toUpperCase
       .matches("(?s).*\\bUNIQUE\\b.*")
-    val partial = stripLiterals(sql.substring(close + 1)).toUpperCase
+    val tail = sql.substring(close + 1)
+    val partial = stripLiterals(tail).toUpperCase
       .matches("(?s).*\\bWHERE\\b.*")
     val parts = topLevelSplit(sql.substring(open + 1, close))
-    var usable = !partial
+    var keyShapeUsable = true
     val cols = parts.map { p =>
       val stripped = stripLiterals(p).toUpperCase
-      if (stripped.matches("(?s).*\\b(DESC|COLLATE)\\b.*")) usable = false
+      if (stripped.matches("(?s).*\\b(DESC|COLLATE)\\b.*"))
+        keyShapeUsable = false
       val trimmed = p.trim
       // a usable key part is a bare (possibly quoted) identifier,
       // optionally followed by ASC
       val ident = trimmed.split("\\s+").headOption.getOrElse("")
       val rest = trimmed.drop(ident.length).trim.toUpperCase
-      if (rest.nonEmpty && rest != "ASC") usable = false
+      if (rest.nonEmpty && rest != "ASC") keyShapeUsable = false
       if (ident.exists(c => "()+-*/%|'\"".contains(c)) &&
           !(ident.headOption.exists(h => h == '"' || h == '`' ||
             h == '[' || h == '\'')))
-        usable = false // expression key
+        keyShapeUsable = false // expression key
       unquoteIdent(ident)
     }
-    Some(SqliteIndexDef(name, table, rootPage, cols, unique, usable))
+    val usableIf =
+      if (!partial || !keyShapeUsable) None else parsePartialWhere(tail)
+    Some(SqliteIndexDef(name, table, rootPage, cols, unique,
+      usable = keyShapeUsable && !partial, usableIf = usableIf))
   }
 
-  /** Targeted descent of an index B-tree: emit the raw key records
-    * whose FIRST column equals `target` (cmpValues order). Interior
-    * pages prune children whose key range cannot contain the target,
-    * so cost is O(depth + matches) pages however large the index —
-    * the set-at-a-time form of sqlite's own `WHERE indexed_col = ?`
-    * probe. Duplicate keys spanning several children are handled by
-    * descending every child whose (prevKey, cellKey] range overlaps
-    * the point. */
-  def searchIndexEq(pr: PageReader, header: Header, rootPage: Int,
-                    target: Value): Iterator[Array[Byte]] = {
+  /** The simple-implication form of a partial index's WHERE clause:
+    * exactly `WHERE col = literal` (integer, real, or single-quoted
+    * text), whole tail anchored — `WHERE a = 1 AND b = 2`, IS NULL,
+    * comparisons etc. all come back None and the index is never
+    * probed. Deliberately narrow: implication is only claimed where it
+    * is trivially provable. */
+  def parsePartialWhere(tail: String): Option[(String, Value)] = {
+    val re = ("(?is)\\s*WHERE\\s+(\"(?:[^\"]|\"\")+\"|`(?:[^`]|``)+`|" +
+      "\\[[^\\]]+\\]|[A-Za-z_][A-Za-z0-9_$]*)\\s*==?\\s*" +
+      "('(?:[^']|'')*'|[+-]?\\d+(?:\\.\\d+)?)\\s*").r
+    tail match {
+      case re(colRaw, lit) =>
+        val col = unquoteIdent(colRaw)
+        val v: Value =
+          if (lit.startsWith("'"))
+            VText(lit.substring(1, lit.length - 1).replace("''", "'"))
+          else if (lit.contains('.')) VReal(lit.toDouble)
+          else lit.toLongOption.map(VInt(_)).getOrElse(VReal(lit.toDouble))
+        Some((col, v))
+      case _ => None
+    }
+  }
+
+  /** Assemble one index-cell payload (leaf or interior), walking the
+    * overflow chain with the INDEX inline geometry
+    * (X = 64·(U−12)/255 − 23). Shared by the in-order scan and both
+    * targeted descents. */
+  private def assembleIndexCell(pr: PageReader, header: Header,
+                                pg: Array[Byte], cellOff0: Int,
+                                interior: Boolean): Array[Byte] = {
     val u = header.usable
     val maxInline = (u - 12) * 64 / 255 - 23
     val minInline = (u - 12) * 32 / 255 - 23
+    val cellOff = if (interior) cellOff0 + 4 else cellOff0 // skip child
+    val (p, n1) = varint(pg, cellOff)
+    val bodyOff = cellOff + n1
+    val payloadLen = p.toInt
+    if (payloadLen <= maxInline)
+      java.util.Arrays.copyOfRange(pg, bodyOff, bodyOff + payloadLen)
+    else {
+      val k0 = minInline + (payloadLen - minInline) % (u - 4)
+      val inline = if (k0 <= maxInline) k0 else minInline
+      val buf = new Array[Byte](payloadLen)
+      System.arraycopy(pg, bodyOff, buf, 0, inline)
+      var written = inline
+      var next = u32(pg, bodyOff + inline).toInt
+      while (next != 0 && written < payloadLen) {
+        val op = pr.page(next)
+        val take = math.min(u - 4, payloadLen - written)
+        System.arraycopy(op, 4, buf, written, take)
+        written += take
+        next = u32(op, 0).toInt
+      }
+      require(written == payloadLen,
+        s"sqlite: truncated index overflow chain " +
+          s"($written of $payloadLen bytes)")
+      buf
+    }
+  }
 
-    def assemble(pg: Array[Byte], cellOff0: Int, interior: Boolean)
-        : Array[Byte] = {
-      val cellOff = if (interior) cellOff0 + 4 else cellOff0
-      val (p, n1) = varint(pg, cellOff)
-      val bodyOff = cellOff + n1
-      val payloadLen = p.toInt
-      if (payloadLen <= maxInline)
-        java.util.Arrays.copyOfRange(pg, bodyOff, bodyOff + payloadLen)
-      else {
-        val k0 = minInline + (payloadLen - minInline) % (u - 4)
-        val inline = if (k0 <= maxInline) k0 else minInline
-        val buf = new Array[Byte](payloadLen)
-        System.arraycopy(pg, bodyOff, buf, 0, inline)
-        var written = inline
-        var next = u32(pg, bodyOff + inline).toInt
-        while (next != 0 && written < payloadLen) {
-          val op = pr.page(next)
-          val take = math.min(u - 4, payloadLen - written)
-          System.arraycopy(op, 4, buf, written, take)
-          written += take
-          next = u32(op, 0).toInt
-        }
-        require(written == payloadLen,
-          s"sqlite: truncated index overflow chain " +
-            s"($written of $payloadLen bytes)")
-        buf
+  /** LAST column of a record as a long — on a rowid table's secondary
+    * index the record is (key cols…, rowid), so this is the rowid.
+    * Walks only the record HEADER (serial-type varints); no key-column
+    * bodies are decoded or buffered (advisor r10: the probe must not
+    * materialize full key payloads). */
+  def lastColLong(payload: Array[Byte]): Option[Long] = {
+    val (hdrLen, n0) = varint(payload, 0)
+    var ho = n0
+    var bo = hdrLen.toInt
+    var lastT = -1L
+    var lastOff = -1
+    while (ho < hdrLen) {
+      val (t, n) = varint(payload, ho)
+      ho += n
+      lastT = t
+      lastOff = bo
+      bo += serialLen(t)
+    }
+    if (lastT < 0) None
+    else serialValue(lastT, payload, lastOff) match {
+      case VInt(v) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** SQLite record-comparison rank: NULL < numeric < TEXT < BLOB. */
+  private def serialRank(t: Long): Int =
+    if (t == 0) 0
+    else if (t >= 1 && t <= 9) 1
+    else if (t >= 13 && t % 2 == 1) 2
+    else if (t >= 12 && t % 2 == 0) 3
+    else sys.error(s"sqlite: reserved serial type $t in an index key")
+
+  /** Compare one stored key cell against a probe value. TEXT probes on
+    * UTF-8 files compare the RAW STORED BYTES against the probe's
+    * UTF-8 encoding (`probeUtf8`, non-null exactly then): sqlite's
+    * BINARY collation is memcmp over storage, and decode→re-encode
+    * mangles invalid UTF-8 into U+FFFD, which can disagree with the
+    * tree's order and prune a subtree holding a real match (advisor
+    * r10). Everything else decodes and uses [[cmpValues]] (numeric
+    * decode is lossless). */
+  private def cmpColRaw(payload: Array[Byte], st: Long, off: Int,
+                        probe: Value, probeUtf8: Array[Byte],
+                        charset: String): Int =
+    probe match {
+      case VText(_) if probeUtf8 != null =>
+        val r = serialRank(st)
+        if (r != 2) r - 2
+        else java.util.Arrays.compareUnsigned(payload, off,
+          off + serialLen(st), probeUtf8, 0, probeUtf8.length)
+      case _ => cmpValues(serialValue(st, payload, off, charset), probe)
+    }
+
+  /** Lexicographic compare of the record's leading columns against the
+    * bound tuple (over `bound.length` columns; 0 = equal on every
+    * compared column). `boundUtf8(i)` is the probe's raw UTF-8 bytes
+    * when column i is a text probe on a UTF-8 file, else null. */
+  private def cmpLeading(payload: Array[Byte], bound: Array[Value],
+                         boundUtf8: Array[Array[Byte]],
+                         charset: String): Int = {
+    if (bound.length == 0) return 0
+    val (hdrLen, n0) = varint(payload, 0)
+    var ho = n0
+    var bo = hdrLen.toInt
+    var i = 0
+    while (i < bound.length && ho < hdrLen) {
+      val (t, n) = varint(payload, ho)
+      ho += n
+      val c = cmpColRaw(payload, t, bo, bound(i), boundUtf8(i), charset)
+      if (c != 0) return c
+      bo += serialLen(t)
+      i += 1
+    }
+    0
+  }
+
+  /** A leading-columns probe against an index B-tree: a row matches
+    * when its first `prefix.length` key columns equal `prefix` AND,
+    * when bounds are given, the NEXT key column lies within
+    * [`lo`, `hi`] (each `(value, inclusive)`; a missing bound is
+    * open). Shapes expressed: pure eq (`prefix=Seq(v)`), IN (one probe
+    * per value), range on the first column (`prefix=Nil` + bounds),
+    * and composite-prefix probes (eq on the leading column(s) of a
+    * multi-column index, optional range on the next). */
+  case class IndexProbe(prefix: Seq[Value],
+                        lo: Option[(Value, Boolean)] = None,
+                        hi: Option[(Value, Boolean)] = None)
+
+  /** Targeted descent of a secondary-index B-tree resolving `probe` to
+    * ROWIDS — O(depth + matches) pages, 8 bytes buffered per match.
+    * Returns None as soon as MORE than `limit` rowids have been
+    * collected (the abort happens DURING the descent — an unselective
+    * probe on a huge index stops after limit+1 matches instead of
+    * buffering O(matches) on the driver, advisor r10); the caller
+    * falls back to the scan path. Duplicate keys spanning several
+    * children are handled by descending every child whose
+    * (prevKey, cellKey] range overlaps the probe's bounds. */
+  def searchIndexRowids(pr: PageReader, header: Header, rootPage: Int,
+                        probe: IndexProbe, limit: Long)
+      : Option[ArrayBuffer[Long]] = {
+    val charset = textCharset(header.textEncoding)
+    val lowTuple = (probe.prefix ++ probe.lo.map(_._1)).toArray
+    val highTuple = (probe.prefix ++ probe.hi.map(_._1)).toArray
+    def utf8Of(vs: Array[Value]): Array[Array[Byte]] = vs.map {
+      case VText(s) if charset == "UTF-8" => s.getBytes("UTF-8")
+      case _ => null
+    }
+    val lowUtf8 = utf8Of(lowTuple)
+    val highUtf8 = utf8Of(highTuple)
+    // exact membership: prefix equal, bound column (if any) inside
+    def matches(payload: Array[Byte]): Boolean = {
+      if (cmpLeading(payload, lowTuple, lowUtf8, charset) match {
+            case c if c < 0 => true
+            case 0 => probe.lo.exists(!_._2) // exclusive low: ties out
+            case _ => false
+          }) return false
+      cmpLeading(payload, highTuple, highUtf8, charset) match {
+        case c if c > 0 => false
+        case 0 => !probe.hi.exists(!_._2) // exclusive high: ties out
+        case _ => true
       }
     }
-
-    def firstCol(payload: Array[Byte]): Value = {
-      val (hdrLen, n0) = varint(payload, 0)
-      val (t, _) = varint(payload, n0)
-      serialValue(t, payload, hdrLen.toInt,
-        textCharset(header.textEncoding))
+    val out = ArrayBuffer.empty[Long]
+    var over = false
+    def collect(payload: Array[Byte]): Unit =
+      if (!over && matches(payload)) {
+        lastColLong(payload) match {
+          case Some(r) =>
+            if (out.length.toLong >= limit) over = true else out += r
+          case None => // non-integer trailer: not a rowid-table index row
+        }
+      }
+    var pagesVisited = 0L
+    def visit(pageNo: Int): Unit = {
+      if (over) return
+      pagesVisited += 1
+      require(header.pageCount == 0L || pagesVisited <= header.pageCount,
+        s"sqlite: index search at page $rootPage visits more pages " +
+          "than the file holds — cyclic page pointers (corrupt file)")
+      val pg = pr.page(pageNo)
+      val off = btreeHeaderOffset(pageNo)
+      val ncells = u16(pg, off + 3)
+      (pg(off) & 0xff) match {
+        case 0x0a =>
+          var i = 0
+          var stop = false
+          while (i < ncells && !stop && !over) {
+            val payload = assembleIndexCell(pr, header, pg,
+              u16(pg, off + 8 + 2 * i), interior = false)
+            if (cmpLeading(payload, highTuple, highUtf8, charset) > 0)
+              stop = true // sorted: nothing further can match
+            else collect(payload)
+            i += 1
+          }
+        case 0x02 =>
+          // children delimited by entry keys: child_i holds keys in
+          // (entry_{i-1}, entry_i]; descend those overlapping the
+          // bounds (ties descend — conservative, exactness is at the
+          // leaf membership check)
+          var prevBelowHigh = true // open start: before everything
+          var i = 0
+          var stop = false
+          while (i < ncells && !stop && !over) {
+            val cellOff = u16(pg, off + 12 + 2 * i)
+            val payload = assembleIndexCell(pr, header, pg, cellOff,
+              interior = true)
+            val cLow = cmpLeading(payload, lowTuple, lowUtf8, charset)
+            val cHigh = cmpLeading(payload, highTuple, highUtf8, charset)
+            if (prevBelowHigh && cLow >= 0)
+              visit(u32(pg, cellOff).toInt)
+            collect(payload)
+            if (cHigh > 0) stop = true
+            prevBelowHigh = cHigh <= 0
+            i += 1
+          }
+          if (!stop && !over && prevBelowHigh)
+            visit(u32(pg, off + 8).toInt) // right-most child
+        case t => sys.error(
+          f"sqlite: unexpected page type 0x$t%02x at page $pageNo inside " +
+            "an index B-tree")
+      }
     }
+    visit(rootPage)
+    if (over) None else Some(out)
+  }
+
+  /** Targeted descent of an index B-tree: emit the raw key records
+    * whose FIRST column equals `target`. Interior pages prune children
+    * whose key range cannot contain the target, so cost is O(depth +
+    * matches) pages however large the index — the set-at-a-time form
+    * of sqlite's own `WHERE indexed_col = ?` probe. TEXT targets
+    * compare by RAW STORED BYTES on UTF-8 files (see [[cmpColRaw]]).
+    * Test/diagnostic surface — the DSv2 production path goes through
+    * [[searchIndexRowids]] (rowid-only buffering, early abort). */
+  def searchIndexEq(pr: PageReader, header: Header, rootPage: Int,
+                    target: Value): Iterator[Array[Byte]] = {
+    val charset = textCharset(header.textEncoding)
+    val tup = Array(target)
+    val tupUtf8: Array[Array[Byte]] = Array(target match {
+      case VText(s) if charset == "UTF-8" => s.getBytes("UTF-8")
+      case _ => null
+    })
+    def cmpFirst(payload: Array[Byte]): Int =
+      cmpLeading(payload, tup, tupUtf8, charset)
 
     val out = ArrayBuffer.empty[Array[Byte]]
     var pagesVisited = 0L
@@ -762,9 +986,9 @@ object SqliteFile {
           var i = 0
           var stop = false
           while (i < ncells && !stop) {
-            val payload = assemble(pg, u16(pg, off + 8 + 2 * i),
-              interior = false)
-            val c = cmpValues(firstCol(payload), target)
+            val payload = assembleIndexCell(pr, header, pg,
+              u16(pg, off + 8 + 2 * i), interior = false)
+            val c = cmpFirst(payload)
             if (c == 0) out += payload
             else if (c > 0) stop = true // sorted: nothing further matches
             i += 1
@@ -777,8 +1001,9 @@ object SqliteFile {
           var stop = false
           while (i < ncells && !stop) {
             val cellOff = u16(pg, off + 12 + 2 * i)
-            val payload = assemble(pg, cellOff, interior = true)
-            val c = cmpValues(firstCol(payload), target)
+            val payload = assembleIndexCell(pr, header, pg, cellOff,
+              interior = true)
+            val c = cmpFirst(payload)
             if (prevCmp <= 0 && c >= 0)
               visit(u32(pg, cellOff).toInt)
             if (c == 0) out += payload
@@ -799,15 +1024,14 @@ object SqliteFile {
 
   /** The rowids of the table rows whose `idx`-leading column equals
     * `target` — an index record on a rowid table is (key cols…, rowid),
-    * so the LAST record column carries the rowid. */
+    * so the LAST record column carries the rowid. Unlimited
+    * test/diagnostic form; the DSv2 path uses [[searchIndexRowids]]
+    * with its in-descent abort. */
   def indexRowidsEq(pr: PageReader, header: Header, idx: SqliteIndexDef,
                     target: Value): Seq[Long] =
-    searchIndexEq(pr, header, idx.rootPage, target).flatMap { payload =>
-      decodeRecord(payload, _ => true).lastOption match {
-        case Some(VInt(r)) => Some(r)
-        case _ => None
-      }
-    }.toSeq
+    searchIndexRowids(pr, header, idx.rootPage,
+      IndexProbe(Seq(target)), Long.MaxValue)
+      .map(_.toSeq).getOrElse(Nil)
 
   // ---- schema (sqlite_master + CREATE TABLE parsing) ---------------------
 
@@ -963,8 +1187,9 @@ object SqliteFile {
     * top-level split), never evaluated. */
   def parseCreateTable(name: String, rootPage: Int, sql: String)
       : SqliteTableDef = {
-    val open = sql.indexOf('(')
+    val open = findTopLevelOpenParen(sql) // quote-aware: a '(' inside a
     require(open > 0, s"sqlite: cannot parse CREATE TABLE for $name")
+    // quoted table name must not open the body (advisor r10)
     // match the body's closing paren (quote-aware)
     var depth = 0; var i = open; var close = -1; var quote: Char = 0
     while (i < sql.length && close < 0) {

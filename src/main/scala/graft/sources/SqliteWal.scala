@@ -42,7 +42,8 @@ object SqliteWal {
     * serving frames from a different generation. */
   case class WalMap(frameOffsets: Map[Int, Long], dbSizePages: Long,
                     framesSeen: Int, framesCommitted: Int,
-                    salt1: Long = 0L, salt2: Long = 0L) {
+                    salt1: Long = 0L, salt2: Long = 0L,
+                    commitFrames: Seq[Int] = Nil) {
     def isEmpty: Boolean = frameOffsets.isEmpty
   }
 
@@ -123,6 +124,9 @@ object SqliteWal {
     // frames of the CURRENT (not yet committed) transaction — promoted
     // into `latest` only when a commit frame closes the transaction
     val pending = scala.collection.mutable.Map.empty[Int, Long]
+    // frame index of each COMMIT frame, in order — the transaction
+    // boundaries a CDC cursor may pin ([[SqliteCdc]])
+    val commits = scala.collection.mutable.ArrayBuffer.empty[Int]
     var dbSize = 0L
     var nCommitted = 0
     var s0 = h0; var s1 = h1
@@ -151,6 +155,7 @@ object SqliteWal {
             pending.clear()
             dbSize = commitSize
             nCommitted = n
+            commits += n
           }
           pos += frameSize
         }
@@ -159,7 +164,8 @@ object SqliteWal {
     // frames past the last commit (still in `pending`) or past the
     // first invalid frame are an uncommitted/torn tail — dropped,
     // exactly like sqlite recovery
-    WalMap(latest.toMap, dbSize, n, nCommitted, salt1, salt2)
+    WalMap(latest.toMap, dbSize, n, nCommitted, salt1, salt2,
+      commits.toSeq)
   }
 
   /** Array-backed convenience for tests. */

@@ -58,6 +58,8 @@ if batch:
     cur.executemany("INSERT INTO big VALUES (?,?,?,?,?,?)", batch)
 cur.execute("CREATE INDEX idx_big_tag ON big (tag)")
 cur.execute("CREATE INDEX idx_big_cat ON big (cat)")
+# composite for the prefix-probe scale point (eq cat + range score)
+cur.execute("CREATE INDEX idx_big_cat_score ON big (cat, score)")
 con.commit()
 print("rows:", cur.execute("SELECT count(*) FROM big").fetchone()[0])
 print("bytes:", os.path.getsize(out))

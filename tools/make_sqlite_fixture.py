@@ -196,6 +196,47 @@ print("-- q339 oracle (DuckDB VALUES):")
 print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, sum_id, "
       "body_chars)" % ",\n    ".join("('%s', %d, %d, %d)" % r for r in agg339))
 
+# q347 oracle: index RANGE probe (sqlite3 routes it through
+# idx_docs_score — EXPLAIN QUERY PLAN asserted)
+plan347 = cur.execute(
+    "EXPLAIN QUERY PLAN SELECT * FROM docs "
+    "WHERE score >= 100.0 AND score < 110.0").fetchall()
+assert any("idx_docs_score" in str(r) for r in plan347), plan347
+agg347 = cur.execute("""
+  SELECT cat, count(*) AS n_docs, sum(id) AS sum_id,
+         CAST(round(sum(score)*8) AS INTEGER) AS sum_score_x8
+  FROM docs WHERE score >= 100.0 AND score < 110.0
+  GROUP BY cat ORDER BY cat""").fetchall()
+print("-- q347 oracle (DuckDB VALUES):")
+print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, sum_id, "
+      "sum_score_x8)" % ",\n    ".join(str(r) for r in agg347))
+
+# q348 oracle: composite-prefix probe (eq flag + range score through
+# idx_docs_flag_score)
+plan348 = cur.execute(
+    "EXPLAIN QUERY PLAN SELECT * FROM docs "
+    "WHERE flag = 0 AND score > 20.0 AND score <= 30.0").fetchall()
+assert any("idx_docs_flag_score" in str(r) for r in plan348), plan348
+agg348 = cur.execute("""
+  SELECT cat, count(*) AS n_docs, sum(id) AS sum_id,
+         CAST(round(sum(score)*8) AS INTEGER) AS sum_score_x8
+  FROM docs WHERE flag = 0 AND score > 20.0 AND score <= 30.0
+  GROUP BY cat ORDER BY cat""").fetchall()
+print("-- q348 oracle (DuckDB VALUES):")
+print("SELECT * FROM (VALUES\n    %s\n) AS t(cat, n_docs, sum_id, "
+      "sum_score_x8)" % ",\n    ".join(str(r) for r in agg348))
+
+# q349 oracle: partial-index implication (flag = 1 conjunct implies
+# idx_docs_partial's WHERE clause)
+agg349 = cur.execute("""
+  SELECT id, cat, title, CAST(round(score*8) AS INTEGER) AS score_x8
+  FROM docs
+  WHERE flag = 1 AND title IN ('doc 00123','doc 00457','doc 00999')
+  ORDER BY id""").fetchall()
+print("-- q349 oracle (DuckDB VALUES):")
+print("SELECT * FROM (VALUES\n    %s\n) AS t(id, cat, title, score_x8)"
+      % ",\n    ".join(str(r) for r in agg349))
+
 info = cur.execute(
     "SELECT name, rootpage FROM sqlite_master WHERE type='table'").fetchall()
 print("-- tables:", info)
