@@ -77,11 +77,33 @@ object SqliteCdc {
   }
 
   /** Exact changed rowids of `table` between `cursor` and the current
-    * head. See the object doc for the loud-degrade contract. */
+    * head — or, when `upTo` is given, between `cursor` and THAT
+    * committed snapshot (both ends pinned; the written prefix of a
+    * generation is immutable, so a bounded diff is DETERMINISTIC and
+    * replayable — the property [[graft.streaming.SqliteTail]]'s
+    * crash-recovery intent log relies on). See the object doc for the
+    * loud-degrade contract. */
   def changesSince(path: String, conf: Configuration, table: String,
-                   cursor: Cursor): CdcResult = {
-    val newPr = SqliteDataSourceV2.openReader(path, conf)
+                   cursor: Cursor, upTo: Option[Cursor] = None)
+      : CdcResult = {
+    // rowid CDC is defined by leaf rowids: a WITHOUT ROWID table keeps
+    // its rows in index pages the attribution rejects — calling this
+    // on one would return empty change sets forever. Caller error,
+    // loudly (a resync would not fix it).
+    val newPr = upTo match {
+      case Some(t) => SqliteDataSourceV2.openReader(path, conf,
+        walFrameLimit = t.frames,
+        walSalts = if (t.frames > 0) Some((t.salt1, t.salt2)) else None)
+      case None => SqliteDataSourceV2.openReader(path, conf)
+    }
     try {
+      val tdef = tables(newPr, newPr.header)
+        .find(_.name.equalsIgnoreCase(table))
+        .getOrElse(return ResyncRequired(s"table $table not in the " +
+          "current snapshot (dropped/renamed)"))
+      require(!tdef.withoutRowid,
+        s"sqlite-cdc: $table is WITHOUT ROWID — rowid CDC does not " +
+          "apply (its rows live in index pages); re-read it in full")
       val head = newPr.wal
       if (cursor.frames > 0 && head.isEmpty)
         return ResyncRequired("the -wal sidecar was checkpointed or " +
@@ -118,15 +140,20 @@ object SqliteCdc {
         case (page, off) if frameIndexOf(off) > cursor.frames => page
       }.toSeq.sorted
 
+      // the old end carries the SAME main pin the cursor recorded —
+      // a backfill landing between newPr's check above and these page
+      // reads fails at open instead of silently feeding post-cursor
+      // main-file content into the diff (review r11). The residual
+      // TOCTOU between this open and the last page read is the
+      // documented mtime-granularity race.
       val oldPr = SqliteDataSourceV2.openReader(path, conf,
         walFrameLimit = cursor.frames,
         walSalts = if (cursor.frames > 0)
-          Some((cursor.salt1, cursor.salt2)) else None)
+          Some((cursor.salt1, cursor.salt2)) else None,
+        mainPin = Some((cursor.mainCounter, cursor.mainLen,
+          cursor.mainMtime)))
       try {
-        val newRoot = tables(newPr, newPr.header)
-          .find(_.name.equalsIgnoreCase(table))
-          .getOrElse(return ResyncRequired(s"table $table not in the " +
-            "current snapshot (dropped/renamed)")).rootPage
+        val newRoot = tdef.rootPage
         val oldRootOpt = tables(oldPr, oldPr.header)
           .find(_.name.equalsIgnoreCase(table)).map(_.rootPage)
 

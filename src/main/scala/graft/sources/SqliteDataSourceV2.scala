@@ -1044,7 +1044,11 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
     // page-count geometry is in the header — free and honest enough for
     // the broadcast-threshold decision the optimizer makes with it
     override def sizeInBytes(): util.OptionalLong = {
-      val pr = SqliteDataSourceV2.openReader(path, conf.value)
+      // pinned-snapshot scans estimate the PINNED view's size, not the
+      // head's — a time-traveled small as-of view must not lose its
+      // broadcast eligibility to later growth (review r11)
+      val pr = SqliteDataSourceV2.openReader(path, conf.value, reqFrames,
+        reqSalts)
       try util.OptionalLong.of(pr.header.pageCount * pr.header.pageSize)
       finally pr.close()
     }

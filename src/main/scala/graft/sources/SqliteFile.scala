@@ -864,8 +864,17 @@ object SqliteFile {
     * children are handled by descending every child whose
     * (prevKey, cellKey] range overlaps the probe's bounds. */
   def searchIndexRowids(pr: PageReader, header: Header, rootPage: Int,
-                        probe: IndexProbe, limit: Long)
+                        probe0: IndexProbe, limit: Long)
       : Option[ArrayBuffer[Long]] = {
+    // a hi-only range gets a synthetic EXCLUSIVE-NULL low bound: NULL
+    // keys rank below every value, so without it every NULL entry in
+    // the index would match (Spark's pushed comparison can never be
+    // satisfied by NULL) — bloating the rowid buffer and needlessly
+    // tripping the budget abort on mostly-NULL columns (review r11)
+    val probe =
+      if (probe0.lo.isEmpty && probe0.hi.isDefined)
+        probe0.copy(lo = Some((VNull, false)))
+      else probe0
     val charset = textCharset(header.textEncoding)
     val lowTuple = (probe.prefix ++ probe.lo.map(_._1)).toArray
     val highTuple = (probe.prefix ++ probe.hi.map(_._1)).toArray

@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.util.{Failure, Success, Try}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -13,15 +15,29 @@ import graft.sources.{SqliteCdc, SqliteDataSourceV2}
   * database into a TxLog table, exactly-once. Each poll pulls ONLY
   * what changed — [[SqliteCdc.changesSince]] turns the newly committed
   * -wal frames into exact inserted/updated/deleted rowids — then
-  * applies them transactionally: upserts re-read AS OF the new cursor
-  * through the pinned-snapshot scan options (never a torn view, even
-  * against a writer committing mid-poll) and merge under an
+  * applies them transactionally: upserts re-read AS OF the target
+  * cursor through the pinned-snapshot scan options (never a torn view,
+  * even against a writer committing mid-poll) and merge under an
   * epoch-guarded [[TxLog.mergeEpoch]]; deletes go through
-  * [[TxLog.delete]] (idempotent by key). The cursor is persisted
-  * ATOMICALLY ONLY AFTER the apply commits, so a crash anywhere
-  * replays the same epoch — which mergeEpoch skips and the delete
-  * re-applies harmlessly: exactly-once end to end, the same recovery
-  * contract as the repo's TxLog watcher lineage (T5).
+  * [[TxLog.delete]] (idempotent by key).
+  *
+  * Exactly-once under crashes is a WRITE-AHEAD INTENT protocol:
+  * before applying, the poll persists (applied cursor, target cursor,
+  * epoch) atomically; the apply then diffs `applied → target` with
+  * BOTH ends pinned (`changesSince(upTo)`), which is deterministic —
+  * the written prefix of a WAL generation is immutable — so a replay
+  * after a crash at ANY point recomputes the SAME change set with the
+  * SAME epoch: the merge guard skips it, the delete re-applies
+  * harmlessly, and rows a live writer committed past the target are
+  * NOT swallowed by the replay (they belong to the next poll's
+  * intent). Without the intent, a replay would diff against the NEW
+  * head under an already-committed epoch and silently drop the
+  * in-between rows (review r11).
+  *
+  * The TxLog table is the authority on applied epochs: fresh epochs
+  * are allocated as max(state's, TxLog.lastEpoch + 1), so even losing
+  * the state file entirely forces a resync — never a run of silently
+  * epoch-skipped merges.
   *
   * This is the reference watcher (`script.py:60-117`) made
   * storage-exact AND cost-bounded: the reference polls mtimes and
@@ -34,9 +50,8 @@ import graft.sources.{SqliteCdc, SqliteDataSourceV2}
   * resync (reprocess-all, T3), never a silent partial answer.
   *
   * State file: `<root>/_sqlite_tail_cursor` (one line, atomic-rename
-  * writes) holding the CDC cursor + the last applied epoch. The TxLog
-  * table is the authority on applied epochs; the file is a resume
-  * hint whose loss merely forces a resync.
+  * writes) holding the applied cursor + epoch + optional intent. An
+  * unreadable or missing file merely forces a resync.
   */
 class SqliteTail(spark: SparkSession, dbPath: String, table: String,
                  root: String) {
@@ -70,72 +85,118 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
      else base).load(dbPath)
   }
 
+  private def cursorTokens(c: SqliteCdc.Cursor): String =
+    s"${c.salt1} ${c.salt2} ${c.frames} ${c.mainCounter} ${c.mainLen} " +
+      s"${c.mainMtime}"
+
+  private def parseCursor(p: Array[String], o: Int): SqliteCdc.Cursor =
+    SqliteCdc.Cursor(p(o).toLong, p(o + 1).toLong, p(o + 2).toInt,
+      p(o + 3).toLong, p(o + 4).toLong, p(o + 5).toLong)
+
+  /** None on missing OR unreadable state (garbled tokens, partial
+    * write, future format) — both degrade to a resync, never a
+    * wedged poll loop (review r11). */
   private def loadState(): Option[TailState] =
     if (!Files.exists(statePath)) None
-    else {
+    else Try {
       val parts = new String(Files.readAllBytes(statePath),
         StandardCharsets.UTF_8).trim.split(" ")
-      if (parts.length != 7) None // unreadable hint -> resync
-      else Some(TailState(SqliteCdc.Cursor(parts(0).toLong,
-        parts(1).toLong, parts(2).toInt, parts(3).toLong, parts(4).toLong,
-        parts(5).toLong), parts(6).toLong))
-    }
+      if (parts.length == 7)
+        TailState(parseCursor(parts, 0), parts(6).toLong, None)
+      else if (parts.length == 13)
+        TailState(parseCursor(parts, 0), parts(6).toLong,
+          Some(parseCursor(parts, 7)))
+      else sys.error("unknown state format")
+    }.toOption
 
   private def saveState(st: TailState): Unit = {
     val tmp = statePath.resolveSibling(statePath.getFileName.toString +
       ".tmp")
-    val c = st.cursor
-    Files.write(tmp, (s"${c.salt1} ${c.salt2} ${c.frames} " +
-      s"${c.mainCounter} ${c.mainLen} ${c.mainMtime} ${st.epoch}")
-      .getBytes(StandardCharsets.UTF_8))
+    val line = cursorTokens(st.cursor) + s" ${st.epoch}" +
+      st.intent.map(t => " " + cursorTokens(t)).getOrElse("")
+    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def fullResync(epoch: Long, reason: String): TailResult = {
+  /** Epoch allocation: the TxLog table is the authority — a lost or
+    * stale state file must never allocate an epoch the table has
+    * already committed (the merge guard would silently skip real
+    * changes, review r11). */
+  private def nextEpoch(requested: Long): Long =
+    math.max(requested, TxLog.lastEpoch(spark, root).getOrElse(0L) + 1L)
+
+  private def fullResync(requestedEpoch: Long, reason: String)
+      : TailResult = {
+    val epoch = nextEpoch(requestedEpoch)
     val c = SqliteCdc.currentCursor(dbPath, conf)
     val df = readAt(c).withColumn("upload_id", lit(epoch))
     TxLog.overwrite(spark, root, df, keyCol)
-    saveState(TailState(c, epoch))
+    saveState(TailState(c, epoch, None))
     Resynced(TxLog.read(spark, root).count(), reason)
   }
 
+  /** Apply the DETERMINISTIC diff `st.cursor → target` under
+    * `st.epoch + 1` (already persisted as the intent). Safe to replay:
+    * same bounded diff, same epoch — the merge guard absorbs it. */
+  private def applyIntent(st: TailState, target: SqliteCdc.Cursor)
+      : TailResult = {
+    val outcome = Try(SqliteCdc.changesSince(dbPath, conf, table,
+      st.cursor, upTo = Some(target)))
+    outcome match {
+      case Failure(e) =>
+        // the pinned target is gone (checkpoint between intent and
+        // apply): the reader's generation pin throws — degrade loudly
+        fullResync(st.epoch + 1,
+          s"intent target unreachable: ${e.getMessage}")
+      case Success(SqliteCdc.ResyncRequired(reason)) =>
+        fullResync(st.epoch + 1, reason)
+      case Success(SqliteCdc.Changes(_, ins, upd, del)) =>
+        val epoch = st.epoch + 1
+        val changed = (ins ++ upd).map(Long.box)
+        if (changed.nonEmpty) {
+          val upserts = readAt(target)
+            .filter(col(keyCol).isin(changed: _*))
+            .withColumn("upload_id", lit(epoch))
+          TxLog.mergeEpoch(spark, root, upserts, keyCol, epoch)
+        }
+        if (del.nonEmpty)
+          TxLog.delete(spark, root, keyCol,
+            col(keyCol).isin(del.map(Long.box): _*))
+        saveState(TailState(target, epoch, None))
+        if (ins.isEmpty && upd.isEmpty && del.isEmpty) NoChange
+        else Synced(ins.size, upd.size, del.size)
+    }
+  }
+
   /** One poll: initial full sync, incremental apply, no-op, or loud
-    * resync. Safe to call again after a crash at ANY point — the epoch
-    * guard makes the replayed apply a no-op. */
+    * resync. Safe to call again after a crash at ANY point. */
   def pollOnce(): TailResult = loadState() match {
     case None =>
-      fullResync(epoch = 1L, reason = "initial sync")
+      fullResync(requestedEpoch = 1L, reason = "initial sync")
     case Some(st) =>
-      SqliteCdc.changesSince(dbPath, conf, table, st.cursor) match {
-        case SqliteCdc.ResyncRequired(reason) =>
-          fullResync(st.epoch + 1, reason)
-        case SqliteCdc.Changes(nc, ins, upd, del) =>
-          if (ins.isEmpty && upd.isEmpty && del.isEmpty) {
-            if (nc != st.cursor) saveState(TailState(nc, st.epoch))
-            NoChange
-          } else {
-            val epoch = st.epoch + 1
-            val changed = (ins ++ upd).map(Long.box)
-            if (changed.nonEmpty) {
-              val upserts = readAt(nc)
-                .filter(col(keyCol).isin(changed: _*))
-                .withColumn("upload_id", lit(epoch))
-              TxLog.mergeEpoch(spark, root, upserts, keyCol, epoch)
-            }
-            if (del.nonEmpty)
-              TxLog.delete(spark, root, keyCol,
-                col(keyCol).isin(del.map(Long.box): _*))
-            saveState(TailState(nc, epoch))
-            Synced(ins.size, upd.size, del.size)
+      st.intent match {
+        case Some(target) => applyIntent(st, target) // crash replay
+        case None =>
+          val target = Try(SqliteCdc.currentCursor(dbPath, conf))
+            .getOrElse(return fullResync(st.epoch + 1,
+              "database unreadable at poll"))
+          if (target == st.cursor) NoChange
+          else {
+            // write-ahead intent, THEN apply — a crash in between
+            // replays the same bounded diff under the same epoch
+            saveState(st.copy(intent = Some(target)))
+            applyIntent(st, target)
           }
       }
   }
 }
 
 object SqliteTail {
-  /** Persisted resume point: the CDC cursor + last APPLIED epoch. */
-  case class TailState(cursor: SqliteCdc.Cursor, epoch: Long)
+  /** Persisted resume point: the applied cursor, the last APPLIED
+    * epoch, and (while an apply is in flight) the intent target. */
+  case class TailState(cursor: SqliteCdc.Cursor, epoch: Long,
+                       intent: Option[SqliteCdc.Cursor])
 
   sealed trait TailResult
   /** Incremental apply: per-op row counts. */

@@ -880,6 +880,21 @@ class SqliteSourceSpec extends SparkSpec {
     assert(got.exists(_.length == 110))
     assert(c.seen.size * 5 < nFull,
       s"range probe read ${c.seen.size} pages vs $nFull full-scan")
+    // hi-only probe: the index holds 136 NULL-score entries, which
+    // rank BELOW every value — they must NOT be collected (Spark's
+    // comparison can never match NULL; an unguarded hi-only descent
+    // would buffer them all and trip the budget abort, review r11)
+    val pr2 = new BytesPageReader(bytes, hdr.pageSize)
+    val hiOnlyIdx = searchIndexRowids(pr2, hdr, scoreIdx.rootPage,
+      IndexProbe(Nil, None, Some((VReal(5.0), true))), Long.MaxValue)
+      .get.toSeq.sorted
+    val hiOnlyScan = read(fixture, "docs").collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("score")) &&
+        r.getAs[Double]("score") <= 5.0)
+      .map(_.getAs[Long]("id")).sorted.toSeq
+    assert(hiOnlyIdx == hiOnlyScan && hiOnlyIdx.nonEmpty,
+      s"NULL keys leaked into a hi-only range: ${hiOnlyIdx.length} vs " +
+        s"${hiOnlyScan.length}")
   }
 
   test("composite-prefix pushdown: eq on the leading column + range " +

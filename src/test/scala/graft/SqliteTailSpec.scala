@@ -76,10 +76,17 @@ class SqliteTailSpec extends SparkSpec {
     assert(head.getLong(2) == 20L)
     assert(t2.pollOnce() == NoChange)
 
-    // crash replay: restore the pre-apply cursor (as if the process
-    // died after the merge+delete but before the cursor write) — the
-    // epoch guard must make the re-apply a no-op
-    Files.write(Paths.get(root, "_sqlite_tail_cursor"), stateAfterInserts)
+    // crash replay A — died after the apply, before the final state
+    // write: the state still carries the INTENT; the replayed bounded
+    // diff runs under the same epoch and the merge guard absorbs it
+    val finalState = Files.readAllBytes(
+      Paths.get(root, "_sqlite_tail_cursor"))
+    val appliedTokens = new String(stateAfterInserts, "UTF-8").trim
+      .split(" ") // cursor at bounds(1) + epoch 2
+    val headTokens = new String(finalState, "UTF-8").trim.split(" ")
+    Files.write(Paths.get(root, "_sqlite_tail_cursor"),
+      (appliedTokens.take(6).mkString(" ") + " 2 " +
+        headTokens.take(6).mkString(" ")).getBytes("UTF-8"))
     val t3 = new SqliteTail(spark, db.toString, "readings", root)
     assert(t3.pollOnce() == Synced(0, 12, 12)) // re-reported, not re-applied
     val replayed = agg()
@@ -88,10 +95,63 @@ class SqliteTailSpec extends SparkSpec {
       replayed.getLong(2) == 20L,
       "crash replay must not double-apply the epoch")
 
-    // t3: checkpoint TRUNCATE (sidecar gone) — loud full resync from
-    // the main file's state, never a silent partial view
+    // crash replay B — died after the intent write, before the apply,
+    // and the LIVE WRITER has since committed past the intent target:
+    // the replay must apply EXACTLY the intended slice (not the new
+    // head — that would mark the in-between rows applied under an
+    // already-committed epoch and silently drop them; review r11)
+    val dirB = Files.createTempDirectory("graft_tail_b")
+    Files.copy(Paths.get(walFixture), dirB.resolve("live.db"))
+    Files.write(dirB.resolve("live.db-wal"),
+      rawWal.take(prefixLen(bounds(0)).toInt))
+    val rootB = dirB.resolve("synced").toString
+    val tb = new SqliteTail(spark, dirB.resolve("live.db").toString,
+      "readings", rootB)
+    tb.pollOnce() match {
+      case Resynced(800L, _) =>
+      case r => fail(s"expected initial 800-row sync, got $r")
+    }
+    val stB = new String(Files.readAllBytes(
+      Paths.get(rootB, "_sqlite_tail_cursor")), "UTF-8").trim.split(" ")
+    // writer races ahead of the crashed poll's intent
+    Files.write(dirB.resolve("live.db-wal"), rawWal)
+    // forge the crashed state: applied at bounds(0), epoch 1, intent
+    // pinned at bounds(1) (same salts + main pin, earlier frame count)
+    val intent = Array(stB(0), stB(1), bounds(1).toString, stB(3),
+      stB(4), stB(5))
+    Files.write(Paths.get(rootB, "_sqlite_tail_cursor"),
+      (stB.take(6).mkString(" ") + " 1 " + intent.mkString(" "))
+        .getBytes("UTF-8"))
+    val tb2 = new SqliteTail(spark, dirB.resolve("live.db").toString,
+      "readings", rootB)
+    assert(tb2.pollOnce() == Synced(400, 0, 0),
+      "the replay must apply the INTENDED slice only")
+    assert(TxLog.read(spark, rootB).count() == 1200L)
+    assert(tb2.pollOnce() == Synced(0, 12, 12)) // the writer's tail
+    assert(TxLog.read(spark, rootB).count() == 1188L)
+
+    // state-file loss: the TxLog table is the epoch authority — the
+    // resync and every later apply must allocate epochs ABOVE the
+    // table's lastEpoch, or the merge guard would silently skip real
+    // changes (review r11)
+    Files.write(wal, rawWal.take(prefixLen(bounds(1)).toInt))
+    Files.delete(Paths.get(root, "_sqlite_tail_cursor"))
+    val t4 = new SqliteTail(spark, db.toString, "readings", root)
+    t4.pollOnce() match {
+      case Resynced(1200L, reason) => assert(reason.contains("initial"))
+      case r => fail(s"expected a 1200-row resync, got $r")
+    }
+    Files.write(wal, rawWal)
+    assert(t4.pollOnce() == Synced(0, 12, 12))
+    val resynced = TxLog.read(spark, root)
+    assert(resynced.count() == 1188L)
+    assert(resynced.filter(col("status") === "alert2").count() == 12L,
+      "post-resync updates must not be epoch-skipped")
+
+    // checkpoint TRUNCATE (sidecar gone) — loud full resync from the
+    // main file's state, never a silent partial view
     Files.delete(wal)
-    t3.pollOnce() match {
+    t4.pollOnce() match {
       case Resynced(rows, reason) =>
         assert(rows == 800L && reason.contains("checkpointed or removed"))
       case r => fail(s"expected Resynced after TRUNCATE, got $r")
