@@ -9301,6 +9301,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DUPLICATED-SPAN REMOVAL (the curation ACTION on q351's report —
+    // the standard one-copy-survives policy of suffix-array dedup):
+    // every duplicated L-gram keeps its GLOBAL first occurrence (min
+    // (doc_id, position) — deterministic, order-free) and every other
+    // occurrence's token span is removed; per doc, overlapping removal
+    // intervals merge and the query reports kept/removed token counts.
+    // Scale: the keeper election is a per-gram window (key = the gram,
+    // grain bounded by occurrence counts the df-cut controls), never
+    // pairs; everything else is q351's per-doc-linear machinery.
+    "q353_dup_span_removal" -> ((s, dir) => {
+      val W = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val nTokens = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val leads = (1 until W).foldLeft(toks) { (df, k) =>
+        df.withColumn(s"w$k", lead(col("w"), k).over(byDoc))
+      }
+      val grams = leads
+        .filter(col(s"w${W - 1}").isNotNull)
+        .select(col("doc_id"), col("p"),
+          concat_ws(" ",
+            col("w") +: (1 until W).map(k => col(s"w$k")): _*).as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select("gram")
+      val hits = grams.join(dup, "gram")
+      // keeper = the gram's global first occurrence; everyone else
+      // is a removal site
+      val byGram = Window.partitionBy("gram").orderBy("doc_id", "p")
+      val rm = hits
+        .withColumn("rn", row_number().over(byGram))
+        .filter(col("rn") > 1)
+        .select("doc_id", "p")
+      val brk = rm.withColumn("b",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= W, lit(0L))
+          .otherwise(lit(1L)))
+      val sid = brk.withColumn("span_id", sum(col("b")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val removed = sid.groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("p")).as("st"), (max(col("p")) + W).as("en"))
+        .groupBy("doc_id")
+        .agg(sum(col("en") - col("st")).as("removed_tokens"))
+      nTokens.join(removed, "doc_id")
+        .filter(col("removed_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+          (col("n_tokens") - col("removed_tokens")).as("kept_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // CDC-DRIVEN INCREMENTAL WAREHOUSE SYNC (composition of q336's
     // migration, the pinned-snapshot read, and SqliteCdc): migrate the
     // table AS OF a cursor into a TxLog table (epoch 1), pull the
@@ -17723,6 +17775,45 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_spans,
            sum(e - s)::BIGINT AS dup_tokens, max(e - s)::BIGINT AS max_span
          FROM sp GROUP BY doc_id ORDER BY doc_id""",
+
+    "q353_dup_span_removal" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         n AS (SELECT doc_id, len(ws) AS n_tokens FROM tk),
+         g AS (
+           SELECT doc_id, i AS p,
+             list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           FROM tk, unnest(range(1, len(ws)-6)) AS t(i)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         hits AS (SELECT g.gram, g.doc_id, g.p FROM g JOIN dup USING (gram)),
+         k AS (
+           SELECT gram, doc_id, p,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, p)
+               AS rn
+           FROM hits),
+         rm AS (SELECT doc_id, p FROM k WHERE rn > 1),
+         brk AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+               <= 8 THEN 0 ELSE 1 END AS b
+           FROM rm),
+         sid AS (
+           SELECT doc_id, p,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS s
+           FROM brk),
+         sp AS (SELECT doc_id, s, min(p) AS st, max(p) + 8 AS en
+                FROM sid GROUP BY doc_id, s),
+         per_doc AS (
+           SELECT doc_id, sum(en - st) AS removed FROM sp GROUP BY doc_id)
+         SELECT n.doc_id, n.n_tokens::BIGINT AS n_tokens,
+           removed::BIGINT AS removed_tokens,
+           (n.n_tokens - removed)::BIGINT AS kept_tokens
+         FROM n JOIN per_doc USING (doc_id)
+         WHERE removed > 0
+         ORDER BY doc_id""",
 
     // the q338 head-view oracle VERBATIM: the CDC-synced TxLog table
     // must reproduce the full re-read bit-exactly
