@@ -9420,6 +9420,51 @@ object SparkEntry {
           max(col("id")).as("max_id"))
         .orderBy("sensor")
     }),
+
+    // SUFFIX-ARRAY SUBSTRING DEDUP (prefix doubling): the SAME
+    // duplicated-span report as q351, computed by the distributed
+    // suffix-array rank construction (DedupOps.prefixDoublingDupStarts
+    // — Lee et al. 2021's actual data structure) instead of the
+    // stride-1 L-gram group: log2(L) rounds of (long,long) pair
+    // ranking replace the one shuffle of L-token STRING keys, the
+    // shape that stays affordable when the span floor is long (L=64
+    // gram keys run ~400 bytes; rank pairs stay 16 at any L). The
+    // oracle is the gram algebra verbatim — two independent
+    // algorithms, one answer.
+    "q354_suffix_array_dedup" -> ((s, dir) => {
+      val W = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val hits = DedupOps.prefixDoublingDupStarts(
+        toks, "doc_id", "p", "w", L = W)
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val brk = hits.withColumn("b",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= W, lit(0L))
+          .otherwise(lit(1L)))
+      val sid = brk.withColumn("span_id", sum(col("b")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sp = sid.groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("p")).as("st"), (max(col("p")) + W).as("en"))
+      sp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st")).as("dup_tokens"),
+          max(col("en") - col("st")).as("max_span"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): score every document
+    // by the add-one-smoothed log-likelihood ratio between a TARGET
+    // slice's hashed-unigram model (here lang='en') and the raw
+    // pool's — the data-selection signal behind importance resampling.
+    // One B-row bucket model broadcast back onto the token stream;
+    // nothing but the scans grows with the corpus
+    // (TextAnalysis.dsirLogWeights).
+    "q355_dsir_weights" -> ((s, dir) => {
+      TA.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -17825,5 +17870,65 @@ object SparkEntry {
            ('s-south', 238, 60502, 0, 1196),
            ('s-west', 238, 60685, 0, 1198)
          ) AS t(sensor, n, sum_temp_x8, n_alert, max_id)""",
+
+    // the q351 gram-algebra oracle VERBATIM: the suffix-array (prefix-
+    // doubling) path must agree with the L-gram path exactly
+    "q354_suffix_array_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS p,
+             list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           FROM tk, unnest(range(1, len(ws)-6)) AS t(i)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+         brk AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+               THEN 0 ELSE 1 END AS b
+           FROM hits),
+         sid AS (
+           SELECT doc_id, p,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+           FROM brk),
+         sp AS (
+           SELECT doc_id, span_id, min(p) AS s, max(p) + 8 AS e
+           FROM sid GROUP BY doc_id, span_id)
+         SELECT doc_id, count(*)::BIGINT AS n_spans,
+           sum(e - s)::BIGINT AS dup_tokens, max(e - s)::BIGINT AS max_span
+         FROM sp GROUP BY doc_id ORDER BY doc_id""",
+
+    "q355_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id, tgt,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 256 AS b,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096
+               AS sb
+           FROM w),
+         m AS (
+           SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc
+           FROM f GROUP BY b),
+         tot AS (SELECT sum(tc) AS tt, sum(rc) AS rr FROM m),
+         lam AS (
+           SELECT b, ln((tc+1)::DOUBLE/(tt+256)) -
+             ln((rc+1)::DOUBLE/(rr+256)) AS lam
+           FROM m CROSS JOIN tot),
+         l1 AS (
+           SELECT doc_id, tgt, sb, count(*) AS n1,
+             list_sum(list_sort(list(lam))) AS s1
+           FROM f JOIN lam USING (b) GROUP BY 1, 2, 3)
+         SELECT doc_id, tgt AS is_target, sum(n1)::BIGINT AS n_tokens,
+           round(list_sum(list_sort(list(s1))) / sum(n1), 4) + 0.0
+             AS dsir_weight
+         FROM l1 GROUP BY doc_id, tgt ORDER BY doc_id""",
   )
 }

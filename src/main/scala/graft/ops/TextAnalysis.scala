@@ -545,4 +545,63 @@ object TextAnalysis {
           ((col("na") / col("__tu")) * (col("nb") / col("__tu"))))
           .as("pmi"))
   }
+
+  /** DSIR importance log-weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document in a raw pool by how much its hashed-unigram
+    * distribution looks like a TARGET slice rather than the pool.
+    * Features are md5₄₈ buckets (the q85 feature-hash scheme, exact in
+    * any engine with md5); the per-bucket weight is the add-one-
+    * smoothed log-likelihood ratio
+    * λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) between the target
+    * and raw bucket unigram models, and a document's importance is the
+    * MEAN λ over its hashed tokens. Returns one row per document:
+    * (id, is_target, n_tokens, dsir_weight rounded 4 dp). Feed the
+    * raw-pool weights to a weighted/Gumbel sampler (q295/q221) for the
+    * resampling step.
+    *
+    * Scale (100 TB): the bucket model is ONE pass — a B-row keyed agg
+    * (B = `buckets`, fixed) broadcast back onto the token stream — and
+    * scoring is a broadcast equi-join plus one per-doc aggregation.
+    * Nothing grows with the corpus except the scans. Deterministic
+    * cross-engine: buckets are exact md5 integer arithmetic; the
+    * per-doc mean is the same two-level sorted fold as
+    * [[hashedLinearScore]] (level 1 within 4096 token-hash buckets,
+    * level 2 over sorted bucket subtotals), so IEEE addition order is
+    * a pure function of the token multiset; ln parity matches what the
+    * surprisal queries already pin. */
+  def dsirLogWeights(docs: DataFrame, id: String, text: String,
+                     isTarget: Column, buckets: Int = 256): DataFrame = {
+    val B = buckets.toLong
+    val h = TextFunctions.md5Hash48(col("w"))
+    val toks = docs
+      .select(col(id).as("__id"), isTarget.as("__tgt"),
+        explode_outer(tokens(col(text))).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("__id"), col("__tgt"),
+        pmod(h, lit(B)).as("__b"), pmod(h, lit(4096L)).as("__sb"))
+    // the bucket model: one keyed agg, <= B rows, broadcast back
+    val model = toks.groupBy("__b")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__rc"))
+    val totals = model.agg(sum(col("__tc")).as("__T"),
+      sum(col("__rc")).as("__R"))
+    val lam = model.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((col("__tc") + 1L).cast("double") /
+            (col("__T") + lit(B)).cast("double")) -
+          log((col("__rc") + 1L).cast("double") /
+            (col("__R") + lit(B)).cast("double"))).as("__lam"))
+    toks.join(broadcast(lam), Seq("__b"))
+      .groupBy("__id", "__tgt", "__sb")
+      .agg(count(lit(1)).cast("long").as("__n1"),
+        ssum(collect_list(col("__lam"))).as("__s1"))
+      .groupBy("__id", "__tgt")
+      .agg(sum(col("__n1")).as("n_tokens"),
+        (ssum(collect_list(col("__s1"))) / sum(col("__n1"))).as("__w"))
+      .select(col("__id").as(id), col("__tgt").as("is_target"),
+        col("n_tokens"),
+        // + 0.0 normalizes IEEE negative zero (round(-1e-9, 4) = -0.0)
+        (round(col("__w"), 4) + 0.0).as("dsir_weight"))
+  }
 }

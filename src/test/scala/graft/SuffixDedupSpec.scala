@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, TextAnalysis}
+
+/** Prefix-doubling suffix-rank dedup (DedupOps.prefixDoublingDupStarts)
+  * vs a brute-force L-gram reference, across power-of-two and general L
+  * (the overlap-pair path), plus DSIR log-weight invariants. */
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute force: duplicated length-L run starts by direct gram count. */
+  private def bruteStarts(docs: Seq[(Long, Seq[String])], L: Int,
+                          minCount: Int = 2): Set[(Long, Int)] = {
+    val grams = for {
+      (id, ws) <- docs
+      p <- 0 to ws.length - L
+    } yield ((id, p), ws.slice(p, p + L).mkString(" "))
+    val counts = grams.groupBy(_._2).view.mapValues(_.size).toMap
+    grams.collect { case ((id, p), g) if counts(g) >= minCount => (id, p) }
+      .toSet
+  }
+
+  private def corpus(seed: Int, nDocs: Int, len: Int, vocab: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until nDocs).map(id =>
+      (id, Seq.fill(len + rnd.nextInt(len))("w" + rnd.nextInt(vocab))))
+  }
+
+  private def run(docs: Seq[(Long, Seq[String])], L: Int): Set[(Long, Int)] = {
+    val toks = docs.toDF("doc_id", "ws")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+    DedupOps.prefixDoublingDupStarts(toks, "doc_id", "p", "w", L)
+      .as[(Long, Int)].collect().toSet
+  }
+
+  test("prefix doubling matches the brute-force gram reference at " +
+    "power-of-two L (2, 8) on a high-collision random corpus") {
+    for (l <- Seq(2, 8); seed <- Seq(1, 2)) {
+      val docs = corpus(seed, nDocs = 12, len = 30, vocab = 4)
+      assert(run(docs, l) === bruteStarts(docs, l), s"L=$l seed=$seed")
+    }
+  }
+
+  test("general L (3, 12): the overlap-pair key — (rank_m(p), " +
+    "rank_m(p+L-m)), m = 2^floor(log2 L) — is exact, not just the " +
+    "power-of-two path") {
+    for (l <- Seq(3, 12); seed <- Seq(3, 4)) {
+      val docs = corpus(seed, nDocs = 10, len = 40, vocab = 3)
+      assert(run(docs, l) === bruteStarts(docs, l), s"L=$l seed=$seed")
+    }
+  }
+
+  test("runs never cross document boundaries, and a doc shorter than L " +
+    "contributes nothing") {
+    val docs = Seq(
+      (0L, Seq("a", "b", "c", "d")), // suffix 'c d' + next doc's prefix
+      (1L, Seq("c", "d", "a", "b")), // would fake an L=4 dup if crossed
+      (2L, Seq("a", "b")))           // shorter than L
+    assert(run(docs, 4) === bruteStarts(docs, 4))
+    assert(run(docs, 4) === Set.empty)
+    // the L=2 dups it DOES have are found
+    assert(run(docs, 2) === bruteStarts(docs, 2))
+    assert(run(docs, 2).nonEmpty)
+  }
+
+  test("identical 8-token prefixes in different docs are one dup pair: " +
+    "rank equality is exactly gram equality") {
+    val shared = Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8")
+    val docs = Seq(
+      (0L, shared ++ Seq("tail0")),
+      (1L, Seq("head1") ++ shared),
+      (2L, Seq("u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8")))
+    assert(run(docs, 8) === Set((0L, 0), (1L, 1)))
+  }
+
+  test("DSIR log-weights: target-looking docs score above pool-looking " +
+    "docs, and every doc gets exactly one row") {
+    val target = (0L until 20L).map(i =>
+      (i, "alpha beta gamma delta alpha beta", true))
+    val raw = (20L until 40L).map(i =>
+      (i, "omega psi chi phi omega psi", false))
+    val mixedRaw = Seq((40L, "alpha beta gamma omega", false))
+    val df = (target ++ raw ++ mixedRaw).toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis.dsirLogWeights(df, "doc_id", "text",
+        isTarget = col("tgt"), buckets = 64)
+      .as[(Long, Boolean, Long, Double)].collect()
+    assert(got.length === 41)
+    val byId = got.map(r => r._1 -> r._4).toMap
+    // pure-target vocabulary scores strictly above pure-pool vocabulary
+    assert(byId(0L) > byId(20L))
+    // the half-target raw doc lands strictly between the two poles
+    assert(byId(40L) > byId(20L) && byId(40L) < byId(0L))
+    // token counts ride along
+    assert(got.find(_._1 == 40L).get._3 === 4L)
+  }
+}
