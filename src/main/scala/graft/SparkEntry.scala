@@ -9465,6 +9465,21 @@ object SparkEntry {
           isTarget = col("lang") === "en", buckets = 256)
         .orderBy("doc_id")
     }),
+
+    // IN-ENGINE QUALITY-CLASSIFIER TRAINING (q105's missing half —
+    // q105 scores with a fixed weight table; this TRAINS one): two
+    // full-batch logistic-regression GD steps on hashed binary unigram
+    // features, label = lang='en' — the fastText-style quality filter
+    // trained at corpus scale with nothing but scans, B-row model
+    // frames, and a constant iteration count
+    // (TextAnalysis.trainHashedLogReg). The oracle unrolls both
+    // iterations as CTEs and replays the sorted folds and per-step
+    // 9-dp weight rounding exactly.
+    "q356_train_quality_lr" -> ((s, dir) => {
+      TA.trainHashedLogReg(t(s, dir, "documents"), "doc_id", "text",
+          labelPos = col("lang") === "en", buckets = 64, iters = 2)
+        .orderBy("bucket")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -17930,5 +17945,70 @@ object SparkEntry {
            round(list_sum(list_sort(list(s1))) / sum(n1), 4) + 0.0
              AS dsir_weight
          FROM l1 GROUP BY doc_id, tgt ORDER BY doc_id""",
+
+    // two GD iterations unrolled; iter 1's residuals are exactly
+    // 0.5 - y (all scores start at 0), iter 2 replays the sigmoid +
+    // two-level fold + per-step round-9
+    "q356_train_quality_lr" ->
+      """WITH tok AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+             AS y,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         fx AS (
+           SELECT DISTINCT doc_id, y,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 64 AS b
+           FROM tok),
+         n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM fx),
+         census AS (
+           SELECT b,
+             sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+             sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)::BIGINT AS n_neg
+           FROM fx GROUP BY b),
+         e1 AS (SELECT DISTINCT doc_id, 0.5 - y AS e FROM fx),
+         g1 AS (
+           SELECT b, list_sum(list_sort(list(e1l))) AS g FROM (
+             SELECT f.b, f.doc_id % 4096 AS sb,
+               list_sum(list_sort(list(e.e))) AS e1l
+             FROM fx f JOIN e1 e USING (doc_id) GROUP BY 1, 2)
+           GROUP BY b),
+         w1 AS (SELECT b, round(0.0 - 0.5 * g / (SELECT nd FROM n), 9)
+                  AS w FROM g1),
+         b1 AS (
+           SELECT round(0.0 - 0.5 * (SELECT
+               list_sum(list_sort(list(e1l))) FROM (
+                 SELECT doc_id % 4096 AS sb,
+                   list_sum(list_sort(list(e))) AS e1l
+                 FROM e1 GROUP BY 1))
+             / (SELECT nd FROM n), 9) AS bv),
+         s2 AS (
+           SELECT f.doc_id, f.y,
+             (SELECT bv FROM b1) + list_sum(list_sort(list(w1.w))) AS s
+           FROM fx f JOIN w1 USING (b) GROUP BY f.doc_id, f.y),
+         e2 AS (SELECT doc_id, 1.0/(1.0 + exp(-s)) - y AS e FROM s2),
+         g2 AS (
+           SELECT b, list_sum(list_sort(list(e1l))) AS g FROM (
+             SELECT f.b, f.doc_id % 4096 AS sb,
+               list_sum(list_sort(list(e.e))) AS e1l
+             FROM fx f JOIN e2 e USING (doc_id) GROUP BY 1, 2)
+           GROUP BY b),
+         w2 AS (
+           SELECT w1.b, round(w1.w - 0.5 * g2.g / (SELECT nd FROM n), 9)
+             AS w
+           FROM w1 JOIN g2 USING (b)),
+         b2 AS (
+           SELECT round((SELECT bv FROM b1) - 0.5 * (SELECT
+               list_sum(list_sort(list(e1l))) FROM (
+                 SELECT doc_id % 4096 AS sb,
+                   list_sum(list_sort(list(e))) AS e1l
+                 FROM e2 GROUP BY 1))
+             / (SELECT nd FROM n), 9) AS bv)
+         SELECT c.b AS bucket, c.n_pos AS n_pos_docs,
+           c.n_neg AS n_neg_docs, round(w2.w, 6) + 0.0 AS weight
+         FROM census c JOIN w2 USING (b)
+         UNION ALL
+         SELECT -1, 0, 0, round((SELECT bv FROM b2), 6) + 0.0
+         ORDER BY bucket""",
   )
 }

@@ -570,6 +570,90 @@ object TextAnalysis {
     * level 2 over sorted bucket subtotals), so IEEE addition order is
     * a pure function of the token multiset; ln parity matches what the
     * surprisal queries already pin. */
+  /** TRAIN a hashed-feature logistic-regression quality classifier
+    * in-engine — the missing half of [[hashedLinearScore]] (which
+    * scores with a fixed weight table): full-batch gradient descent on
+    * binary hashed-unigram presence features, fastText-shaped.
+    * Features: doc d has x_db = 1 iff any of its tokens md5₄₈-hashes
+    * to bucket b (B = `buckets`); model: p_d = σ(bias + Σ_b w_b·x_db);
+    * update: w ← round(w − lr·Σ_d (p_d − y_d)·x_db / N, 9) for `iters`
+    * full-batch steps from w = 0. Returns one row per OBSERVED bucket
+    * (bucket, n_pos_docs, n_neg_docs, weight rounded 6 dp) plus the
+    * intercept as bucket −1 — a model table a broadcast join applies
+    * at scan speed, trained without leaving the engine.
+    *
+    * Scale (100 TB): each iteration is (1) one broadcast join of the
+    * B-row weight table onto the doc-bucket stream + a per-doc agg
+    * (score), (2) one per-bucket agg (gradient) — nothing but scans
+    * and B-row model frames grows with the corpus, and the iteration
+    * count is a constant. Deterministic cross-engine: the per-doc
+    * score folds ≤ B weights (one-level sorted fold); the per-bucket
+    * gradient is the TWO-LEVEL sorted fold (level 1 within doc-id mod
+    * 4096 subbuckets, level 2 over sorted subtotals); weights are
+    * rounded to 9 dp per step so float drift cannot compound across
+    * iterations (iteration 1's gradient is exact — all errors are
+    * ±0.5 — and one exp round-trip stays ~1e-13, far from the 5e-10
+    * rounding boundary). */
+  def trainHashedLogReg(docs: DataFrame, id: String, text: String,
+                        labelPos: Column, buckets: Int = 64,
+                        iters: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(iters >= 1 && buckets >= 2)
+    val B = buckets.toLong
+    // binary presence: one row per (doc, observed bucket), plus the
+    // label carried along
+    val fx = Caches.small(docs
+      .select(col(id).as("__id"), labelPos.cast("double").as("__y"),
+        explode_outer(tokens(col(text))).as("__w"))
+      .filter(col("__w").isNotNull)
+      .select(col("__id"), col("__y"),
+        pmod(TextFunctions.md5Hash48(col("__w")), lit(B)).as("__b"))
+      .distinct())
+    val nDocs = fx.select(col("__id")).distinct().count().toDouble
+    require(nDocs > 0, "trainHashedLogReg: no documents with tokens")
+    // observed-bucket census (also the output's doc counts)
+    val census = Caches.small(fx.groupBy("__b")
+      .agg(sum(when(col("__y") === 1.0d, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y") === 1.0d, 0L).otherwise(1L)).as("n_neg")))
+    var w = Caches.small(census.select(col("__b"), lit(0.0d).as("__w")))
+    var bias = 0.0d
+    val sb = pmod(col("__id"), lit(4096L))
+    for (_ <- 1 to iters) {
+      // per-doc residual e_d = σ(bias + Σ w_b) − y_d; the fold is over
+      // ≤ B weights per doc — bounded, one level suffices
+      val scored = Caches.small(fx.join(broadcast(w), Seq("__b"))
+        .groupBy("__id", "__y")
+        .agg((lit(bias) + ssum(collect_list(col("__w")))).as("__s"))
+        .select(col("__id"),
+          (lit(1.0d) / (lit(1.0d) + exp(-col("__s"))) - col("__y"))
+            .as("__e")))
+      // per-bucket gradient: two-level fold over the docs touching b
+      val grad = fx.join(scored, Seq("__id"))
+        .groupBy(col("__b"), sb.as("__sb"))
+        .agg(ssum(collect_list(col("__e"))).as("__e1"))
+        .groupBy("__b")
+        .agg(ssum(collect_list(col("__e1"))).as("__g"))
+      w = Caches.small(w.join(grad, Seq("__b"))
+        .select(col("__b"),
+          round(col("__w") - lit(lr) * col("__g") / lit(nDocs), 9)
+            .as("__w")))
+      val g0 = scored.groupBy(sb.as("__sb"))
+        .agg(ssum(collect_list(col("__e"))).as("__e1"))
+        .agg(ssum(collect_list(col("__e1"))).as("__g"))
+        .head().getDouble(0)
+      bias = BigDecimal(bias - lr * g0 / nDocs)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val biasRow = docs.sparkSession.range(1)
+      .select(lit(-1L).as("bucket"), lit(0L).as("n_pos_docs"),
+        lit(0L).as("n_neg_docs"),
+        (round(lit(bias), 6) + 0.0).as("weight"))
+    census.join(w, Seq("__b"))
+      .select(col("__b").as("bucket"), col("n_pos").as("n_pos_docs"),
+        col("n_neg").as("n_neg_docs"),
+        (round(col("__w"), 6) + 0.0).as("weight"))
+      .unionByName(biasRow)
+  }
+
   def dsirLogWeights(docs: DataFrame, id: String, text: String,
                      isTarget: Column, buckets: Int = 256): DataFrame = {
     val B = buckets.toLong
