@@ -9272,29 +9272,13 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
-      val byDoc = Window.partitionBy("doc_id").orderBy("p")
-      val leads = (1 until W).foldLeft(toks) { (df, k) =>
-        df.withColumn(s"w$k", lead(col("w"), k).over(byDoc))
-      }
-      val grams = leads
-        .filter(col(s"w${W - 1}").isNotNull) // no short tail grams
-        .select(col("doc_id"), col("p"),
-          concat_ws(" ",
-            col("w") +: (1 until W).map(k => col(s"w$k")): _*).as("gram"))
+      val grams = DedupOps.posGrams(toks, "doc_id", "p", "w", W)
       val dup = grams.groupBy("gram")
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
         .select("gram")
       val hits = grams.join(dup, "gram").select("doc_id", "p")
-      // merge overlapping/adjacent [p, p+W) intervals per doc: a gap
-      // appears when consecutive duplicated starts are > W apart
-      val brk = hits.withColumn("b",
-        when(col("p") - lag(col("p"), 1).over(byDoc) <= W, lit(0L))
-          .otherwise(lit(1L)))
-      val sid = brk.withColumn("span_id", sum(col("b")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val sp = sid.groupBy(col("doc_id"), col("span_id"))
-        .agg(min(col("p")).as("st"), (max(col("p")) + W).as("en"))
-      sp.groupBy("doc_id")
+      DedupOps.mergeSpans(hits, "doc_id", "p", W)
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(col("en") - col("st")).as("dup_tokens"),
           max(col("en") - col("st")).as("max_span"))
@@ -9317,15 +9301,7 @@ object SparkEntry {
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
       val nTokens = toks.groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"))
-      val byDoc = Window.partitionBy("doc_id").orderBy("p")
-      val leads = (1 until W).foldLeft(toks) { (df, k) =>
-        df.withColumn(s"w$k", lead(col("w"), k).over(byDoc))
-      }
-      val grams = leads
-        .filter(col(s"w${W - 1}").isNotNull)
-        .select(col("doc_id"), col("p"),
-          concat_ws(" ",
-            col("w") +: (1 until W).map(k => col(s"w$k")): _*).as("gram"))
+      val grams = DedupOps.posGrams(toks, "doc_id", "p", "w", W)
       val dup = grams.groupBy("gram")
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
         .select("gram")
@@ -9337,13 +9313,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(byGram))
         .filter(col("rn") > 1)
         .select("doc_id", "p")
-      val brk = rm.withColumn("b",
-        when(col("p") - lag(col("p"), 1).over(byDoc) <= W, lit(0L))
-          .otherwise(lit(1L)))
-      val sid = brk.withColumn("span_id", sum(col("b")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val removed = sid.groupBy(col("doc_id"), col("span_id"))
-        .agg(min(col("p")).as("st"), (max(col("p")) + W).as("en"))
+      val removed = DedupOps.mergeSpans(rm, "doc_id", "p", W)
         .groupBy("doc_id")
         .agg(sum(col("en") - col("st")).as("removed_tokens"))
       nTokens.join(removed, "doc_id")
@@ -9438,15 +9408,8 @@ object SparkEntry {
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
       val hits = DedupOps.prefixDoublingDupStarts(
         toks, "doc_id", "p", "w", L = W)
-      val byDoc = Window.partitionBy("doc_id").orderBy("p")
-      val brk = hits.withColumn("b",
-        when(col("p") - lag(col("p"), 1).over(byDoc) <= W, lit(0L))
-          .otherwise(lit(1L)))
-      val sid = brk.withColumn("span_id", sum(col("b")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val sp = sid.groupBy(col("doc_id"), col("span_id"))
-        .agg(min(col("p")).as("st"), (max(col("p")) + W).as("en"))
-      sp.groupBy("doc_id")
+      DedupOps.mergeSpans(hits, "doc_id", "p", W)
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(col("en") - col("st")).as("dup_tokens"),
           max(col("en") - col("st")).as("max_span"))

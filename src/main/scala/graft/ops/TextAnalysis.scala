@@ -601,8 +601,12 @@ object TextAnalysis {
     val B = buckets.toLong
     // binary presence: one row per (doc, observed bucket), plus the
     // label carried along
+    // NULL labels are NEGATIVE (CASE-WHEN semantics): a null would
+    // otherwise null the residual and silently drop the doc from every
+    // gradient while still counting in nDocs (review r11)
     val fx = Caches.small(docs
-      .select(col(id).as("__id"), labelPos.cast("double").as("__y"),
+      .select(col(id).as("__id"),
+        coalesce(labelPos.cast("double"), lit(0.0d)).as("__y"),
         explode_outer(tokens(col(text))).as("__w"))
       .filter(col("__w").isNotNull)
       .select(col("__id"), col("__y"),

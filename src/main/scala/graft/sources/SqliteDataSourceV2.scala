@@ -646,19 +646,36 @@ private[sources] class SqliteScanBuilder(fullSchema: StructType,
       if (options.containsKey("walSalt1") && options.containsKey("walSalt2"))
         Some((options.getLong("walSalt1", 0L), options.getLong("walSalt2", 0L)))
       else None
+    // MAIN-FILE PIN (options `mainCounter`/`mainLen`/`mainMtime`, all
+    // three or none): the caller's view of the main file, verified at
+    // plan time AND at every executor open. Closes the window a
+    // plan-time-captured pin cannot: a non-resetting checkpoint
+    // backfilling between the caller's cursor (e.g. a SqliteCdc diff)
+    // and this plan would otherwise serve a torn "AS OF" snapshot
+    // (review r11).
+    val pinKeys = Seq("mainCounter", "mainLen", "mainMtime")
+      .map(options.containsKey)
+    require(pinKeys.forall(identity) || !pinKeys.exists(identity),
+      "graft-sqlite: mainCounter/mainLen/mainMtime must be set together")
+    val reqMainPin =
+      if (pinKeys.forall(identity))
+        Some((options.getLong("mainCounter", 0L),
+          options.getLong("mainLen", 0L),
+          options.getLong("mainMtime", 0L)))
+      else None
     pushedAggSpecs match {
       case Some(specs) =>
         new SqliteAggScan(specs, t, options.get("path"),
           options.getInt("maxPartitions", 32),
           new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()),
-          reqFrames, reqSalts)
+          reqFrames, reqSalts, reqMainPin)
       case None =>
         new SqliteScan(required, t, options.get("path"),
           options.getInt("maxPartitions", 32),
           new SerializableHadoopConf(XlsxDataSourceV2.sessionConf()), lo, hi,
           eqCandidates, rangeCandidates,
           options.getLong("maxIndexLookupRows", 1000000L),
-          reqFrames, reqSalts)
+          reqFrames, reqSalts, reqMainPin)
     }
   }
 }
@@ -680,7 +697,9 @@ private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
                                      maxPartitions: Int,
                                      conf: SerializableHadoopConf,
                                      reqFrames: Int = -1,
-                                     reqSalts: Option[(Long, Long)] = None)
+                                     reqSalts: Option[(Long, Long)] = None,
+                                     reqMainPin: Option[(Long, Long, Long)] =
+                                       None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(
@@ -701,14 +720,13 @@ private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pr = SqliteDataSourceV2.openReader(path, conf.value, reqFrames,
-      reqSalts)
+      reqSalts, reqMainPin)
     try {
       val pin = pr.wal.framesCommitted // same snapshot pin as SqliteScan
       val salts = if (pin > 0) Some((pr.wal.salt1, pr.wal.salt2)) else None
-      // backfill pin: only meaningful while a WAL snapshot is pinned —
-      // without a sidecar the main file is assumed static, like any
-      // file-based source (advisor r10)
-      val mpin = if (pin > 0) Some(pr.mainPinState) else None
+      // backfill pin: caller-pinned main state wins (see SqliteScan)
+      val mpin = reqMainPin.orElse(
+        if (pin > 0) Some(pr.mainPinState) else None)
       if (t.withoutRowid)
         return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
           walSalts = salts, mainPin = mpin))
@@ -786,7 +804,9 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
                                     Map.empty,
                                   maxIndexLookupRows: Long = 1000000L,
                                   reqFrames: Int = -1,
-                                  reqSalts: Option[(Long, Long)] = None)
+                                  reqSalts: Option[(Long, Long)] = None,
+                                  reqMainPin: Option[(Long, Long, Long)] =
+                                    None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -970,7 +990,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pr = SqliteDataSourceV2.openReader(path, conf.value, reqFrames,
-      reqSalts)
+      reqSalts, reqMainPin)
     try {
       // SNAPSHOT PIN: every partition reader re-parses the -wal, so a
       // live writer committing mid-query could otherwise give two
@@ -982,10 +1002,16 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       // loudly on the executors.
       val pin = pr.wal.framesCommitted
       val salts = if (pin > 0) Some((pr.wal.salt1, pr.wal.salt2)) else None
-      // backfill pin: only meaningful while a WAL snapshot is pinned —
-      // without a sidecar the main file is assumed static, like any
-      // file-based source (advisor r10)
-      val mpin = if (pin > 0) Some(pr.mainPinState) else None
+      // backfill pin: a CALLER-pinned main state (mainCounter/Len/Mtime
+      // options — the CDC sync path) wins, verified above at plan time
+      // and again at every executor open; otherwise only meaningful
+      // while a WAL snapshot is pinned — without a sidecar the main
+      // file is assumed static, like any file-based source (advisor
+      // r10). Plan-time capture alone cannot see a checkpoint backfill
+      // that happened BETWEEN the caller's cursor and this plan
+      // (review r11).
+      val mpin = reqMainPin.orElse(
+        if (pin > 0) Some(pr.mainPinState) else None)
       // WITHOUT ROWID rows live in an index B-tree whose interior pages
       // carry entries; subtree splits would drop them — one in-order
       // partition (these are PK-lookup tables; the parallel-scan story

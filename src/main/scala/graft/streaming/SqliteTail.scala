@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.util.{Failure, Success, Try}
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, lit}
@@ -49,9 +50,13 @@ import graft.sources.{SqliteCdc, SqliteDataSourceV2}
   * the poll degrades LOUDLY to the reference's own semantics: a full
   * resync (reprocess-all, T3), never a silent partial answer.
   *
-  * State file: `<root>/_sqlite_tail_cursor` (one line, atomic-rename
-  * writes) holding the applied cursor + epoch + optional intent. An
-  * unreadable or missing file merely forces a resync.
+  * State file: `<root>/_sqlite_tail_cursor` (one line, write-tmp +
+  * delete + rename through the SAME Hadoop FileSystem as the table
+  * root — a non-local root keeps state and data together, review
+  * r11) holding the applied cursor + epoch + optional intent. An
+  * unreadable or missing file merely forces a resync, so the rename
+  * not being atomic on every FileSystem is safe: a crash between
+  * delete and rename reads as missing state.
   */
 class SqliteTail(spark: SparkSession, dbPath: String, table: String,
                  root: String) {
@@ -59,7 +64,9 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
   import SqliteTail._
 
   private val conf = spark.sparkContext.hadoopConfiguration
-  private val statePath = Paths.get(root, "_sqlite_tail_cursor")
+  private val rootFs = new Path(root).getFileSystem(
+    spark.sessionState.newHadoopConf())
+  private val statePath = new Path(root, "_sqlite_tail_cursor")
 
   /** The rowid-alias column (the sync key). Rowid tables only: a
     * WITHOUT ROWID table has no stable rowid for the CDC diff. */
@@ -75,10 +82,17 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
   }
 
   /** Table read pinned AS OF `c` — the snapshot the cursor names, not
-    * whatever a live writer has appended since. */
+    * whatever a live writer has appended since. The cursor's MAIN-file
+    * state travels too: a non-resetting checkpoint backfilling between
+    * the CDC diff and this read's plan does not re-salt the sidecar,
+    * so without the main pin the plan would capture the post-backfill
+    * main and silently serve a torn "AS OF" view (review r11). */
   private def readAt(c: SqliteCdc.Cursor) = {
     val base = spark.read.format("graft-sqlite").option("table", table)
       .option("walFrames", c.frames.toString)
+      .option("mainCounter", c.mainCounter.toString)
+      .option("mainLen", c.mainLen.toString)
+      .option("mainMtime", c.mainMtime.toString)
     (if (c.frames > 0)
       base.option("walSalt1", c.salt1.toString)
         .option("walSalt2", c.salt2.toString)
@@ -97,10 +111,16 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     * write, future format) — both degrade to a resync, never a
     * wedged poll loop (review r11). */
   private def loadState(): Option[TailState] =
-    if (!Files.exists(statePath)) None
+    if (!rootFs.exists(statePath)) None
     else Try {
-      val parts = new String(Files.readAllBytes(statePath),
-        StandardCharsets.UTF_8).trim.split(" ")
+      val in = rootFs.open(statePath)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toByteArray
+        } finally in.close()
+      val parts = new String(bytes, StandardCharsets.UTF_8).trim.split(" ")
       if (parts.length == 7)
         TailState(parseCursor(parts, 0), parts(6).toLong, None)
       else if (parts.length == 13)
@@ -110,13 +130,15 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     }.toOption
 
   private def saveState(st: TailState): Unit = {
-    val tmp = statePath.resolveSibling(statePath.getFileName.toString +
-      ".tmp")
+    val tmp = new Path(root, "_sqlite_tail_cursor.tmp")
     val line = cursorTokens(st.cursor) + s" ${st.epoch}" +
       st.intent.map(t => " " + cursorTokens(t)).getOrElse("")
-    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val out = rootFs.create(tmp, true)
+    try out.write(line.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    rootFs.delete(statePath, false)
+    require(rootFs.rename(tmp, statePath),
+      s"sqlite-tail: could not rename $tmp over $statePath")
   }
 
   /** Epoch allocation: the TxLog table is the authority — a lost or
@@ -133,7 +155,21 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     val df = readAt(c).withColumn("upload_id", lit(epoch))
     TxLog.overwrite(spark, root, df, keyCol)
     saveState(TailState(c, epoch, None))
-    Resynced(TxLog.read(spark, root).count(), reason)
+    // row count from the committed manifest (metadata), not a second
+    // full read of the table just written (review r11)
+    Resynced(TxLog.snapshot(spark, root).files.map(_.rows).sum, reason)
+  }
+
+  /** A TRANSIENT failure — the storage hiccuped but nothing indicates
+    * the pinned snapshot contract broke. Retrying the same bounded,
+    * deterministic operation next poll is right; a full resync (the
+    * O(db) reprocess-all the WAL-bounded pull exists to avoid) is not
+    * (review r11). Pin/contract violations surface as
+    * IllegalArgumentException/IllegalStateException from the reader's
+    * `require`s and stay on the loud-resync path. */
+  private def transient(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case _ => false
   }
 
   /** Apply the DETERMINISTIC diff `st.cursor → target` under
@@ -144,6 +180,10 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     val outcome = Try(SqliteCdc.changesSince(dbPath, conf, table,
       st.cursor, upTo = Some(target)))
     outcome match {
+      case Failure(e) if transient(e) =>
+        // state (incl. the intent) untouched: next poll replays the
+        // same diff
+        Deferred(s"transient I/O failure, will retry: ${e.getMessage}")
       case Failure(e) =>
         // the pinned target is gone (checkpoint between intent and
         // apply): the reader's generation pin throws — degrade loudly
@@ -178,9 +218,15 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
       st.intent match {
         case Some(target) => applyIntent(st, target) // crash replay
         case None =>
-          val target = Try(SqliteCdc.currentCursor(dbPath, conf))
-            .getOrElse(return fullResync(st.epoch + 1,
-              "database unreadable at poll"))
+          val target = Try(SqliteCdc.currentCursor(dbPath, conf)) match {
+            case Success(t) => t
+            case Failure(e) if transient(e) =>
+              return Deferred(
+                s"database unreadable at poll, will retry: ${e.getMessage}")
+            case Failure(e) =>
+              return fullResync(st.epoch + 1,
+                s"database unreadable at poll: ${e.getMessage}")
+          }
           if (target == st.cursor) NoChange
           else {
             // write-ahead intent, THEN apply — a crash in between
@@ -204,5 +250,9 @@ object SqliteTail {
       extends TailResult
   /** Loud degrade: the table was re-read in full (reprocess-all). */
   case class Resynced(rows: Long, reason: String) extends TailResult
+  /** Transient storage failure: nothing applied, state (including any
+    * in-flight intent) untouched — the next poll retries the same
+    * bounded operation. */
+  case class Deferred(reason: String) extends TailResult
   case object NoChange extends TailResult
 }

@@ -88,6 +88,40 @@ class SqliteCdcSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("caller main-pin scan options: matching mainCounter/Len/Mtime " +
+    "read fine; a mismatched pin — the checkpoint-backfill-between-" +
+    "cursor-and-plan race — fails loudly; partial options are " +
+    "rejected") {
+    val head = SqliteCdc.currentCursor(walFixture, conf)
+    def at(counter: Long, len: Long, mtime: Long) =
+      spark.read.format("graft-sqlite").option("table", "readings")
+        .option("walFrames", head.frames.toString)
+        .option("walSalt1", head.salt1.toString)
+        .option("walSalt2", head.salt2.toString)
+        .option("mainCounter", counter.toString)
+        .option("mainLen", len.toString)
+        .option("mainMtime", mtime.toString)
+        .load(walFixture)
+    assert(at(head.mainCounter, head.mainLen, head.mainMtime)
+      .count() == 1188L)
+    val e = intercept[Exception] {
+      at(head.mainCounter + 1, head.mainLen, head.mainMtime).count()
+    }
+    def mentionsBackfill(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("main file")) ||
+        mentionsBackfill(t.getCause))
+    assert(mentionsBackfill(e), s"got: ${e.getMessage}")
+    val p = intercept[Exception] {
+      spark.read.format("graft-sqlite").option("table", "readings")
+        .option("mainCounter", head.mainCounter.toString)
+        .load(walFixture).count()
+    }
+    def mentionsTogether(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("together")) ||
+        mentionsTogether(t.getCause))
+    assert(mentionsTogether(p), s"got: ${p.getMessage}")
+  }
+
   test("head cursor yields empty changes; the new cursor round-trips") {
     val head = SqliteCdc.currentCursor(walFixture, conf)
     SqliteCdc.changesSince(walFixture, conf, "readings", head) match {

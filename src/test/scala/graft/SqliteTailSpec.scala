@@ -18,6 +18,18 @@ import graft.streaming.SqliteTail.{NoChange, Resynced, Synced}
   * insert-heavy transaction and a delete+update transaction. */
 class SqliteTailSpec extends SparkSpec {
 
+  /** Forge a state file THROUGH the Hadoop FileSystem (the product's
+    * write path): a raw java.nio write would leave the local
+    * FileSystem's checksum sidecar stale and every subsequent product
+    * read would see a ChecksumException instead of the forged state. */
+  private def forgeState(root: String, line: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(root, "_sqlite_tail_cursor")
+    val out = fs.create(p, true)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+  }
+
   private def walFixture = SqliteDataSourceV2.fixtureWalPath
 
   test("tail a live WAL database into a TxLog table: initial sync, " +
@@ -84,9 +96,8 @@ class SqliteTailSpec extends SparkSpec {
     val appliedTokens = new String(stateAfterInserts, "UTF-8").trim
       .split(" ") // cursor at bounds(1) + epoch 2
     val headTokens = new String(finalState, "UTF-8").trim.split(" ")
-    Files.write(Paths.get(root, "_sqlite_tail_cursor"),
-      (appliedTokens.take(6).mkString(" ") + " 2 " +
-        headTokens.take(6).mkString(" ")).getBytes("UTF-8"))
+    forgeState(root, appliedTokens.take(6).mkString(" ") + " 2 " +
+      headTokens.take(6).mkString(" "))
     val t3 = new SqliteTail(spark, db.toString, "readings", root)
     assert(t3.pollOnce() == Synced(0, 12, 12)) // re-reported, not re-applied
     val replayed = agg()
@@ -119,9 +130,8 @@ class SqliteTailSpec extends SparkSpec {
     // pinned at bounds(1) (same salts + main pin, earlier frame count)
     val intent = Array(stB(0), stB(1), bounds(1).toString, stB(3),
       stB(4), stB(5))
-    Files.write(Paths.get(rootB, "_sqlite_tail_cursor"),
-      (stB.take(6).mkString(" ") + " 1 " + intent.mkString(" "))
-        .getBytes("UTF-8"))
+    forgeState(rootB,
+      stB.take(6).mkString(" ") + " 1 " + intent.mkString(" "))
     val tb2 = new SqliteTail(spark, dirB.resolve("live.db").toString,
       "readings", rootB)
     assert(tb2.pollOnce() == Synced(400, 0, 0),
