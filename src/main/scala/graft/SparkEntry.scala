@@ -9443,6 +9443,28 @@ object SparkEntry {
           labelPos = col("lang") === "en", buckets = 64, iters = 2)
         .orderBy("bucket")
     }),
+
+    // SUFFIX-RANK ORDER PROOF: q354's machinery claims its ranks are
+    // the corpus suffix array truncated at depth 8 — dense 1..K ranks
+    // in LEXICOGRAPHIC run order, not just equality classes. This
+    // query exposes the rank table joined back to the literal grams:
+    // the oracle recomputes the rank as a DuckDB dense_rank() over the
+    // gram sort, so any order inconsistency (or rank collision /
+    // split) in the doubling rounds hash-mismatches. Both engines
+    // compare strings by raw UTF-8 bytes.
+    "q357_suffix_rank_order" -> ((s, dir) => {
+      val W = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val ranks = DedupOps.suffixRanks(toks, "doc_id", "p", "w", depth = W)
+      val grams = DedupOps.posGrams(toks, "doc_id", "p", "w", W)
+      ranks.join(grams, Seq("doc_id", "p"))
+        .groupBy(col("__r"), col("gram"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select(col("__r").as("rank"), col("gram"), col("n_occurrences"))
+        .orderBy("rank")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -17973,5 +17995,23 @@ object SparkEntry {
          UNION ALL
          SELECT -1, 0, 0, round((SELECT bv FROM b2), 6) + 0.0
          ORDER BY bucket""",
+
+    // the rank is recomputed as a dense_rank over the literal gram
+    // sort — binary UTF-8 collation in both engines
+    "q357_suffix_rank_order" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS p,
+             list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           FROM tk, unnest(range(1, len(ws)-6)) AS t(i)),
+         c AS (SELECT gram, count(*) AS n_occurrences FROM g
+               GROUP BY gram)
+         SELECT dense_rank() OVER (ORDER BY gram) AS rank, gram,
+           n_occurrences
+         FROM c ORDER BY rank""",
   )
 }

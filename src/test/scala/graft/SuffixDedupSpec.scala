@@ -75,6 +75,26 @@ class SuffixDedupSpec extends SparkSpec {
     assert(run(docs, 8) === Set((0L, 0), (1L, 1)))
   }
 
+  test("suffixRanks is the dense 1..K LEXICOGRAPHIC rank of the " +
+    "depth-run — order-consistent, not just equality classes") {
+    for (seed <- Seq(7, 8); depth <- Seq(2, 4)) {
+      val docs = corpus(seed, nDocs = 8, len = 20, vocab = 3)
+      val toks = docs.toDF("doc_id", "ws")
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+      val got = DedupOps.suffixRanks(toks, "doc_id", "p", "w", depth)
+        .as[(Long, Int, Long)].collect()
+      val runs = (for {
+        (id, ws) <- docs; p <- 0 to ws.length - depth
+      } yield ((id, p), ws.slice(p, p + depth).mkString(" "))).toMap
+      val lexRank = runs.values.toSeq.distinct.sorted.zipWithIndex
+        .map { case (g, i) => g -> (i + 1L) }.toMap
+      assert(got.length === runs.size, s"seed=$seed depth=$depth")
+      for ((id, p, r) <- got)
+        assert(r === lexRank(runs((id, p))),
+          s"seed=$seed depth=$depth pos=($id,$p)")
+    }
+  }
+
   test("DSIR log-weights: target-looking docs score above pool-looking " +
     "docs, and every doc gets exactly one row") {
     val target = (0L until 20L).map(i =>
