@@ -107,12 +107,14 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     SqliteCdc.Cursor(p(o).toLong, p(o + 1).toLong, p(o + 2).toInt,
       p(o + 3).toLong, p(o + 4).toLong, p(o + 5).toLong)
 
-  /** None on missing OR unreadable state (garbled tokens, partial
-    * write, future format) — both degrade to a resync, never a
-    * wedged poll loop (review r11). */
+  /** None on missing state or UNPARSEABLE content (garbled tokens,
+    * partial write, future format) — those degrade to a resync.
+    * Transient read failures PROPAGATE so pollOnce can Defer instead
+    * of paying an O(db) resync for a storage blip on a 100-byte file
+    * (review r11). */
   private def loadState(): Option[TailState] =
     if (!rootFs.exists(statePath)) None
-    else Try {
+    else {
       val in = rootFs.open(statePath)
       val bytes =
         try {
@@ -120,14 +122,17 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
           org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
           buf.toByteArray
         } finally in.close()
-      val parts = new String(bytes, StandardCharsets.UTF_8).trim.split(" ")
-      if (parts.length == 7)
-        TailState(parseCursor(parts, 0), parts(6).toLong, None)
-      else if (parts.length == 13)
-        TailState(parseCursor(parts, 0), parts(6).toLong,
-          Some(parseCursor(parts, 7)))
-      else sys.error("unknown state format")
-    }.toOption
+      Try {
+        val parts = new String(bytes, StandardCharsets.UTF_8).trim
+          .split(" ")
+        if (parts.length == 7)
+          TailState(parseCursor(parts, 0), parts(6).toLong, None)
+        else if (parts.length == 13)
+          TailState(parseCursor(parts, 0), parts(6).toLong,
+            Some(parseCursor(parts, 7)))
+        else sys.error("unknown state format")
+      }.toOption
+    }
 
   private def saveState(st: TailState): Unit = {
     val tmp = new Path(root, "_sqlite_tail_cursor.tmp")
@@ -160,17 +165,35 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     Resynced(TxLog.snapshot(spark, root).files.map(_.rows).sum, reason)
   }
 
+  /** Consecutive Deferred results so far: a genuinely transient blip
+    * clears on the next successful poll, while a PERSISTENT failure
+    * misclassified as transient escalates to the loud path after
+    * [[SqliteTail.maxDeferrals]] — the "never a wedged poll loop"
+    * contract is a bound, not a hope (review r11). */
+  private var deferrals = 0
+
+  private def defer(reason: String): TailResult = {
+    deferrals += 1
+    Deferred(reason)
+  }
+
   /** A TRANSIENT failure — the storage hiccuped but nothing indicates
     * the pinned snapshot contract broke. Retrying the same bounded,
     * deterministic operation next poll is right; a full resync (the
     * O(db) reprocess-all the WAL-bounded pull exists to avoid) is not
-    * (review r11). Pin/contract violations surface as
-    * IllegalArgumentException/IllegalStateException from the reader's
-    * `require`s and stay on the loud-resync path. */
-  private def transient(e: Throwable): Boolean = e match {
-    case _: java.io.IOException => true
-    case _ => false
-  }
+    * (review r11). NOT transient: a vanished or permission-revoked db
+    * and checksum corruption (the condition will not heal by waiting),
+    * and pin/contract violations (IllegalArgument/IllegalState from
+    * the reader's `require`s) — those stay on the loud-resync path.
+    * The [[deferrals]] bound backstops any misclassification. */
+  private def transient(e: Throwable): Boolean =
+    deferrals < SqliteTail.maxDeferrals && (e match {
+      case _: java.io.FileNotFoundException => false
+      case _: org.apache.hadoop.security.AccessControlException => false
+      case _: org.apache.hadoop.fs.ChecksumException => false
+      case _: java.io.IOException => true
+      case _ => false
+    })
 
   /** Apply the DETERMINISTIC diff `st.cursor → target` under
     * `st.epoch + 1` (already persisted as the intent). Safe to replay:
@@ -183,7 +206,7 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
       case Failure(e) if transient(e) =>
         // state (incl. the intent) untouched: next poll replays the
         // same diff
-        Deferred(s"transient I/O failure, will retry: ${e.getMessage}")
+        defer(s"transient I/O failure, will retry: ${e.getMessage}")
       case Failure(e) =>
         // the pinned target is gone (checkpoint between intent and
         // apply): the reader's generation pin throws — degrade loudly
@@ -209,36 +232,61 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     }
   }
 
-  /** One poll: initial full sync, incremental apply, no-op, or loud
-    * resync. Safe to call again after a crash at ANY point. */
-  def pollOnce(): TailResult = loadState() match {
-    case None =>
-      fullResync(requestedEpoch = 1L, reason = "initial sync")
-    case Some(st) =>
-      st.intent match {
-        case Some(target) => applyIntent(st, target) // crash replay
-        case None =>
-          val target = Try(SqliteCdc.currentCursor(dbPath, conf)) match {
-            case Success(t) => t
-            case Failure(e) if transient(e) =>
-              return Deferred(
-                s"database unreadable at poll, will retry: ${e.getMessage}")
-            case Failure(e) =>
-              return fullResync(st.epoch + 1,
-                s"database unreadable at poll: ${e.getMessage}")
-          }
-          if (target == st.cursor) NoChange
-          else {
-            // write-ahead intent, THEN apply — a crash in between
-            // replays the same bounded diff under the same epoch
-            saveState(st.copy(intent = Some(target)))
-            applyIntent(st, target)
-          }
-      }
+  /** One poll: initial full sync, incremental apply, no-op, deferred
+    * retry (bounded), or loud resync. Safe to call again after a
+    * crash at ANY point. */
+  def pollOnce(): TailResult = {
+    val result = pollInner()
+    result match {
+      case Deferred(_) => () // defer() already counted it
+      case _           => deferrals = 0
+    }
+    result
+  }
+
+  private def pollInner(): TailResult = {
+    val state = Try(loadState()) match {
+      case Success(s) => s
+      case Failure(e) if transient(e) =>
+        return defer(
+          s"state file unreadable, will retry: ${e.getMessage}")
+      case Failure(_) => None // non-transient: degrade to resync below
+    }
+    state match {
+      case None =>
+        fullResync(requestedEpoch = 1L, reason = "initial sync")
+      case Some(st) =>
+        st.intent match {
+          case Some(target) => applyIntent(st, target) // crash replay
+          case None =>
+            val target = Try(SqliteCdc.currentCursor(dbPath, conf)) match {
+              case Success(t) => t
+              case Failure(e) if transient(e) =>
+                return defer(s"database unreadable at poll, will " +
+                  s"retry: ${e.getMessage}")
+              case Failure(e) =>
+                return fullResync(st.epoch + 1,
+                  s"database unreadable at poll: ${e.getMessage}")
+            }
+            if (target == st.cursor) NoChange
+            else {
+              // write-ahead intent, THEN apply — a crash in between
+              // replays the same bounded diff under the same epoch
+              saveState(st.copy(intent = Some(target)))
+              applyIntent(st, target)
+            }
+        }
+    }
   }
 }
 
 object SqliteTail {
+  /** Consecutive Deferred polls before a failure stops counting as
+    * transient and escalates to the loud path (resync or a propagated
+    * exception): bounds how long a persistent failure misclassified
+    * as transient can wedge the tail. */
+  val maxDeferrals: Int = 3
+
   /** Persisted resume point: the applied cursor, the last APPLIED
     * epoch, and (while an apply is in flight) the intent target. */
   case class TailState(cursor: SqliteCdc.Cursor, epoch: Long,
