@@ -9465,6 +9465,34 @@ object SparkEntry {
         .select(col("__r").as("rank"), col("gram"), col("n_occurrences"))
         .orderBy("rank")
     }),
+
+    // DSIR RESAMPLING (the paper's step 2 — q355 computes the
+    // importance weights, this DRAWS the sample): Gumbel top-k over
+    // the raw pool with key = total log-importance + Gumbel(u), u
+    // from the md5 uniform — sampling without replacement with
+    // probability ∝ exp(log importance), deterministic in any engine
+    // with md5 + ln. Scale: the top-k is orderBy+limit
+    // (TakeOrderedAndProject — per-partition heaps, no global sort);
+    // the rank window runs on the 25-row sliver the limit proves
+    // bounded.
+    "q358_dsir_resample" -> ((s, dir) => {
+      val w = TA.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256)
+        .filter(!col("is_target"))
+      val keyed = w
+        .withColumn("u",
+          (TF.md5Hash48(col("doc_id").cast("string")).cast("double") + 0.5)
+            / lit(math.pow(2, 48)))
+        .withColumn("key",
+          col("dsir_weight") * col("n_tokens") - log(-log(col("u"))))
+      val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(25)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("key").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("n_tokens"),
+          round(col("key"), 4).as("gumbel_key"))
+        .orderBy("rank")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -18013,5 +18041,50 @@ object SparkEntry {
          SELECT dense_rank() OVER (ORDER BY gram) AS rank, gram,
            n_occurrences
          FROM c ORDER BY rank""",
+
+    // q355's weight pipeline + the Gumbel top-k draw
+    "q358_dsir_resample" ->
+      """WITH w AS (
+           SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id, tgt,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 256 AS b,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096
+               AS sb
+           FROM w),
+         m AS (
+           SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc
+           FROM f GROUP BY b),
+         tot AS (SELECT sum(tc) AS tt, sum(rc) AS rr FROM m),
+         lam AS (
+           SELECT b, ln((tc+1)::DOUBLE/(tt+256)) -
+             ln((rc+1)::DOUBLE/(rr+256)) AS lam
+           FROM m CROSS JOIN tot),
+         l1 AS (
+           SELECT doc_id, tgt, sb, count(*) AS n1,
+             list_sum(list_sort(list(lam))) AS s1
+           FROM f JOIN lam USING (b) GROUP BY 1, 2, 3),
+         dw AS (
+           SELECT doc_id, tgt, sum(n1)::BIGINT AS n_tokens,
+             round(list_sum(list_sort(list(s1))) / sum(n1), 4) + 0.0
+               AS dsir_weight
+           FROM l1 GROUP BY doc_id, tgt),
+         raw AS (
+           SELECT doc_id, n_tokens, dsir_weight,
+             (('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 12))
+               ::BIGINT + 0.5) / 281474976710656.0 AS u
+           FROM dw WHERE NOT tgt),
+         keyed AS (
+           SELECT doc_id, n_tokens,
+             dsir_weight * n_tokens - ln(-ln(u)) AS key
+           FROM raw),
+         top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 25)
+         SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+           doc_id, n_tokens, round(key, 4) AS gumbel_key
+         FROM top ORDER BY rank""",
   )
 }
