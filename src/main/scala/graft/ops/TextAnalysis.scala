@@ -588,8 +588,11 @@ object TextAnalysis {
     * and B-row model frames grows with the corpus, and the iteration
     * count is a constant. Deterministic cross-engine: the per-doc
     * score folds ≤ B weights (one-level sorted fold); the per-bucket
-    * gradient is the TWO-LEVEL sorted fold (level 1 within doc-id mod
-    * 4096 subbuckets, level 2 over sorted subtotals); weights are
+    * gradient is the TWO-LEVEL sorted fold (level 1 within 4096
+    * md5(doc-id) subbuckets — a HASH of the id, not the id itself,
+    * because Spark's pmod and DuckDB's % disagree on negative ids
+    * while md5₄₈ is non-negative in both, the dsirLogWeights idiom —
+    * level 2 over sorted subtotals); weights are
     * rounded to 9 dp per step so float drift cannot compound across
     * iterations (iteration 1's gradient is exact — all errors are
     * ±0.5 — and one exp round-trip stays ~1e-13, far from the 5e-10
@@ -604,7 +607,10 @@ object TextAnalysis {
     // NULL labels are NEGATIVE (CASE-WHEN semantics): a null would
     // otherwise null the residual and silently drop the doc from every
     // gradient while still counting in nDocs (review r11)
-    val fx = Caches.small(docs
+    // iteration-cached, not small: fx is doc×bucket-grain (corpus-
+    // scale), consumed by every GD step — persisted MEMORY_AND_DISK
+    // and explicitly released after the loop (advisor r11)
+    val fx = Caches.iteration(docs
       .select(col(id).as("__id"),
         coalesce(labelPos.cast("double"), lit(0.0d)).as("__y"),
         explode_outer(tokens(col(text))).as("__w"))
@@ -620,7 +626,8 @@ object TextAnalysis {
         sum(when(col("__y") === 1.0d, 0L).otherwise(1L)).as("n_neg")))
     var w = Caches.small(census.select(col("__b"), lit(0.0d).as("__w")))
     var bias = 0.0d
-    val sb = pmod(col("__id"), lit(4096L))
+    val sb = pmod(TextFunctions.md5Hash48(col("__id").cast("string")),
+      lit(4096L))
     for (_ <- 1 to iters) {
       // per-doc residual e_d = σ(bias + Σ w_b) − y_d; the fold is over
       // ≤ B weights per doc — bounded, one level suffices
@@ -647,6 +654,9 @@ object TextAnalysis {
       bias = BigDecimal(bias - lr * g0 / nDocs)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    // the output reads only the materialized census + final weights —
+    // release the corpus-scale feature stream now
+    fx.unpersist()
     val biasRow = docs.sparkSession.range(1)
       .select(lit(-1L).as("bucket"), lit(0L).as("n_pos_docs"),
         lit(0L).as("n_neg_docs"),
@@ -656,6 +666,138 @@ object TextAnalysis {
         col("n_neg").as("n_neg_docs"),
         (round(col("__w"), 6) + 0.0).as("weight"))
       .unionByName(biasRow)
+  }
+
+  /** UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
+    * unigram model — the production tokenizer family next to BPE),
+    * by full SOFT EM over each word's segmentation lattice, with the
+    * candidate vocabulary bounded to pieces of 1–2 characters inside
+    * words truncated at `maxWordLen` chars. Each EM round:
+    *
+    *  - E-step: per word TYPE (weighted by its corpus frequency), the
+    *    forward lattice probabilities α_i = α_{i-1}·p(c_i) +
+    *    α_{i-2}·p(c_{i-1}c_i) and the backward pass β (computed as
+    *    the SAME forward recurrence over the reversed piece-prob
+    *    arrays — one code path, one IEEE order in any engine); the
+    *    posterior mass of piece occurrence x at position i is the
+    *    textbook γ = α_before·p(x)·β_after / Z.
+    *  - M-step: p'(x) = Σ_w f(w)·γ-mass / total, rounded to 9 dp per
+    *    round so float drift cannot compound across iterations (the
+    *    [[trainHashedLogReg]] idiom).
+    *
+    * The lattice DP runs MAP-SIDE inside whole-stage codegen via
+    * higher-order `aggregate` over the word's positions (acc = the
+    * growing α array) — no UDF, no recursion, no driver state; the
+    * only iteration is the constant `iters` EM loop (the [[bpeTrain]]
+    * idiom). Deterministic cross-engine: probabilities divide exact
+    * integer counts at init; every multiply/add order is pinned by
+    * the recurrence; the M-step folds are the two-level sorted fold
+    * (level 1 within the word type, level 2 within 4096 md5(word)
+    * subbuckets, level 3 over sorted subtotals).
+    *
+    * Scale (100 TB): everything keys on word TYPES (Zipf keeps the
+    * type table orders of magnitude below the token stream) and the
+    * model is a piece-vocabulary-sized table broadcast back per
+    * round — the corpus is scanned once (word census); EM never
+    * touches it again. Returns one row per piece:
+    * (piece, piece_len, em_count rounded 6 dp, prob rounded 7 dp). */
+  def unigramLmTrain(docs: DataFrame, text: String, iters: Int = 2,
+                     maxWordLen: Int = 8): DataFrame = {
+    require(iters >= 1 && maxWordLen >= 1)
+    // word-type census; truncation bounds the lattice depth
+    val words = Caches.small(docs
+      .select(explode_outer(tokens(col(text))).as("w0"))
+      .filter(col("w0").isNotNull && length(col("w0")) >= 1)
+      .select(substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("n", length(col("w"))))
+    val nn = col("n")
+    val emptyOcc =
+      array().cast("array<struct<k:int,i:int,piece:string>>")
+    // piece-occurrence stream: len-1 at i = 1..n, len-2 at (i-1, i)
+    // for i = 2..n (k tags the kind; i is the RIGHT edge for k = 2)
+    val occ = Caches.small(words.select(col("w"), col("f"), col("n"),
+        explode(flatten(array(
+          transform(sequence(lit(1), nn), i =>
+            struct(lit(1).as("k"), i.as("i"),
+              col("w").substr(i, lit(1)).as("piece"))),
+          when(nn >= 2, transform(sequence(lit(2), nn), i =>
+            struct(lit(2).as("k"), i.as("i"),
+              col("w").substr(i - 1, lit(2)).as("piece"))))
+            .otherwise(emptyOcc)))).as("o"))
+      .select(col("w"), col("f"), col("n"), col("o.k").as("k"),
+        col("o.i").as("i"), col("o.piece").as("piece")))
+    // init model: exact integer occurrence counts
+    val c0 = occ.groupBy("piece").agg(sum(col("f")).as("__ci"))
+    val t0 = c0.agg(sum(col("__ci")).as("__t"))
+    var probs = Caches.small(c0.crossJoin(broadcast(t0))
+      .select(col("piece"),
+        round(col("__ci").cast("double") / col("__t").cast("double"), 9)
+          .as("p")))
+    var lastCounts: DataFrame = null
+    // forward lattice pass over prob arrays `p1`/`p2` (index i = the
+    // position; p2[i] is the 2-char piece ENDING at i, p2[1] a pad):
+    // acc grows as [α_0, α_1, ..]; same recurrence serves the
+    // backward pass on the reversed arrays
+    def fwd(p1: String, p2: String): Column =
+      aggregate(sequence(lit(1), nn), array(lit(1.0d)), (acc, i) =>
+        concat(acc, array(
+          element_at(acc, -1) * element_at(col(p1), i) +
+            when(i >= 2, element_at(acc, -2) * element_at(col(p2), i))
+              .otherwise(lit(0.0d)))))
+    for (_ <- 1 to iters) {
+      val arrs = occ.join(broadcast(probs), Seq("piece"))
+        .groupBy("w", "f", "n")
+        .agg(
+          transform(array_sort(collect_list(when(col("k") === 1,
+            struct(col("i"), col("p"))))), x => x("p")).as("pa"),
+          concat(array(lit(0.0d)),
+            transform(array_sort(collect_list(when(col("k") === 2,
+              struct(col("i"), col("p"))))), x => x("p"))).as("pb"))
+      val dp = arrs
+        .withColumn("ra", transform(sequence(lit(1), nn),
+          j => element_at(col("pa"), nn + 1 - j)))
+        .withColumn("rb", concat(array(lit(0.0d)),
+          when(nn >= 2, transform(sequence(lit(2), nn),
+            j => element_at(col("pb"), nn - j + 2)))
+            .otherwise(array().cast("array<double>"))))
+        .withColumn("al", fwd("pa", "pb"))
+        .withColumn("tl", fwd("ra", "rb"))
+        .withColumn("z", element_at(col("al"), -1))
+      val emptyGam = array().cast("array<struct<piece:string,g:double>>")
+      val gam = dp.select(col("w"), col("f"),
+          explode(flatten(array(
+            transform(sequence(lit(1), nn), i => struct(
+              col("w").substr(i, lit(1)).as("piece"),
+              (element_at(col("al"), i) * element_at(col("pa"), i) *
+                element_at(col("tl"), nn - i + 1) / col("z")).as("g"))),
+            when(nn >= 2, transform(sequence(lit(1), nn - 1), i => struct(
+              col("w").substr(i, lit(2)).as("piece"),
+              (element_at(col("al"), i) * element_at(col("pb"), i + 1) *
+                element_at(col("tl"), nn - i) / col("z")).as("g"))))
+              .otherwise(emptyGam)))).as("o"))
+        .select(col("w"), col("f"), col("o.piece").as("piece"),
+          col("o.g").as("g"))
+      // M-step: per-(word, piece) sorted fold, then the two-level
+      // corpus fold within md5(word) subbuckets
+      val wc = gam.groupBy("w", "f", "piece")
+        .agg(ssum(collect_list(col("g"))).as("__gs"))
+      lastCounts = Caches.small(wc
+        .groupBy(col("piece"),
+          pmod(TextFunctions.md5Hash48(col("w")), lit(4096L)).as("__sb"))
+        .agg(ssum(collect_list(col("f").cast("double") * col("__gs")))
+          .as("__c1"))
+        .groupBy("piece")
+        .agg(ssum(collect_list(col("__c1"))).as("__c")))
+      val tot = lastCounts.agg(ssum(collect_list(col("__c"))).as("__t"))
+      probs = Caches.small(lastCounts.crossJoin(broadcast(tot))
+        .select(col("piece"), round(col("__c") / col("__t"), 9).as("p")))
+    }
+    lastCounts.join(probs, Seq("piece"))
+      .select(col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        (round(col("__c"), 6) + 0.0).as("em_count"),
+        (round(col("p"), 7) + 0.0).as("prob"))
   }
 
   def dsirLogWeights(docs: DataFrame, id: String, text: String,

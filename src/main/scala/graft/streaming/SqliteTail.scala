@@ -141,9 +141,19 @@ class SqliteTail(spark: SparkSession, dbPath: String, table: String,
     val out = rootFs.create(tmp, true)
     try out.write(line.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    rootFs.delete(statePath, false)
-    require(rootFs.rename(tmp, statePath),
-      s"sqlite-tail: could not rename $tmp over $statePath")
+    // Plain rename FIRST: on filesystems whose rename overwrites
+    // (RawLocalFileSystem delegates to rename(2)) this replaces the
+    // state file atomically — no window with no state file at all.
+    // Only when the rename is refused (HDFS-style no-overwrite
+    // semantics with an existing target) fall back to delete-then-
+    // rename, so the no-state window exists only on filesystems that
+    // truly need it, and a crash there degrades to the TxLog-epoch
+    // full resync, never to a wrong cursor (advisor r11).
+    if (!rootFs.rename(tmp, statePath)) {
+      rootFs.delete(statePath, false)
+      require(rootFs.rename(tmp, statePath),
+        s"sqlite-tail: could not rename $tmp over $statePath")
+    }
   }
 
   /** Epoch allocation: the TxLog table is the authority — a lost or

@@ -95,6 +95,68 @@ class SuffixDedupSpec extends SparkSpec {
     }
   }
 
+  test("suffixLcpPairs on a hand-computed corpus: adjacency in suffix " +
+    "order and exact lcp per adjacent pair") {
+    val docs = Seq((0L, Seq("a", "b", "c", "d", "e")),
+                   (1L, Seq("a", "b", "c", "x", "y")))
+    val toks = docs.toDF("doc_id", "ws")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+    val got = DedupOps.suffixLcpPairs(toks, "doc_id", "p", "w", depth = 4)
+      .as[(Long, Long, Int, Long, Int, Long)].collect().sortBy(_._1)
+    // suffix order of the depth-4 runs: [a b c d](0,0), [a b c x](1,0),
+    // [b c d e](0,1), [b c x y](1,1) → lcps 3, 0, 2
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0, 1L, 0, 3L),
+      (2L, 1L, 0, 0L, 1, 0L),
+      (3L, 0L, 1, 1L, 1, 2L)))
+  }
+
+  test("suffixLcpPairs matches a brute-force sorted-suffix reference " +
+    "(depth 4 and 8) on high-collision random corpora, including " +
+    "full-depth ties (lcp = depth)") {
+    for (depth <- Seq(4, 8); seed <- Seq(5, 6)) {
+      val docs = corpus(seed, nDocs = 10, len = 25, vocab = 3)
+      val toks = docs.toDF("doc_id", "ws")
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+      val got = DedupOps.suffixLcpPairs(toks, "doc_id", "p", "w", depth)
+        .as[(Long, Long, Int, Long, Int, Long)].collect().sortBy(_._1)
+      // brute force: sort all depth-runs (tokens carry no sub-0x20
+      // chars, so the joined-string sort IS the tokenwise sort),
+      // pair neighbors, count common leading tokens
+      val runs = (for {
+        (id, ws) <- docs; p <- 0 to ws.length - depth
+      } yield (id, p, ws.slice(p, p + depth)))
+        .sortBy { case (id, p, run) => (run.mkString(" "), id, p) }
+      val want = runs.zip(runs.tail).zipWithIndex.map {
+        case (((idL, pL, rL), (idR, pR, rR)), i) =>
+          val lcp = rL.zip(rR).takeWhile { case (a, b) => a == b }.length
+          (i + 1L, idL, pL, idR, pR, lcp.toLong)
+      }
+      assert(got.toSeq === want, s"depth=$depth seed=$seed")
+      assert(want.exists(_._6 == depth.toLong),
+        s"fixture should contain a full-depth tie (depth=$depth seed=$seed)")
+    }
+  }
+
+  test("a token carrying a sub-0x20 control character fails the " +
+    "suffixRanks contract gate loudly (tokenwise order would diverge " +
+    "from the space-joined gram sort) — not as an opaque mismatch") {
+    val docs = Seq((0L, Seq("aa", "aa\u0001x", "bb")),
+                   (1L, Seq("aa", "cc", "bb")))
+    val toks = docs.toDF("doc_id", "ws")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.suffixRanks(toks, "doc_id", "p", "w", depth = 2).collect()
+    }
+    assert(e.getMessage.contains("control character"))
+    // a clean corpus of the same shape passes
+    val clean = Seq((0L, Seq("aa", "ax", "bb")), (1L, Seq("aa", "cc", "bb")))
+      .toDF("doc_id", "ws")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+    assert(DedupOps.suffixRanks(clean, "doc_id", "p", "w", depth = 2)
+      .count() === 4L)
+  }
+
   test("DSIR log-weights: target-looking docs score above pool-looking " +
     "docs, and every doc gets exactly one row") {
     val target = (0L until 20L).map(i =>

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Unigram-LM tokenizer training (TextAnalysis.unigramLmTrain):
+  * hand-computed single-iteration EM numbers on a 3-token corpus, a
+  * plain-Scala soft-EM reference across 2 iterations, and the
+  * cohesive-bigram sanity direction. */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Plain-Scala reference: soft EM over 1-2 char piece lattices,
+    * words truncated at `maxLen`, probs rounded 9 dp per round. */
+  private def refEm(wordFreq: Map[String, Long], iters: Int,
+                    maxLen: Int): Map[String, (Double, Double)] = {
+    val words = wordFreq.toSeq
+      .map { case (w, f) => (w.take(maxLen), f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def pieces(w: String): Seq[String] =
+      (1 to w.length).map(i => w.substring(i - 1, i)) ++
+        (2 to w.length).map(i => w.substring(i - 2, i))
+    val c0 = words.toSeq.flatMap { case (w, f) => pieces(w).map(_ -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    var p = c0.view.mapValues(c => round9(c / c0.values.sum)).toMap
+    var cOut: Map[String, Double] = Map.empty
+    for (_ <- 1 to iters) {
+      val contrib =
+        scala.collection.mutable.Map.empty[String, List[Double]]
+      for ((w, f) <- words) {
+        val n = w.length
+        val a = new Array[Double](n + 1); a(0) = 1.0
+        for (i <- 1 to n)
+          a(i) = a(i - 1) * p(w.substring(i - 1, i)) +
+            (if (i >= 2) a(i - 2) * p(w.substring(i - 2, i)) else 0.0)
+        val b = new Array[Double](n + 1); b(n) = 1.0
+        for (i <- n - 1 to 0 by -1)
+          b(i) = p(w.substring(i, i + 1)) * b(i + 1) +
+            (if (i + 2 <= n) p(w.substring(i, i + 2)) * b(i + 2) else 0.0)
+        val z = a(n)
+        val per = scala.collection.mutable.Map.empty[String, List[Double]]
+        for (i <- 1 to n) {
+          val pc = w.substring(i - 1, i)
+          per(pc) = (a(i - 1) * p(pc) * b(i) / z) :: per.getOrElse(pc, Nil)
+        }
+        for (i <- 1 until n) {
+          val pc = w.substring(i - 1, i + 1)
+          per(pc) =
+            (a(i - 1) * p(pc) * b(i + 1) / z) :: per.getOrElse(pc, Nil)
+        }
+        for ((pc, gs) <- per)
+          contrib(pc) = (f.toDouble * gs.sorted.sum) ::
+            contrib.getOrElse(pc, Nil)
+      }
+      cOut = contrib.toMap.map { case (pc, l) => pc -> l.sorted.sum }
+      val t = cOut.values.toSeq.sorted.sum
+      p = cOut.map { case (pc, c) => pc -> round9(c / t) }
+    }
+    cOut.map { case (pc, c) => pc -> (c, p(pc)) }
+  }
+
+  private def run(texts: Seq[String], iters: Int, maxLen: Int)
+      : Map[String, (Long, Double, Double)] =
+    TextAnalysis.unigramLmTrain(texts.toDF("text"), "text",
+        iters = iters, maxWordLen = maxLen)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("hand-computed EM on {ab x2, b x1}: init p = (2/7, 3/7, 2/7); " +
+    "one round gives counts (0.6, 1.6, 1.4) and probs " +
+    "(1/6, 4/9, 7/18)") {
+    // word 'ab': alpha = [1, 2/7, 20/49], Z = 20/49;
+    // gamma(a@1) = gamma(b@2) = 0.3, gamma(ab) = 0.7; word 'b': 1.0
+    val got = run(Seq("ab ab b"), iters = 1, maxLen = 8)
+    assert(got.keySet === Set("a", "b", "ab"))
+    assert(math.abs(got("a")._2 - 0.6) < 1e-6)
+    assert(math.abs(got("b")._2 - 1.6) < 1e-6)
+    assert(math.abs(got("ab")._2 - 1.4) < 1e-6)
+    assert(math.abs(got("a")._3 - 1.0 / 6) < 1e-6)
+    assert(math.abs(got("b")._3 - 4.0 / 9) < 1e-6)
+    assert(math.abs(got("ab")._3 - 7.0 / 18) < 1e-6)
+    assert(got("ab")._1 === 2L)
+  }
+
+  test("matches the plain-Scala soft-EM reference over 2 iterations, " +
+    "including word truncation at maxWordLen") {
+    val texts = Seq("alpha beta beta gamma gamma gamma verylongword",
+      "alpha alpha delta verylongword beta", "ab ba ab gamma")
+    val wordFreq = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, l) => w -> l.size.toLong }
+    for ((iters, maxLen) <- Seq((1, 8), (2, 8), (2, 4))) {
+      val want = refEm(wordFreq, iters, maxLen)
+      val got = run(texts, iters, maxLen)
+      assert(got.keySet === want.keySet, s"iters=$iters maxLen=$maxLen")
+      for ((pc, (_, em, pr)) <- got) {
+        assert(math.abs(em - want(pc)._1) < 1e-6,
+          s"count($pc) iters=$iters maxLen=$maxLen")
+        assert(math.abs(pr - want(pc)._2) < 1e-7,
+          s"prob($pc) iters=$iters maxLen=$maxLen")
+      }
+    }
+  }
+
+  test("EM moves mass onto a cohesive bigram: p(ab) after a round " +
+    "exceeds its raw-count share") {
+    val got = run(Seq("ab ab ab ab cd"), iters = 2, maxLen = 8)
+    // raw-count share of 'ab' = 4 / (4+4+4 + 1+1+1) = 4/15
+    assert(got("ab")._3 > 4.0 / 15)
+  }
+}
