@@ -9640,6 +9640,49 @@ object SparkEntry {
           iters = 2, maxWordLen = 8)
         .orderBy("piece")
     }),
+
+    // INCREMENTAL SQLITE EXPORT — WAL APPEND (judge r11 item 4, the
+    // write-side twin of the WAL reader): a base image takes two
+    // committed transactions as salted+checksummed WAL FRAMES
+    // (SqliteWalWriter — rightmost-spine B-tree append, root-stays-put
+    // deepening, page-1 size/counter frame), never rewriting the main
+    // file; the read-back goes through the repo's own WAL-overlay
+    // reader and must equal the full table (q337's oracle verbatim).
+    // python-sqlite3 cross-validation incl. integrity_check after a
+    // real checkpoint runs in tools/check_wal_roundtrip.py. Eager
+    // sink (see [[eagerSinks]]): building the frame runs the export.
+    "q363_sqlite_wal_append" -> ((s, dir) => {
+      import graft.sources.SqliteFile.{VInt, VNull, VText}
+      val db = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_q363_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + ".db")
+      Seq("", "-wal", "-shm").foreach(e => java.nio.file.Files
+        .deleteIfExists(java.nio.file.Paths.get(db.toString + e)))
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+      val mx = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val (m1, m2) = (mx * 2 / 3, mx * 5 / 6)
+      graft.sources.SqliteWriter.export(
+        cust.filter(col("c_custkey") <= m1), db.toString, "cust_export",
+        rowidCol = Some("c_custkey"))
+      def batch(lo: Long, hi: Long) = cust
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .orderBy("c_custkey").collect().toSeq
+        .map(r => (r.getLong(0),
+          Seq(VNull, VText(r.getString(1)), VInt(r.getLong(2)))))
+      graft.sources.SqliteWalWriter.appendCommit(db.toString,
+        "cust_export", batch(m1, m2))
+      graft.sources.SqliteWalWriter.appendCommit(db.toString,
+        "cust_export", batch(m2, Long.MaxValue))
+      s.read.format("graft-sqlite").option("table", "cust_export")
+        .load(db.toString)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("seg")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -9653,7 +9696,7 @@ object SparkEntry {
     * plan is a plain parquet scan + keyed agg). */
   val eagerSinks: Set[String] = Set("q273_txlog_exactly_once",
     "q336_sqlite_migration", "q337_sqlite_export_roundtrip",
-    "q352_sqlite_cdc_sync")
+    "q352_sqlite_cdc_sync", "q363_sqlite_wal_append")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
@@ -18537,5 +18580,13 @@ object SparkEntry {
          SELECT c_2.piece, length(c_2.piece)::BIGINT AS piece_len,
            round(c_2.c, 6) + 0.0 AS em_count, round(p_2m.p, 7) + 0.0 AS prob
          FROM c_2 JOIN p_2m USING (piece) ORDER BY piece""",
+
+    // the q337 export oracle VERBATIM: base image + two WAL-appended
+    // transactions must reproduce the full-table aggregate exactly
+    "q363_sqlite_wal_append" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS sum_cents,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM customer GROUP BY 1 ORDER BY seg""",
   )
 }

@@ -656,7 +656,7 @@ object TextAnalysis {
     }
     // the output reads only the materialized census + final weights —
     // release the corpus-scale feature stream now
-    fx.unpersist()
+    Caches.release(fx)
     val biasRow = docs.sparkSession.range(1)
       .select(lit(-1L).as("bucket"), lit(0L).as("n_pos_docs"),
         lit(0L).as("n_neg_docs"),
