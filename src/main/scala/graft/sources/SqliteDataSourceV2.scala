@@ -83,7 +83,8 @@ object SqliteDataSourceV2 {
   final class HadoopPageReader(path: String, conf: Configuration,
                                walFrameLimit: Int = -1,
                                walSalts: Option[(Long, Long)] = None,
-                               mainPin: Option[(Long, Long, Long)] = None)
+                               mainPin: Option[(Long, Long, Long)] = None,
+                               pagePin: Option[(Seq[Int], Long)] = None)
       extends PageReader {
     private val p = new Path(path)
     private val fs = p.getFileSystem(conf)
@@ -132,6 +133,36 @@ object SqliteDataSourceV2 {
           s"($c,$l,$m)) — a checkpoint backfilled WAL frames " +
           "mid-query (PASSIVE/FULL checkpoints do not re-salt the " +
           "sidecar); re-run the query")
+    }
+    /** xxhash64 over the RAW main-file images of `pages` (not the WAL
+      * overlay), chained page to page; a page at or beyond the main
+      * file's end contributes a marker hash of its number instead, so
+      * a backfill that MATERIALIZES it also changes the digest. This
+      * closes the counter/len/mtime pin's residual window (a backfill
+      * landing within mtime granularity that touches neither page 1
+      * nor the length, advisor r11): the scan pins page 1 + the
+      * scanned table's root at plan time and every executor recomputes
+      * the digest at open. Sampled, not total — a backfill confined to
+      * un-sampled leaf pages within the mtime tick remains possible in
+      * principle; the sampled set catches every growth and every
+      * spine/root rewrite at O(pages) cost instead of O(db). */
+    def rawPageHash(pages: Seq[Int]): Long = {
+      val psz = if (rawPageSize > 0) rawPageSize else 4096
+      var h = 42L
+      val buf = new Array[Byte](psz)
+      for (pg <- pages.sorted.distinct) {
+        val off = (pg - 1).toLong * psz
+        if (off >= 0 && off + psz <= mainLen) {
+          in.readFully(off, buf)
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(buf,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, psz, h)
+        } else {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(pg.toLong, h)
+        }
+      }
+      h
     }
     // the page size every read needs: from the main header when one
     // exists; a database BORN in WAL mode (sqlite materializes the
@@ -220,6 +251,17 @@ object SqliteDataSourceV2 {
       else parsed0.copy(pageCount =
         fs.getFileStatus(p).getLen / parsed0.pageSize)
     }
+    // sampled-page digest verify — AFTER the wal block so rawPageSize
+    // is known for any page size
+    pagePin.foreach { case (pages, expect) =>
+      val got = rawPageHash(pages)
+      require(got == expect,
+        s"sqlite: sampled main-file pages ${pages.mkString(",")} of " +
+          s"$path changed since the scan was planned (digest $got vs " +
+          s"pinned $expect) — a checkpoint backfilled WAL frames " +
+          "mid-query inside the mtime granularity window; re-run the " +
+          "query")
+    }
     private def page1ViaOverlay(): Array[Byte] = {
       val buf = new Array[Byte](rawPageSize)
       wal.frameOffsets.get(1) match {
@@ -247,9 +289,11 @@ object SqliteDataSourceV2 {
   def openReader(path: String, conf: Configuration,
                  walFrameLimit: Int = -1,
                  walSalts: Option[(Long, Long)] = None,
-                 mainPin: Option[(Long, Long, Long)] = None)
+                 mainPin: Option[(Long, Long, Long)] = None,
+                 pagePin: Option[(Seq[Int], Long)] = None)
       : HadoopPageReader =
-    new HadoopPageReader(path, conf, walFrameLimit, walSalts, mainPin)
+    new HadoopPageReader(path, conf, walFrameLimit, walSalts, mainPin,
+      pagePin)
 
   /** Spark literal -> sqlite stored-value probe. The probe is in the
     * column's AFFINITY class (the filter value's Spark type IS the
@@ -727,18 +771,22 @@ private[sources] class SqliteAggScan(specs: Seq[SqliteAggSpec],
       // backfill pin: caller-pinned main state wins (see SqliteScan)
       val mpin = reqMainPin.orElse(
         if (pin > 0) Some(pr.mainPinState) else None)
+      // sampled-page digest: page 1 + the scanned table's root — the
+      // in-mtime-granularity backfill detector (advisor r11)
+      val ppin = mpin.map(_ => (Seq(1, t.rootPage),
+        pr.rawPageHash(Seq(1, t.rootPage))))
       if (t.withoutRowid)
         return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts, mainPin = mpin))
+          walSalts = salts, mainPin = mpin, pagePin = ppin))
       val kids = childRanges(pr, t.rootPage).map(_.page)
       if (kids.isEmpty)
         Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts, mainPin = mpin))
+          walSalts = salts, mainPin = mpin, pagePin = ppin))
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
           .map(g => SqlitePartition(g, walFrames = pin,
-            walSalts = salts, mainPin = mpin): InputPartition)
+            walSalts = salts, mainPin = mpin, pagePin = ppin): InputPartition)
           .toArray
       }
     } finally pr.close()
@@ -765,7 +813,7 @@ private[sources] class SqliteAggPartitionReader(part: SqlitePartition,
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value,
-    part.walFrames, part.walSalts, part.mainPin)
+    part.walFrames, part.walSalts, part.mainPin, part.pagePin)
   private var emitted = false
 
   override def next(): Boolean = !emitted
@@ -1012,13 +1060,17 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       // (review r11).
       val mpin = reqMainPin.orElse(
         if (pin > 0) Some(pr.mainPinState) else None)
+      // sampled-page digest: page 1 + the scanned table's root — the
+      // in-mtime-granularity backfill detector (advisor r11)
+      val ppin = mpin.map(_ => (Seq(1, t.rootPage),
+        pr.rawPageHash(Seq(1, t.rootPage))))
       // WITHOUT ROWID rows live in an index B-tree whose interior pages
       // carry entries; subtree splits would drop them — one in-order
       // partition (these are PK-lookup tables; the parallel-scan story
       // belongs to the rowid tables)
       if (t.withoutRowid)
         return Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts, mainPin = mpin))
+          walSalts = salts, mainPin = mpin, pagePin = ppin))
       // an indexed eq filter resolves to explicit rowids: partitions
       // carry coalesced rowid RANGES (adjacent ids merge), each read by
       // an O(depth) B-tree descent — pages touched scale with matches,
@@ -1039,7 +1091,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
             math.ceil(ranges.length.toDouble / groups).toInt)
             .map(g => SqlitePartition(Seq(t.rootPage),
               rowidRanges = Some(g.toSeq),
-              walFrames = pin, walSalts = salts, mainPin = mpin): InputPartition)
+              walFrames = pin, walSalts = salts, mainPin = mpin, pagePin = ppin): InputPartition)
             .toArray
         case DenseWindow(mn, mx) =>
           effLo = math.max(effLo, mn); effHi = math.min(effHi, mx)
@@ -1052,7 +1104,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
       val kids = all.filter(_.overlaps(effLo, effHi)).map(_.page)
       if (all.isEmpty) // leaf root: the whole table is one page
         Array(SqlitePartition(Seq(t.rootPage), walFrames = pin,
-          walSalts = salts, mainPin = mpin))
+          walSalts = salts, mainPin = mpin, pagePin = ppin))
       else if (kids.isEmpty) Array.empty[InputPartition]
       else {
         val groups = math.max(1, math.min(maxPartitions, kids.size))
@@ -1060,7 +1112,7 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
         // disk (sequential-ish reads) and rowid-ordered within itself
         kids.grouped(math.ceil(kids.size.toDouble / groups).toInt)
           .map(g => SqlitePartition(g, walFrames = pin,
-            walSalts = salts, mainPin = mpin): InputPartition)
+            walSalts = salts, mainPin = mpin, pagePin = ppin): InputPartition)
           .toArray
       }
     } finally pr.close()
@@ -1093,12 +1145,17 @@ private[sources] class SqliteScan(required: StructType, t: SqliteTableDef,
   * (committed frame count at plan time; -1 = no sidecar); `mainPin`
   * pins the raw MAIN-file state (change counter, length, mtime) so a
   * non-resetting checkpoint backfilling frames mid-query fails loudly
-  * (see [[SqliteDataSourceV2.HadoopPageReader.mainPinState]]). */
+  * (see [[SqliteDataSourceV2.HadoopPageReader.mainPinState]]);
+  * `pagePin` pins an xxhash64 digest of sampled RAW main pages
+  * (page 1 + the scanned table's root), closing the backfill window
+  * inside mtime granularity that the triple cannot see (advisor
+  * r11). */
 private[sources] case class SqlitePartition(roots: Seq[Int],
     rowidRanges: Option[Seq[(Long, Long)]] = None,
     walFrames: Int = -1,
     walSalts: Option[(Long, Long)] = None,
-    mainPin: Option[(Long, Long, Long)] = None)
+    mainPin: Option[(Long, Long, Long)] = None,
+    pagePin: Option[(Seq[Int], Long)] = None)
     extends InputPartition
 
 private[sources] class SqliteReaderFactory(required: StructType,
@@ -1121,7 +1178,7 @@ private[sources] class SqlitePartitionReader(part: SqlitePartition,
     extends PartitionReader[InternalRow] {
 
   private val pr = SqliteDataSourceV2.openReader(path, conf.value,
-    part.walFrames, part.walSalts, part.mainPin)
+    part.walFrames, part.walSalts, part.mainPin, part.pagePin)
   private val charset = textCharset(pr.header.textEncoding)
   // required field -> (table ordinal, spark type, is rowid alias)
   private val fields: Array[(Int, DataType, Boolean)] =

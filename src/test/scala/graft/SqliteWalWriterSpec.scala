@@ -113,6 +113,44 @@ class SqliteWalWriterSpec extends SparkSpec {
     assert(readBack(db).count() === 52L)
   }
 
+  test("sampled-page digest pin catches a backfill that preserves " +
+    "length, mtime AND the change counter — the window the " +
+    "counter/len/mtime triple cannot see") {
+    import graft.sources.SqliteDataSourceV2
+    val db = tmp("graft_walwriter_backfill.db")
+    baseDb(db, 100) // single root leaf on page 2
+    SqliteWalWriter.appendCommit(db, "readings",
+      (101 to 110).map(i => (i.toLong,
+        Seq(VNull, VText("x"), VReal(i * 1.0)))))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // plan-time pins
+    val pr0 = SqliteDataSourceV2.openReader(db, conf)
+    val frames = pr0.wal.framesCommitted
+    val salts = Some((pr0.wal.salt1, pr0.wal.salt2))
+    val mpin = Some(pr0.mainPinState)
+    val ppin = Some((Seq(1, 2), pr0.rawPageHash(Seq(1, 2))))
+    pr0.close()
+    // forge the PASSIVE-checkpoint backfill: copy page 2's newest WAL
+    // image into the main file, then restore the mtime — length and
+    // the page-1 change counter are untouched, so the old triple is
+    // blind to it
+    val mtime0 = Files.getLastModifiedTime(Paths.get(db))
+    val wb = Files.readAllBytes(Paths.get(db + "-wal"))
+    val off2 = SqliteWal.parse(wb, 4096).frameOffsets(2)
+    val img = java.util.Arrays.copyOfRange(wb, off2.toInt,
+      off2.toInt + 4096)
+    val raf = new java.io.RandomAccessFile(db, "rw")
+    try { raf.seek(4096L); raf.write(img) } finally raf.close()
+    Files.setLastModifiedTime(Paths.get(db), mtime0)
+    // the documented residual window: the triple alone passes...
+    SqliteDataSourceV2.openReader(db, conf, frames, salts, mpin).close()
+    // ...the sampled-page digest fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SqliteDataSourceV2.openReader(db, conf, frames, salts, mpin, ppin)
+    }
+    assert(e.getMessage.contains("sampled main-file pages"))
+  }
+
   test("contract gates: non-monotone rowids, unknown tables and " +
     "indexed tables are rejected loudly") {
     val db = tmp("graft_walwriter_gates.db")
