@@ -52,6 +52,17 @@ object DemoEtl {
       s"(dedup dropped ${excel.count() - patients.count()}) " +
       s"maxPatientNum=${patients.agg(max("PATIENT_NUM")).head().getLong(0)}")
 
+    // --- probabilistic record linkage (the reference's STATED intent:
+    // requirements.txt:25 pins `recordlinkage` but exo_1 never uses
+    // it) — Fellegi–Sunter with unsupervised EM over the real export:
+    // the planted re-registration pairs (same person, NEW hospital id)
+    // surface as the top-weight links, with fitted m/u to show why
+    val (links, fsParams) = Patients.linkageReport(excel)
+    println("[demo] Fellegi–Sunter fitted per-field m/u:")
+    fsParams.show(truncate = false)
+    println("[demo] probabilistic links (>= 8 bits of match evidence):")
+    links.orderBy("nom").show(truncate = false)
+
     // --- document load (reference entry point 2+3, incremental) -----
     val extractText = udf((bytes: Array[Byte], path: String) =>
       if (path.endsWith(".docx")) DocxExtract.extractText(bytes)
