@@ -41,30 +41,61 @@ object SuffixProbe {
       .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
 
-    def time(f: => Long): (Long, Double) = {
+    // shuffle-byte accounting per timed block: stage-completion
+    // metrics summed by a listener; the bus is async, so each block
+    // ends with a short settle wait before the snapshot (a probe
+    // tolerance — under-counting by a late stage would only shrink
+    // the reported GAP, never invent one)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+
+    def time(f: => Long): (Long, Double, Double) = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
+      Thread.sleep(500)
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val n = f
-      (n, (System.nanoTime() - t0) / 1e9)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // listener settle
+      (n, dt, (shuffleBytes.get() - b0) / 1e6)
     }
 
     for (l <- ls) {
-      val (gn, gt) = time {
+      val (gn, gt, gb) = time {
         val grams = DedupOps.posGrams(toks, "doc_id", "p", "w", l)
         val dup = grams.groupBy("gram")
           .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("gram")
         grams.join(dup, "gram").count()
       }
-      val (rn, rt) = time {
+      // the 16-byte (h1, h2) gram-hash key — q359's deployment shape:
+      // same plan as the string form, hash keys through every shuffle
+      val (hn, ht, hb) = time {
+        val keys = DedupOps.posGramHashes(toks, "doc_id", "p", "w", l)
+        val dup = keys.groupBy("h1", "h2")
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select("h1", "h2")
+        keys.join(dup, Seq("h1", "h2")).count()
+      }
+      val (rn, rt, rb) = time {
         DedupOps.prefixDoublingDupStarts(toks, "doc_id", "p", "w", l)
           .count()
       }
       require(gn == rn,
         s"L=$l: gram form found $gn duplicated starts, rank form $rn")
+      require(gn == hn,
+        s"L=$l: gram form found $gn duplicated starts, hash form $hn")
       println(f"[suffix-probe] L=$l%-3d dupStarts=$gn%-9d " +
-        f"gram=$gt%.2fs rank=$rt%.2fs ratio=${gt / rt}%.2f")
+        f"gram=$gt%.2fs/${gb}%.0fMB hash=$ht%.2fs/${hb}%.0fMB " +
+        f"rank=$rt%.2fs/${rb}%.0fMB gram/hash bytes=${gb / math.max(hb, 0.1)}%.1fx")
     }
     spark.stop()
   }
