@@ -9683,6 +9683,80 @@ object SparkEntry {
           max(col("c_custkey")).as("max_key"))
         .orderBy("seg")
     }),
+
+    // UNIGRAM-LM VITERBI ENCODE (q362's inference half — together
+    // they mirror the BPE train/encode pair): every word type
+    // segments into the max-log-prob 1-2 char piece sequence under
+    // the PUBLISHED 7-dp model, ties toward the longer piece; the
+    // lattice DP and the backtrace run map-side via higher-order
+    // aggregate folds (TextAnalysis.unigramLmEncode). The oracle
+    // retrains the model (q362's CTEs verbatim), replays the Viterbi
+    // scores with a list_reduce, and walks the backtrace as a
+    // RECURSIVE CTE (plain column refs — DuckDB 1.0 misaligns
+    // captured outer STRING columns inside list_reduce lambdas).
+    "q364_unigram_encode" -> ((s, dir) => {
+      TA.unigramLmEncode(t(s, dir, "documents"), "text",
+          iters = 2, maxWordLen = 8)
+        .orderBy("word")
+    }),
+
+    // WRITE-SIDE CDC ROUND TRIP (q363's writer driving q350's
+    // reader): export a base image, take a CDC cursor, WAL-APPEND a
+    // second committed transaction with our own writer, and pull the
+    // exact changed rowids back with SqliteCdc — our frames must
+    // drive our own tail (commit boundaries, salts, changed-rowid
+    // extraction) precisely. The query re-reads the CDC-detected
+    // batch from the head (rowid pushdown bounds the scan) and
+    // aggregates it; the oracle recomputes the same batch as the
+    // top-sixth key slice of `customer` — any over/under-detection
+    // by the CDC pull changes the row set and hash-mismatches.
+    // Eager sink (see [[eagerSinks]]).
+    "q365_walwrite_cdc_roundtrip" -> ((s, dir) => {
+      import graft.sources.{SqliteCdc, SqliteWalWriter, SqliteWriter}
+      import graft.sources.SqliteFile.{VInt, VNull, VText}
+      val db = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_q365_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + ".db")
+      Seq("", "-wal", "-shm").foreach(e => java.nio.file.Files
+        .deleteIfExists(java.nio.file.Paths.get(db.toString + e)))
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+      val mx = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val (m1, m2) = (mx * 2 / 3, mx * 5 / 6)
+      def batch(lo: Long, hi: Long) = cust
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .orderBy("c_custkey").collect().toSeq
+        .map(r => (r.getLong(0),
+          Seq(VNull, VText(r.getString(1)), VInt(r.getLong(2)))))
+      SqliteWriter.export(cust.filter(col("c_custkey") <= m1),
+        db.toString, "cust_export", rowidCol = Some("c_custkey"))
+      // first transaction, then the cursor the tail would store
+      SqliteWalWriter.appendCommit(db.toString, "cust_export",
+        batch(m1, m2))
+      val conf = s.sparkContext.hadoopConfiguration
+      val c0 = SqliteCdc.currentCursor(db.toString, conf)
+      // second transaction lands AFTER the cursor
+      SqliteWalWriter.appendCommit(db.toString, "cust_export",
+        batch(m2, Long.MaxValue))
+      val ins = SqliteCdc.changesSince(db.toString, conf,
+        "cust_export", c0) match {
+        case SqliteCdc.Changes(_, i, u, d) =>
+          require(u.isEmpty && d.isEmpty,
+            s"append-only transaction misread as updates=$u deletes=$d")
+          i
+        case SqliteCdc.ResyncRequired(r) =>
+          sys.error(s"unexpected resync on our own WAL append: $r")
+      }
+      s.read.format("graft-sqlite").option("table", "cust_export")
+        .load(db.toString)
+        .filter(col("c_custkey").isin(ins.map(Long.box): _*))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("seg")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -9696,7 +9770,8 @@ object SparkEntry {
     * plan is a plain parquet scan + keyed agg). */
   val eagerSinks: Set[String] = Set("q273_txlog_exactly_once",
     "q336_sqlite_migration", "q337_sqlite_export_roundtrip",
-    "q352_sqlite_cdc_sync", "q363_sqlite_wal_append")
+    "q352_sqlite_cdc_sync", "q363_sqlite_wal_append",
+    "q365_walwrite_cdc_roundtrip")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
@@ -18588,5 +18663,165 @@ object SparkEntry {
            sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS sum_cents,
            min(c_custkey) AS min_key, max(c_custkey) AS max_key
          FROM customer GROUP BY 1 ORDER BY seg""",
+
+    // q362's model CTEs verbatim + the Viterbi encode chain; the
+    // backtrace is a recursive CTE (plain column refs — DuckDB 1.0
+    // misaligns captured outer STRING columns in list_reduce lambdas)
+    "q364_unigram_encode" ->
+      """WITH RECURSIVE wd AS (
+           SELECT substring(w0, 1, 8) AS w, count(*)::BIGINT AS f,
+             length(substring(w0, 1, 8))::BIGINT AS n
+           FROM (SELECT unnest(string_split(
+                   lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w0
+                 FROM documents)
+           WHERE length(w0) >= 1
+           GROUP BY 1, 3),
+         occ AS (
+           SELECT w, f, n, 1 AS k, i, substring(w, i, 1) AS piece
+           FROM wd CROSS JOIN unnest(range(1, n+1)) AS t(i)
+           UNION ALL
+           SELECT w, f, n, 2 AS k, i, substring(w, i-1, 2) AS piece
+           FROM wd CROSS JOIN unnest(range(2, n+1)) AS t(i)),
+         c0i AS (SELECT piece, sum(f)::BIGINT AS c FROM occ GROUP BY piece),
+         t0i AS (SELECT sum(c)::BIGINT AS tt FROM c0i),
+         p0m AS (SELECT piece, round(c::DOUBLE / (SELECT tt FROM t0i)::DOUBLE, 9)
+                   AS p FROM c0i),
+         ar_1 AS (
+           SELECT w, f, n,
+             list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 1)), x -> x.p) AS pa,
+             [0.0] || list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 2)), x -> x.p) AS pb
+           FROM occ JOIN p0m USING (piece) GROUP BY w, f, n),
+         dp_1 AS (
+           SELECT w, f, n, pa, pb,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * pa[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] * pb[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS al,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * (list_transform(range(1, n+1), j -> pa[n+1-j]))[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] *
+                   ([0.0] || list_transform(range(2, n+1), j -> pb[n-j+2]))[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS tl
+           FROM ar_1),
+         dpz_1 AS (SELECT *, al[(n+1)::BIGINT] AS z FROM dp_1),
+         gam_1 AS (
+           SELECT w, f, substring(w, i, 1) AS piece,
+             al[i::BIGINT] * pa[i::BIGINT] * tl[(n-i+1)::BIGINT] / z AS g
+           FROM dpz_1 CROSS JOIN unnest(range(1, n+1)) AS t(i)
+           UNION ALL
+           SELECT w, f, substring(w, i, 2) AS piece,
+             al[i::BIGINT] * pb[(i+1)::BIGINT] * tl[(n-i)::BIGINT] / z AS g
+           FROM dpz_1 CROSS JOIN unnest(range(1, n)) AS t(i)),
+         wc_1 AS (SELECT w, f, piece, list_sum(list_sort(list(g))) AS gs
+                  FROM gam_1 GROUP BY w, f, piece),
+         c_1 AS (SELECT piece, list_sum(list_sort(list(sub))) AS c FROM (
+                   SELECT piece,
+                     ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096 AS sb,
+                     list_sum(list_sort(list(f::DOUBLE * gs))) AS sub
+                   FROM wc_1 GROUP BY 1, 2) GROUP BY piece),
+         t_1 AS (SELECT list_sum(list_sort(list(c))) AS tt FROM c_1),
+         p_1m AS (SELECT piece, round(c / (SELECT tt FROM t_1), 9) AS p FROM c_1),
+         ar_2 AS (
+           SELECT w, f, n,
+             list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 1)), x -> x.p) AS pa,
+             [0.0] || list_transform(list_sort(list(struct_pack(i := i, p := p))
+               FILTER (k = 2)), x -> x.p) AS pb
+           FROM occ JOIN p_1m USING (piece) GROUP BY w, f, n),
+         dp_2 AS (
+           SELECT w, f, n, pa, pb,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * pa[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] * pb[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS al,
+             list_reduce([[1.0]] || list_transform(range(1, n+1), i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc,
+                 acc[-1] * (list_transform(range(1, n+1), j -> pa[n+1-j]))[x[1]::BIGINT] +
+                 CASE WHEN x[1] >= 2 THEN acc[-2] *
+                   ([0.0] || list_transform(range(2, n+1), j -> pb[n-j+2]))[x[1]::BIGINT]
+                      ELSE 0.0 END)) AS tl
+           FROM ar_2),
+         dpz_2 AS (SELECT *, al[(n+1)::BIGINT] AS z FROM dp_2),
+         gam_2 AS (
+           SELECT w, f, substring(w, i, 1) AS piece,
+             al[i::BIGINT] * pa[i::BIGINT] * tl[(n-i+1)::BIGINT] / z AS g
+           FROM dpz_2 CROSS JOIN unnest(range(1, n+1)) AS t(i)
+           UNION ALL
+           SELECT w, f, substring(w, i, 2) AS piece,
+             al[i::BIGINT] * pb[(i+1)::BIGINT] * tl[(n-i)::BIGINT] / z AS g
+           FROM dpz_2 CROSS JOIN unnest(range(1, n)) AS t(i)),
+         wc_2 AS (SELECT w, f, piece, list_sum(list_sort(list(g))) AS gs
+                  FROM gam_2 GROUP BY w, f, piece),
+         c_2 AS (SELECT piece, list_sum(list_sort(list(sub))) AS c FROM (
+                   SELECT piece,
+                     ('0x' || substring(md5('0:' || w), 1, 12))::BIGINT % 4096 AS sb,
+                     list_sum(list_sort(list(f::DOUBLE * gs))) AS sub
+                   FROM wc_2 GROUP BY 1, 2) GROUP BY piece),
+         t_2 AS (SELECT list_sum(list_sort(list(c))) AS tt FROM c_2),
+         p_2m AS (SELECT piece, round(c / (SELECT tt FROM t_2), 9) AS p FROM c_2)
+         ,
+         enc_ar AS (
+           SELECT o.w, o.f, o.n,
+             list_transform(list_sort(list(struct_pack(i := o.i,
+               p := m.p)) FILTER (o.k = 1)), x -> x.p) AS pa,
+             [0.0] || list_transform(list_sort(list(struct_pack(
+               i := o.i, p := m.p)) FILTER (o.k = 2)), x -> x.p) AS pb
+           FROM occ o JOIN (SELECT piece, round(p, 7) + 0.0 AS p
+             FROM p_2m) m USING (piece)
+           GROUP BY o.w, o.f, o.n),
+         enc_l AS (
+           SELECT w, f, n,
+             list_transform(pa, x -> CASE WHEN x <= 0
+               THEN '-infinity'::DOUBLE ELSE ln(x) END) AS la,
+             list_transform(range(1, n+1), j -> CASE WHEN j = 1
+                 OR pb[j] <= 0
+               THEN '-infinity'::DOUBLE ELSE ln(pb[j]) END) AS lb
+           FROM enc_ar),
+         enc_v AS (
+           SELECT w, f, n, la, lb,
+             list_reduce([[0.0]] || list_transform(range(1, n+1),
+                 i -> [i::DOUBLE]),
+               (acc, x) -> list_append(acc, greatest(
+                 acc[-1] + la[x[1]::BIGINT],
+                 CASE WHEN x[1] >= 2 THEN acc[-2] + lb[x[1]::BIGINT]
+                      ELSE '-infinity'::DOUBLE END))) AS vb
+           FROM enc_l),
+         enc_u AS (
+           SELECT w, f, n,
+             list_transform(range(1, n+1), i ->
+               i >= 2 AND vb[(i-1)::BIGINT] + lb[i::BIGINT]
+                 >= vb[i::BIGINT] + la[i::BIGINT]) AS u2
+           FROM enc_v),
+         walk AS (
+           SELECT w, f, u2, n AS pos, ''::VARCHAR AS seg,
+             0::BIGINT AS np
+           FROM enc_u
+           UNION ALL
+           SELECT w, f, u2,
+             CASE WHEN u2[pos] THEN pos - 2 ELSE pos - 1 END AS pos,
+             CASE WHEN u2[pos] THEN substring(w, (pos - 1)::INT, 2)
+                  ELSE substring(w, pos::INT, 1) END ||
+               CASE WHEN seg = '' THEN '' ELSE '|' END || seg AS seg,
+             np + 1 AS np
+           FROM walk WHERE pos > 0)
+         SELECT w AS word, f, np AS n_pieces, seg
+         FROM walk WHERE pos = 0 ORDER BY word""",
+
+    // the CDC-detected batch == the second appended transaction ==
+    // the top-sixth key slice of customer
+    "q365_walwrite_cdc_roundtrip" ->
+      """WITH cut AS (
+           SELECT (max(c_custkey) * 5) // 6 AS m2 FROM customer)
+         SELECT c_mktsegment AS seg, count(*) AS n,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+             AS sum_cents,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM customer, cut WHERE c_custkey > m2
+         GROUP BY 1 ORDER BY seg""",
   )
 }

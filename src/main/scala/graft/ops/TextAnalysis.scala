@@ -701,22 +701,26 @@ object TextAnalysis {
     * round — the corpus is scanned once (word census); EM never
     * touches it again. Returns one row per piece:
     * (piece, piece_len, em_count rounded 6 dp, prob rounded 7 dp). */
-  def unigramLmTrain(docs: DataFrame, text: String, iters: Int = 2,
-                     maxWordLen: Int = 8): DataFrame = {
-    require(iters >= 1 && maxWordLen >= 1)
-    // word-type census; truncation bounds the lattice depth
-    val words = Caches.small(docs
+  /** Word-type census (truncation bounds the lattice depth): one row
+    * per distinct (possibly truncated) word with its corpus frequency
+    * and char length — the EM/encode working grain. */
+  private def wordCensus(docs: DataFrame, text: String,
+                         maxWordLen: Int): DataFrame =
+    Caches.small(docs
       .select(explode_outer(tokens(col(text))).as("w0"))
       .filter(col("w0").isNotNull && length(col("w0")) >= 1)
       .select(substring(col("w0"), 1, maxWordLen).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .withColumn("n", length(col("w"))))
+
+  /** Piece-occurrence stream over a word census: len-1 pieces at
+    * i = 1..n, len-2 at (i-1, i) for i = 2..n (k tags the kind; i is
+    * the RIGHT edge for k = 2). */
+  private def pieceOccurrences(words: DataFrame): DataFrame = {
     val nn = col("n")
     val emptyOcc =
       array().cast("array<struct<k:int,i:int,piece:string>>")
-    // piece-occurrence stream: len-1 at i = 1..n, len-2 at (i-1, i)
-    // for i = 2..n (k tags the kind; i is the RIGHT edge for k = 2)
-    val occ = Caches.small(words.select(col("w"), col("f"), col("n"),
+    Caches.small(words.select(col("w"), col("f"), col("n"),
         explode(flatten(array(
           transform(sequence(lit(1), nn), i =>
             struct(lit(1).as("k"), i.as("i"),
@@ -727,6 +731,27 @@ object TextAnalysis {
             .otherwise(emptyOcc)))).as("o"))
       .select(col("w"), col("f"), col("n"), col("o.k").as("k"),
         col("o.i").as("i"), col("o.piece").as("piece")))
+  }
+
+  /** Per-word position-indexed piece-prob arrays from an occurrence
+    * stream joined to a piece model: `pa`[i] = p(char at i),
+    * `pb`[i] = p(2-char piece ENDING at i) with a pad at index 1. */
+  private def probArrays(occ: DataFrame, model: DataFrame): DataFrame =
+    occ.join(broadcast(model), Seq("piece"))
+      .groupBy("w", "f", "n")
+      .agg(
+        transform(array_sort(collect_list(when(col("k") === 1,
+          struct(col("i"), col("p"))))), x => x("p")).as("pa"),
+        concat(array(lit(0.0d)),
+          transform(array_sort(collect_list(when(col("k") === 2,
+            struct(col("i"), col("p"))))), x => x("p"))).as("pb"))
+
+  def unigramLmTrain(docs: DataFrame, text: String, iters: Int = 2,
+                     maxWordLen: Int = 8): DataFrame = {
+    require(iters >= 1 && maxWordLen >= 1)
+    val words = wordCensus(docs, text, maxWordLen)
+    val nn = col("n")
+    val occ = pieceOccurrences(words)
     // init model: exact integer occurrence counts
     val c0 = occ.groupBy("piece").agg(sum(col("f")).as("__ci"))
     val t0 = c0.agg(sum(col("__ci")).as("__t"))
@@ -746,15 +771,7 @@ object TextAnalysis {
             when(i >= 2, element_at(acc, -2) * element_at(col(p2), i))
               .otherwise(lit(0.0d)))))
     for (_ <- 1 to iters) {
-      val arrs = occ.join(broadcast(probs), Seq("piece"))
-        .groupBy("w", "f", "n")
-        .agg(
-          transform(array_sort(collect_list(when(col("k") === 1,
-            struct(col("i"), col("p"))))), x => x("p")).as("pa"),
-          concat(array(lit(0.0d)),
-            transform(array_sort(collect_list(when(col("k") === 2,
-              struct(col("i"), col("p"))))), x => x("p"))).as("pb"))
-      val dp = arrs
+      val dp = probArrays(occ, probs)
         .withColumn("ra", transform(sequence(lit(1), nn),
           j => element_at(col("pa"), nn + 1 - j)))
         .withColumn("rb", concat(array(lit(0.0d)),
@@ -798,6 +815,76 @@ object TextAnalysis {
         length(col("piece")).cast("long").as("piece_len"),
         (round(col("__c"), 6) + 0.0).as("em_count"),
         (round(col("p"), 7) + 0.0).as("prob"))
+  }
+
+  /** VITERBI ENCODE with the trained unigram LM — the inference half
+    * of [[unigramLmTrain]] (together they mirror the BPE train/encode
+    * pair): each word type segments into the 1-2 char piece sequence
+    * maximizing the summed log-probability under the PUBLISHED model
+    * (the 7-dp rounded probs — scoring with the published artifact is
+    * what makes both engines replay the same doubles, the q361 idiom).
+    * Ties between a 2-char step and two 1-char steps break toward the
+    * LONGER piece (>= in the comparison — fewer pieces), identically
+    * in both engines because the compared doubles are identical.
+    *
+    * Shape: the Viterbi lattice DP (max instead of the EM's sum) and
+    * the backtrace both run MAP-SIDE via higher-order `aggregate`
+    * folds over the word's positions — acc = the growing best-score
+    * array, then a (position, pieces) walker struct. One model
+    * broadcast, one word-type-grain aggregation; nothing grows with
+    * the corpus but the census scan. Returns one row per word type:
+    * (word, f, n_pieces, seg — pieces joined with '|'). */
+  def unigramLmEncode(docs: DataFrame, text: String, iters: Int = 2,
+                      maxWordLen: Int = 8): DataFrame = {
+    val model = Caches.small(
+      unigramLmTrain(docs, text, iters, maxWordLen)
+        .select(col("piece"), col("prob").as("p")))
+    val words = wordCensus(docs, text, maxWordLen)
+    val occ = pieceOccurrences(words)
+    val nn = col("n")
+    val negInf = lit(Double.NegativeInfinity)
+    // a piece whose PUBLISHED prob rounds to 0 (true prob < 5e-8) is
+    // unusable in encoding: lp = -inf, identically in both engines
+    // (DuckDB's ln(0) errors, Spark's differs by ANSI mode — neither
+    // is ever evaluated). Single chars always carry enough mass to
+    // survive the 7-dp publication, so every word keeps a path.
+    val withLogs = probArrays(occ, model)
+      .withColumn("la", transform(col("pa"), x =>
+        when(x <= 0.0d, negInf).otherwise(log(x))))
+      .withColumn("lb", transform(sequence(lit(1), nn), j =>
+        // lb[1] is the pad slot (a 2-char step needs i >= 2)
+        when(j === 1 || element_at(col("pb"), j) <= 0.0d, negInf)
+          .otherwise(log(element_at(col("pb"), j)))))
+    // vb[k] = best log-prob over the first (k-1) chars; vb[1] = 0
+    val vb = aggregate(sequence(lit(1), nn), array(lit(0.0d)), (acc, i) =>
+      concat(acc, array(greatest(
+        element_at(acc, -1) + element_at(col("la"), i),
+        when(i >= 2, element_at(acc, -2) + element_at(col("lb"), i))
+          .otherwise(negInf)))))
+    // u2[i]: the best path into position i takes the 2-char piece
+    // (>= keeps ties on the longer piece)
+    val u2 = transform(sequence(lit(1), nn), i =>
+      i >= 2 && (element_at(col("vb"), i - 1) + element_at(col("lb"), i)
+        >= element_at(col("vb"), i) + element_at(col("la"), i)))
+    // backtrace: walk from n, prepending the chosen piece; n steps
+    // suffice (each consumes >= 1 char), extra steps no-op at pos 0
+    val walked = aggregate(sequence(lit(1), nn),
+      struct(nn.as("pos"), array().cast("array<string>").as("parts")),
+      (acc, _) => when(acc("pos") <= 0, acc).otherwise(
+        when(element_at(col("u2"), acc("pos")),
+          struct((acc("pos") - 2).as("pos"),
+            concat(array(col("w").substr(acc("pos") - 1, lit(2))),
+              acc("parts")).as("parts")))
+          .otherwise(struct((acc("pos") - 1).as("pos"),
+            concat(array(col("w").substr(acc("pos"), lit(1))),
+              acc("parts")).as("parts")))))
+    withLogs
+      .withColumn("vb", vb)
+      .withColumn("u2", u2)
+      .withColumn("__bt", walked)
+      .select(col("w").as("word"), col("f"),
+        size(col("__bt")("parts")).cast("long").as("n_pieces"),
+        concat_ws("|", col("__bt")("parts")).as("seg"))
   }
 
   def dsirLogWeights(docs: DataFrame, id: String, text: String,

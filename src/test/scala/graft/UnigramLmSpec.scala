@@ -111,4 +111,67 @@ class UnigramLmSpec extends SparkSpec {
     // raw-count share of 'ab' = 4 / (4+4+4 + 1+1+1) = 4/15
     assert(got("ab")._3 > 4.0 / 15)
   }
+
+  private def runEncode(texts: Seq[String], iters: Int, maxLen: Int)
+      : Map[String, (Long, Long, String)] =
+    TextAnalysis.unigramLmEncode(texts.toDF("text"), "text",
+        iters = iters, maxWordLen = maxLen)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("Viterbi encode, hand case: after one EM round on {ab x2, b}, " +
+    "'ab' segments as the single piece (ln(7/18) beats " +
+    "ln(1/6)+ln(4/9))") {
+    val got = runEncode(Seq("ab ab b"), iters = 1, maxLen = 8)
+    assert(got("ab") === ((2L, 1L, "ab")))
+    assert(got("b") === ((1L, 1L, "b")))
+  }
+
+  test("Viterbi encode matches a plain-Scala reference (published " +
+    "7-dp probs, >= tie toward the longer piece) and every " +
+    "segmentation reconstructs its word") {
+    val texts = Seq("alpha beta beta gamma gamma gamma verylongword",
+      "alpha alpha delta verylongword beta", "ab ba ab gamma")
+    val wordFreq = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, l) => w -> l.size.toLong }
+    for ((iters, maxLen) <- Seq((1, 8), (2, 8), (2, 4))) {
+      val pub = refEm(wordFreq, iters, maxLen)
+        .map { case (pc, (_, p)) =>
+          pc -> BigDecimal(p).setScale(7,
+            BigDecimal.RoundingMode.HALF_UP).toDouble }
+      def lp(pc: String): Double = {
+        val v = pub.getOrElse(pc, 0.0)
+        if (v > 0) math.log(v) else Double.NegativeInfinity
+      }
+      def viterbi(w0: String): Seq[String] = {
+        val w = w0.take(maxLen); val n = w.length
+        val vb = new Array[Double](n + 1)
+        for (i <- 1 to n) {
+          val one = vb(i - 1) + lp(w.substring(i - 1, i))
+          val two = if (i >= 2) vb(i - 2) + lp(w.substring(i - 2, i))
+                    else Double.NegativeInfinity
+          vb(i) = math.max(one, two)
+        }
+        var i = n; var parts = List.empty[String]
+        while (i > 0) {
+          val one = vb(i - 1) + lp(w.substring(i - 1, i))
+          val two = if (i >= 2) vb(i - 2) + lp(w.substring(i - 2, i))
+                    else Double.NegativeInfinity
+          if (two >= one) { parts = w.substring(i - 2, i) :: parts; i -= 2 }
+          else { parts = w.substring(i - 1, i) :: parts; i -= 1 }
+        }
+        parts
+      }
+      val got = runEncode(texts, iters, maxLen)
+      val wantWords = wordFreq.keySet.map(_.take(maxLen))
+      assert(got.keySet === wantWords, s"iters=$iters maxLen=$maxLen")
+      for ((w, (_, np, seg)) <- got) {
+        assert(seg.replace("|", "") === w,
+          s"segmentation must reconstruct '$w' (got '$seg')")
+        val want = viterbi(w)
+        assert(seg === want.mkString("|") && np === want.length.toLong,
+          s"word $w iters=$iters maxLen=$maxLen")
+      }
+    }
+  }
 }
