@@ -9757,6 +9757,19 @@ object SparkEntry {
           max(col("c_custkey")).as("max_key"))
         .orderBy("seg")
     }),
+    // TOP PRINCIPAL COMPONENT by DISTRIBUTED POWER ITERATION — the
+    // eigensolver that never FORMS the d x d Gram (the OPQ path
+    // tree-aggregates a Gram and eigendecomposes driver-side, fine
+    // while d^2 is model-sized; power iteration is the big-d shape:
+    // two matvec scans per round, 1-/d-row frames between). Three
+    // statically-unrolled rounds from the uniform 1/sqrt(d) start,
+    // per-round renormalize + 9-dp rounding; the oracle replays every
+    // fold. dim = -1 carries lambda/n, the top covariance eigenvalue.
+    "q366_power_iteration" -> ((s, dir) => {
+      Similarity.powerIterationTop(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dims = 64, iters = 3)
+        .orderBy("dim")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -18823,5 +18836,64 @@ object SparkEntry {
            min(c_custkey) AS min_key, max(c_custkey) AS max_key
          FROM customer, cut WHERE c_custkey > m2
          GROUP BY 1 ORDER BY seg""",
+
+    // three power-iteration rounds unrolled: per-vector dot = sorted
+    // fold over its 64 products; per-dim sums = two-level sorted fold
+    // within md5(vec_id) subbuckets; renormalize + round-9 per round
+    "q366_power_iteration" ->
+      """WITH e AS (
+           SELECT vec_id, j, embedding[(j+1)::INT]::DOUBLE AS x
+           FROM embeddings CROSS JOIN unnest(range(0, 64)) AS t(j)),
+         mu AS (
+           SELECT j, list_sum(list_sort(list(s1))) / any_value(nd) AS m FROM (
+             SELECT j,
+               ('0x' || substring(md5('0:' || vec_id::VARCHAR), 1, 12))::BIGINT
+                 % 4096 AS sb,
+               list_sum(list_sort(list(x))) AS s1,
+               (SELECT count(*) FROM embeddings)::DOUBLE AS nd
+             FROM e GROUP BY 1, 2) GROUP BY j),
+         c AS (SELECT e.vec_id, e.j, e.x - mu.m AS x FROM e JOIN mu USING (j)),
+         v0 AS (SELECT j, 0.125 AS v FROM range(0, 64) t(j)),
+         s_1 AS (
+           SELECT vec_id, list_sum(list_sort(list(c.x * v0.v))) AS s
+           FROM c JOIN v0 USING (j) GROUP BY vec_id),
+         w_1 AS (
+           SELECT j, list_sum(list_sort(list(s1))) AS w FROM (
+             SELECT c.j,
+               ('0x' || substring(md5('0:' || c.vec_id::VARCHAR), 1, 12))::BIGINT
+                 % 4096 AS sb,
+               list_sum(list_sort(list(c.x * s_1.s))) AS s1
+             FROM c JOIN s_1 USING (vec_id) GROUP BY 1, 2) GROUP BY j),
+         l_1 AS (SELECT sqrt(list_sum(list_sort(list(w * w)))) AS l FROM w_1),
+         v_1 AS (SELECT j, round(w / (SELECT l FROM l_1), 9) AS v FROM w_1),
+         s_2 AS (
+           SELECT vec_id, list_sum(list_sort(list(c.x * v_1.v))) AS s
+           FROM c JOIN v_1 USING (j) GROUP BY vec_id),
+         w_2 AS (
+           SELECT j, list_sum(list_sort(list(s1))) AS w FROM (
+             SELECT c.j,
+               ('0x' || substring(md5('0:' || c.vec_id::VARCHAR), 1, 12))::BIGINT
+                 % 4096 AS sb,
+               list_sum(list_sort(list(c.x * s_2.s))) AS s1
+             FROM c JOIN s_2 USING (vec_id) GROUP BY 1, 2) GROUP BY j),
+         l_2 AS (SELECT sqrt(list_sum(list_sort(list(w * w)))) AS l FROM w_2),
+         v_2 AS (SELECT j, round(w / (SELECT l FROM l_2), 9) AS v FROM w_2),
+         s_3 AS (
+           SELECT vec_id, list_sum(list_sort(list(c.x * v_2.v))) AS s
+           FROM c JOIN v_2 USING (j) GROUP BY vec_id),
+         w_3 AS (
+           SELECT j, list_sum(list_sort(list(s1))) AS w FROM (
+             SELECT c.j,
+               ('0x' || substring(md5('0:' || c.vec_id::VARCHAR), 1, 12))::BIGINT
+                 % 4096 AS sb,
+               list_sum(list_sort(list(c.x * s_3.s))) AS s1
+             FROM c JOIN s_3 USING (vec_id) GROUP BY 1, 2) GROUP BY j),
+         l_3 AS (SELECT sqrt(list_sum(list_sort(list(w * w)))) AS l FROM w_3),
+         v_3 AS (SELECT j, round(w / (SELECT l FROM l_3), 9) AS v FROM w_3),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings)
+         SELECT j::BIGINT AS dim, round(v, 6) + 0.0 AS loading FROM v_3
+         UNION ALL
+         SELECT -1, round((SELECT l FROM l_3) / (SELECT n FROM nn), 6) + 0.0
+         ORDER BY dim""",
   )
 }

@@ -724,6 +724,69 @@ object Similarity {
       .toDF(id, "rvec")
   }
 
+  /** TOP PRINCIPAL COMPONENT by DISTRIBUTED POWER ITERATION — the
+    * big-d eigensolver: [[pcaRotation]] tree-aggregates the full d×d
+    * Gram and eigendecomposes driver-side (model-sized only while
+    * d² stays small); power iteration never FORMS the Gram — each
+    * round is two matvecs against the centered row stream
+    * (s_i = cᵢ·v per row, w_j = Σ s_i·c_ij per dim), so it scales to
+    * the d where a Gram matrix stops being a broadcastable model
+    * (d = 4096 → 128 MB of Gram vs two corpus scans).
+    *
+    * Deterministic cross-engine (oracle-gated): v₀ = 1/√d uniform
+    * (exactly representable for power-of-two d); the per-row dot is a
+    * sorted fold over its d products; each per-dim sum is the
+    * two-level sorted fold within md5(row-id) subbuckets; each round
+    * renormalizes and rounds the loadings to 9 dp (the GD idiom) so
+    * drift cannot compound. Constant `iters` rounds — no driver state
+    * beyond the loop counter; every frame between scans is 1- or
+    * d-row. Returns (dim, loading rounded 6 dp) for 0..d-1 plus a
+    * dim = -1 row carrying λ/n — the top covariance eigenvalue
+    * estimate. */
+  def powerIterationTop(corpus: DataFrame, id: String, vec: String,
+                        dims: Int, iters: Int = 3): DataFrame = {
+    require(dims >= 1 && iters >= 1)
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(id).cast("string").as("__vid"),
+      posexplode(col(vec).cast("array<double>")).as(Seq("j", "__x")))
+    val sb = pmod(graft.engine.TextFunctions.md5Hash48(col("__vid")),
+      lit(4096L))
+    val nn = corpus.agg(count(lit(1)).cast("double").as("__n"))
+    val mu = Caches.small(e.groupBy(col("j"), sb.as("__sb"))
+      .agg(ssum(collect_list(col("__x"))).as("__s1"))
+      .groupBy("j").agg(ssum(collect_list(col("__s1"))).as("__sj"))
+      .crossJoin(broadcast(nn))
+      .select(col("j"), (col("__sj") / col("__n")).as("__m")))
+    // centered stream: consumed twice per round — corpus-scale,
+    // released after the loop (the Caches.iteration contract)
+    val cRows = Caches.iteration(e.join(broadcast(mu), Seq("j"))
+      .select(col("__vid"), col("j"), (col("__x") - col("__m"))
+        .as("__x")))
+    var v = Caches.small(spark.range(0, dims.toLong)
+      .select(col("id").cast("int").as("j"),
+        lit(1.0d / math.sqrt(dims.toDouble)).as("__v")))
+    var lamF: DataFrame = null
+    for (_ <- 1 to iters) {
+      val s = cRows.join(broadcast(v), Seq("j"))
+        .groupBy("__vid")
+        .agg(ssum(collect_list(col("__x") * col("__v"))).as("__s"))
+      val w = Caches.small(cRows.join(s, Seq("__vid"))
+        .groupBy(col("j"), sb.as("__sb"))
+        .agg(ssum(collect_list(col("__x") * col("__s"))).as("__s1"))
+        .groupBy("j").agg(ssum(collect_list(col("__s1"))).as("__w")))
+      lamF = Caches.small(w.agg(
+        sqrt(ssum(collect_list(col("__w") * col("__w")))).as("__l")))
+      v = Caches.small(w.crossJoin(broadcast(lamF))
+        .select(col("j"), round(col("__w") / col("__l"), 9).as("__v")))
+    }
+    Caches.release(cRows)
+    v.select(col("j").cast("long").as("dim"),
+        (round(col("__v"), 6) + 0.0).as("loading"))
+      .unionByName(lamF.crossJoin(broadcast(nn))
+        .select(lit(-1L).as("dim"),
+          (round(col("__l") / col("__n"), 6) + 0.0).as("loading")))
+  }
+
   /** TRAINED OPQ rotation: the covariance eigenbasis, with eigen-dims
     * dealt round-robin (by descending eigenvalue) across the m PQ
     * subspaces so each subspace receives a balanced share of the
