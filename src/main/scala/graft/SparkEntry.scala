@@ -9770,6 +9770,18 @@ object SparkEntry {
           "embedding", dims = 64, iters = 3)
         .orderBy("dim")
     }),
+    // JOHNSON-LINDENSTRAUSS projection + distortion audit (Achlioptas
+    // +-1/sqrt(k) signs, md5-derived — the matrix is a FORMULA, never
+    // sampled or stored): project 64 -> 16, then measure what that
+    // did to a deterministic 1-1 pair sample (vector i vs i + n/2;
+    // equi-joins, never all pairs) — squared-distance ratio binned at
+    // 0.25 grain with per-bin means. The capacity-planning table for
+    // picking k before ANN indexing (Similarity.jlDistortionAudit).
+    "q367_jl_distortion" -> ((s, dir) => {
+      Similarity.jlDistortionAudit(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dims = 64, k = 16)
+        .orderBy("bin")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -18895,5 +18907,43 @@ object SparkEntry {
          UNION ALL
          SELECT -1, round((SELECT l FROM l_3) / (SELECT n FROM nn), 6) + 0.0
          ORDER BY dim""",
+
+    // the projection replayed sign-for-sign; pair sample and folds
+    // mirror the engine exactly
+    "q367_jl_distortion" ->
+      """WITH e AS (
+           SELECT vec_id, j, embedding[(j+1)::INT]::DOUBLE AS x
+           FROM embeddings CROSS JOIN unnest(range(0, 64)) AS t(j)),
+         r AS (
+           SELECT t AS rt, j,
+             (1.0 - 2.0 * (('0x' || substring(md5('1:' || (t*64+j)::VARCHAR),
+               1, 12))::BIGINT % 2)) AS sgn
+           FROM range(0, 16) a(t) CROSS JOIN range(0, 64) b(j)),
+         y AS (
+           SELECT e.vec_id, r.rt,
+             list_sum(list_sort(list(r.sgn * e.x))) / 4.0 AS y
+           FROM e JOIN r USING (j) GROUP BY e.vec_id, r.rt),
+         np AS (SELECT (count(*) // 2)::BIGINT AS h FROM embeddings),
+         po AS (
+           SELECT a.vec_id AS pa,
+             list_sum(list_sort(list((a.x - b.x) * (a.x - b.x)))) AS d2o
+           FROM e a JOIN e b ON b.vec_id = a.vec_id + (SELECT h FROM np)
+             AND b.j = a.j
+           WHERE a.vec_id < (SELECT h FROM np)
+           GROUP BY a.vec_id),
+         pp AS (
+           SELECT a.vec_id AS pa,
+             list_sum(list_sort(list((a.y - b.y) * (a.y - b.y)))) AS d2p
+           FROM y a JOIN y b ON b.vec_id = a.vec_id + (SELECT h FROM np)
+             AND b.rt = a.rt
+           WHERE a.vec_id < (SELECT h FROM np)
+           GROUP BY a.vec_id),
+         ratio AS (
+           SELECT po.pa, pp.d2p / po.d2o AS rr FROM po JOIN pp USING (pa)
+           WHERE po.d2o > 0)
+         SELECT CAST(floor(round(rr, 6) / 0.25) AS BIGINT) AS bin,
+           count(*)::BIGINT AS n_pairs,
+           round(list_sum(list_sort(list(rr))) / count(*), 4) + 0.0 AS mean_ratio
+         FROM ratio GROUP BY 1 ORDER BY bin""",
   )
 }

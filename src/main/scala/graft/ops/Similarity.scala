@@ -787,6 +787,75 @@ object Similarity {
           (round(col("__l") / col("__n"), 6) + 0.0).as("loading")))
   }
 
+  /** JOHNSON–LINDENSTRAUSS random projection with a DISTORTION AUDIT
+    * — the dimensionality reduction an ANN pipeline applies before
+    * indexing (d → k at ~(1±ε) pairwise-distance fidelity,
+    * ε ≈ √(8 ln n / k)), using the ±1/√k sign matrix (Achlioptas
+    * 2001: database-friendly projections — no Gaussians needed).
+    * Signs are md5-derived from the flattened (row, col) index, so
+    * the matrix is a pure FORMULA: nothing is sampled, stored, or
+    * broadcast beyond k·d tiny rows, and any engine replays it.
+    *
+    * The audit half measures what the projection actually did to THIS
+    * corpus: a deterministic 1-1 pair sample (vector i vs i + n/2 —
+    * an equi-join, never all pairs) compares squared distances before
+    * and after, binned at 0.25 grain with per-bin mean ratio. The
+    * JL guarantee shows up as mass concentrated around ratio 1; the
+    * tails are the vectors a k this small genuinely distorts —
+    * the table a capacity planner reads before picking k.
+    *
+    * Scale: projection is one explode + broadcast join + keyed fold
+    * (k·d-row build side); distances are two self-equi-joins on the
+    * shifted id; every float fold is sorted (oracle-exact). */
+  def jlDistortionAudit(corpus: DataFrame, id: String, vec: String,
+                        dims: Int, k: Int): DataFrame = {
+    require(dims >= 1 && k >= 1)
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(id).as("__vid"),
+      posexplode(col(vec).cast("array<double>")).as(Seq("j", "__x")))
+    val r = Caches.small(spark.range(0, k.toLong)
+      .select(col("id").cast("int").as("__t"))
+      .crossJoin(spark.range(0, dims.toLong)
+        .select(col("id").cast("int").as("j")))
+      .select(col("__t"), col("j"),
+        (lit(1.0d) - lit(2.0d) *
+          pmod(graft.engine.TextFunctions.md5Hash48(
+            (col("__t") * dims + col("j")).cast("string"), seed = 1),
+            lit(2L)).cast("double")).as("__sgn")))
+    val y = e.join(broadcast(r), Seq("j"))
+      .groupBy(col("__vid"), col("__t"))
+      .agg((ssum(collect_list(col("__sgn") * col("__x")))
+        / lit(math.sqrt(k.toDouble))).as("__y"))
+    val half = corpus.agg(
+      (count(lit(1)) / lit(2)).cast("long").as("__h"))
+    val ea = e.crossJoin(broadcast(half))
+      .filter(col("__vid") < col("__h"))
+    val eb = e.select(col("__vid").as("__vb"), col("j"),
+      col("__x").as("__xb"))
+    val d2o = ea.join(eb,
+        ea("__vid") + ea("__h") === eb("__vb") && ea("j") === eb("j"))
+      .groupBy("__vid")
+      .agg(ssum(collect_list((col("__x") - col("__xb")) *
+        (col("__x") - col("__xb")))).as("__d2o"))
+    val ya = y.crossJoin(broadcast(half))
+      .filter(col("__vid") < col("__h"))
+    val yb = y.select(col("__vid").as("__vb"), col("__t"),
+      col("__y").as("__yb"))
+    val d2p = ya.join(yb,
+        ya("__vid") + ya("__h") === yb("__vb") && ya("__t") === yb("__t"))
+      .groupBy("__vid")
+      .agg(ssum(collect_list((col("__y") - col("__yb")) *
+        (col("__y") - col("__yb")))).as("__d2p"))
+    d2o.join(d2p, Seq("__vid"))
+      .filter(col("__d2o") > 0.0d)
+      .select((col("__d2p") / col("__d2o")).as("__rr"))
+      .groupBy(floor(round(col("__rr"), 6) / lit(0.25d)).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(ssum(collect_list(col("__rr"))) / count(lit(1)), 4)
+          + 0.0).as("mean_ratio"))
+  }
+
   /** TRAINED OPQ rotation: the covariance eigenbasis, with eigen-dims
     * dealt round-robin (by descending eigenvalue) across the m PQ
     * subspaces so each subspace receives a balanced share of the
