@@ -815,8 +815,8 @@ object Similarity {
       posexplode(col(vec).cast("array<double>")).as(Seq("j", "__x")))
     val r = Caches.small(spark.range(0, k.toLong)
       .select(col("id").cast("int").as("__t"))
-      .crossJoin(spark.range(0, dims.toLong)
-        .select(col("id").cast("int").as("j")))
+      .crossJoin(broadcast(spark.range(0, dims.toLong)
+        .select(col("id").cast("int").as("j"))))
       .select(col("__t"), col("j"),
         (lit(1.0d) - lit(2.0d) *
           pmod(graft.engine.TextFunctions.md5Hash48(
