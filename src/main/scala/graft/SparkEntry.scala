@@ -9782,6 +9782,18 @@ object SparkEntry {
           "embedding", dims = 64, k = 16)
         .orderBy("bin")
     }),
+    // HEAPS'-LAW FIT over the dedup-key universe: distinct 8-gram
+    // growth at ten nested doc-id deciles (first-occurrence doc per
+    // gram -> every prefix vocabulary is ONE conditional count, no
+    // rescans), closed-form OLS on ln V vs ln T, and the 100x
+    // extrapolation — the capacity answer to "how big is the
+    // q351/q359 shuffle key space at the next scale-up"
+    // (TextAnalysis.heapsLawGramFit).
+    "q368_heaps_law" -> ((s, dir) => {
+      TA.heapsLawGramFit(t(s, dir, "documents"), "doc_id", "text",
+          L = 8)
+        .orderBy("stat")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -18945,5 +18957,53 @@ object SparkEntry {
            count(*)::BIGINT AS n_pairs,
            round(list_sum(list_sort(list(rr))) / count(*), 4) + 0.0 AS mean_ratio
          FROM ratio GROUP BY 1 ORDER BY bin""",
+
+    // decile counts, the sorted-fold OLS and the 100x extrapolation
+    // replayed exactly
+    "q368_heaps_law" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           FROM tk, unnest(range(1, len(ws)-6)) AS t(i)),
+         mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         cuts AS (
+           SELECT k, ((SELECT n FROM mx) * k) // 10 AS cut
+           FROM range(1, 11) t(k)),
+         fo AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram),
+         vv AS (
+           SELECT c.k, c.cut,
+             (SELECT count(*) FROM g WHERE doc_id < c.cut) AS n_grams,
+             (SELECT count(*) FROM fo WHERE fd < c.cut) AS vocab
+           FROM cuts c),
+         pts AS (SELECT k, n_grams, vocab, ln(n_grams::DOUBLE) AS x,
+                   ln(vocab::DOUBLE) AS y
+                 FROM vv),
+         mn AS (
+           SELECT list_sum(list_sort(list(x))) / 10.0 AS xb,
+             list_sum(list_sort(list(y))) / 10.0 AS yb
+           FROM pts),
+         fit AS (
+           SELECT
+             list_sum(list_sort(list((x - xb) * (y - yb)))) /
+               list_sum(list_sort(list((x - xb) * (x - xb)))) AS beta,
+             any_value(xb) AS xb2, any_value(yb) AS yb2
+           FROM pts CROSS JOIN mn),
+         tmax AS (SELECT max(n_grams) AS t10 FROM pts)
+         SELECT 'decile_' || lpad(k::VARCHAR, 2, '0') AS stat,
+           round(vocab::DOUBLE, 1) + 0.0 AS value, n_grams::BIGINT AS n_grams
+         FROM pts
+         UNION ALL
+         SELECT 'beta', round(beta, 6) + 0.0, 0 FROM fit
+         UNION ALL
+         SELECT 'log_k', round(yb2 - beta * xb2, 6) + 0.0, 0 FROM fit
+         UNION ALL
+         SELECT 'vocab_at_100x',
+           round(exp((yb2 - beta * xb2) + beta *
+             ln(100.0 * (SELECT t10 FROM tmax)::DOUBLE)), 1) + 0.0, 0
+         FROM fit
+         ORDER BY stat""",
   )
 }

@@ -887,6 +887,71 @@ object TextAnalysis {
         concat_ws("|", col("__bt")("parts")).as("seg"))
   }
 
+  /** HEAPS'-LAW FIT over the DEDUP-KEY universe: how does the number
+    * of DISTINCT L-token grams grow with the corpus — i.e. how big
+    * will the substring-dedup shuffle key space (q351/q359's groupBy
+    * grain) be at 100× the data? V(T) ≈ K·T^β is Heaps' law; this
+    * measures V at ten nested corpus prefixes (doc-id deciles —
+    * first-occurrence doc per gram makes every prefix's vocabulary
+    * one conditional count, NO per-prefix rescan), fits ln V = ln K +
+    * β ln T by closed-form OLS over the ten points, and extrapolates
+    * V at 100× the full token mass. β near 1 = mostly-unique keys
+    * (shuffle grows linearly); β well below 1 = heavy duplication
+    * (the dedup key space saturates — and so does the shuffle).
+    *
+    * Scale: one gram pass + one groupBy(gram) for first occurrences;
+    * the deciles are conditional sums in a single aggregation; the
+    * fit runs on a 10-row frame. All float folds sorted
+    * (oracle-exact); counts are exact integers. */
+  def heapsLawGramFit(docs: DataFrame, id: String, text: String,
+                      L: Int = 8): DataFrame = {
+    val toks = docs.select(col(id).as("__id"),
+      posexplode(tokens(col(text))).as(Seq("p", "w")))
+    val grams = DedupOps.posGrams(toks, "__id", "p", "w", L)
+    val mx = docs.agg((max(col(id)) + 1L).as("__mx"))
+    val gfo = grams.groupBy("gram").agg(min(col("__id")).as("__fd"))
+    def cutK(k: Int) = expr(s"(__mx * $k) div 10")
+    def decileSums(src: DataFrame, c: String, prefix: String) = {
+      val aggs = (1 to 10).map(k =>
+        sum(when(col(c) < cutK(k), 1L).otherwise(0L)).as(s"$prefix$k"))
+      src.crossJoin(broadcast(mx)).agg(aggs.head, aggs.tail: _*)
+    }
+    val pts = Caches.small(
+      decileSums(grams, "__id", "nt")
+        .crossJoin(decileSums(gfo, "__fd", "vc"))
+        .select(explode(array((1 to 10).map(k => struct(lit(k).as("k"),
+          col(s"nt$k").as("nt"), col(s"vc$k").as("vc"))): _*)).as("o"))
+        .select(col("o.k").as("k"), col("o.nt").as("nt"),
+          col("o.vc").as("vc"))
+        .withColumn("x", log(col("nt").cast("double")))
+        .withColumn("y", log(col("vc").cast("double"))))
+    val mn = pts.agg((ssum(collect_list(col("x"))) / 10.0d).as("xb"),
+      (ssum(collect_list(col("y"))) / 10.0d).as("yb"))
+    val fit = Caches.small(pts.crossJoin(broadcast(mn)).agg(
+      (ssum(collect_list((col("x") - col("xb")) * (col("y") - col("yb"))))
+        / ssum(collect_list((col("x") - col("xb")) *
+          (col("x") - col("xb"))))).as("beta"),
+      first(col("xb")).as("xb2"), first(col("yb")).as("yb2")))
+    val tmax = pts.agg(max(col("nt")).as("__t10"))
+    val deciles = pts.select(
+      concat(lit("decile_"), lpad(col("k").cast("string"), 2, "0"))
+        .as("stat"),
+      (round(col("vc").cast("double"), 1) + 0.0).as("value"),
+      col("nt").cast("long").as("n_grams"))
+    val brow = fit.select(lit("beta").as("stat"),
+      (round(col("beta"), 6) + 0.0).as("value"), lit(0L).as("n_grams"))
+    val krow = fit.select(lit("log_k").as("stat"),
+      (round(col("yb2") - col("beta") * col("xb2"), 6) + 0.0)
+        .as("value"), lit(0L).as("n_grams"))
+    val prow = fit.crossJoin(broadcast(tmax))
+      .select(lit("vocab_at_100x").as("stat"),
+        (round(exp((col("yb2") - col("beta") * col("xb2")) + col("beta")
+          * log(lit(100.0d) * col("__t10").cast("double"))), 1) + 0.0)
+          .as("value"),
+        lit(0L).as("n_grams"))
+    deciles.unionByName(brow).unionByName(krow).unionByName(prow)
+  }
+
   def dsirLogWeights(docs: DataFrame, id: String, text: String,
                      isTarget: Column, buckets: Int = 256): DataFrame = {
     val B = buckets.toLong

@@ -112,6 +112,35 @@ class UnigramLmSpec extends SparkSpec {
     assert(got("ab")._3 > 4.0 / 15)
   }
 
+  test("Heaps'-law gram fit, exact poles: an all-unique-gram corpus " +
+    "fits beta = 1 with vocab@100x = 100x the gram mass; a " +
+    "fully-duplicated corpus fits beta = 0 with a flat projection") {
+    import graft.ops.{TextAnalysis => TAx}
+    // 20 docs x 10 tokens, every token globally unique -> every gram
+    // unique -> V(T) = T at every decile
+    val uniq = (0L until 20L).map(i =>
+      (i, (0 until 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f1 = TAx.heapsLawGramFit(uniq, "doc_id", "text", L = 8)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(f1("beta")._1 === 1.0)
+    assert(f1("log_k")._1 === 0.0)
+    val t10 = f1("decile_10")._2
+    assert(f1("vocab_at_100x")._1 === 100.0 * t10)
+    // identical docs -> the decile vocabulary is CONSTANT -> beta = 0
+    // and the projection equals that constant
+    val dup = (0L until 20L).map(i =>
+      (i, (0 until 10).map(j => s"same$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f2 = TAx.heapsLawGramFit(dup, "doc_id", "text", L = 8)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(f2("beta")._1 === 0.0)
+    assert(f2("decile_10")._1 === 3.0) // 10-token doc has 3 grams
+    assert(f2("vocab_at_100x")._1 === 3.0)
+  }
+
   private def runEncode(texts: Seq[String], iters: Int, maxLen: Int)
       : Map[String, (Long, Long, String)] =
     TextAnalysis.unigramLmEncode(texts.toDF("text"), "text",
