@@ -81,16 +81,33 @@ object Bench {
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Boolean) = {
-      // Inter-query hygiene, OUTSIDE the timed region. Two parts:
+      // Inter-query hygiene, OUTSIDE the timed region. Three parts:
       // (1) explicitly unpersist every still-persistent RDD — nothing
       // is shared across queries, and localCheckpoint blocks are
       // otherwise freed only after BOTH a GC of the RDD object and an
       // async ContextCleaner pass, so late-sweep queries (the q19
       // in-sweep drift) would run against hundreds of MB of dead
-      // checkpoint blocks squatting in the storage memory pool;
-      // (2) a GC cycle for whatever the cleaner still owns.
+      // checkpoint blocks squatting in the storage memory pool.
+      // BLOCKING on purpose: a non-blocking unpersist returns before
+      // the blocks are dropped, which moved the removal work INSIDE
+      // the next query's timed region (r12's in-suite-vs-isolated gap:
+      // q19 5.8x slower in-sweep than re-measured in the same JVM —
+      // the pressure was the PREVIOUS queries' async cleanup running
+      // concurrently, not accumulated state);
+      // (2) a GC cycle to enqueue dead shuffle/broadcast refs to the
+      // ContextCleaner, plus a short quiesce so the cleaner drains the
+      // burst of file deletions NOW instead of during the next query;
+      // (3) a second GC for whatever the first pass's cleanup freed.
+      // 500 ms quiesce, measured (r13): the iterative graph queries
+      // (q134/q139) leave hundreds of shuffle files whose async
+      // ContextCleaner deletion bled into the next ~10 queries' timed
+      // regions (the q13x-q15x neighborhood read 2-3x its isolated
+      // time at 150 ms); the cleaner's blocking per-shuffle RPCs need
+      // the longer window to drain the burst.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(500)
       System.gc()
       val t0 = System.nanoTime()
       val ok =

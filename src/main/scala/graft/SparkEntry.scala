@@ -9794,6 +9794,46 @@ object SparkEntry {
           L = 8)
         .orderBy("stat")
     }),
+
+    // S8's PRODUCTION form — q08's MERGE routed through the
+    // transactional path (Merge.upsertTransactional → TxLog.merge →
+    // atomic manifest CAS): seed a TxLog table from orders in two
+    // key-range appends, MERGE the same incoming batch q08 builds, and
+    // read the committed version back. Same projection, same oracle as
+    // q08 — proving the transactional sink preserves plain-MERGE
+    // semantics exactly while rewriting only key-range-touched files
+    // (TxLogSpec proves the untouched files survive byte-identical).
+    "q369_txn_merge_upsert" -> ((s, dir) => {
+      val root = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_q369_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        if (java.nio.file.Files.exists(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally st.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
+      val orders = t(s, dir, "orders")
+      val mid = orders.agg((max(col("o_orderkey")) / 2).cast("long"))
+        .head().getLong(0)
+      TxLog.append(s, root, orders.filter(col("o_orderkey") <= mid),
+        "o_orderkey")
+      TxLog.append(s, root, orders.filter(col("o_orderkey") > mid),
+        "o_orderkey")
+      val incoming = orders
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U"))
+      Merge.upsertTransactional(s, root, incoming, "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -9808,7 +9848,7 @@ object SparkEntry {
   val eagerSinks: Set[String] = Set("q273_txlog_exactly_once",
     "q336_sqlite_migration", "q337_sqlite_export_roundtrip",
     "q352_sqlite_cdc_sync", "q363_sqlite_wal_append",
-    "q365_walwrite_cdc_roundtrip")
+    "q365_walwrite_cdc_roundtrip", "q369_txn_merge_upsert")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
@@ -18980,15 +19020,18 @@ object SparkEntry {
            FROM cuts c),
          pts AS (SELECT k, n_grams, vocab, ln(n_grams::DOUBLE) AS x,
                    ln(vocab::DOUBLE) AS y
-                 FROM vv),
+                 FROM vv
+                 WHERE n_grams > 0 AND vocab > 0),
          mn AS (
-           SELECT list_sum(list_sort(list(x))) / 10.0 AS xb,
-             list_sum(list_sort(list(y))) / 10.0 AS yb
+           SELECT list_sum(list_sort(list(x))) / count(*) AS xb,
+             list_sum(list_sort(list(y))) / count(*) AS yb
            FROM pts),
          fit AS (
            SELECT
-             list_sum(list_sort(list((x - xb) * (y - yb)))) /
-               list_sum(list_sort(list((x - xb) * (x - xb)))) AS beta,
+             CASE WHEN list_sum(list_sort(list((x - xb) * (x - xb)))) > 0
+               THEN list_sum(list_sort(list((x - xb) * (y - yb)))) /
+                 list_sum(list_sort(list((x - xb) * (x - xb))))
+               ELSE 0.0 END AS beta,
              any_value(xb) AS xb2, any_value(yb) AS yb2
            FROM pts CROSS JOIN mn),
          tmax AS (SELECT max(n_grams) AS t10 FROM pts)
@@ -19005,5 +19048,20 @@ object SparkEntry {
              ln(100.0 * (SELECT t10 FROM tmax)::DOUBLE)), 1) + 0.0, 0
          FROM fit
          ORDER BY stat""",
+
+    // q08's oracle verbatim: the transactional path must preserve plain
+    // MERGE semantics exactly.
+    "q369_txn_merge_upsert" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS total
+           FROM orders
+           WHERE o_orderkey NOT IN (
+             SELECT o_orderkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+           UNION ALL
+           SELECT o_orderkey, 'U' AS o_orderstatus,
+                  round(o_totalprice*2,2) AS total
+           FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+         ORDER BY o_orderkey""",
   )
 }

@@ -31,6 +31,37 @@ object Merge {
       .unionByName(incoming.select(existing.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** S8's PRODUCTION form: the same MERGE semantics as [[upsert]], but
+    * against a transactional [[TxLog]] table instead of a caller-held
+    * DataFrame — the `MERGE INTO` a Delta/Iceberg user would write,
+    * backed by this repo's own manifest log. Differences that matter at
+    * 100 TB:
+    *
+    *   - only data files whose key-range OVERLAPS the incoming batch are
+    *     rewritten; disjoint files are carried into the new version
+    *     byte-identical (TxLogSpec proves path- and byte-identity), so a
+    *     micro-batch of thousands of keys against a warehouse of
+    *     billions rewrites a handful of files, not the table;
+    *   - visibility is an atomic manifest CAS — readers see the old
+    *     version or the new one, never a half-written directory (the
+    *     plain-parquet [[upsert]] + overwrite has a destroy-then-rebuild
+    *     window);
+    *   - concurrent writers retry on commit conflict, and a replayed
+    *     `epoch` (streaming batchId / watcher uploadId) is skipped for
+    *     exactly-once delivery.
+    *
+    * Returns the post-merge table read, so call sites can swap
+    * `upsert(existing, incoming, keys)` + write for
+    * `upsertTransactional(spark, root, incoming, key)` without further
+    * changes. Single long-castable key: that is [[TxLog]]'s file-stat
+    * pruning contract. */
+  def upsertTransactional(spark: org.apache.spark.sql.SparkSession,
+                          root: String, incoming: DataFrame, key: String,
+                          epoch: Option[Long] = None): DataFrame = {
+    TxLog.merge(spark, root, incoming, key, epoch)
+    TxLog.read(spark, root, schemaFrom = Some(incoming))
+  }
+
   /** Anti-join "new rows" detection (`exo_1.py:199-204` `isin`-negation):
     * incoming rows whose key is absent from existing. */
   def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =

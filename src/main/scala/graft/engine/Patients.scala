@@ -92,11 +92,20 @@ object Patients {
     import graft.functions.SortedSumD.{sortedSum => ssum}
     val fields = dedupKeys // NOM, PRENOM, DATE_NAISSANCE, ADRESSE, TEL
     val n = fields.length
-    val ordered = staged.select(
-      (fields :+ "HOSPITAL_PATIENT_ID").map(col): _*)
-      .withColumn("__ord", monotonically_increasing_id())
+    // deterministic row order for the blocking key: a two-phase global
+    // rank over ALL identity fields (not monotonically_increasing_id,
+    // whose value depends on partition layout — the candidate pair set
+    // would change across partitionings; rows still tied on every field
+    // are genuinely interchangeable). Zero-padded to fixed width before
+    // concat_ws so the string sort orders it numerically ('10' < '2'
+    // otherwise).
+    val ordered = Dedup.numberRows(
+      staged.select((fields :+ "HOSPITAL_PATIENT_ID").map(col): _*),
+      order = struct((fields :+ "HOSPITAL_PATIENT_ID").map(col): _*),
+      as = "__ord")
     val snm = graft.ops.DedupOps.sortedNeighborhoodPairs(ordered,
-      concat_ws("|", col("NOM"), col("PRENOM"), col("__ord")), window)
+      concat_ws("|", col("NOM"), col("PRENOM"),
+        lpad(col("__ord").cast("string"), 12, "0")), window)
     val agCols = fields.zipWithIndex.map { case (f, i) =>
       when(coalesce(col(s"a.$f"), lit("")) ===
         coalesce(col(s"b.$f"), lit("")), 1.0d).otherwise(0.0d)

@@ -918,19 +918,38 @@ object TextAnalysis {
     }
     val pts = Caches.small(
       decileSums(grams, "__id", "nt")
-        .crossJoin(decileSums(gfo, "__fd", "vc"))
+        // both sides are 1-row aggregates, but without the hint the
+        // join can plan as shuffled x shuffled CartesianProduct under
+        // adverse statistics (ContractSpec's scale-killer gate caught
+        // exactly that in a full-suite run) — broadcast, like every
+        // other scalar-frame cross join in this fit
+        .crossJoin(broadcast(decileSums(gfo, "__fd", "vc")))
         .select(explode(array((1 to 10).map(k => struct(lit(k).as("k"),
           col(s"nt$k").as("nt"), col(s"vc$k").as("vc"))): _*)).as("o"))
         .select(col("o.k").as("k"), col("o.nt").as("nt"),
           col("o.vc").as("vc"))
+        // a corpus whose doc ids are skewed or don't start near 0 can
+        // leave early deciles EMPTY; ln(0) = -inf would poison the OLS
+        // fit into NaN with no error. Drop unpopulated deciles from
+        // the fit (and the report) and average over the points that
+        // remain — identical output when all ten deciles are live.
+        .filter(col("nt") > 0L && col("vc") > 0L)
         .withColumn("x", log(col("nt").cast("double")))
         .withColumn("y", log(col("vc").cast("double"))))
-    val mn = pts.agg((ssum(collect_list(col("x"))) / 10.0d).as("xb"),
-      (ssum(collect_list(col("y"))) / 10.0d).as("yb"))
+    val mn = pts.agg(
+      (ssum(collect_list(col("x"))) / count(lit(1)).cast("double"))
+        .as("xb"),
+      (ssum(collect_list(col("y"))) / count(lit(1)).cast("double"))
+        .as("yb"))
+    // degenerate fit (one populated decile, or zero x-variance): the
+    // OLS slope is 0/0 — emit the constant model beta = 0 instead of
+    // NaN (matches the fully-duplicated pole)
+    val sxy = ssum(collect_list((col("x") - col("xb")) *
+      (col("y") - col("yb"))))
+    val sxx = ssum(collect_list((col("x") - col("xb")) *
+      (col("x") - col("xb"))))
     val fit = Caches.small(pts.crossJoin(broadcast(mn)).agg(
-      (ssum(collect_list((col("x") - col("xb")) * (col("y") - col("yb"))))
-        / ssum(collect_list((col("x") - col("xb")) *
-          (col("x") - col("xb"))))).as("beta"),
+      when(sxx > 0.0d, sxy / sxx).otherwise(lit(0.0d)).as("beta"),
       first(col("xb")).as("xb2"), first(col("yb")).as("yb2")))
     val tmax = pts.agg(max(col("nt")).as("__t10"))
     val deciles = pts.select(

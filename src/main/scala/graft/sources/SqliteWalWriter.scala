@@ -84,6 +84,16 @@ object SqliteWalWriter {
     def touch(n: Int): Array[Byte] = { dirty += n; pages(n - 1) }
     def alloc(): Int = {
       pages += new Array[Byte](pageSize)
+      // SQLite's locking page: the page containing byte offset
+      // 0x40000000 (PENDING_BYTE) must never hold B-tree or overflow
+      // content — sqlite itself skip-allocates it. An append growing
+      // past 1 GiB is out of this writer's scope; fail LOUDLY like the
+      // index/WITHOUT-ROWID gates rather than emit a silently corrupt
+      // image (advisor r12).
+      require(pages.length.toLong != 0x40000000L / pageSize + 1,
+        s"append would allocate the PENDING_BYTE locking page (page " +
+          s"${pages.length} at pageSize $pageSize): databases past " +
+          "1 GiB are outside SqliteWalWriter's supported scope")
       dirty += pages.length
       pages.length
     }

@@ -20,9 +20,27 @@ class ContractSpec extends SparkSpec {
     assert(nums.distinct.size === nums.size, "duplicate query numbers")
   }
 
+  /** Builds plans under ADVERSE statistics: auto-broadcast disabled, so
+    * a join is broadcast only if the CODE says `broadcast(...)`. Round
+    * 12 proved the favorable-stats gate is run-order-dependent: q368's
+    * unhinted scalar×scalar cross join planned as BroadcastNestedLoop
+    * when AQE's size estimates were lucky and as a shuffled×shuffled
+    * CartesianProduct under full-suite memory pressure. Pinning the
+    * threshold to -1 makes every unhinted cross join a CartesianProduct
+    * DETERMINISTICALLY — a scale-killer can never hide behind lucky
+    * runtime statistics. Explicit broadcast hints are unaffected by the
+    * threshold, so hinted model-frame joins still plan as BNLJ/BHJ. */
+  private def withAdverseStats[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("no nested-loop/cartesian operator in ANY stage of the " +
     "checkpoint-segmented pipelines — including the sub-plans that " +
-    "localCheckpoint's lineage truncation hides from the final plan") {
+    "localCheckpoint's lineage truncation hides from the final plan " +
+    "— under PINNED adverse statistics (auto-broadcast off)") { withAdverseStats {
     // the Caches.small users: LSH/candidate pipelines and iterative
     // graph queries, where an accidental cartesian would be the 100 TB
     // killer and the final plan alone can't prove its absence
@@ -49,7 +67,7 @@ class ContractSpec extends SparkSpec {
         assert(nl === 0, s"$q sub-plan $i/${all.size} has a nested loop")
       }
     }
-  }
+  } }
 
   /** Plan-gate query set: everything except [[SparkEntry.eagerSinks]],
     * whose BUILDERS execute DML — a plan gate must be side-effect-free
@@ -171,7 +189,9 @@ class ContractSpec extends SparkSpec {
     "(object-level: CartesianProduct anywhere; every unbounded-build " +
     "BroadcastNestedLoopJoin classified PER INSTANCE as a documented " +
     "grain-reduced build or a documented raw-filter build) — including " +
-    "the sub-plans that localCheckpoint hides") {
+    "the sub-plans that localCheckpoint hides — under PINNED adverse " +
+    "statistics, so the verdict cannot depend on run order or lucky " +
+    "size estimates") { withAdverseStats {
     val dir = "/root/testdata/sf0.001"
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((q, fn) <- planGateQueries) {
@@ -196,12 +216,13 @@ class ContractSpec extends SparkSpec {
       }
     }
     assert(bad.isEmpty, "\n" + bad.distinct.mkString("\n"))
-  }
+  } }
 
   test("no non-broadcast CartesianProduct in the round-5 family's " +
     "physical plans (broadcast single-row/model-sized cross joins are " +
     "the intended pattern; a CartesianProduct operator means both " +
-    "sides shuffled — the 100 TB killer)") {
+    "sides shuffled — the 100 TB killer) — under PINNED adverse " +
+    "statistics") { withAdverseStats {
     val dir = "/root/testdata/sf0.001"
     val family = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.eagerSinks)
@@ -213,5 +234,5 @@ class ContractSpec extends SparkSpec {
       val cp = plan.linesIterator.count(_.contains("CartesianProduct"))
       assert(cp === 0, s"$q plan has a CartesianProduct")
     }
-  }
+  } }
 }

@@ -53,6 +53,47 @@ class TxLogSpec extends SparkSpec {
     assert(df.filter(col("id") < 100 && col("v") =!= "old").count() === 0)
   }
 
+  test("Merge.upsertTransactional (the S8 production interface): " +
+    "plain-upsert semantics, and key-range-disjoint files survive " +
+    "BYTE-identical — same path, same length, same content hash") {
+    val root = freshRoot()
+    TxLog.append(spark, root, rows(0 until 100, "old"), "id")
+    TxLog.append(spark, root, rows(1000 until 1100, "old"), "id")
+    def digest(rel: String): String = {
+      val bytes = Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/$rel"))
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }
+    val before = TxLog.snapshot(spark, root)
+    val low = before.files.filter(_.maxKey < 1000).map(_.path)
+    assert(low.nonEmpty)
+    val lowBytes = low.map(p => p -> (Files.size(
+      java.nio.file.Paths.get(s"$root/$p")), digest(p))).toMap
+    // the interface under test: same call shape a Delta MERGE INTO user
+    // would migrate to, returning the committed post-merge read
+    val result = graft.engine.Merge.upsertTransactional(
+      spark, root, rows(1050 until 1150, "new"), "id")
+    // upsert semantics match the plain-DataFrame Merge.upsert exactly
+    assert(result.count() === 100 + 150)
+    assert(result.groupBy("id").count()
+      .filter(col("count") > 1).count() === 0)
+    assert(result.filter(col("id") >= 1050 && col("v") =!= "new")
+      .count() === 0)
+    assert(result.filter(col("id") < 100 && col("v") =!= "old")
+      .count() === 0)
+    // untouched files: carried forward in the manifest AND physically
+    // byte-identical (no silent rewrite under the same name)
+    val after = TxLog.snapshot(spark, root)
+    assert(low.toSet.subsetOf(after.files.map(_.path).toSet))
+    for (p <- low) {
+      val (sz, dg) = lowBytes(p)
+      assert(Files.size(java.nio.file.Paths.get(s"$root/$p")) === sz,
+        s"$p length changed")
+      assert(digest(p) === dg, s"$p bytes changed")
+    }
+  }
+
   test("merge into an empty table is the initial load; an empty batch " +
     "is a no-op commit-wise") {
     val root = freshRoot()

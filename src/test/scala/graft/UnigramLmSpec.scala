@@ -141,6 +141,34 @@ class UnigramLmSpec extends SparkSpec {
     assert(f2("vocab_at_100x")._1 === 3.0)
   }
 
+  test("Heaps'-law gram fit, SKEWED doc ids (advisor r12): ids far " +
+    "from 0 leave early deciles empty — those deciles are dropped " +
+    "from the report and the fit, never folded in as ln(0) = -inf " +
+    "(which would make beta/vocab_at_100x silently NaN)") {
+    import graft.ops.{TextAnalysis => TAx}
+    // ids 1000..1019: cuts k=1..9 of max+1=1020 are 102..918, all
+    // BELOW every doc id, so deciles 1-9 are empty; only decile 10
+    // (cut 1020) sees the corpus
+    val skewed = (0L until 20L).map(i =>
+      (1000L + i, (0 until 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TAx.heapsLawGramFit(skewed, "doc_id", "text", L = 8)
+      .as[(String, Double, Long)].collect()
+    val byStat = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    // empty deciles are absent, populated ones present
+    assert(!byStat.contains("decile_01"))
+    assert(byStat.contains("decile_10"))
+    // every emitted value is finite — no NaN/-inf leaked into the fit
+    for ((stat, (v, _)) <- byStat)
+      assert(!v.isNaN && !v.isInfinity, s"$stat = $v")
+    // a one-point fit has zero x-variance: beta is NaN-free only
+    // because the guard dropped the ln(0) points; with a single point
+    // the OLS slope is 0/0 -> the operator must still not emit NaN
+    // (sum over empty centered products = 0.0/0.0): accept either a
+    // finite beta or the row being absent, but NEVER NaN
+    assert(byStat.get("beta").forall(b => !b._1.isNaN))
+  }
+
   private def runEncode(texts: Seq[String], iters: Int, maxLen: Int)
       : Map[String, (Long, Long, String)] =
     TextAnalysis.unigramLmEncode(texts.toDF("text"), "text",
