@@ -9834,6 +9834,78 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("total"))
         .orderBy("o_orderkey")
     }),
+
+    // INTERCHANGE-FORMAT ROUND TRIP: JSONL and CSV are the two formats
+    // a training-data pipeline actually trades in (JSONL for corpora,
+    // CSV for metadata exports). Write the documents table to BOTH via
+    // Spark's native writers, read each back under the parquet schema,
+    // and aggregate per source with an order-independent 48-bit
+    // content-hash sum over (doc_id, lang, text) — equality of every
+    // _json/_csv column pair against the parquet-derived oracle proves
+    // the round trips are LOSSLESS (quoting, escaping, type round-trip),
+    // not just row-count-preserving. Eager sink: building the frame
+    // writes real files to a per-SF temp dir, wiped per build.
+    "q370_jsonl_csv_roundtrip" -> ((s, dir) => {
+      val root = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_q370_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        if (java.nio.file.Files.exists(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally st.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").json(s"$root/docs_jsonl")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(s"$root/docs_csv")
+      val j = s.read.schema(docs.schema).json(s"$root/docs_jsonl")
+      val c = s.read.schema(docs.schema)
+        .option("header", "true").option("escape", "\"")
+        .csv(s"$root/docs_csv")
+      def summ(df: DataFrame, p: String) = df.groupBy("source").agg(
+        count(lit(1)).as(s"n_$p"),
+        sum(col("n_chars")).as(s"chars_$p"),
+        sum(TF.md5Hash48(concat_ws("|", col("doc_id"), col("lang"),
+          col("text")))).as(s"hash_$p"))
+      summ(j, "json").join(summ(c, "csv"), Seq("source"))
+        .orderBy("source")
+    }),
+
+    // HTML → TEXT extraction (TextAnalysis.htmlToText): synthesize a
+    // deterministic web page per document (title/heading/comment/
+    // script-with-markup-in-a-JS-string/style/entity-bearing paragraph
+    // wrapping the real text), strip it back to text, and report
+    // per-doc extraction stats. The script block CONTAINS '<p>' inside
+    // a JS string — a bare tag-strip would leak "not text" into the
+    // corpus; block-level removal is the thing under test. Entities
+    // decode with &amp; last, so '&amp;lt;' in content would stay
+    // '&lt;'. Oracle replays the same synthesis + the same (?is)
+    // RE2-compatible patterns in DuckDB.
+    "q371_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p { color: #333; }</style>"),
+        lit("<script>if (1 < 2) { var s = \"<p>not text</p>\"; }" +
+          "</script></head><body><h1>Heading "), col("doc_id"),
+        lit("</h1><!-- boilerplate --><p class=\"main\">"), col("text"),
+        lit("</p><p>entities: &amp; &lt;tag&gt; &quot;q&quot; " +
+          "&#39;s&#39; x&nbsp;y</p></body></html>"))
+      val extracted = TA.htmlToText(html)
+      docs.select(col("doc_id"), extracted.as("__x"))
+        .select(col("doc_id"),
+          length(col("__x")).as("n_chars_text"),
+          TF.md5Hash48(col("__x")).as("fp48"),
+          size(split(col("__x"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Queries whose BUILDER executes side effects — the sink IS the
@@ -9848,7 +9920,8 @@ object SparkEntry {
   val eagerSinks: Set[String] = Set("q273_txlog_exactly_once",
     "q336_sqlite_migration", "q337_sqlite_export_roundtrip",
     "q352_sqlite_cdc_sync", "q363_sqlite_wal_append",
-    "q365_walwrite_cdc_roundtrip", "q369_txn_merge_upsert")
+    "q365_walwrite_cdc_roundtrip", "q369_txn_merge_upsert",
+    "q370_jsonl_csv_roundtrip")
 
   /** Generates the q116 oracle: `n` statically-unrolled BPE training
     * iterations as a DuckDB CTE chain (v0 = delimited vocab; then per
@@ -19063,5 +19136,52 @@ object SparkEntry {
                   round(o_totalprice*2,2) AS total
            FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
          ORDER BY o_orderkey""",
+
+    // both format paths must reproduce the parquet table exactly, so
+    // the oracle is the SAME parquet aggregate on both column sets
+    "q370_jsonl_csv_roundtrip" ->
+      """WITH agg AS (
+           SELECT source, count(*) AS n,
+             sum(n_chars)::BIGINT AS chars,
+             sum(('0x' || substring(md5('0:' ||
+               concat_ws('|', doc_id, lang, text)), 1, 12))::BIGINT)
+               ::BIGINT AS hash
+           FROM documents GROUP BY source)
+         SELECT source, n AS n_json, chars AS chars_json,
+           hash AS hash_json, n AS n_csv, chars AS chars_csv,
+           hash AS hash_csv
+         FROM agg ORDER BY source""",
+
+    "q371_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id ||
+             '</title><style>p { color: #333; }</style>' ||
+             '<script>if (1 < 2) { var s = "<p>not text</p>"; }' ||
+             '</script></head><body><h1>Heading ' || doc_id ||
+             '</h1><!-- boilerplate --><p class="main">' || text ||
+             '</p><p>entities: &amp; &lt;tag&gt; &quot;q&quot; ' ||
+             '&#39;s&#39; x&nbsp;y</p></body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id,
+             regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS x
+           FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(x,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS x FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(x,
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS x FROM s2),
+         s4 AS (SELECT doc_id,
+             regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s3),
+         s5 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(x,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x
+           FROM s4),
+         s6 AS (SELECT doc_id,
+             trim(regexp_replace(x, '\s+', ' ', 'g')) AS x FROM s5)
+         SELECT doc_id, length(x) AS n_chars_text,
+           ('0x' || substring(md5('0:' || x), 1, 12))::BIGINT AS fp48,
+           len(string_split(x, ' '))::BIGINT AS n_tokens
+         FROM s6 ORDER BY doc_id""",
   )
 }

@@ -39,11 +39,36 @@ object Dedup {
   def numberRows(df: DataFrame, order: Column, as: String, partitions: Int = 0): DataFrame = {
     val ranged = if (partitions > 0) df.repartitionByRange(partitions, order)
                  else df.repartitionByRange(order)
-    val withLocal = ranged
-      .withColumn("__graft_pid", spark_partition_id())
+    // Phase 1 — local rank WITHOUT a window: after the explicit local
+    // sort, monotonically_increasing_id() encodes exactly
+    // (partition id << 33) | 0-based-arrival-index, and within a sorted
+    // partition the arrival index IS the local rank. The former
+    // row_number() over Window.partitionBy(spark_partition_id())
+    // reshuffled the ENTIRE input a second time (Catalyst cannot know
+    // pid-clustering is inherent, so it inserted
+    // Exchange hashpartitioning(__graft_pid) over the range exchange —
+    // measured as a full extra corpus shuffle in every numberRows
+    // caller, r13). mid is nondeterministic, so Catalyst never reorders
+    // it across the Sort; it is used ONLY as (pid, position-in-sorted-
+    // partition), which is as deterministic as the two-phase scheme
+    // itself.
+    val withLocal = ranged.sortWithinPartitions(order)
+      .withColumn("__graft_mid", monotonically_increasing_id())
+      .withColumn("__graft_pid",
+        shiftright(col("__graft_mid"), 33).cast("int"))
       .withColumn("__graft_local",
-        row_number().over(Window.partitionBy(col("__graft_pid")).orderBy(order)))
-    val offsets = withLocal.groupBy(col("__graft_pid"))
+        (col("__graft_mid") % lit(1L << 33)) + lit(1L))
+      .drop("__graft_mid")
+    // Phase 2 — exclusive prefix offsets from partition SIZES, computed
+    // straight off the ranged frame: no sort on this branch (the old
+    // form re-derived the full window chain just to count rows per
+    // partition). Both branches read the SAME canonicalized range
+    // exchange, so ReuseExchange guarantees identical partition
+    // boundaries (the correctness hinge of every two-phase form here,
+    // unchanged from the window-based implementation).
+    val offsets = ranged
+      .select(spark_partition_id().as("__graft_pid"))
+      .groupBy(col("__graft_pid"))
       .agg(count(lit(1)).as("__graft_cnt"))
       .withColumn("__graft_off",
         coalesce(sum(col("__graft_cnt"))

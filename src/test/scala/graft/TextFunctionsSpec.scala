@@ -129,6 +129,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("1", "0", "0"))
   }
 
+  test("htmlToText: script/style/comment content never leaks, tags " +
+    "strip, entities decode with &amp; last, whitespace collapses") {
+    import graft.ops.TextAnalysis
+    def x(h: String): String = Seq(h).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h"))).head().getString(0)
+    // script CONTENT (incl. markup inside a JS string) is removed
+    // wholesale; a bare tag-strip would have leaked 'not text'
+    assert(x("<p>a</p><script>var s = \"<p>not text</p>\";</script>" +
+      "<p>b</p>") === "a b")
+    assert(x("<style>p { color: red }</style>real") === "real")
+    assert(x("before<!-- hidden words -->after") === "before after")
+    // case-insensitive block matching
+    assert(x("<SCRIPT>gone</SCRIPT>kept") === "kept")
+    // entity decode order: &amp;lt; is CONTENT '&lt;', not a tag
+    assert(x("<p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
+      "x&nbsp;y</p>") === "&lt; <b> \"q\" 's' x y")
+    // attributes with '>' inside quoted values are out of scope (text
+    // extractor, not a parser) — malformed input degrades to extra
+    // whitespace, never an error
+    assert(x("  <div   class='a'  >  spaced   words  </div> ")
+      === "spaced words")
+  }
+
   test("md5Hash48 matches the documented cross-engine formula") {
     // first 12 hex chars of md5("0:abc"), base-16 — oracle-replayable
     val got = Seq("abc").toDF("s")
