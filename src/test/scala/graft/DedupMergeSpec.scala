@@ -41,6 +41,33 @@ class DedupMergeSpec extends SparkSpec {
     assert(pairs.map(_._2).toSeq === (1L to 1000L))
   }
 
+  test("numberRows values are PARTITION-COUNT invariant (the two-phase " +
+    "contract), and the plan shuffles the data exactly ONCE — no " +
+    "hashpartitioning(__graft_pid) re-exchange after the range " +
+    "exchange (r13 regression lock)") {
+    val df = (1 to 2000).map(i => (i * 13L % 2003, i.toLong)).toDF("ord", "v")
+    val results = Seq(1, 3, 8).map { p =>
+      Dedup.numberRows(df, col("ord"), "rn", partitions = p)
+        .select("ord", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(results.distinct.size === 1,
+      "numbering changed with partition count")
+    val plan = Dedup.numberRows(df, col("ord"), "rn", partitions = 8)
+      .queryExecution.executedPlan.toString
+    val pidExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(__graft_pid"))
+    // the OFFSETS branch may shuffle its partition-count-grain rows by
+    // pid (tiny); the DATA branch must not — so at most one such
+    // exchange, and it must not sit above the range exchange's sort
+    assert(pidExchanges <= 1, plan)
+    // the data branch: range exchange feeds a local Sort, never another
+    // full-width hash exchange (the pre-r13 window form re-shuffled the
+    // entire input to cluster by pid)
+    val dataBranch = plan.linesIterator
+      .dropWhile(!_.contains("BroadcastHashJoin")).toSeq
+    assert(dataBranch.exists(_.contains("rangepartitioning")), plan)
+  }
+
   test("S8: upsert updates matched keys, inserts new, keeps unmatched") {
     val existing = Seq((1L, "old1", 1L), (2L, "old2", 1L)).toDF("k", "v", "UPLOAD_ID")
     val incoming = Seq((2L, "new2", 2L), (3L, "new3", 2L)).toDF("k", "v", "UPLOAD_ID")
