@@ -9862,8 +9862,14 @@ object SparkEntry {
       }
       val docs = t(s, dir, "documents")
       docs.write.mode("overwrite").json(s"$root/docs_jsonl")
+      // ignore*WhiteSpace=false: the univocity WRITER trims unquoted
+      // leading/trailing whitespace by default — silently lossy
+      // (InterchangeSpec pins the hostile-string cases: quotes,
+      // newlines-with-multiLine-read, backslashes, unicode, padding)
       docs.write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(s"$root/docs_csv")
       val j = s.read.schema(docs.schema).json(s"$root/docs_jsonl")
       val c = s.read.schema(docs.schema)

@@ -90,7 +90,18 @@ object Dedup {
     * totals) back onto the rows. This is the scale-safe form of
     * `row_number()/sum().over(Window.orderBy(...))` for frames that grow
     * with a dimension or with distinct values (ABC cumulative shares,
-    * Mann–Whitney cumulative counts, exact quantile-by-rank). */
+    * Mann–Whitney cumulative counts, exact quantile-by-rank).
+    *
+    * Unlike [[numberRows]] (r13 rewrite), this form KEEPS the
+    * pid-partitioned window and therefore pays the hash re-exchange on
+    * `__graft_pid` that Catalyst inserts: the running sums need a
+    * sequential per-partition scan, and expressing that without a
+    * window would mean type-dispatching accumulator code in
+    * mapPartitions (long/double/decimal sums each with their own
+    * ordering semantics). Its callers run on VALUE-grain frames
+    * (distinct values of one column), not the raw corpus, so the extra
+    * exchange moves grain-sized data — an accepted trade, documented
+    * rather than hidden. */
   def numberAndRunningSum(df: DataFrame, order: Column, rankCol: String,
                           sums: Seq[(String, Column)]): DataFrame = {
     val ranged = df.repartitionByRange(order)
