@@ -52,33 +52,52 @@ object Dedup {
     // it across the Sort; it is used ONLY as (pid, position-in-sorted-
     // partition), which is as deterministic as the two-phase scheme
     // itself.
-    val withLocal = ranged.sortWithinPartitions(order)
+    //
+    // The frame is MATERIALIZED exactly once (captured localCheckpoint)
+    // before phase 2 reads it. This is load-bearing for correctness,
+    // not a cache hint: the r13 form derived the offsets from a second
+    // read of the range exchange and relied on ReuseExchange to make
+    // both reads see the same partition boundaries — but whenever the
+    // consumer keeps columns beyond `order`, column pruning narrows the
+    // offsets branch to the order columns, the two exchanges no longer
+    // canonicalize equal, reuse does NOT fire, and each branch samples
+    // its own range boundaries and gets its own AQE coalescing. The
+    // partition-id domains then disagree and the offsets join silently
+    // DROPS rows and duplicates ranks (reproduced, advisor r13: a 200k-
+    // row frame with an incompressible payload returned 49,980 rows on
+    // this repo's Spark 4.1.2 under default AQE — the narrow branch
+    // coalesced to 1 post-shuffle partition, the wide branch to 4).
+    // DedupMergeSpec pins that exact scenario. Checkpoint lifecycle is
+    // [[graft.ops.Caches.small]]'s: blocks are reference-counted by the
+    // ContextCleaner and freed when the returned frame is GC'd; the
+    // executor-loss caveat Caches.scala documents applies, and the
+    // warehouse-scale form writes the ranked frame to a table instead.
+    val shared = graft.ops.Caches.corpusScale(ranged.sortWithinPartitions(order)
       .withColumn("__graft_mid", monotonically_increasing_id())
       .withColumn("__graft_pid",
         shiftright(col("__graft_mid"), 33).cast("int"))
       .withColumn("__graft_local",
         (col("__graft_mid") % lit(1L << 33)) + lit(1L))
-      .drop("__graft_mid")
-    // Phase 2 — exclusive prefix offsets from partition SIZES, computed
-    // straight off the ranged frame: no sort on this branch (the old
-    // form re-derived the full window chain just to count rows per
-    // partition). Both branches read the SAME canonicalized range
-    // exchange, so ReuseExchange guarantees identical partition
-    // boundaries (the correctness hinge of every two-phase form here,
-    // unchanged from the window-based implementation).
-    val offsets = ranged
-      .select(spark_partition_id().as("__graft_pid"))
-      .groupBy(col("__graft_pid"))
+      .drop("__graft_mid"))
+    // Phase 2 — exclusive prefix offsets from the MATERIALIZED frame's
+    // partition sizes: one cache-scan count per pid, collected to the
+    // driver (partition-count-grain — bounded by the shuffle partition
+    // count, the same size the r13 form broadcast) and applied as an
+    // O(1) array-literal lookup. No join, no broadcast, and no second
+    // evaluation of anything upstream of the checkpoint.
+    val counts = shared.groupBy(col("__graft_pid"))
       .agg(count(lit(1)).as("__graft_cnt"))
-      .withColumn("__graft_off",
-        coalesce(sum(col("__graft_cnt"))
-          .over(Window.orderBy(col("__graft_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__graft_pid"), col("__graft_off"))
-    withLocal
-      .join(broadcast(offsets), Seq("__graft_pid"))
-      .withColumn(as, col("__graft_local") + col("__graft_off"))
-      .drop("__graft_pid", "__graft_local", "__graft_off")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val byPid = counts.toMap
+    val maxPid = counts.lastOption.map(_._1).getOrElse(-1)
+    val offs = new Array[Long](maxPid + 1)
+    var acc = 0L
+    var p = 0
+    while (p <= maxPid) { offs(p) = acc; acc += byPid.getOrElse(p, 0L); p += 1 }
+    shared
+      .withColumn(as, col("__graft_local") +
+        element_at(typedlit(offs.toSeq), col("__graft_pid") + 1))
+      .drop("__graft_pid", "__graft_local")
   }
 
   /** Two-phase global rank + running sums: like [[numberRows]], but also
@@ -104,8 +123,17 @@ object Dedup {
     * rather than hidden. */
   def numberAndRunningSum(df: DataFrame, order: Column, rankCol: String,
                           sums: Seq[(String, Column)]): DataFrame = {
-    val ranged = df.repartitionByRange(order)
-      .withColumn("__graft_pid", spark_partition_id())
+    // Materialized once for the same reason [[numberRows]] is (advisor
+    // r13): the window branch and the per-pid offsets branch both read
+    // this frame, and if the output carries columns beyond the order
+    // and sum inputs, divergent column pruning breaks exchange reuse
+    // and each branch would otherwise sample its own range boundaries —
+    // mismatched pid domains, dropped rows. Freezing spark_partition_id
+    // into checkpointed data makes both reads see one pid assignment
+    // regardless of planner behavior. Callers run on VALUE-grain frames
+    // (distinct values of one column), so the checkpoint is grain-sized.
+    val ranged = graft.ops.Caches.corpusScale(df.repartitionByRange(order)
+      .withColumn("__graft_pid", spark_partition_id()))
     val pw = Window.partitionBy(col("__graft_pid")).orderBy(order)
     var withLocal = ranged.withColumn("__graft_local", row_number().over(pw))
     for (((_, ex), i) <- sums.zipWithIndex)

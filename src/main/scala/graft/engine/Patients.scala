@@ -103,9 +103,12 @@ object Patients {
       staged.select((fields :+ "HOSPITAL_PATIENT_ID").map(col): _*),
       order = struct((fields :+ "HOSPITAL_PATIENT_ID").map(col): _*),
       as = "__ord")
+    // %019d, not lpad(12): lpad TRUNCATES strings longer than its
+    // width, so a rank >= 10^12 would silently corrupt the blocking
+    // key's sort order; 19 digits hold any positive Long (advisor r13)
     val snm = graft.ops.DedupOps.sortedNeighborhoodPairs(ordered,
       concat_ws("|", col("NOM"), col("PRENOM"),
-        lpad(col("__ord").cast("string"), 12, "0")), window)
+        format_string("%019d", col("__ord"))), window)
     val agCols = fields.zipWithIndex.map { case (f, i) =>
       when(coalesce(col(s"a.$f"), lit("")) ===
         coalesce(col(s"b.$f"), lit("")), 1.0d).otherwise(0.0d)

@@ -96,11 +96,22 @@ object GraftExtensions {
       SortedSumD(children(0))
     })
 
+  val htmlToText: FnDef = (
+    FunctionIdentifier("html_to_text"),
+    new ExpressionInfo(classOf[HtmlToTextExpr].getName, "html_to_text"),
+    (children: Seq[Expression]) => {
+      if (children.size != 1)
+        throw new IllegalArgumentException(
+          s"Function html_to_text requires 1 argument, got ${children.size}")
+      HtmlToTextExpr(children(0))
+    })
+
   val all: Seq[FnDef] = Seq(
     dotProductD,
     sortedSumD,
     hilbertIndex2,
     jaroWinkler,
+    htmlToText,
     columnFn("graft_normalize_text", 1)(cs => TF.normalizeText(cs(0))),
     columnFn("graft_md5hash48", 1)(cs => TF.md5Hash48(cs(0))),
     columnFn("graft_document_date", 1)(cs => TF.extractDocumentDate(cs(0))),

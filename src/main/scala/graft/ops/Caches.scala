@@ -54,6 +54,36 @@ private[graft] object Caches {
     df.localCheckpoint(eager = true)
   }
 
+  /** RDD ids of checkpoints whose row count GROWS with the data —
+    * [[iteration]] frames and the [[graft.engine.Dedup.numberRows]]
+    * internal frame. PlanGuard's bounded-build-side proof accepts an
+    * RDD scan only when it is NOT in this set: without the registry,
+    * every corpus-scale checkpoint would launder into a "provably
+    * bounded" BroadcastNestedLoopJoin build side (r14 gate hardening —
+    * the r13 comment "only producer is Caches.small, model-sized by
+    * contract" stopped being true the moment iteration() shipped). */
+  private val corpusRdds = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[Int]()
+
+  /** Like [[small]] but for frames that scale with the corpus: the
+    * checkpoint is registered so [[modelSized]] (and through it the
+    * PlanGuard bounded proof) refuses to treat its scan as bounded. */
+  def corpusScale(df: DataFrame): DataFrame = {
+    val ck = small(df)
+    ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        corpusRdds.add(l.rdd.id)
+      case _ =>
+    }
+    ck
+  }
+
+  /** False iff `rddId` belongs to a checkpoint registered as
+    * corpus-scale. Unknown ids default to true — every non-registered
+    * checkpoint producer in this library is model-sized ([[small]]'s
+    * contract), and external RDD scans don't occur in its plans. */
+  def modelSized(rddId: Int): Boolean = !corpusRdds.contains(rddId)
+
   /** Eagerly materialize a CORPUS-SCALE iteration frame (prefix-
     * doubling round tables, GD feature streams — one row per token
     * position or per doc×bucket), because iteration loops consume
@@ -73,7 +103,7 @@ private[graft] object Caches {
     * executor; the warehouse-scale form of a doubling loop writes
     * each round to a table instead, and on the local-mode harness
     * executor loss is process death anyway. */
-  def iteration(df: DataFrame): DataFrame = small(df)
+  def iteration(df: DataFrame): DataFrame = corpusScale(df)
 
   /** Free an [[iteration]] frame's blocks NOW. The frame must never be
     * read again (lineage was truncated — a late read fails loudly, it

@@ -35,7 +35,8 @@ object XlsxSource {
     try {
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
         if (e.getName == "xl/sharedStrings.xml")
-          shared = (load(zin) \\ "si").map(si => (si \\ "t").map(_.text).mkString)
+          shared = (load(zin) \\ "si")
+            .map(si => decodeEscapes((si \\ "t").map(_.text).mkString))
             .toIndexedSeq
         else if (e.getName == target) sheet = Some(load(zin))
         else if (sheet.isEmpty &&
@@ -63,7 +64,8 @@ object XlsxSource {
             val t = (c \ "@t").text
             val v = t match {
               case "s" => (c \ "v").headOption.map(v => shared(v.text.toInt))
-              case "inlineStr" => Some((c \\ "t").map(_.text).mkString)
+              case "inlineStr" =>
+                Some(decodeEscapes((c \\ "t").map(_.text).mkString))
               case _ => (c \ "v").headOption.map(_.text)
             }
             cells += v.orNull
@@ -86,6 +88,30 @@ object XlsxSource {
     val schema = StructType(header.map(h => StructField(h, StringType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(data.map(Row.fromSeq), 4), schema)
+  }
+
+  /** ECMA-376 §18.4 escape decode: Excel writes XML-1.0-illegal
+    * characters as `_xHHHH_` (and a literal `_` that would start such a
+    * pattern as `_x005F_`); real workbooks carry these for control
+    * characters that leaked into source systems. Single left-to-right
+    * pass, so `_x005F_x0041_` decodes to the literal `_x0041_` —
+    * exactly the inverse of [[XlsxWriter.escape]]. Non-hex or
+    * unterminated patterns pass through unchanged. */
+  private[sources] def decodeEscapes(s: String): String = {
+    if (s.indexOf("_x") < 0 && s.indexOf("_X") < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '_' && i + 6 < s.length &&
+          (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X') &&
+          (2 to 5).forall(k => Character.digit(s.charAt(i + k), 16) >= 0) &&
+          s.charAt(i + 6) == '_') {
+        sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+        i += 7
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** "A1" → 0, "B2" → 1, "AA5" → 26 ... (column letters only). */

@@ -42,9 +42,10 @@ class DedupMergeSpec extends SparkSpec {
   }
 
   test("numberRows values are PARTITION-COUNT invariant (the two-phase " +
-    "contract), and the plan shuffles the data exactly ONCE — no " +
-    "hashpartitioning(__graft_pid) re-exchange after the range " +
-    "exchange (r13 regression lock)") {
+    "contract), and the data is shuffled exactly ONCE — a single range " +
+    "exchange in the materialized sub-plan, no hashpartitioning" +
+    "(__graft_pid) re-exchange, no join in the tail (r13/r14 " +
+    "regression lock)") {
     val df = (1 to 2000).map(i => (i * 13L % 2003, i.toLong)).toDF("ord", "v")
     val results = Seq(1, 3, 8).map { p =>
       Dedup.numberRows(df, col("ord"), "rn", partitions = p)
@@ -52,20 +53,121 @@ class DedupMergeSpec extends SparkSpec {
     }
     assert(results.distinct.size === 1,
       "numbering changed with partition count")
-    val plan = Dedup.numberRows(df, col("ord"), "rn", partitions = 8)
-      .queryExecution.executedPlan.toString
-    val pidExchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(__graft_pid"))
-    // the OFFSETS branch may shuffle its partition-count-grain rows by
-    // pid (tiny); the DATA branch must not — so at most one such
-    // exchange, and it must not sit above the range exchange's sort
-    assert(pidExchanges <= 1, plan)
-    // the data branch: range exchange feeds a local Sort, never another
-    // full-width hash exchange (the pre-r13 window form re-shuffled the
-    // entire input to cluster by pid)
-    val dataBranch = plan.linesIterator
-      .dropWhile(!_.contains("BroadcastHashJoin")).toSeq
-    assert(dataBranch.exists(_.contains("rangepartitioning")), plan)
+    // the shuffle lives in the checkpointed sub-plan (r14: numberRows
+    // materializes the ranged frame once — see Dedup.scala scaladoc);
+    // capture it and assert the one-shuffle shape there
+    graft.ops.Caches.startCapture()
+    val out = Dedup.numberRows(df, col("ord"), "rn", partitions = 8)
+    val sub = graft.ops.Caches.stopCapture().mkString("\n")
+    val exchanges = sub.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges === 1, s"expected exactly one exchange, got:\n$sub")
+    assert(sub.contains("rangepartitioning"), sub)
+    assert(!sub.contains("hashpartitioning(__graft_pid"), sub)
+    // the tail (post-materialization) plan: pure projection over the
+    // checkpoint scan — no exchange, no join, offsets applied as an
+    // array-literal lookup
+    val tail = out.queryExecution.executedPlan.toString
+    assert(!tail.contains("Exchange "), tail)
+    assert(!tail.contains("Join"), tail)
+  }
+
+  test("numberRows is EXACT on wide frames whose payload survives into " +
+    "the output, under default AQE coalescing — the r13 two-branch " +
+    "form silently dropped rows and duplicated ranks when column " +
+    "pruning desynced its two range exchanges and AQE coalesced the " +
+    "narrow offsets branch harder than the wide data branch " +
+    "(advisor r13, high: 200k rows -> 49,980 survived pre-fix)") {
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    try {
+      val n = 120000
+      // incompressible payload: shuffle bytes are lz4-compressed, so a
+      // repeat()-style filler coalesces both branches identically and
+      // masks the divergence
+      val wide = spark.range(n.toLong).selectExpr(
+        "cast(id * 2654435761 % 1000003 as long) as ord",
+        "concat(" + (0 to 15).map(i => s"md5(cast(id + $i as string))")
+          .mkString(",") + ") as payload")
+      val out = Dedup.numberRows(wide, col("ord"), "rn")
+        .select("rn", "ord", "payload").collect()
+      assert(out.length === n, "row count")
+      val byRn = out.sortBy(_.getLong(0))
+      val rns = byRn.map(_.getLong(0))
+      assert(rns.head === 1L && rns.last === n.toLong &&
+        rns.distinct.length === n, "ranks not dense 1..n")
+      // rank order must follow the order column
+      val ords = byRn.map(_.getLong(1))
+      assert(ords.zip(ords.tail).forall { case (a, b) => a <= b },
+        "rank order diverges from the order column")
+    } finally spark.conf
+      .unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+  }
+
+  test("numberRows is EXACT on wide frames (payload columns kept) under " +
+    "default AQE, with exchange reuse disabled, and under aggressive " +
+    "AQE coalescing — the r13 two-branch form silently dropped rows " +
+    "and duplicated ranks when column pruning desynced its two range " +
+    "exchanges (advisor r13, high)") {
+    val n = 60000
+    val wide = spark.range(n.toLong).selectExpr(
+      "cast(id * 2654435761 % 1000003 as long) as ord",
+      "id as k",
+      "repeat('x', 64) as payload", // wide enough that pruning diverges
+      "cast(id % 97 as double) as w")
+    def check(tag: String): Unit = {
+      // KEEP the payload columns in the consumed output — this is the
+      // shape that breaks the reuse-dependent form (the offsets branch
+      // prunes to `ord` alone, the data branch keeps everything)
+      val out = Dedup.numberRows(wide, col("ord"), "rn")
+        .select("rn", "ord", "k", "payload", "w").collect()
+      assert(out.length === n, s"$tag: row count")
+      val byRn = out.sortBy(_.getLong(0))
+      val rns = byRn.map(_.getLong(0))
+      assert(rns.head === 1L && rns.last === n.toLong &&
+        rns.distinct.length === n, s"$tag: ranks not dense 1..n")
+      // rank order must follow the order column
+      val ords = byRn.map(_.getLong(1))
+      assert(ords.zip(ords.tail).forall { case (a, b) => a <= b },
+        s"$tag: rank order diverges from the order column")
+    }
+    check("default session (AQE on)")
+    val reuse = "spark.sql.exchange.reuse"
+    val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevAdv = spark.conf.getOption(adv)
+    spark.conf.set(reuse, "false")
+    spark.conf.set(adv, "65536") // force >1 post-coalesce partition
+    try {
+      check("exchange.reuse=false + 64KB advisory partitions")
+    } finally {
+      spark.conf.set(reuse, "true")
+      prevAdv match {
+        case Some(v) => spark.conf.set(adv, v)
+        case None    => spark.conf.unset(adv)
+      }
+    }
+  }
+
+  test("numberAndRunningSum is EXACT on frames wider than the summed " +
+    "columns under exchange.reuse=false (same desync class as " +
+    "numberRows — the offsets branch prunes to pid+sum inputs)") {
+    val n = 20000
+    val df = spark.range(n.toLong).selectExpr(
+      "cast(id * 48271 % 65537 as long) as ord",
+      "cast(1 as long) as one",
+      "repeat('p', 48) as payload")
+    val reuse = "spark.sql.exchange.reuse"
+    spark.conf.set(reuse, "false")
+    try {
+      val out = Dedup.numberAndRunningSum(df, col("ord"), "rk",
+          Seq("csum" -> col("one")))
+        .select("rk", "csum", "payload").collect()
+      assert(out.length === n)
+      val rks = out.map(_.getLong(0)).sorted
+      assert(rks.head === 1L && rks.last === n.toLong &&
+        rks.distinct.length === n, "ranks not dense 1..n")
+      // running sum of 1s under the rank order IS the rank
+      assert(out.forall(r => r.getLong(0) === r.getLong(1)),
+        "running sum diverges from rank")
+    } finally spark.conf.set(reuse, "true")
   }
 
   test("S8: upsert updates matched keys, inserts new, keeps unmatched") {

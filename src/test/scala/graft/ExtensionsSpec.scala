@@ -40,7 +40,9 @@ class ExtensionsSpec extends AnyFunSuite {
            graft_lang_id('the cat and the dog of a house') AS lang,
            round(graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 4)
              AS cos,
-           graft_md5hash48('abc') AS h48
+           graft_md5hash48('abc') AS h48,
+           html_to_text(
+             '<p>a</p><a title="x>y">b</a> caf&#233;') AS ht
       """).head()
     assert(r.getString(0) === "un deux")
     assert(r.getString(1) === "Dr Martin Fin") // rule takes up to 2 words
@@ -53,6 +55,14 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.engine.TextFunctions.md5Hash48(lit("abc")))
       .head().getLong(0)
     assert(r.getLong(6) === viaColumn)
+    // parser-grade extractor: block newline, quoted-'>' attribute,
+    // numeric entity — same result as the Column API
+    assert(r.getString(7) === "a\nb café")
+    val htViaColumn = spark.range(1)
+      .select(graft.ops.TextAnalysis.htmlToText(
+        lit("<p>a</p><a title=\"x>y\">b</a> caf&#233;")))
+      .head().getString(0)
+    assert(r.getString(7) === htViaColumn)
   }
 
   test("jaro_winkler: DuckDB-pinned reference values, boost gating, " +

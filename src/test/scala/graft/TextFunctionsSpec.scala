@@ -130,26 +130,28 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("htmlToText: script/style/comment content never leaks, tags " +
-    "strip, entities decode with &amp; last, whitespace collapses") {
+    "strip, entities decode single-pass (&amp;lt; stays literal), " +
+    "whitespace collapses, block tags become newlines") {
     import graft.ops.TextAnalysis
     def x(h: String): String = Seq(h).toDF("h")
       .select(TextAnalysis.htmlToText(col("h"))).head().getString(0)
     // script CONTENT (incl. markup inside a JS string) is removed
     // wholesale; a bare tag-strip would have leaked 'not text'
     assert(x("<p>a</p><script>var s = \"<p>not text</p>\";</script>" +
-      "<p>b</p>") === "a b")
+      "<p>b</p>") === "a\nb")
     assert(x("<style>p { color: red }</style>real") === "real")
     assert(x("before<!-- hidden words -->after") === "before after")
     // case-insensitive block matching
     assert(x("<SCRIPT>gone</SCRIPT>kept") === "kept")
-    // entity decode order: &amp;lt; is CONTENT '&lt;', not a tag
+    // entity decode is single-pass: &amp;lt; is CONTENT '&lt;', not '<'
     assert(x("<p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
       "x&nbsp;y</p>") === "&lt; <b> \"q\" 's' x y")
-    // attributes with '>' inside quoted values are out of scope (text
-    // extractor, not a parser) — malformed input degrades to extra
-    // whitespace, never an error
+    // inline tags separate with spaces; whitespace runs collapse
     assert(x("  <div   class='a'  >  spaced   words  </div> ")
       === "spaced words")
+    // block tags (p/div/h1/li/...) preserve paragraph boundaries
+    assert(x("<h1>t</h1><p>one</p><p>two</p><span>a</span> <span>b</span>")
+      === "t\none\ntwo\na b")
   }
 
   test("md5Hash48 matches the documented cross-engine formula") {

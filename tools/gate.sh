@@ -85,18 +85,31 @@ tail -2 /tmp/gate_oracle.log
 tail -1 /tmp/gate_oracle.log | grep -qE '^([0-9]+)/\1 OK$' \
   || { echo "FAIL: oracle (partial pass)"; exit 1; }
 
-echo "== [4/6] PlanAudit -> PLANS_${ROUND}.txt"
-if ! sbt -batch "runMain graft.PlanAudit" \
+echo "== [4/6] PlanAudit -> PLANS_${ROUND}.txt + PLANS_${ROUND}.json"
+if ! SPARK_GRAFT_PLANS_JSON="PLANS_${ROUND}.json" \
+    sbt -batch "runMain graft.PlanAudit" \
     >/tmp/gate_plan_out.log 2>/tmp/gate_plan_err.log; then
   grep -h '\[plan\].*\(GATE FAIL\|ERROR\)' /tmp/gate_plan_out.log \
     /tmp/gate_plan_err.log | head -5
-  echo "FAIL: plan gate (CartesianProduct or build error)"; exit 1
+  echo "FAIL: plan gate (CartesianProduct / undocumented BNLJ / build error)"
+  exit 1
 fi
 grep '\[plan\]' /tmp/gate_plan_out.log | sed 's/^\[info\] //' >"PLANS_${ROUND}.txt"
 if grep -q '\[plan\].*\(GATE FAIL\|ERROR\)' "PLANS_${ROUND}.txt"; then
   echo "FAIL: plan gate (error line in artifact)"; exit 1
 fi
 wc -l <"PLANS_${ROUND}.txt"
+# machine-readable join-shape check: the sidecar must exist and record
+# ZERO undocumented BNLJ/CartesianProduct instances under adverse stats
+python3 - "PLANS_${ROUND}.json" <<'EOF' || { echo "FAIL: plan sidecar"; exit 1; }
+import json, sys
+d = json.load(open(sys.argv[1]))
+n = d.get("undocumented_total", -1)
+errs = [q for q, v in d.get("queries", {}).items() if v.get("error")]
+if n != 0 or errs:
+    print(f"undocumented_total={n} errors={errs}"); sys.exit(1)
+print(f"plan sidecar: {len(d['queries'])} queries, undocumented_total=0")
+EOF
 
 echo "== [5/6] Bench sf0.1 (full sweep, auto re-measured flags)"
 rm -f BENCH_QUERIES.json
