@@ -2677,34 +2677,39 @@ object SparkEntry {
     "q151_kll_quantile_bound" -> ((s, dir) => {
       val probes = Seq(1, 5, 25, 50, 75, 90, 99)
       val eps = 0.05
-      val sk = udaf(
-        new graft.functions.QuantileSketchAgg(512, probes.map(_ / 100.0)),
-        org.apache.spark.sql.Encoders.scalaDouble)
+      // native TypedImperativeAggregate (KllQuantiles) — same sketch
+      // kernel as the typed Aggregator, minus the per-row encoder round
+      // trip that dominated this query (see KllQuantiles scaladoc)
+      val sk = (c: Column) => graft.functions.KllQuantiles
+        .kllQuantiles(c, 512, probes.map(_ / 100.0))
       val vals = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast("double").as("v"))
-      // exact quantiles from ONE percentile(array(...)) buffer (q38's
-      // gated quantile_cont parity) — 7 separate percentile_disc
-      // instances each hauled their own 600k-entry partial buffer
-      // through the shuffle, 7× the state for the same answer
-      val est = vals.agg(
-        sk(col("v")).as("ests"),
-        expr(s"percentile(v, array(${probes.map(_ / 100.0).mkString(",")}))")
-          .as("exacts"),
-        count(lit(1)).as("n"))
-      val probed = est.select(col("ests"), col("exacts"), col("n"),
-          posexplode(lit(probes.toArray)))
+      // exact ground-truth quantiles by bracketed selection
+      // (Selection.exactQuantilesCont, bit-parity with Spark's
+      // percentile): the built-in exact Percentile aggregate hashes
+      // every distinct double (boxed) and sorts the whole domain —
+      // measured 2.7 s of this query at sf0.1 and the wrong shape for
+      // an exact ground truth at corpus scale
+      val exacts = graft.ops.Selection.exactQuantilesCont(
+        vals, col("v"), probes.map(_ / 100.0))
+      val ests = vals.agg(sk(col("v")).as("ests"))
+      // true rank of each estimate: ONE groupless scan carrying the
+      // 7-entry estimate array (broadcast scalar frame) and emitting 7
+      // conditional sums — all map-side codegen. The r13 form exploded
+      // the estimates to 7 rows and crossJoined them back onto the
+      // corpus (7× the rows through a mixed-key hash aggregate,
+      // measured ~2.5 s of the query at sf0.1); the rank counts never
+      // needed a groupBy at all.
+      val counted = vals.crossJoin(broadcast(ests))
+        .agg(array(probes.indices.map(i =>
+            sum(when(col("v") <= element_at(col("ests"), i + 1), 1L)
+              .otherwise(0L))): _*).as("rks"))
+      counted.select(col("rks"), posexplode(lit(probes.toArray)))
+        .join(broadcast(exacts), Seq("pos"))
         .select(col("col").as("probe_pct"),
-          element_at(col("ests"), col("pos") + 1).as("est"),
-          element_at(col("exacts"), col("pos") + 1).as("exact_q"),
-          col("n"))
-      // true rank of the estimate: one conditional count per probe over
-      // a 7-row broadcast of the estimates (scan ×7 of one column)
-      vals.crossJoin(broadcast(probed))
-        .groupBy("probe_pct", "exact_q", "n")
-        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rk"))
-        .select(col("probe_pct"),
-          round(col("exact_q"), 2).as("exact_q"),
-          (abs(col("rk") - ceil(col("probe_pct") / lit(100.0) * col("n")))
+          round(col("exact"), 2).as("exact_q"),
+          (abs(element_at(col("rks"), col("pos") + 1) -
+            ceil(col("col") / lit(100.0) * col("n")))
             <= lit(eps) * col("n")).as("within_eps"))
         .orderBy("probe_pct")
     }),
@@ -2992,9 +2997,9 @@ object SparkEntry {
     "q163_kll_grouped" -> ((s, dir) => {
       val probes = Seq(25, 50, 75, 90)
       val eps = 0.05
-      val sk = udaf(
-        new graft.functions.QuantileSketchAgg(512, probes.map(_ / 100.0)),
-        org.apache.spark.sql.Encoders.scalaDouble)
+      // native form — see q151's note / KllQuantiles scaladoc
+      val sk = (c: Column) => graft.functions.KllQuantiles
+        .kllQuantiles(c, 512, probes.map(_ / 100.0))
       val vals = events(s, dir)
         .select(col("event_type"), col("value").cast("double").as("v"))
       val est = vals.groupBy("event_type").agg(
@@ -4604,17 +4609,17 @@ object SparkEntry {
       val pairs = daily.join(broadcast(daily
           .select(col("tt").as("t2"), col("cents").as("c2"))),
           col("t2") > col("tt"))
-        .withColumn("slope", (col("c2") - col("cents")).cast("double") /
-          (col("t2") - col("tt")).cast("double"))
-      // median rank via ONE global window over the CALENDAR-BOUNDED
-      // pair grain (days² grows with the time span, never the corpus;
-      // with daily checkpointed the plan PROVES the input bounded).
-      // Measured at 3.1M pairs: this sort is 0.5 s where the two-phase
-      // numberRows form pays ~2.5 s of range-sampling + extra-exchange
-      // overhead — two-phase is for row-grain frames, not this one.
-      val ranked = pairs.withColumn("rk", row_number().over(
-        Window.orderBy(col("slope"), col("tt"), col("t2"))))
-      val n = pairs.agg(count(lit(1)).as("np"))
+        .select(((col("c2") - col("cents")).cast("double") /
+          (col("t2") - col("tt")).cast("double")).as("slope"))
+      // exact median SLOPE by bracketed selection (Selection.kthValue):
+      // the r13 form ranked the full pair frame with one global window —
+      // justified then as calendar-bounded, but still a single-task sort
+      // of days²/2 rows (3.1M at sf0.1, measured ~2.5 s of the query).
+      // Only the median VALUE is needed (row_number's (tt,t2) tiebreak
+      // picked a row, but tied rows share the slope the output rounds),
+      // so selection replaces the sort with two map-side passes over the
+      // broadcast-generated pairs — no shuffle of the pair frame at all.
+      val sel = graft.ops.Selection.medianValue(pairs, col("slope"))
       val ols = daily.agg(count(lit(1)).cast("decimal(19,0)").as("n"),
           sum(col("tt").cast("decimal(19,0)")).as("sx"),
           sum(col("cents").cast("decimal(19,0)")).as("sy"),
@@ -4624,11 +4629,9 @@ object SparkEntry {
           .cast("double") /
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
           6).as("ols_slope"))
-      ranked.crossJoin(broadcast(n))
-        .filter(col("rk") === expr("(np + 1) div 2"))
-        .crossJoin(broadcast(ols))
-        .select(col("np").as("n_pairs"),
-          round(col("slope"), 6).as("theil_sen_slope"),
+      sel.crossJoin(broadcast(ols))
+        .select(col("n").as("n_pairs"),
+          round(col("kth"), 6).as("theil_sen_slope"),
           col("ols_slope"))
     }),
 
@@ -5189,13 +5192,12 @@ object SparkEntry {
       val pairs = daily.join(broadcast(daily
           .select(col("tt").as("t2"), col("cents").as("c2"))),
           col("t2") >= col("tt"))
-        .select((col("cents") + col("c2")).as("half2"),
-          col("tt"), col("t2"))
-      // global window over the calendar-bounded pair grain (see q211's
-      // measured note — two-phase is slower here and unneeded)
-      val ranked = pairs.withColumn("rk", row_number().over(
-        Window.orderBy(col("half2"), col("tt"), col("t2"))))
-      val np = pairs.agg(count(lit(1)).as("np"))
+        .select((col("cents") + col("c2")).as("half2"))
+      // exact median Walsh sum by bracketed selection — same shape as
+      // q211: only the median VALUE is needed, so Selection.kthValue's
+      // two map-side passes replace the r13 single-task sort of the
+      // days²/2-row pair frame (see Selection.scala scaladoc)
+      val sel = graft.ops.Selection.medianValue(pairs, col("half2"))
       val med = daily.withColumn("rk", row_number().over(
           Window.orderBy(col("cents"), col("tt"))))
         .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
@@ -5203,13 +5205,11 @@ object SparkEntry {
         .select(col("cents").as("med_cents"), col("nd"))
       val mean = daily.agg(
         (sum(col("cents")) / count(lit(1))).as("mean_cents"))
-      ranked.crossJoin(broadcast(np))
-        .filter(col("rk") === expr("(np + 1) div 2"))
-        .crossJoin(broadcast(med)).crossJoin(broadcast(mean))
-        .select(col("np").as("n_pairs"), col("nd").as("n_days"),
+      sel.crossJoin(broadcast(med)).crossJoin(broadcast(mean))
+        .select(col("n").as("n_pairs"), col("nd").as("n_days"),
           // 3 decimals: half2/200 is an exact multiple of 0.005, so a
           // 2-decimal round would sit ON the tie boundary every odd sum
-          round(col("half2").cast("double") / 200.0, 3).as("hl_location"),
+          round(col("kth").cast("double") / 200.0, 3).as("hl_location"),
           round(col("med_cents").cast("double") / 100.0, 2).as("median"),
           round(col("mean_cents").cast("double") / 100.0, 2).as("mean"))
     }),

@@ -11,7 +11,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +20,26 @@ object Verify {
       // default; read as long (ns since epoch) and convert in the queries.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // SPARK_GRAFT_ADVERSE=1: hostile physical-planner settings — results
+    // must be IDENTICAL (correctness may not depend on exchange reuse,
+    // auto-broadcast size estimates, AQE coalescing geometry, input
+    // split boundaries, or the shuffle partition count). This is the
+    // plan-shape-independence soak the r13 numberRows bug motivated: it
+    // hid behind ReuseExchange firing and single-partition coalescing
+    // at oracle scale. An odd partition count + tiny split/advisory
+    // sizes maximize boundary diversity; reuse off forces every
+    // exchange to stand alone.
+    val adverse = sys.env.get("SPARK_GRAFT_ADVERSE").contains("1")
+    if (adverse) {
+      builder
+        .config("spark.sql.exchange.reuse", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.shuffle.partitions", "7")
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Auto-geometry guard: q23/q91/q298 derive sign-LSH planes from the
