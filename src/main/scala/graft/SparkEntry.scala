@@ -89,11 +89,32 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // money sums ride EXACT integer cents (price is 2-decimal, so
+          // cents = round(x·100) is lossless): a raw double sum's low
+          // bits depend on partition/merge order, and the round-14
+          // adverse-plan soak caught the q54 sibling of this pattern
+          // landing ON a 2-decimal rounding boundary under a different
+          // partition geometry. cents/100.0 is exact — no round, no tie.
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("__bp_cents"),
+          // revenue = Σ price·(1−disc) in exact 10⁻⁴-dollar units
+          // (cents × integer discount percent)
+          sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("__rev_c4"),
+          sum(round(col("l_discount") * 100, 0).cast("long")).as("__dpct"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          (col("__bp_cents").cast("double") / 100.0).as("sum_base_price"),
+          // half-up at display via integer div (both engines floor
+          // positive integer division)
+          (expr("(__rev_c4 + 50) div 100").cast("double") / 100.0)
+            .as("sum_disc_price"),
+          // avg(discount) to 4 decimals, half-up in integers:
+          // round(100·Σpct/n)/10⁴ = ((200·Σpct + n) div 2n)/10⁴
+          (expr("(200 * __dpct + count_order) div (2 * count_order)")
+            .cast("double") / 10000.0).as("avg_disc"),
+          col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -242,7 +263,8 @@ object SparkEntry {
     "q13_time_window_agg" -> ((s, dir) => {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("sum_value"))
         .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")
@@ -535,7 +557,8 @@ object SparkEntry {
       t(s, dir, "orders")
         .cube(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("total"),
           (grouping(col("o_orderpriority")) * 2 +
             grouping(col("o_orderstatus"))).cast("long").as("gid"))
         .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
@@ -669,7 +692,8 @@ object SparkEntry {
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          (sum(round(col("value") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("sum_value"))
         .select(col("user_id"),
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_start"),
@@ -846,7 +870,15 @@ object SparkEntry {
         .groupBy(date_format(date_trunc("month", col("o_orderdate")),
           "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          // exact 10⁻⁴-dollar revenue units, half-up at display — the
+          // raw double sum here was the round-14 adverse-plan soak's
+          // one catch: a different partition geometry reordered the
+          // additions and flipped a 2-decimal rounding boundary
+          sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("__rev_c4"))
+        .select(col("month"), col("n_items"),
+          (expr("(__rev_c4 + 50) div 100").cast("double") / 100.0)
             .as("revenue"))
         .orderBy("month")
     }),
@@ -862,7 +894,8 @@ object SparkEntry {
       Partitioning.saltedJoin(orders, cust, "c_custkey", saltFactor = 8)
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("total"))
         .orderBy("c_nationkey")
     }),
 
@@ -889,7 +922,8 @@ object SparkEntry {
       events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          (sum(round(col("value") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("sum_value"))
         .select(col("user_id"),
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_start"),
@@ -1071,7 +1105,8 @@ object SparkEntry {
     "q99_sliding_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("wend"),
           col("n"), col("sum_value"))
@@ -10173,9 +10208,13 @@ object SparkEntry {
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-         round(avg(l_discount),4) AS avg_disc,
+         (sum(cast(round(l_extendedprice*100) as bigint))::BIGINT)::DOUBLE
+           / 100.0 AS sum_base_price,
+         (((sum(cast(round(l_extendedprice*100) as bigint) *
+              (100 - cast(round(l_discount*100) as bigint)))::BIGINT + 50)
+            // 100))::DOUBLE / 100.0 AS sum_disc_price,
+         ((200 * sum(cast(round(l_discount*100) as bigint))::BIGINT
+            + count(*)) // (2 * count(*)))::DOUBLE / 10000.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30'
          GROUP BY 1,2 ORDER BY 1,2""",
@@ -10294,7 +10333,7 @@ object SparkEntry {
 
     "q13_time_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-           event_type, count(*) AS n, round(sum(value),2) AS sum_value
+           event_type, count(*) AS n, (sum(cast(round(value*100) as bigint))::BIGINT)::DOUBLE / 100.0 AS sum_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
 
     "q14_text_quality" ->
@@ -10735,7 +10774,7 @@ object SparkEntry {
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            strftime(max(ts) + INTERVAL 30 MINUTE,
              '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events, (sum(cast(round(value*100) as bigint))::BIGINT)::DOUBLE / 100.0 AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
 
@@ -10822,7 +10861,7 @@ object SparkEntry {
     "q44_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
            coalesce(o_orderstatus, 'ALL') AS status,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total,
+           count(*) AS n, (sum(cast(round(o_totalprice*100) as bigint))::BIGINT)::DOUBLE / 100.0 AS total,
            CAST(GROUPING(o_orderpriority)*2 + GROUPING(o_orderstatus)
              AS BIGINT) AS gid
          FROM orders
@@ -10968,14 +11007,16 @@ object SparkEntry {
     "q54_bloom_join" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           (((sum(cast(round(l_extendedprice*100) as bigint) *
+              (100 - cast(round(l_discount*100) as bigint)))::BIGINT + 50)
+            // 100))::DOUBLE / 100.0 AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
          GROUP BY 1 ORDER BY 1""",
 
     "q55_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           (sum(cast(round(o_totalprice*100) as bigint))::BIGINT)::DOUBLE / 100.0 AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
 
@@ -11024,7 +11065,7 @@ object SparkEntry {
          SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            strftime(max(we), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events, (sum(cast(round(value*100) as bigint))::BIGINT)::DOUBLE / 100.0 AS sum_value
          FROM i GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
 
@@ -11219,7 +11260,7 @@ object SparkEntry {
            FROM events, unnest([0, 1]) AS t(k))
          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
            strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS wend,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n, (sum(cast(round(value*100) as bigint))::BIGINT)::DOUBLE / 100.0 AS sum_value
          FROM w GROUP BY 1, 2 ORDER BY 1""",
 
     // Same double sequence: float→double is exact, 127 is exact, round

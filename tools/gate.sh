@@ -85,6 +85,23 @@ tail -2 /tmp/gate_oracle.log
 tail -1 /tmp/gate_oracle.log | grep -qE '^([0-9]+)/\1 OK$' \
   || { echo "FAIL: oracle (partial pass)"; exit 1; }
 
+echo "== [3b] Verify sf0.01 under ADVERSE physical-planner settings"
+# Plan-shape-independence soak (the r13 numberRows lesson: a correctness
+# bug hid behind ReuseExchange + lucky AQE coalescing): identical
+# results required under reuse off, no auto-broadcast, 7 shuffle
+# partitions, 1m input splits, 64k advisory AQE target.
+rm -rf /tmp/graft_adverse
+SPARK_GRAFT_ADVERSE=1 \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_adverse" \
+  >/dev/null 2>&1
+if ! python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/graft_adverse \
+    >/tmp/gate_adverse.log 2>&1; then
+  tail -8 /tmp/gate_adverse.log; echo "FAIL: adverse-plan oracle"; exit 1
+fi
+tail -1 /tmp/gate_adverse.log
+tail -1 /tmp/gate_adverse.log | grep -qE '^([0-9]+)/\1 OK$' \
+  || { echo "FAIL: adverse-plan oracle (partial pass)"; exit 1; }
+
 echo "== [4/6] PlanAudit -> PLANS_${ROUND}.txt + PLANS_${ROUND}.json"
 if ! SPARK_GRAFT_PLANS_JSON="PLANS_${ROUND}.json" \
     sbt -batch "runMain graft.PlanAudit" \
