@@ -561,5 +561,18 @@ class PipelineSpec extends SparkSpec {
       Admission.Decision(1L, "X", "kept", 1L),
       Admission.Decision(2L, "X", "dup_in_batch", 1L),
       Admission.Decision(3L, "Y", "kept", 3L)))
+    // checkpoint dir cleanup — these accumulated one 300 KB dir per
+    // test run in /tmp before r14
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toList.foreach(rmTree)
+        } finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(java.nio.file.Paths.get(ckpt))
   }
 }
