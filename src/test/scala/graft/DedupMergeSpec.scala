@@ -217,6 +217,35 @@ class DedupMergeSpec extends SparkSpec {
       (4L, "update"), (5L, "insert"))) // key 1 unchanged -> dropped
   }
 
+  test("sortedNeighborhoodPairs (the linkage caller of numberRows) at " +
+    "150k wide rows under default AQE: exact adjacent-rank pair " +
+    "structure and partition-LAYOUT invariance — the caller-level lock " +
+    "for the r13 numberRows hinge (the ranked frame is read twice, as " +
+    "left and right of the gap self-join; both reads must see one rank " +
+    "assignment whatever the input layout)") {
+    val n = 150000
+    val base = spark.range(n.toLong).selectExpr(
+      // unique, deterministic sort key decoupled from row order, plus
+      // an incompressible payload (the advisor-r13 trigger shape)
+      "cast(id * 2654435761 % 1000003 as long) * 1000000 + id as sk",
+      "md5(cast(id as string)) as payload")
+    def pairFingerprint(parts: Int): (Long, Long) = {
+      val pairs = graft.ops.DedupOps.sortedNeighborhoodPairs(
+        base.repartition(parts), col("sk"), window = 2)
+        .select(col("a.sk").as("ska"), col("b.sk").as("skb"), col("gap"))
+      val cnt = pairs.count()
+      val h = pairs.select(xxhash64(col("ska"), col("skb"), col("gap"))
+        .as("h")).agg(bit_xor(col("h"))).head().getLong(0)
+      (cnt, h)
+    }
+    val rs = Seq(1, 4, 16).map(pairFingerprint)
+    // rank r pairs with r+1 and r+2: (n-1) + (n-2) pairs exactly —
+    // any rank drop/duplication (the pre-fix failure) breaks the count
+    assert(rs.head._1 === (n - 1).toLong + (n - 2).toLong, "pair count")
+    assert(rs.distinct.size === 1,
+      "pair set changed with input partition layout")
+  }
+
   test("snapshotDiff roundtrip property: applying the diff to v1 " +
     "reconstructs v2 exactly (5 seeded random snapshot pairs)") {
     for (seed <- 1 to 5) {

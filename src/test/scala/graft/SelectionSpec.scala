@@ -127,6 +127,23 @@ class SelectionSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("medianValue is partition-LAYOUT invariant above the bracket " +
+    "threshold: the GK bracket endpoints may shift with partial-merge " +
+    "order, but the selected exact value must not (the bracket only " +
+    "needs to CONTAIN k — correctness never rides sketch determinism)") {
+    val n = 150000L
+    assert(n > Selection.bracketMinRows)
+    val df = spark.range(n).select((col("id") % 7919).as("v"))
+    val got = Seq(1, 4, 32).map { p =>
+      Selection.medianValue(df.repartition(p), col("v"))
+        .as[(Long, Long)].head()
+    }
+    assert(got.distinct.size === 1,
+      s"median changed with partition layout: $got")
+    val sorted = df.as[Long].collect().sorted
+    assert(got.head === ((n, sorted(((n + 1) / 2 - 1).toInt))))
+  }
+
   test("plan shape: no Window operator and no shuffle of the input " +
     "frame — the only exchanges serve the two model-sized aggregates") {
     val df = spark.range(200000).select((col("id") % 997).as("v"))
