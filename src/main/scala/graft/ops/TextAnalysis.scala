@@ -995,17 +995,36 @@ object TextAnalysis {
   def dsirLogWeights(docs: DataFrame, id: String, text: String,
                      isTarget: Column, buckets: Int = 256): DataFrame = {
     val B = buckets.toLong
+    // B must divide the 4096 subbucket modulus: the pre-aggregated form
+    // below recovers __b = h mod B as __sb mod B, which holds iff
+    // B | 4096 — and it is also what makes the (id, sb) fold groups
+    // lam-homogeneous (every token with one __sb shares one __b). All
+    // engine callers use the default 256.
+    require(B >= 2 && 4096L % B == 0L,
+      s"dsirLogWeights needs buckets dividing 4096, got $buckets")
     val h = TextFunctions.md5Hash48(col("w"))
-    val toks = docs
+    // Aggregate to (doc, subbucket) COUNT grain before any shuffle
+    // leaves the map side (r14 optimization; guide §2.3): the former
+    // shape shuffled one collect_list row PER TOKEN into the fold;
+    // this one shuffles counts with full map-side reduction. The grain
+    // frame is NOT checkpointed: its two consumers (model and fold)
+    // each recompute the tokenize+partial-agg subtree, which measured
+    // CHEAPER than an eager localCheckpoint round trip (the blocking
+    // materialization job cost more than the duplicated scan at every
+    // tier tried — the fold stream's own scan was the third tokenize
+    // pass the old shape paid, so the pass count still drops 3 → 2).
+    val g = (docs
       .select(col(id).as("__id"), isTarget.as("__tgt"),
         explode_outer(tokens(col(text))).as("w"))
       .filter(col("w").isNotNull)
-      .select(col("__id"), col("__tgt"),
-        pmod(h, lit(B)).as("__b"), pmod(h, lit(4096L)).as("__sb"))
-    // the bucket model: one keyed agg, <= B rows, broadcast back
-    val model = toks.groupBy("__b")
-      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
-        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__rc"))
+      .select(col("__id"), col("__tgt"), pmod(h, lit(4096L)).as("__sb"))
+      .groupBy("__id", "__tgt", "__sb")
+      .agg(count(lit(1)).as("__n1"))
+      .withColumn("__b", pmod(col("__sb"), lit(B))))
+    // the bucket model: one keyed agg over the grain frame, <= B rows
+    val model = g.groupBy("__b")
+      .agg(sum(when(col("__tgt"), col("__n1")).otherwise(0L)).as("__tc"),
+        sum(when(col("__tgt"), 0L).otherwise(col("__n1"))).as("__rc"))
     val totals = model.agg(sum(col("__tc")).as("__T"),
       sum(col("__rc")).as("__R"))
     val lam = model.crossJoin(broadcast(totals))
@@ -1014,10 +1033,14 @@ object TextAnalysis {
             (col("__T") + lit(B)).cast("double")) -
           log((col("__rc") + 1L).cast("double") /
             (col("__R") + lit(B)).cast("double"))).as("__lam"))
-    toks.join(broadcast(lam), Seq("__b"))
-      .groupBy("__id", "__tgt", "__sb")
-      .agg(count(lit(1)).cast("long").as("__n1"),
-        ssum(collect_list(col("__lam"))).as("__s1"))
+    // Level-1 fold, BIT-EXACT to the per-token form: every token in an
+    // (id, sb) group carries the same __b (= sb mod B) and therefore
+    // the same __lam, so the former ssum(collect_list(lam-per-token))
+    // — ascending sort then left fold from 0.0 over n equal values —
+    // is exactly ssum(array_repeat(lam, n)). Level 2 is unchanged.
+    g.join(broadcast(lam), Seq("__b"))
+      .withColumn("__s1",
+        ssum(array_repeat(col("__lam"), col("__n1").cast("int"))))
       .groupBy("__id", "__tgt")
       .agg(sum(col("__n1")).as("n_tokens"),
         (ssum(collect_list(col("__s1"))) / sum(col("__n1"))).as("__w"))
