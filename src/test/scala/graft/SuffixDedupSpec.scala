@@ -76,8 +76,9 @@ class SuffixDedupSpec extends SparkSpec {
   }
 
   test("suffixRanks is the dense 1..K LEXICOGRAPHIC rank of the " +
-    "depth-run — order-consistent, not just equality classes") {
-    for (seed <- Seq(7, 8); depth <- Seq(2, 4)) {
+    "depth-run — order-consistent, not just equality classes " +
+    "(depth 8 exercises the radix-4 merged round)") {
+    for (seed <- Seq(7, 8); depth <- Seq(2, 4, 8)) {
       val docs = corpus(seed, nDocs = 8, len = 20, vocab = 3)
       val toks = docs.toDF("doc_id", "ws")
         .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
