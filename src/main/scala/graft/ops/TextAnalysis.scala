@@ -641,48 +641,77 @@ object TextAnalysis {
       .distinct())
     val nDocs = fx.select(col("__id")).distinct().count().toDouble
     require(nDocs > 0, "trainHashedLogReg: no documents with tokens")
-    // observed-bucket census (also the output's doc counts)
+    // observed-bucket census (also the output's doc counts) — eager on
+    // purpose: it is the LAST reader of fx in the returned plan, and
+    // materializing it (model-sized) is what licenses the explicit
+    // fx release below (a lazy census would read a freed checkpoint)
     val census = Caches.small(fx.groupBy("__b")
       .agg(sum(when(col("__y") === 1.0d, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("__y") === 1.0d, 0L).otherwise(1L)).as("n_neg")))
-    var w = Caches.small(census.select(col("__b"), lit(0.0d).as("__w")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The weight table lives DRIVER-SIDE between GD steps (r14: the
+    // former per-iteration chain — checkpoint scored, checkpoint the
+    // joined weight update, head() the bias gradient — cost five
+    // blocking driver round trips per step; the model is <= B rows, a
+    // legitimate driver-scale object by the same argument as the BPE
+    // merge table). Each step now runs ONE action: collect the
+    // per-bucket gradient with the bias gradient unioned as bucket -1,
+    // then apply the update in driver arithmetic that replays the old
+    // Spark expressions operation for operation — (w − ((lr·g)/n))
+    // in IEEE doubles, then BigDecimal HALF_UP at 9 dp, the exact
+    // semantics of round(col, 9) on a double — so every weight is
+    // bit-identical to the former in-plan update. The initial
+    // all-zero table covers every bucket 0..B-1: the fx inner join
+    // simply never matches the unobserved ones (the former census
+    // seed was exactly the observed set).
+    var w: Map[Long, Double] =
+      (0L until B).map(_ -> 0.0d).toMap
     var bias = 0.0d
+    val round9 = (x: Double) => BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val sb = pmod(TextFunctions.md5Hash48(col("__id").cast("string")),
       lit(4096L))
     for (_ <- 1 to iters) {
+      val wDf = w.toSeq.toDF("__b", "__w")
       // per-doc residual e_d = σ(bias + Σ w_b) − y_d; the fold is over
-      // ≤ B weights per doc — bounded, one level suffices
-      val scored = Caches.small(fx.join(broadcast(w), Seq("__b"))
+      // ≤ B weights per doc — bounded, one level suffices. Lazy: both
+      // gradient branches below re-derive it from the materialized fx
+      // (two broadcast-join map passes — cheaper than the blocking
+      // checkpoint they replace at every tier measured).
+      val scored = fx.join(broadcast(wDf), Seq("__b"))
         .groupBy("__id", "__y")
         .agg((lit(bias) + ssum(collect_list(col("__w")))).as("__s"))
         .select(col("__id"),
           (lit(1.0d) / (lit(1.0d) + exp(-col("__s"))) - col("__y"))
-            .as("__e")))
-      // per-bucket gradient: two-level fold over the docs touching b
-      val grad = fx.join(scored, Seq("__id"))
+            .as("__e"))
+      // per-bucket gradient (two-level fold over the docs touching b),
+      // plus the bias gradient as bucket -1 — ONE collected action
+      val grads = fx.join(scored, Seq("__id"))
         .groupBy(col("__b"), sb.as("__sb"))
         .agg(ssum(collect_list(col("__e"))).as("__e1"))
         .groupBy("__b")
         .agg(ssum(collect_list(col("__e1"))).as("__g"))
-      w = Caches.small(w.join(grad, Seq("__b"))
-        .select(col("__b"),
-          round(col("__w") - lit(lr) * col("__g") / lit(nDocs), 9)
-            .as("__w")))
-      val g0 = scored.groupBy(sb.as("__sb"))
-        .agg(ssum(collect_list(col("__e"))).as("__e1"))
-        .agg(ssum(collect_list(col("__e1"))).as("__g"))
-        .head().getDouble(0)
-      bias = BigDecimal(bias - lr * g0 / nDocs)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .unionByName(scored.groupBy(sb.as("__sb"))
+          .agg(ssum(collect_list(col("__e"))).as("__e1"))
+          .agg(ssum(collect_list(col("__e1"))).as("__g"))
+          .select(lit(-1L).as("__b"), col("__g")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // observed buckets update exactly as round(w − lr·g/n, 9) did;
+      // the -1 row replays the old head() + BigDecimal bias update
+      w = grads.collect { case (b, g) if b >= 0L =>
+        b -> round9(w(b) - lr * g / nDocs)
+      }
+      bias = round9(bias - lr * grads(-1L) / nDocs)
     }
-    // the output reads only the materialized census + final weights —
+    // the output reads only the census + the driver-side weights —
     // release the corpus-scale feature stream now
     Caches.release(fx)
-    val biasRow = docs.sparkSession.range(1)
+    val biasRow = spark.range(1)
       .select(lit(-1L).as("bucket"), lit(0L).as("n_pos_docs"),
         lit(0L).as("n_neg_docs"),
         (round(lit(bias), 6) + 0.0).as("weight"))
-    census.join(w, Seq("__b"))
+    census.join(w.toSeq.toDF("__b", "__w"), Seq("__b"))
       .select(col("__b").as("bucket"), col("n_pos").as("n_pos_docs"),
         col("n_neg").as("n_neg_docs"),
         (round(col("__w"), 6) + 0.0).as("weight"))
