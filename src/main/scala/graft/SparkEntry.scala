@@ -9599,23 +9599,23 @@ object SparkEntry {
     // pipeline.
     "q361_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // stage 1 — TRAIN
-      val model = Caches.small(TA.trainHashedLogReg(docs, "doc_id",
-        "text", labelPos = col("n_chars") >= 250, buckets = 64,
-        iters = 2))
+      // stage 1 — TRAIN. The hashed feature stream is built ONCE and
+      // shared with stage 2 (r14): scoring's distinct (doc, bucket)
+      // pairs are exactly this frame minus the label column (the
+      // label is a function of the doc), so the second
+      // tokenize+explode+distinct pass the old shape paid is gone.
+      val fx0 = Caches.iteration(TA.hashedLabeledFeatures(docs,
+        "doc_id", "text", labelPos = col("n_chars") >= 250,
+        buckets = 64))
+      val model = Caches.small(TA.trainHashedLogRegOnFeatures(fx0,
+        buckets = 64, iters = 2))
       val wts = model.filter(col("bucket") >= 0)
         .select(col("bucket").as("__b"), col("weight").as("__w"))
       val bias = model.filter(col("bucket") === -1)
         .select(col("weight").as("__bias"))
       // stage 2 — SCORE with the trained table (same tokenization +
       // hash as training; docs fold <= 64 weights, one sorted level)
-      val fx = docs
-        .select(col("doc_id"), explode_outer(TA.tokens(col("text")))
-          .as("w"))
-        .filter(col("w").isNotNull)
-        .select(col("doc_id"),
-          pmod(TF.md5Hash48(col("w")), lit(64L)).as("__b"))
-        .distinct()
+      val fx = fx0.select(col("__id").as("doc_id"), col("__b"))
       val scored = fx.join(broadcast(wts), Seq("__b"))
         .groupBy("doc_id")
         .agg(ssum(collect_list(col("__w"))).as("__s"))

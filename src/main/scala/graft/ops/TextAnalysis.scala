@@ -621,34 +621,58 @@ object TextAnalysis {
   def trainHashedLogReg(docs: DataFrame, id: String, text: String,
                         labelPos: Column, buckets: Int = 64,
                         iters: Int = 2, lr: Double = 0.5): DataFrame = {
-    require(iters >= 1 && buckets >= 2)
-    val B = buckets.toLong
-    // binary presence: one row per (doc, observed bucket), plus the
-    // label carried along
-    // NULL labels are NEGATIVE (CASE-WHEN semantics): a null would
-    // otherwise null the residual and silently drop the doc from every
-    // gradient while still counting in nDocs (review r11)
-    // iteration-cached, not small: fx is doc×bucket-grain (corpus-
-    // scale), consumed by every GD step — persisted MEMORY_AND_DISK
-    // and explicitly released after the loop (advisor r11)
-    val fx = Caches.iteration(docs
+    val fx = Caches.iteration(
+      hashedLabeledFeatures(docs, id, text, labelPos, buckets))
+    val out = trainHashedLogRegOnFeatures(fx, buckets, iters, lr)
+    // the output reads only the materialized census + driver weights —
+    // the corpus-scale feature stream can be released immediately
+    Caches.release(fx)
+    out
+  }
+
+  /** The hashed binary-presence feature stream [[trainHashedLogReg]]
+    * trains on — one row per (doc, observed bucket) with the label
+    * carried along: (__id, __y ∈ {0,1}, __b ∈ [0, buckets)). Exposed
+    * so a pipeline that both TRAINS and SCORES (q361) can build the
+    * stream once, materialize it, and reuse it for the scoring join —
+    * the (doc, bucket) pairs are the same frame minus the label.
+    * NULL labels are NEGATIVE (CASE-WHEN semantics): a null would
+    * otherwise null the residual and silently drop the doc from every
+    * gradient while still counting in nDocs (review r11). */
+  def hashedLabeledFeatures(docs: DataFrame, id: String, text: String,
+                            labelPos: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2)
+    docs
       .select(col(id).as("__id"),
         coalesce(labelPos.cast("double"), lit(0.0d)).as("__y"),
         explode_outer(tokens(col(text))).as("__w"))
       .filter(col("__w").isNotNull)
       .select(col("__id"), col("__y"),
-        pmod(TextFunctions.md5Hash48(col("__w")), lit(B)).as("__b"))
-      .distinct())
+        pmod(TextFunctions.md5Hash48(col("__w")), lit(buckets.toLong))
+          .as("__b"))
+      .distinct()
+  }
+
+  /** [[trainHashedLogReg]] over a PREBUILT feature stream: `fx` must
+    * be [[hashedLabeledFeatures]]' shape, already distinct and
+    * MATERIALIZED (the GD loop and the census scan it repeatedly —
+    * iteration-cached by the docs-based wrapper; a caller passing its
+    * own frame owns that lifecycle, fx is not released here). */
+  def trainHashedLogRegOnFeatures(fx: DataFrame, buckets: Int,
+                                  iters: Int = 2,
+                                  lr: Double = 0.5): DataFrame = {
+    require(iters >= 1 && buckets >= 2)
+    val B = buckets.toLong
     val nDocs = fx.select(col("__id")).distinct().count().toDouble
     require(nDocs > 0, "trainHashedLogReg: no documents with tokens")
     // observed-bucket census (also the output's doc counts) — eager on
     // purpose: it is the LAST reader of fx in the returned plan, and
-    // materializing it (model-sized) is what licenses the explicit
-    // fx release below (a lazy census would read a freed checkpoint)
+    // materializing it (model-sized) is what licenses the wrapper's
+    // fx release (a lazy census would read a freed checkpoint)
     val census = Caches.small(fx.groupBy("__b")
       .agg(sum(when(col("__y") === 1.0d, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("__y") === 1.0d, 0L).otherwise(1L)).as("n_neg")))
-    val spark = docs.sparkSession
+    val spark = fx.sparkSession
     import spark.implicits._
     // The weight table lives DRIVER-SIDE between GD steps (r14: the
     // former per-iteration chain — checkpoint scored, checkpoint the
@@ -705,8 +729,8 @@ object TextAnalysis {
       bias = round9(bias - lr * grads(-1L) / nDocs)
     }
     // the output reads only the census + the driver-side weights —
-    // release the corpus-scale feature stream now
-    Caches.release(fx)
+    // fx's lifecycle belongs to the caller (the docs-based wrapper
+    // releases it right after this returns)
     val biasRow = spark.range(1)
       .select(lit(-1L).as("bucket"), lit(0L).as("n_pos_docs"),
         lit(0L).as("n_neg_docs"),
