@@ -752,39 +752,52 @@ object Similarity {
     val sb = pmod(graft.engine.TextFunctions.md5Hash48(col("__vid")),
       lit(4096L))
     val nn = corpus.agg(count(lit(1)).cast("double").as("__n"))
-    val mu = Caches.small(e.groupBy(col("j"), sb.as("__sb"))
+    // lazy: its one consumer is the centered-stream checkpoint build
+    // below, so an eager materialization was a pure blocking-job cost
+    val mu = e.groupBy(col("j"), sb.as("__sb"))
       .agg(ssum(collect_list(col("__x"))).as("__s1"))
       .groupBy("j").agg(ssum(collect_list(col("__s1"))).as("__sj"))
       .crossJoin(broadcast(nn))
-      .select(col("j"), (col("__sj") / col("__n")).as("__m")))
+      .select(col("j"), (col("__sj") / col("__n")).as("__m"))
     // centered stream: consumed twice per round — corpus-scale,
     // released after the loop (the Caches.iteration contract)
     val cRows = Caches.iteration(e.join(broadcast(mu), Seq("j"))
       .select(col("__vid"), col("j"), (col("__x") - col("__m"))
         .as("__x")))
-    var v = Caches.small(spark.range(0, dims.toLong)
-      .select(col("id").cast("int").as("j"),
-        lit(1.0d / math.sqrt(dims.toDouble)).as("__v")))
-    var lamF: DataFrame = null
+    import spark.implicits._
+    // The dims-sized iterate lives DRIVER-side between rounds (r14,
+    // the trainHashedLogReg pattern): each round runs ONE action — the
+    // matvec collect — instead of three blocking checkpoints (w, λ,
+    // v). Driver arithmetic replays the former Spark expressions
+    // operation for operation: λ = sqrt(ascending-sorted fold of the
+    // w²_j), v_j = BigDecimal-HALF-UP-9dp(w_j / λ) — bit-identical to
+    // sorted_sum_d + round(col, 9) on the same doubles.
+    val round9 = (x: Double) => BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v: Seq[(Int, Double)] = (0 until dims)
+      .map(_ -> 1.0d / math.sqrt(dims.toDouble))
+    var lam = 0.0d
     for (_ <- 1 to iters) {
-      val s = cRows.join(broadcast(v), Seq("j"))
+      val s = cRows.join(broadcast(v.toDF("j", "__v")), Seq("j"))
         .groupBy("__vid")
         .agg(ssum(collect_list(col("__x") * col("__v"))).as("__s"))
-      val w = Caches.small(cRows.join(s, Seq("__vid"))
+      val w = cRows.join(s, Seq("__vid"))
         .groupBy(col("j"), sb.as("__sb"))
         .agg(ssum(collect_list(col("__x") * col("__s"))).as("__s1"))
-        .groupBy("j").agg(ssum(collect_list(col("__s1"))).as("__w")))
-      lamF = Caches.small(w.agg(
-        sqrt(ssum(collect_list(col("__w") * col("__w")))).as("__l")))
-      v = Caches.small(w.crossJoin(broadcast(lamF))
-        .select(col("j"), round(col("__w") / col("__l"), 9).as("__v")))
+        .groupBy("j").agg(ssum(collect_list(col("__s1"))).as("__w"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+      val prods = w.map { case (_, x) => x * x }
+      java.util.Arrays.sort(prods)
+      lam = math.sqrt(prods.foldLeft(0.0d)(_ + _))
+      v = w.toSeq.map { case (j, x) => j -> round9(x / lam) }
     }
     Caches.release(cRows)
-    v.select(col("j").cast("long").as("dim"),
+    v.toDF("j", "__v")
+      .select(col("j").cast("long").as("dim"),
         (round(col("__v"), 6) + 0.0).as("loading"))
-      .unionByName(lamF.crossJoin(broadcast(nn))
+      .unionByName(nn
         .select(lit(-1L).as("dim"),
-          (round(col("__l") / col("__n"), 6) + 0.0).as("loading")))
+          (round(lit(lam) / col("__n"), 6) + 0.0).as("loading")))
   }
 
   /** JOHNSON–LINDENSTRAUSS random projection with a DISTORTION AUDIT
