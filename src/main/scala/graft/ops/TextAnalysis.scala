@@ -1078,14 +1078,21 @@ object TextAnalysis {
     val model = g.groupBy("__b")
       .agg(sum(when(col("__tgt"), col("__n1")).otherwise(0L)).as("__tc"),
         sum(when(col("__tgt"), 0L).otherwise(col("__n1"))).as("__rc"))
-    val totals = model.agg(sum(col("__tc")).as("__T"),
-      sum(col("__rc")).as("__R"))
-    val lam = model.crossJoin(broadcast(totals))
+    // totals ride an unpartitioned window over the <= B-row model
+    // frame (r14): the former crossJoin(broadcast(model.agg(...)))
+    // evaluated the whole model subtree — tokenize included — a second
+    // time; the window sums the SAME longs over the same rows inside
+    // one evaluation (single-partition is fine: the frame is
+    // model-sized by the bucket bound)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val lam = model
       .select(col("__b"),
         (log((col("__tc") + 1L).cast("double") /
-            (col("__T") + lit(B)).cast("double")) -
+            (sum(col("__tc")).over(totW) + lit(B)).cast("double")) -
           log((col("__rc") + 1L).cast("double") /
-            (col("__R") + lit(B)).cast("double"))).as("__lam"))
+            (sum(col("__rc")).over(totW) + lit(B)).cast("double")))
+          .as("__lam"))
     // Level-1 fold, BIT-EXACT to the per-token form: every token in an
     // (id, sb) group carries the same __b (= sb mod B) and therefore
     // the same __lam, so the former ssum(collect_list(lam-per-token))
