@@ -9624,11 +9624,14 @@ object SparkEntry {
           (round(lit(1.0) / (lit(1.0) + exp(-(col("__bias") + col("__s")))),
             4) + 0.0).as("quality_score"))
       // stage 3 — THRESHOLD: keep the top half by (score desc, doc_id)
-      // — two-phase global rank, qr <= ceil(n/2)
-      val n = scored.agg(count(lit(1)).as("__n"))
+      // — two-phase global rank, qr <= ceil(n/2). The census reads the
+      // RANKED frame (r14): numberRows has already checkpointed the
+      // scored rows, so counting those reuses the materialization
+      // where counting `scored` would re-run the whole scoring subtree
       val ranked = Dedup.numberRows(scored,
         struct((-col("quality_score")).as("__negs"), col("doc_id")),
         "__qr")
+      val n = ranked.agg(count(lit(1)).as("__n"))
       val surv = ranked.crossJoin(broadcast(n))
         .filter(col("__qr") * 2 <= col("__n") + 1)
         .select(col("doc_id"), col("quality_score"))
