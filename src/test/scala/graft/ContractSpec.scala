@@ -97,6 +97,14 @@ class ContractSpec extends SparkSpec {
   // bound is an argument about the DATA (calendar span, Zipf cap),
   // which a checkpoint stamp must not silently assert.
   private val globalWindowGrains: Map[String, String] = Map(
+    // r14: dsirLogWeights' smoothing totals ride a single-partition
+    // window over the bucket MODEL frame — grouped by pmod(hash, B),
+    // so ≤ B = 256 rows by the key's modulus (a construction bound, not
+    // a checkpoint stamp: stamping it would reintroduce the blocking
+    // materialization job the window replaced — OPTIMIZATION_r14.md §1)
+    "q355_dsir_weights" -> "hashed-bucket model grain (≤ 256 rows by the pmod modulus)",
+    "q358_dsir_resample" -> "hashed-bucket model grain (≤ 256 rows by the pmod modulus)",
+    "q361_curation_pipeline" -> "hashed-bucket model grain (≤ 256 rows by the pmod modulus)",
     "q140_cumulative_users" -> "calendar-day grain (first-seen-day pre-agg)",
     "q175_acf" -> "calendar-day grain",
     "q189_zipf_fit" -> "vocab rank grain, consumed under a ≤50k rank filter",
