@@ -72,28 +72,28 @@ object Dedup {
     // ContextCleaner and freed when the returned frame is GC'd; the
     // executor-loss caveat Caches.scala documents applies, and the
     // warehouse-scale form writes the ranked frame to a table instead.
-    val shared = graft.ops.Caches.corpusScale(ranged.sortWithinPartitions(order)
-      .withColumn("__graft_mid", monotonically_increasing_id())
-      .withColumn("__graft_pid",
-        shiftright(col("__graft_mid"), 33).cast("int"))
-      .withColumn("__graft_local",
-        (col("__graft_mid") % lit(1L << 33)) + lit(1L))
-      .drop("__graft_mid"))
-    // Phase 2 — exclusive prefix offsets from the MATERIALIZED frame's
-    // partition sizes: one cache-scan count per pid, collected to the
-    // driver (partition-count-grain — bounded by the shuffle partition
-    // count, the same size the r13 form broadcast) and applied as an
-    // O(1) array-literal lookup. No join, no broadcast, and no second
+    // Phase 2 rides phase 1's job (r15): corpusScaleCounted fuses the
+    // checkpoint materialization with a per-partition row count — the
+    // former shape paid a SECOND blocking action (a cache-scan
+    // groupBy(pid).count().collect()) per numberRows call, and the
+    // suffix-doubling family calls numberRows once per level. The
+    // counts arrive indexed by partition id (runJob result order), so
+    // the exclusive-prefix offsets build directly from the array —
+    // still partition-count-grain driver data, applied as an O(1)
+    // array-literal lookup. No join, no broadcast, and no second
     // evaluation of anything upstream of the checkpoint.
-    val counts = shared.groupBy(col("__graft_pid"))
-      .agg(count(lit(1)).as("__graft_cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val byPid = counts.toMap
-    val maxPid = counts.lastOption.map(_._1).getOrElse(-1)
-    val offs = new Array[Long](maxPid + 1)
+    val (shared, perPart) = graft.ops.Caches.corpusScaleCounted(
+      ranged.sortWithinPartitions(order)
+        .withColumn("__graft_mid", monotonically_increasing_id())
+        .withColumn("__graft_pid",
+          shiftright(col("__graft_mid"), 33).cast("int"))
+        .withColumn("__graft_local",
+          (col("__graft_mid") % lit(1L << 33)) + lit(1L))
+        .drop("__graft_mid"))
+    val offs = new Array[Long](perPart.length)
     var acc = 0L
     var p = 0
-    while (p <= maxPid) { offs(p) = acc; acc += byPid.getOrElse(p, 0L); p += 1 }
+    while (p < perPart.length) { offs(p) = acc; acc += perPart(p); p += 1 }
     shared
       .withColumn(as, col("__graft_local") +
         element_at(typedlit(offs.toSeq), col("__graft_pid") + 1))

@@ -84,6 +84,126 @@ private[graft] object Caches {
     * contract), and external RDD scans don't occur in its plans. */
   def modelSized(rddId: Int): Boolean = !corpusRdds.contains(rddId)
 
+  /** Like [[corpusScale]], but FUSES the checkpoint's materialization
+    * job with a per-partition row count: returns the checkpointed
+    * frame plus `counts(i)` = rows in partition i of the materialized
+    * RDD. [[graft.engine.Dedup.numberRows]] previously paid TWO
+    * blocking driver actions per call — the eager localCheckpoint job,
+    * then a `groupBy(pid).count().collect()` re-scan of the cached
+    * blocks — and the suffix-doubling family pays numberRows once per
+    * level, so the double action was the largest remaining block of
+    * driver round trips in the suite (r14 verdict lead #1). Here ONE
+    * `runJob` both populates the checkpoint blocks (the marked RDD is
+    * persisted, so computing each partition caches it; the end-of-job
+    * `doCheckpoint` then finds nothing left to materialize) and
+    * returns the per-partition sizes. Counting rides runJob's
+    * per-partition RESULT channel — exactly-once per partition by
+    * construction, with none of the retry double-count hazards a
+    * transformation-site accumulator would carry. */
+  def corpusScaleCounted(df: DataFrame): (DataFrame, Array[Long]) = {
+    if (capturing) synchronized {
+      val p = df.queryExecution.executedPlan
+      captured += p.toString
+      capturedPlans += p
+    }
+    val cp = df.localCheckpoint(eager = false)
+    // the job runs on the checkpoint-marked internal RDD ITSELF (the
+    // LogicalRDD's rdd) — exactly what an eager checkpoint's count()
+    // runs on. Going through cp.queryExecution.toRdd instead would
+    // insert RDDScanExec's per-row UnsafeProjection copy, a full extra
+    // row-copy pass over the corpus (measured: the toRdd form made the
+    // suffix family 10-15% SLOWER than the unfused two-job shape).
+    // Partition indexing is 1:1, so result index i IS partition i of
+    // the frame (the pid that monotonically_increasing_id encodes).
+    val rdd = cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        corpusRdds.add(l.rdd.id)
+        l.rdd
+      case _ => cp.queryExecution.toRdd
+    }
+    val counts = df.sparkSession.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      })
+    (cp, counts)
+  }
+
+  /** Like [[small]], but FUSES the materialization job with a count of
+    * rows satisfying `pred` (evaluated as an appended boolean column,
+    * dropped again on the returned frame — the checkpoint carries one
+    * extra byte per row). The count rides the same runJob that
+    * populates the checkpoint blocks, so an iterative op's
+    * convergence test ("did any row change this round?") costs ZERO
+    * extra actions instead of a separate scan-or-join job per round
+    * (r15: connectedComponents paid one join+isEmpty action per
+    * iteration on top of the two checkpoints). Lifecycle and
+    * PlanAudit capture are [[small]]'s. */
+  def smallCountedTrue(df: DataFrame, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Long) = {
+    val withFlag = df.withColumn("__graft_flag", pred)
+    if (capturing) synchronized {
+      val p = withFlag.queryExecution.executedPlan
+      captured += p.toString
+      capturedPlans += p
+    }
+    val cp = withFlag.localCheckpoint(eager = false)
+    val idx = cp.schema.fieldIndex("__graft_flag")
+    // run on the marked internal RDD itself, not toRdd — see
+    // [[corpusScaleCounted]]'s projection-copy note
+    val rdd = cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case _ => cp.queryExecution.toRdd
+    }
+    val counts = df.sparkSession.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(idx) && r.getBoolean(idx)) n += 1L
+        }
+        n
+      })
+    (cp.drop("__graft_flag"), counts.sum)
+  }
+
+  /** Like [[smallCountedTrue]] but folding (row count, XOR of a long
+    * hash column) — the connectedComponentsStar convergence SIGNATURE
+    * (count, bit_xor(xxhash64(a, b))), which previously cost its own
+    * aggregation job per round on top of the round's checkpoint.
+    * Nulls in `h` are skipped, matching bit_xor's null-ignoring
+    * semantics (an all-null/empty frame signs as (n, 0), exactly what
+    * the old `sig()` returned after its null guard). */
+  def smallCountedXor(df: DataFrame, h: org.apache.spark.sql.Column)
+      : (DataFrame, Long, Long) = {
+    val withH = df.withColumn("__graft_h", h)
+    if (capturing) synchronized {
+      val p = withH.queryExecution.executedPlan
+      captured += p.toString
+      capturedPlans += p
+    }
+    val cp = withH.localCheckpoint(eager = false)
+    val idx = cp.schema.fieldIndex("__graft_h")
+    val rdd = cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case _ => cp.queryExecution.toRdd
+    }
+    val parts = df.sparkSession.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        var x = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          n += 1L
+          if (!r.isNullAt(idx)) x ^= r.getLong(idx)
+        }
+        (n, x)
+      })
+    (cp.drop("__graft_h"), parts.map(_._1).sum,
+      parts.map(_._2).foldLeft(0L)(_ ^ _))
+  }
+
   /** Eagerly materialize a CORPUS-SCALE iteration frame (prefix-
     * doubling round tables, GD feature streams — one row per token
     * position or per doc×bucket), because iteration loops consume

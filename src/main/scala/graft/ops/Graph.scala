@@ -60,11 +60,18 @@ object Graph {
         .agg(ssum(collect_list(col("__c"))).as("__sb"))
       val sums = l1.groupBy("node")
         .agg(ssum(collect_list(col("__sb"))).as("__s"))
-      pr = Caches.small(
-        nodes.join(sums, Seq("node"), "left")
-          .select(col("node"),
-            (lit(1.0 - damping)
-              + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr")))
+      // LAZY round frame (r15): pr has exactly ONE consumer — the next
+      // round's contribution join (or the caller, for the last round)
+      // — so the per-round localCheckpoint was a pure blocking-job tax
+      // (the r14 dsir lesson: eager checkpoints of once-consumed
+      // frames cost more than the lineage they truncate; contrast the
+      // suffix rounds, consumed 2-3×, where LAZY measured slower). The
+      // full iters-round plan is a linear DAG over the two checkpointed
+      // frames (nodes, e) and evaluates in one job.
+      pr = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping)
+            + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
     }
     pr
   }
@@ -106,18 +113,17 @@ object Graph {
     // Convergence signature: (row count, order-independent hash XOR —
     // sound over these DISTINCT edge rows; wraps nothing under ANSI).
     // Equal edge sets ⇒ equal signatures, so a signature CHANGE proves
-    // non-convergence with one cheap agg over the already-checkpointed
-    // frame; only on signature EQUALITY do we run the authoritative
-    // set-diff (once, at the converged round) — sound under hash
-    // collisions, and one job per round instead of count+except every
-    // round.
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var e = Caches.small(canon(
-      pairs.select(col(idA).as("u"), col(idB).as("v"))))
-    var eSig = sig(e)
+    // non-convergence; only on signature EQUALITY do we run the
+    // authoritative set-diff (once, at the converged round) — sound
+    // under hash collisions. Since r15 the signature RIDES the round
+    // checkpoint's own materialization job (Caches.smallCountedXor),
+    // so a round costs ONE blocking action where it previously paid
+    // checkpoint + a separate signature agg.
+    val (e0, n0, x0) = Caches.smallCountedXor(
+      canon(pairs.select(col(idA).as("u"), col(idB).as("v"))),
+      xxhash64(col("a"), col("b")))
+    var e = e0
+    var eSig = (n0, x0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -133,11 +139,12 @@ object Graph {
       val ss0 = symm(ls)
       val smaller = ss0.filter(col("v") < col("u"))
       val ssMin = smaller.groupBy("u").agg(min(col("v")).as("__mv"))
-      val ss = Caches.small(canon(
+      val (ss, sn, sx) = Caches.smallCountedXor(canon(
         smaller.join(ssMin, "u")
           .select(col("v").as("u"), col("__mv").as("v"))
-          .unionByName(ssMin.select(col("u"), col("__mv").as("v")))))
-      val ssSig = sig(ss)
+          .unionByName(ssMin.select(col("u"), col("__mv").as("v")))),
+        xxhash64(col("a"), col("b")))
+      val ssSig = (sn, sx)
       converged = ssSig == eSig && ss.except(e).isEmpty
       e = ss
       eSig = ssSig
@@ -249,11 +256,18 @@ object Graph {
       // distinct on node; the anti-join keeps only first discoveries
       val cand = e.join(frontier, col("u") === col("node"))
         .select(col("v").as("node")).distinct()
-      frontier = Caches.small(
+      // frontier row count rides the checkpoint materialization (r15:
+      // Caches.smallCountedTrue) — the emptiness test and the spec's
+      // frontier-size evidence both read it, so a round costs ONE
+      // blocking action where it previously paid checkpoint + count /
+      // isEmpty
+      val (f, fn) = Caches.smallCountedTrue(
         cand.join(dist, Seq("node"), "left_anti")
-          .withColumn("hops", lit(h)))
-      frontierSizes.foreach(_ += frontier.count())
-      empty = frontier.isEmpty
+          .withColumn("hops", lit(h)),
+        lit(true))
+      frontier = f
+      frontierSizes.foreach(_ += fn)
+      empty = fn == 0L
       if (!empty) dist = Caches.small(dist.unionByName(frontier))
     }
     dist
@@ -305,13 +319,16 @@ object Graph {
       val cand = e.join(frontier, col("u") === col("node"))
         .select(col("v").as("node"), (col("cost") + col("w")).as("cost"))
         .groupBy("node").agg(min(col("cost")).as("cost"))
-      frontier = Caches.small(
+      // fused frontier count — same shape as [[bfsHops]] (r15)
+      val (f, fn) = Caches.smallCountedTrue(
         cand.join(dist.select(col("node"), col("cost").as("__old")),
             Seq("node"), "left")
           .filter(col("__old").isNull || col("cost") < col("__old"))
-          .select(col("node"), col("cost")))
-      frontierSizes.foreach(_ += frontier.count())
-      empty = frontier.isEmpty
+          .select(col("node"), col("cost")),
+        lit(true))
+      frontier = f
+      frontierSizes.foreach(_ += fn)
+      empty = fn == 0L
       if (!empty) dist = Caches.small(
         dist.unionByName(frontier)
           .groupBy("node").agg(min(col("cost")).as("cost")))

@@ -246,4 +246,111 @@ object Selection {
             (col("__sel_pos") - floor(col("__sel_pos")).cast("double")) *
               col("__sel_vhi")).as("exact"))
   }
+
+  /** GROUPED [[exactQuantilesCont]] (r15; r14 verdict item 6): exact
+    * `percentile(v, array(probs))` PER GROUP of `keys`, bit-for-bit
+    * Spark's interpolation, without the built-in exact Percentile
+    * aggregate — whose per-group OpenHashMap of boxed distinct values
+    * is exactly the [[exactQuantilesCont]] scale hazard multiplied by
+    * the group count (one value map per group per partition, merged
+    * single-threaded). Same three passes as the groupless form, with
+    * the one-row stats frame replaced by a group-count-grain stats
+    * table broadcast onto the row stream. Group count must be
+    * model-sized (it rides a broadcast) — the per-key dashboards this
+    * serves (return flags, event types) are low-cardinality by
+    * construction.
+    *
+    * Returns one row per (group, probe): (keys..., pos, n, exact) with
+    * `n` the group's non-null count. Groups with zero non-null rows
+    * yield no rows (percentile returns null there; callers that need
+    * those groups left-join this output). */
+  def exactQuantilesContGrouped(df: DataFrame, keys: Seq[String],
+                                value: Column,
+                                probs: Seq[Double]): DataFrame = {
+    val delta = 0.005
+    val acc = 10000
+    val m = probs.size
+    require(m > 0, "exactQuantilesContGrouped: empty probs")
+    require(keys.nonEmpty, "exactQuantilesContGrouped: empty keys")
+    val v0 = value.cast("double")
+    val kc = keys.map(col)
+    val brs = probs.flatMap(p =>
+      Seq(math.max(0.0, p - delta), math.min(1.0, p + delta)))
+
+    // pass 1 — per-group non-null count + GK brackets
+    val stats = df.groupBy(kc: _*).agg(
+        count(v0).as("__sel_n"),
+        percentile_approx(v0, typedlit(brs), lit(acc)).as("__sel_br0"))
+      .select(kc :+ col("__sel_n") :+
+        when(col("__sel_n") >= bracketMinRows, col("__sel_br0"))
+          .as("__sel_br"): _*)
+
+    val rows = df.select(kc :+ v0.as("__sel_v"): _*)
+      .filter(col("__sel_v").isNotNull)
+      .join(broadcast(stats), keys)
+
+    // pass 2 — below-band counts per (group, probe)
+    val nbRow = rows.groupBy(kc: _*)
+      .agg(array(probs.indices.map(i =>
+        coalesce(sum(when(col("__sel_br").isNotNull &&
+          col("__sel_v") < element_at(col("__sel_br"), 2 * i + 1), 1L)
+          .otherwise(0L)), lit(0L))): _*).as("__sel_nbs"))
+
+    // pass 3 — in-band rows per (group, probe), collapsed to distinct
+    // values per band
+    val bandIdx = filter(
+      sequence(lit(0), lit(m - 1)),
+      i => col("__sel_br").isNull ||
+        (col("__sel_v") >= element_at(col("__sel_br"), i * 2 + 1) &&
+         col("__sel_v") <= element_at(col("__sel_br"), i * 2 + 2)))
+    val bands = rows
+      .select(kc :+ col("__sel_v") :+ explode(bandIdx).as("__sel_i"): _*)
+      .groupBy(kc :+ col("__sel_i") :+ col("__sel_v"): _*)
+      .agg(count(lit(1)).as("__sel_cnt"))
+      .groupBy(kc :+ col("__sel_i"): _*)
+      .agg(sort_array(collect_list(
+        struct(col("__sel_v").as("v"), col("__sel_cnt").as("c"))))
+        .as("__sel_groups"))
+
+    val probsLit = typedlit(probs)
+    val targets = stats.join(nbRow, keys)
+      .filter(col("__sel_n") > 0)
+      .select(kc :+ col("__sel_n") :+ col("__sel_nbs") :+
+        posexplode(probsLit).as(Seq("__sel_i", "__sel_p")): _*)
+      .withColumn("__sel_pos",
+        col("__sel_p") * (col("__sel_n") - 1).cast("double"))
+      .withColumn("__sel_nb",
+        element_at(col("__sel_nbs"), col("__sel_i") + 1))
+      .withColumn("__sel_klo",
+        floor(col("__sel_pos")).cast("long") + 1L - col("__sel_nb"))
+      .withColumn("__sel_khi",
+        ceil(col("__sel_pos")).cast("long") + 1L - col("__sel_nb"))
+
+    def valueAt(groups: Column, k: Column): Column = {
+      val accT = struct(lit(0L).as("c"), lit(null).cast("double").as("v"))
+      val walked = aggregate(groups, accT,
+        (a, x) => when(a("v").isNotNull, a)
+          .when(a("c") + x("c") >= k,
+            struct((a("c") + x("c")).as("c"), x("v").as("v")))
+          .otherwise(struct((a("c") + x("c")).as("c"),
+            lit(null).cast("double").as("v"))),
+        a => a("v"))
+      when(walked.isNotNull, walked).otherwise(raise_error(lit(
+        "Selection.exactQuantilesContGrouped: bracket missed a rank — " +
+          "GK guarantee violated")))
+    }
+
+    targets.join(bands, keys :+ "__sel_i")
+      .withColumn("__sel_vlo", valueAt(col("__sel_groups"), col("__sel_klo")))
+      .withColumn("__sel_vhi",
+        when(col("__sel_khi") === col("__sel_klo"), col("__sel_vlo"))
+          .otherwise(valueAt(col("__sel_groups"), col("__sel_khi"))))
+      .select(kc :+ col("__sel_i").as("pos") :+ col("__sel_n").as("n") :+
+        (when(col("__sel_khi") === col("__sel_klo"), col("__sel_vlo"))
+          .otherwise(
+            (ceil(col("__sel_pos")).cast("double") - col("__sel_pos")) *
+              col("__sel_vlo") +
+            (col("__sel_pos") - floor(col("__sel_pos")).cast("double")) *
+              col("__sel_vhi"))).as("exact"): _*)
+  }
 }

@@ -231,9 +231,12 @@ object Similarity {
     math.min(20, math.max(minPlanes, needed))
   }
 
-  def lshBandKeys(corpus: DataFrame, id: String, vec: String,
-                  planesPerTable: Int, tables: Int, dims: Int): DataFrame = {
-    val keys = (0 until tables).map { t =>
+  /** The `tables` per-table band-key expressions over `vec` — shared
+    * by [[lshBandKeys]] and the fused banded projection in
+    * [[scoredBandPairs]]. */
+  private def bandKeyExprs(vec: String, planesPerTable: Int, tables: Int,
+                           dims: Int): Seq[Column] =
+    (0 until tables).map { t =>
       val bucket = (0 until planesPerTable).map { p =>
         val plane = typedlit(Array.tabulate(dims)(d =>
           planeComponent(t * planesPerTable + p, d)))
@@ -241,8 +244,12 @@ object Similarity {
       }.reduce(_ + _)
       concat_ws(":", lit(t.toString), bucket.cast("string"))
     }
-    corpus.select(col(id).as("__id"), explode(array(keys: _*)).as("band_key"))
-  }
+
+  def lshBandKeys(corpus: DataFrame, id: String, vec: String,
+                  planesPerTable: Int, tables: Int, dims: Int): DataFrame =
+    corpus.select(col(id).as("__id"),
+      explode(array(bandKeyExprs(vec, planesPerTable, tables, dims): _*))
+        .as("band_key"))
 
   /** Parameter scaling law for sign-LSH blocking: the planes-per-table
     * that keeps the EXPECTED bucket size near `targetBucket` for an
@@ -302,15 +309,23 @@ object Similarity {
   private def scoredBandPairs(corpus: DataFrame, id: String, vec: String,
                               planes: Int, tables: Int, dims: Int,
                               maxBucket: Int): DataFrame = {
-    val keys = lshBandKeys(corpus, id, vec, planes, tables, dims)
-    val prepped = corpus.select(col(id).as("__id"),
+    // ONE projection builds the banded frame (r15): band keys and the
+    // vector payload originate from the same corpus row, so computing
+    // them together map-side replaces the former
+    // lshBandKeys ⋈ prepped equi-join on __id — which paid two
+    // corpus-grain exchanges (the 8×-exploded key frame and the array
+    // frame, both hashed by id) purely to reunite columns of one row.
+    // The band_key exchange downstream is unchanged; it was always the
+    // first (and only) exchange the arrays cross.
+    val banded0 = corpus.select(col(id).as("__id"),
       col(vec).cast("array<double>").as("__pv"),
-      sqrt(dot(col(vec), col(vec))).as("__pn"))
-    val banded0 = keys.join(prepped, Seq("__id"))
+      sqrt(dot(col(vec), col(vec))).as("__pn"),
+      explode(array(bandKeyExprs(vec, planes, tables, dims): _*))
+        .as("band_key"))
     val banded =
       if (maxBucket <= 0) banded0
       else banded0.join(
-        keys.groupBy("band_key").agg(count(lit(1)).as("__c"))
+        banded0.groupBy("band_key").agg(count(lit(1)).as("__c"))
           .filter(col("__c") <= maxBucket).select("band_key"),
         Seq("band_key"))
     val a = banded.select(col("band_key"), col("__id").as("id_a"),
@@ -453,10 +468,19 @@ object Similarity {
     // on 24-byte (id, id, cos) rows
     val scored0 = scoredBandPairs(corpus, id, vec, planes, tables, dims,
       maxBucket).distinct()
+    // direction mirror via explode (r15): the former
+    // scored0 UNION scored0-swapped duplicated the WHOLE candidate
+    // subtree in the plan — the band join and the distinct each ran
+    // twice (exchange reuse shares only the shuffles, not the join or
+    // the final distinct agg above them). One generator over the
+    // 24-byte scored rows emits both directions map-side.
     val scored = scored0
-      .select(col("id_a").as("qid"), col("id_b").as("nid"), col("cos"))
-      .unionByName(scored0
-        .select(col("id_b").as("qid"), col("id_a").as("nid"), col("cos")))
+      .select(explode(array(
+        struct(col("id_a").as("qid"), col("id_b").as("nid"), col("cos")),
+        struct(col("id_b").as("qid"), col("id_a").as("nid"), col("cos"))))
+        .as("__e"))
+      .select(col("__e.qid").as("qid"), col("__e.nid").as("nid"),
+        col("__e.cos").as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -738,10 +762,13 @@ object Similarity {
     * sorted fold over its d products; each per-dim sum is the
     * two-level sorted fold within md5(row-id) subbuckets; each round
     * renormalizes and rounds the loadings to 9 dp (the GD idiom) so
-    * drift cannot compound. Constant `iters` rounds — no driver state
-    * beyond the loop counter; every frame between scans is 1- or
-    * d-row. Returns (dim, loading rounded 6 dp) for 0..d-1 plus a
-    * dim = -1 row carrying λ/n — the top covariance eigenvalue
+    * drift cannot compound. Constant `iters` rounds; the iterate
+    * (v, λ) — d + 1 doubles, model-sized by the same bound the
+    * broadcast joins rely on — lives DRIVER-side between rounds
+    * (r14), so each round is ONE blocking action: the d-row matvec
+    * collect. The corpus-scale centered stream stays distributed and
+    * checkpointed. Returns (dim, loading rounded 6 dp) for 0..d-1
+    * plus a dim = -1 row carrying λ/n — the top covariance eigenvalue
     * estimate. */
   def powerIterationTop(corpus: DataFrame, id: String, vec: String,
                         dims: Int, iters: Int = 3): DataFrame = {

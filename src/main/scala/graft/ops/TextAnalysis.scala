@@ -590,7 +590,12 @@ object TextAnalysis {
     * [[hashedLinearScore]] (level 1 within 4096 token-hash buckets,
     * level 2 over sorted bucket subtotals), so IEEE addition order is
     * a pure function of the token multiset; ln parity matches what the
-    * surprisal queries already pin. */
+    * surprisal queries already pin.
+    *
+    * PRECONDITION (since r14): `buckets` must divide 4096 — the
+    * count-grain rewrite recovers a token's bucket as subbucket mod B,
+    * which is exact iff B | 4096. Values like 100, valid before r14,
+    * now throw up front; all engine callers use the default 256. */
   /** TRAIN a hashed-feature logistic-regression quality classifier
     * in-engine — the missing half of [[hashedLinearScore]] (which
     * scores with a fixed weight table): full-batch gradient descent on
@@ -621,13 +626,18 @@ object TextAnalysis {
   def trainHashedLogReg(docs: DataFrame, id: String, text: String,
                         labelPos: Column, buckets: Int = 64,
                         iters: Int = 2, lr: Double = 0.5): DataFrame = {
+    // validate BEFORE the corpus-scale checkpoint is built (advisor
+    // r14): a bad `iters`/`buckets` must not first pay — and then
+    // leak — an eagerly materialized feature stream
+    require(iters >= 1 && buckets >= 2)
     val fx = Caches.iteration(
       hashedLabeledFeatures(docs, id, text, labelPos, buckets))
-    val out = trainHashedLogRegOnFeatures(fx, buckets, iters, lr)
     // the output reads only the materialized census + driver weights —
-    // the corpus-scale feature stream can be released immediately
-    Caches.release(fx)
-    out
+    // the corpus-scale feature stream is released as soon as training
+    // returns, and on ANY exception (the nDocs > 0 require, a failed
+    // GD action) the finally still frees the checkpoint blocks
+    try trainHashedLogRegOnFeatures(fx, buckets, iters, lr)
+    finally Caches.release(fx)
   }
 
   /** The hashed binary-presence feature stream [[trainHashedLogReg]]
@@ -1097,10 +1107,15 @@ object TextAnalysis {
     // (id, sb) group carries the same __b (= sb mod B) and therefore
     // the same __lam, so the former ssum(collect_list(lam-per-token))
     // — ascending sort then left fold from 0.0 over n equal values —
-    // is exactly ssum(array_repeat(lam, n)). Level 2 is unchanged.
+    // is exactly the n-term repeat fold. repeatSum (r15) runs that
+    // addition sequence in an O(1)-space codegen loop; the previous
+    // ssum(array_repeat(lam, n)) materialized an n-element array per
+    // row, and n is an unbounded per-(doc, subbucket) token count —
+    // a row-size hazard under adversarial token distributions
+    // (verdict r14 item 7). Level 2 is unchanged.
     g.join(broadcast(lam), Seq("__b"))
       .withColumn("__s1",
-        ssum(array_repeat(col("__lam"), col("__n1").cast("int"))))
+        graft.functions.RepeatSumD.repeatSum(col("__lam"), col("__n1")))
       .groupBy("__id", "__tgt")
       .agg(sum(col("__n1")).as("n_tokens"),
         (ssum(collect_list(col("__s1"))) / sum(col("__n1"))).as("__w"))

@@ -188,4 +188,40 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT sorted_sum_d(array(1.0, cast(null as double), 2.0)) n")
     assert(withNull.collect()(0).isNullAt(0))
   }
+
+  test("repeat_sum_d is bit-identical to sorted_sum_d(array_repeat) " +
+    "on every n and replicates its null/empty edge semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // values where repeated IEEE addition drifts from n*v, across n
+    // spanning 0, 1, small, and large counts — equality proves the
+    // O(1)-space loop runs the exact addition sequence of the
+    // materialized fold
+    val rows = for {
+      v <- Seq(0.1, -1.0 / 3.0, 1e-17, -2.7182818284590452, 1e16)
+      n <- Seq(0L, 1L, 2L, 7L, 1000L, 100000L)
+    } yield (v, n)
+    val df = rows.toDF("v", "n")
+    val both = df.select(col("v"), col("n"),
+        graft.functions.SortedSumD.sortedSum(
+          array_repeat(col("v"), col("n").cast("int"))).as("fold"),
+        graft.functions.RepeatSumD.repeatSum(col("v"), col("n"))
+          .as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"v=${r.getDouble(0)} n=${r.getLong(1)}")
+    }
+    // edges: n null -> null; n = 0 with null v -> 0.0 (empty array
+    // sums to 0.0); null v with n >= 1 -> null (element poisons)
+    val edges = Seq((Some(1.5), None), (None, Some(0L)), (None, Some(3L)))
+      .toDF("v", "n")
+      .select(graft.functions.RepeatSumD.repeatSum(col("v"), col("n"))
+        .as("r"))
+      .collect()
+    assert(edges(0).isNullAt(0))
+    assert(edges(1).getDouble(0) === 0.0)
+    assert(edges(2).isNullAt(0))
+  }
 }

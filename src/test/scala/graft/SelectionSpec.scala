@@ -144,6 +144,53 @@ class SelectionSpec extends SparkSpec {
     assert(got.head === ((n, sorted(((n + 1) / 2 - 1).toInt))))
   }
 
+  test("exactQuantilesContGrouped equals the built-in grouped exact " +
+    "percentile BIT-FOR-BIT on random frames, below and above the " +
+    "bracket threshold, with nulls ignored and empty groups absent") {
+    val probs = Seq(0.1, 0.25, 0.5, 0.9)
+    val rnd = new scala.util.Random(7L)
+    // below-threshold: 4 groups of uneven sizes, ties, negatives, nulls
+    val xs = (1 to 3000).map { i =>
+      val g = s"g${i % 4}"
+      val v: java.lang.Double =
+        if (i % 53 == 0) null
+        else math.floor(rnd.nextDouble() * 100 - 50) / 4.0
+      (g, v)
+    }
+    val small = xs.toDF("k", "v")
+    // above-threshold: 2 groups, one past bracketMinRows
+    val big = spark.range(260000).select(
+      when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")).as("k"),
+      when(col("id") % 101 === 0, lit(null).cast("double"))
+        .otherwise(pow(sin(col("id").cast("double")), 2) * 1000).as("v"))
+    for ((df, tag) <- Seq((small, "small"), (big, "big"))) {
+      val want = df.groupBy("k").agg(expr(
+          s"percentile(v, array(${probs.mkString(",")}))").as("e"))
+        .select(col("k"), posexplode(col("e")))
+        .select(col("k"), col("pos"), col("col").as("exact"))
+        .orderBy("k", "pos")
+        .as[(String, Int, Double)].collect().toSeq
+      val got = Selection.exactQuantilesContGrouped(df, Seq("k"),
+          col("v"), probs)
+        .select(col("k"), col("pos"), col("exact"))
+        .orderBy("k", "pos")
+        .as[(String, Int, Double)].collect().toSeq
+      assert(got.size === want.size, tag)
+      got.zip(want).foreach { case ((gk, gp, gv), (wk, wp, wv)) =>
+        assert(gk === wk && gp === wp, tag)
+        assert(java.lang.Double.doubleToLongBits(gv) ===
+          java.lang.Double.doubleToLongBits(wv), s"$tag $gk pos=$gp")
+      }
+    }
+    // a group whose values are ALL null yields no output row, matching
+    // a percentile of null that callers left-join around
+    val withNullGroup = (Seq(("z", null: java.lang.Double)) ++
+      Seq(("y", java.lang.Double.valueOf(1.0)))).toDF("k", "v")
+    val keys = Selection.exactQuantilesContGrouped(withNullGroup,
+      Seq("k"), col("v"), Seq(0.5)).select("k").as[String].collect()
+    assert(keys.toSeq === Seq("y"))
+  }
+
   test("plan shape: no Window operator and no shuffle of the input " +
     "frame — the only exchanges serve the two model-sized aggregates") {
     val df = spark.range(200000).select((col("id") % 997).as("v"))
