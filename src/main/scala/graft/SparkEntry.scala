@@ -8148,18 +8148,30 @@ object SparkEntry {
     // (CM collisions only inflate).
     "q311_join_size_cm" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val a = li.select(col("l_partkey").cast("string").as("k"))
-      val b = li.filter(col("l_shipdate") >
-          lit("2000-01-01").cast("timestamp"))
-        .select(col("l_partkey").cast("string").as("k"))
-      val skA = Sketches.countMin(a, col("k"), depth = 4, width = 256)
-      val skB = Sketches.countMin(b, col("k"), depth = 4, width = 256)
+      // ONE corpus scan + ONE key-grain shuffle feed BOTH sketches AND
+      // the exact inner product (r15; §6 read amplification): the old
+      // shape scanned lineitem four times (each sketch's cell explode,
+      // each side of the exact key-frequency join). CM cells are plain
+      // sums, so building them from per-key counts via
+      // countMinWeighted is integer-identical to counting raw rows
+      // (SketchesSpec pins the equivalence); the b-side keys are
+      // exactly those with cb > 0. Checkpointed (key-cardinality
+      // grain, registered corpus-scale) for its three consumers.
+      val kc = Caches.corpusScale(li
+        .select(col("l_partkey").cast("string").as("k"),
+          when(col("l_shipdate") > lit("2000-01-01").cast("timestamp"),
+            lit(1L)).otherwise(lit(0L)).as("__inb"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("ca"), sum(col("__inb")).as("cb")))
+      val skA = Sketches.countMinWeighted(kc, col("k"), col("ca"),
+        depth = 4, width = 256)
+      val skB = Sketches.countMinWeighted(kc.filter(col("cb") > 0),
+          col("k"), col("cb"), depth = 4, width = 256)
         .withColumnRenamed("cnt", "cntb")
       val est = skA.join(skB, Seq("d", "bucket"))
         .groupBy("d").agg(sum(col("cnt") * col("cntb")).as("ip"))
         .agg(min(col("ip")).as("est_pairs"))
-      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
-        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+      val exact = kc.filter(col("cb") > 0)
         .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
       // broadcast hint is load-bearing: both sides are one-row aggs,
       // but without it the planner may pick a shuffled CartesianProduct

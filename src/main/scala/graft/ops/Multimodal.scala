@@ -31,6 +31,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** In-memory ImageIO input over a byte payload. `ImageIO.read(an
+    * InputStream)` consults the GLOBAL `ImageIO.getUseCache()` flag —
+    * true by default — and spools the whole stream into a disk temp
+    * file (`FileCacheImageInputStream`) before the reader touches it:
+    * one file create+write+delete PER DECODED IMAGE, i.e. per FRAME on
+    * the video path (r15, found root-causing q127's 2-6 s swing — the
+    * decode is pure CPU but its wall time tracked /tmp load, not
+    * compute). Handing ImageIO a `MemoryCacheImageInputStream` directly
+    * bypasses the file cache with no global state and byte-identical
+    * decode output. */
+  private def imageInput(bytes: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
   /** Typed record entering the decode stage. */
   case class MediaRow(media_id: Long, payload: Array[Byte])
 
@@ -89,8 +103,7 @@ object Multimodal {
     * bytes. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val img = javax.imageio.ImageIO.read(imageInput(bytes))
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -152,8 +165,7 @@ object Multimodal {
     * thousandths), so the hash is a pure function of the pixel grid.
     * None for undecodable bytes (T8 error containment). */
   def dHash64(bytes: Array[Byte]): Option[Long] = try {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
+    val img = javax.imageio.ImageIO.read(imageInput(bytes))
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight

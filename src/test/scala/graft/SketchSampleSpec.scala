@@ -166,6 +166,26 @@ class SketchSampleSpec extends SparkSpec {
     assert(sk.except(sk2).isEmpty && sk2.except(sk).isEmpty)
   }
 
+  test("countMinWeighted over per-key counts is CELL-IDENTICAL to " +
+    "countMin over the raw rows (the q311 one-scan rewrite's " +
+    "equivalence), including under a filtered key subset") {
+    val data = (0 until 2000).map(i => s"k${i % 137}") ++
+      Seq.fill(400)("hot")
+    val df = spark.sparkContext.parallelize(data, 7).toDF("w")
+    val kc = df.groupBy("w").agg(count(lit(1)).as("c"))
+    val raw = Sketches.countMin(df, col("w"), depth = 4, width = 64)
+    val weighted = Sketches.countMinWeighted(kc, col("w"), col("c"),
+      depth = 4, width = 64)
+    assert(raw.except(weighted).isEmpty && weighted.except(raw).isEmpty)
+    // filtered subset: weighting only the keys a predicate keeps equals
+    // sketching only that subset's raw rows (q311's b side, cb > 0)
+    val sub = df.filter(col("w") =!= "hot")
+    val rawSub = Sketches.countMin(sub, col("w"), 3, 16)
+    val wSub = Sketches.countMinWeighted(kc.filter(col("w") =!= "hot"),
+      col("w"), col("c"), 3, 16)
+    assert(rawSub.except(wSub).isEmpty && wSub.except(rawSub).isEmpty)
+  }
+
   test("countMin: sketches MERGE by cell-wise addition (sketch of " +
     "union == summed sketches)") {
     val a = Seq.fill(50)("x").toDF("w")

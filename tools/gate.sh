@@ -147,4 +147,45 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 check_bench_json BENCH_TOP15_ISOLATED.json \
   || { echo "FAIL: top-15 isolated bench"; exit 1; }
 
+echo "== [7/7] sf1 scaling spot-check (8 vs 32 cores, family representatives)"
+# One representative per iterative family (suffix, LSH, graph, selection)
+# at 10x the bench SF, 32 vs 8 cores. MEASURED REALITY (r15, SCALE.md
+# §scaling-spot-check): at sf1 the per-stage data is still KB-MB across
+# 20-60 jobs per query, so wall time is blocking-job-count-bound and the
+# med(8c)/med(32c) ratio sits at ~0.9-1.15 — full parallel scaling
+# (ratio ≈ 4) is NOT reachable at this SF and is NOT asserted. What the
+# step trips on is CATASTROPHIC ANTI-SCALING: a plan whose 32-core run
+# is materially SLOWER than its 8-core run (the q75-family inversion the
+# round-14 driver measured at 0.35-0.46 — many tiny stages paying 32-way
+# scheduling for nothing). Floor 0.7 = the measured noise band's lower
+# edge minus margin; recorded ratios land in SCALING_<round>.json.
+SF1_DIR=${SPARK_GRAFT_SF1_DIR:-/tmp/graft_sf1}
+if [ ! -d "$SF1_DIR" ]; then
+  echo "generating $SF1_DIR (ScaleUp 10x of sf0.1)"
+  sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 $SF1_DIR 10" \
+    >/dev/null 2>&1 || { echo "FAIL: ScaleUp"; exit 1; }
+fi
+REPS=q354_suffix_array_dedup,q19_dedup_ngram_jaccard,q96_cc_star,q211_theil_sen
+for c in 32 8; do
+  rm -f "/tmp/gate_scaling_c${c}.json"
+  SPARK_GRAFT_SF_DIR=$SF1_DIR SPARK_GRAFT_CPUS=$c SPARK_GRAFT_QUERIES=$REPS \
+    SPARK_GRAFT_BENCH_OUT="/tmp/gate_scaling_c${c}.json" \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+done
+python3 - "$ROUND" <<'EOF' || { echo "FAIL: scaling spot-check"; exit 1; }
+import json, sys
+c32 = json.load(open("/tmp/gate_scaling_c32.json"))["queries"]
+c8  = json.load(open("/tmp/gate_scaling_c8.json"))["queries"]
+out = {q: {"sec_32c": c32[q], "sec_8c": c8[q],
+           "ratio_8c_over_32c": round(c8[q] / c32[q], 3)} for q in c32}
+json.dump(out, open(f"SCALING_{sys.argv[1]}.json", "w"), indent=1)
+bad = {q: v for q, v in out.items() if v["ratio_8c_over_32c"] < 0.7}
+for q, v in sorted(out.items()):
+    print(f"  {q}: 32c {v['sec_32c']:.2f}s  8c {v['sec_8c']:.2f}s  "
+          f"ratio {v['ratio_8c_over_32c']:.2f}")
+if bad:
+    print(f"ANTI-SCALING (32c materially slower than 8c): {sorted(bad)}")
+    sys.exit(1)
+EOF
+
 echo "== gate complete for ${ROUND}"
