@@ -8154,7 +8154,7 @@ object SparkEntry {
       // each side of the exact key-frequency join). CM cells are plain
       // sums, so building them from per-key counts via
       // countMinWeighted is integer-identical to counting raw rows
-      // (SketchesSpec pins the equivalence); the b-side keys are
+      // (SketchSampleSpec pins the equivalence); the b-side keys are
       // exactly those with cb > 0. Checkpointed (key-cardinality
       // grain, registered corpus-scale) for its three consumers.
       val kc = Caches.corpusScale(li
